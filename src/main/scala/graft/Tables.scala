@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table registry: canonical load path for the driver-generated
+  * TPC-H-ish tables (TESTDATA.md). Mirrors the reference's front door
+  * `get_parquet_table` (`/root/reference/src/pudl/helpers.py:2257-2325`):
+  * read canonical parquet, normalize types, let Catalyst push down
+  * column pruning + filters from whatever the caller selects next.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Load one table. `events.ts` is nanosecond-precision in parquet; Spark
+    * reads it as long (nanosAsLong) — convert to a microsecond timestamp the
+    * same way DuckDB does (truncating division), so oracle comparisons agree.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (the `spark.sql` front door —
+    * the analogue of the reference's duckdb view layer). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

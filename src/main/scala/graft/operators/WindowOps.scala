@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window / analytic kit (SURVEY §2.6, §2.12 flagging screens).
+  *
+  * Every operator is a window expression over `partitionBy(keys).orderBy(ts)`
+  * — one shuffle on the entity key, then per-partition sorted evaluation.
+  * At 100 TB the partition count is the number of entities, which is what you
+  * want: no global sort, no driver state.
+  */
+object WindowOps {
+
+  def keyed(keys: Seq[String], order: Column*): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+
+  /** Centered rolling mean, window = `before` preceding .. `after` following
+    * rows. Reference: `generate_rolling_avg` window=12 centered
+    * (`/root/reference/src/pudl/helpers.py:1375-1425`); pandas center=true with
+    * even window spans [i-6, i+5].
+    */
+  def rollingAvg(df: DataFrame, keys: Seq[String], order: Column, value: Column,
+                 before: Int = 6, after: Int = 5, out: String = "rolling_avg"): DataFrame =
+    df.withColumn(out,
+      avg(value).over(keyed(keys, order).rowsBetween(-before, after)))
+
+  /** Fill nulls from the rolling average of the non-null neighbors —
+    * `fillna_w_rolling_avg` (`/root/reference/src/pudl/helpers.py:1426-1460`). */
+  def fillnaRollingAvg(df: DataFrame, keys: Seq[String], order: Column,
+                       valueCol: String, before: Int = 6, after: Int = 5): DataFrame =
+    df.withColumn(valueCol,
+      coalesce(col(valueCol),
+        avg(col(valueCol)).over(keyed(keys, order).rowsBetween(-before, after))))
+
+  /** Exact sliding median over a row frame. Implemented as a declarative
+    * sorted-array expression (stays in codegen) rather than an imperative
+    * aggregator. Reference: `rolling_median`
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:829-906`).
+    * Interpolating (percentile_cont 0.5) semantics on even counts.
+    */
+  def rollingMedian(df: DataFrame, keys: Seq[String], order: Column, value: Column,
+                    before: Int, after: Int, out: String = "rolling_median"): DataFrame = {
+    val arr = array_sort(
+      filter(collect_list(value).over(keyed(keys, order).rowsBetween(-before, after)),
+        x => x.isNotNull))
+    val n = size(arr)
+    val lo = element_at(arr, (n + 1) / 2)
+    val hi = element_at(arr, n / 2 + 1)
+    df.withColumn(out, when(n > 0, (lo + hi) / 2.0))
+  }
+
+  /** Monotone run-ids for runs of equal `flag` values per key: cumulative
+    * sum of change-points. Reference: `encode_run_length`
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:340-517`),
+    * `calculate_min_up_or_down_times` (`analysis/operational_characteristics.py:533-570`).
+    */
+  def runIds(df: DataFrame, keys: Seq[String], order: Column, flag: Column,
+             out: String = "run_id"): DataFrame = {
+    val w = keyed(keys, order)
+    val changed = when(
+      lag(flag, 1).over(w).isNull || lag(flag, 1).over(w) =!= flag, 1
+    ).otherwise(0)
+    df.withColumn(out,
+      sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Flag runs of >= `minLen` identical values — `flag_identical_run`
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:777-795`). */
+  def flagIdenticalRun(df: DataFrame, keys: Seq[String], order: Column,
+                       value: Column, minLen: Int, out: String = "flag_run"): DataFrame = {
+    val withRun = runIds(df, keys, order, value, "__run")
+    val wRun = Window.partitionBy((keys :+ "__run").map(col): _*)
+    withRun
+      .withColumn(out, (count(lit(1)).over(wRun) >= minLen) && value.isNotNull)
+      .drop("__run")
+  }
+
+  /** Lag-based double-delta spike flag: |Δprev| and |Δnext| both exceed
+    * `threshold` with opposite signs. Reference: `flag_double_delta`
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:1040-1120`). */
+  def flagDoubleDelta(df: DataFrame, keys: Seq[String], order: Column,
+                      value: Column, threshold: Column, out: String = "flag_spike"): DataFrame = {
+    val w = keyed(keys, order)
+    val dPrev = value - lag(value, 1).over(w)
+    val dNext = lead(value, 1).over(w) - value
+    df.withColumn(out,
+      dPrev.isNotNull && dNext.isNotNull &&
+        abs(dPrev) > threshold && abs(dNext) > threshold &&
+        (dPrev * dNext < 0))
+  }
+}
