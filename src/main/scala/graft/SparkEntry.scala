@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.AggFunctions._
-import graft.operators.{Dedup, Reshape, WindowOps}
+import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,8 +72,8 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"))
       .agg(
-        round(weightedAvg(col("l_discount"), col("l_quantity")), 6).as("wavg_discount"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        weightedAvgExact(col("l_discount"), col("l_quantity"), 2).as("wavg_discount"),
+        sum(col("l_quantity")).as("sum_qty"))
 
   // ---- §2.6 centered rolling average over a monthly series ---------------
   // Reference: generate_rolling_avg (/root/reference/src/pudl/helpers.py:1375-1425).
@@ -108,6 +108,122 @@ object SparkEntry {
         round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
 
+  // ---- §2.3 date_merge: temporal-granularity equi-join -------------------
+  // Monthly supplier revenue joined to its yearly total at year grain;
+  // reference: date_merge (/root/reference/src/pudl/helpers.py:612-718).
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val monthly = li.groupBy(col("l_suppkey"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("month_rev"))
+    val yearly = li.groupBy(col("l_suppkey"),
+        date_trunc("year", col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("year_rev"))
+    TemporalOps.dateMerge(monthly, yearly, Seq("l_suppkey"),
+        leftDate = "ship_month", rightDate = "ship_year", grain = "year")
+      .withColumn("rev_share", round(col("month_rev") / col("year_rev"), 6))
+  }
+
+  // ---- §2.3 expand_timeseries: densify + forward-fill --------------------
+  // Reference: expand_timeseries (/root/reference/src/pudl/helpers.py:719-806).
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("month_rev"))
+    TemporalOps.expandTimeseries(monthly, Seq("l_suppkey"), "ship_month",
+      step = "1 month", fillCols = Seq("month_rev"))
+  }
+
+  // ---- §2.1 changelog: drop consecutive duplicate snapshots --------------
+  // Reference: make_changelog (/root/reference/src/pudl/helpers.py:2627-2659).
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.changelog(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        tracked = Seq("event_type"))
+      .select("user_id", "event_id", "ts", "event_type")
+
+  // ---- §2.3 scale_by_ownership -------------------------------------------
+  // Ownership fractions derived from per-order quantity shares; reference:
+  // scale_by_ownership (/root/reference/src/pudl/helpers.py:2006-2104).
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val own = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("__q"))
+      .withColumn("fraction_owned",
+        col("__q") / sum(col("__q")).over(Window.partitionBy(col("o_orderkey"))))
+      .drop("__q")
+    Allocation.scaleByOwnership(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"), own,
+        keys = Seq("o_orderkey"), fracCol = "fraction_owned",
+        dataCols = Seq("o_totalprice"))
+      // no rounding: every operand is bit-identical on both engines (integral
+      // quantity sums are exact), so the products match exactly — rounding
+      // would *introduce* divergence at boundary-exact values.
+      .select(col("o_orderkey"), col("l_suppkey"), col("ownership_record_type"),
+        col("o_totalprice").as("totalprice_scaled"), col("fraction_owned"))
+  }
+
+  // ---- §2.5 sum_na: NULL-poisoning SUM -----------------------------------
+  // Reference: sum_na (/root/reference/src/pudl/helpers.py:42-50).
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("v", when(col("l_quantity") > 45, lit(null))
+        .otherwise(col("l_extendedprice")))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        round(sumNa(col("v")), 2).as("sum_price_na"),
+        count(col("v")).as("n_nonnull"),
+        count(lit(1)).as("n_rows"))
+
+  // ---- §2.5 harvesting: occurrence-consistency entity resolution ---------
+  // Reference: occurrence_consistency (/root/reference/src/pudl/transform/eia.py:122-199).
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Harvest.occurrenceConsistency(t(s, dir, "orders"),
+      entityKeys = Seq("o_custkey"), valueCol = "o_orderpriority",
+      strictness = 0.7)
+
+  // ---- §2.4 best-snapshot dedup (most non-nulls wins) --------------------
+  // Reference: __best_snapshot (/root/reference/src/pudl/transform/ferc.py:21-34).
+  private def withNullySnapshotCols(df: DataFrame): DataFrame =
+    df.withColumn("price_n",
+        when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")))
+      .withColumn("prio_n",
+        when(col("o_orderpriority") === "3-MEDIUM", lit(null))
+          .otherwise(col("o_orderpriority")))
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestSnapshot(withNullySnapshotCols(t(s, dir, "orders")),
+        keys = Seq("o_custkey"), dataCols = Seq("price_n", "prio_n"),
+        tiebreak = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select("o_custkey", "o_orderkey", "price_n", "prio_n")
+
+  // ---- §2.4 apply-diffs dedup (per-column last non-null) -----------------
+  // Reference: __apply_diffs (/root/reference/src/pudl/transform/ferc.py:36-60).
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Dedup.applyDiffs(withNullySnapshotCols(t(s, dir, "orders")),
+      keys = Seq("o_custkey"), orderCol = "o_orderkey",
+      dataCols = Seq("price_n", "prio_n"))
+
+  // ---- §2.8 anti-join (get_missing_ids indicator-merge pattern) ----------
+  // Reference: get_missing_ids (/root/reference/src/pudl/glue/ferc1_eia.py:356-376).
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  // ---- §2.5 mixed agg in one pass: sum + weighted avg + unique-or-mixed --
+  // Reference: sum_and_weighted_average_agg (/root/reference/src/pudl/helpers.py:1796-1834)
+  // + groupby_agg_label_unique_source_or_mixed (:1461-1476).
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        weightedAvgExact(col("l_discount"), col("l_quantity"), 2).as("wavg_discount"),
+        uniqueOrMixed(col("l_returnflag")).as("returnflag_label"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -122,6 +238,16 @@ object SparkEntry {
     "q06_rolling_avg" -> (q06 _),
     "q07_melt" -> (q07 _),
     "q08_hourly_events" -> (q08 _),
+    "q09_date_merge" -> (q09 _),
+    "q10_expand_timeseries" -> (q10 _),
+    "q11_changelog" -> (q11 _),
+    "q12_scale_by_ownership" -> (q12 _),
+    "q13_sum_na" -> (q13 _),
+    "q14_harvest_consistency" -> (q14 _),
+    "q15_best_snapshot" -> (q15 _),
+    "q16_apply_diffs" -> (q16 _),
+    "q17_anti_join" -> (q17 _),
+    "q18_mixed_agg" -> (q18 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,8 +286,10 @@ object SparkEntry {
         |  FROM orders) WHERE rn = 1""".stripMargin,
     "q05_weighted_avg" ->
       """SELECT s_nationkey,
-        |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+        |         * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / (100 * sum(l_quantity)) AS wavg_discount,
+        |  sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
     "q06_rolling_avg" ->
@@ -191,5 +319,120 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "q09_date_merge" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |    round(sum(l_extendedprice), 2) AS month_rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |yearly AS (
+        |  SELECT l_suppkey, CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS ship_year,
+        |    round(sum(l_extendedprice), 2) AS year_rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m.l_suppkey, m.ship_month, m.month_rev, y.year_rev,
+        |  round(m.month_rev / y.year_rev, 6) AS rev_share
+        |FROM monthly m LEFT JOIN yearly y
+        |  ON m.l_suppkey = y.l_suppkey
+        |  AND CAST(date_trunc('year', m.ship_month) AS TIMESTAMP) = y.ship_year""".stripMargin,
+    "q10_expand_timeseries" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |    round(sum(l_extendedprice), 2) AS month_rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT l_suppkey, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS ship_month
+        |  FROM (SELECT l_suppkey, min(ship_month) AS lo, max(ship_month) AS hi
+        |        FROM monthly GROUP BY 1))
+        |SELECT s.l_suppkey, s.ship_month,
+        |  last_value(m.month_rev IGNORE NULLS) OVER (
+        |    PARTITION BY s.l_suppkey ORDER BY s.ship_month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS month_rev
+        |FROM spine s LEFT JOIN monthly m
+        |  ON s.l_suppkey = m.l_suppkey AND s.ship_month = m.ship_month""".stripMargin,
+    "q11_changelog" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type""".stripMargin,
+    "q12_scale_by_ownership" ->
+      """WITH own AS (
+        |  SELECT l_orderkey AS o_orderkey, l_suppkey, sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |own2 AS (
+        |  SELECT o_orderkey, l_suppkey,
+        |    q / sum(q) OVER (PARTITION BY o_orderkey) AS fraction_owned
+        |  FROM own),
+        |joined AS (
+        |  SELECT o.o_orderkey, own2.l_suppkey,
+        |    coalesce(own2.fraction_owned, 1.0) AS fraction_owned, o.o_totalprice
+        |  FROM orders o LEFT JOIN own2 ON o.o_orderkey = own2.o_orderkey)
+        |SELECT o_orderkey, l_suppkey, 'owned' AS ownership_record_type,
+        |  o_totalprice * fraction_owned AS totalprice_scaled, fraction_owned
+        |FROM joined
+        |UNION ALL
+        |SELECT o_orderkey, l_suppkey, 'total', o_totalprice, fraction_owned
+        |FROM joined""".stripMargin,
+    "q13_sum_na" ->
+      """WITH x AS (
+        |  SELECT l_suppkey,
+        |    CASE WHEN l_quantity > 45 THEN NULL ELSE l_extendedprice END AS v
+        |  FROM lineitem)
+        |SELECT l_suppkey,
+        |  CASE WHEN count(v) = count(*) THEN round(sum(v), 2) END AS sum_price_na,
+        |  count(v) AS n_nonnull, count(*) AS n_rows
+        |FROM x GROUP BY l_suppkey""".stripMargin,
+    "q14_harvest_consistency" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS value_count
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(sum(value_count) OVER (PARTITION BY o_custkey) AS BIGINT) AS total_count,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY value_count DESC, o_orderpriority ASC) AS rk
+        |  FROM counts)
+        |SELECT o_custkey,
+        |  CASE WHEN CAST(value_count AS DOUBLE) / total_count > 0.7
+        |    THEN o_orderpriority END AS o_orderpriority,
+        |  value_count, total_count,
+        |  CAST(value_count AS DOUBLE) / total_count AS rate
+        |FROM ranked WHERE rk = 1""".stripMargin,
+    "q15_best_snapshot" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS price_n,
+        |    CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS prio_n
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, price_n, prio_n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY (CASE WHEN price_n IS NOT NULL THEN 1 ELSE 0 END
+        |            + CASE WHEN prio_n IS NOT NULL THEN 1 ELSE 0 END) DESC,
+        |      o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM snaps) WHERE rn = 1""".stripMargin,
+    "q16_apply_diffs" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS price_n,
+        |    CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS prio_n
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  arg_max(price_n, CASE WHEN price_n IS NOT NULL THEN o_orderkey END) AS price_n,
+        |  arg_max(prio_n, CASE WHEN prio_n IS NOT NULL THEN o_orderkey END) AS prio_n
+        |FROM snaps GROUP BY o_custkey""".stripMargin,
+    "q17_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q18_mixed_agg" ->
+      """SELECT l_partkey,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+        |         * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / (100 * sum(l_quantity)) AS wavg_discount,
+        |  CASE WHEN count(DISTINCT l_returnflag) = 1 THEN min(l_returnflag)
+        |    ELSE 'mixed' END AS returnflag_label
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
   )
 }

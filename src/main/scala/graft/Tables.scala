@@ -24,7 +24,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 

@@ -29,10 +29,25 @@ object AggFunctions {
     sum(both) / sum(w)
   }
 
+  /** Weighted average with *exact* integer arithmetic: value is quantized to
+    * `scale` decimal places (exact when the source data carries at most that
+    * many decimals) and the weight must be integral. The sums are then
+    * integer-exact, so the result is independent of partitioning/summation
+    * order — bit-identical across engines and cluster sizes. Use for
+    * oracle-checked ratios where float-order drift near a rounding boundary
+    * would flip a digit.
+    */
+  def weightedAvgExact(value: Column, weight: Column, scale: Int): Column = {
+    val factor = math.pow(10, scale)
+    val vInt = round(value * factor, 0).cast("long")
+    val wInt = weight.cast("long")
+    sum(vInt * wInt).cast("double") / (lit(factor) * sum(wInt))
+  }
+
   /** Single distinct value per group, or the literal "mixed".
     * Reference: `groupby_agg_label_unique_source_or_mixed`
     * (`/root/reference/src/pudl/helpers.py:1461-1476`).
     */
   def uniqueOrMixed(c: Column): Column =
-    when(count_distinct(c) === 1, first(c, ignoreNulls = true)).otherwise(lit("mixed"))
+    when(count_distinct(c) === 1, min(c)).otherwise(lit("mixed"))
 }

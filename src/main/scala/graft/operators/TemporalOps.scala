@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins, densification, changelog (SURVEY §2.1, §2.3).
+  *
+  * Scale design: all operators join/aggregate on (entity keys × coarse time)
+  * — the shuffle key is the entity, never a global sort. Densification emits
+  * rows via `explode(sequence(...))` per key, fully distributed.
+  */
+object TemporalOps {
+
+  /** Temporal-granularity equi-join: join a fine-grained left to a
+    * coarser-grained right on keys + the truncated date, keeping the finest
+    * date column. Reference: `date_merge`
+    * (`/root/reference/src/pudl/helpers.py:612-718`) — it splits dates into
+    * y/q/m parts and joins on the selected grain; the Spark-native form
+    * derives the truncation at plan time.
+    *
+    * @param grain one of "year", "quarter", "month", "day"
+    */
+  def dateMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftDate: String, rightDate: String, grain: String,
+                how: String = "left"): DataFrame = {
+    val l = left.withColumn("__grain", date_trunc(grain, col(leftDate)))
+    val r = right.withColumn("__grain", date_trunc(grain, col(rightDate)))
+      .drop(rightDate)
+    l.join(r, keys :+ "__grain", how).drop("__grain")
+  }
+
+  /** Densify a keyed timeseries to a fixed `step` between each key's min and
+    * max observed date, then forward-fill `fillCols` from the last non-null.
+    * Reference: `expand_timeseries` (`/root/reference/src/pudl/helpers.py:719-806`),
+    * `full_timeseries_date_merge` (`:560-596`).
+    *
+    * The dense spine is built per key with `sequence()` + `explode` — no
+    * driver-side calendar, no cross join; scales with #keys × #periods.
+    */
+  def expandTimeseries(df: DataFrame, keys: Seq[String], dateCol: String,
+                       step: String, fillCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val spine = df.groupBy(keyCols: _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(keyCols :+ explode(
+        sequence(col("__lo"), col("__hi"), expr(s"INTERVAL $step"))).as(dateCol): _*)
+    val joined = spine.join(df, keys :+ dateCol, "left")
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fillCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Collapse a snapshot history into a changelog: keep only rows where any
+    * tracked column differs from the previous snapshot of the same key.
+    * Reference: `make_changelog` (`/root/reference/src/pudl/helpers.py:2627-2659`).
+    * Null-safe comparison (`<=>`), matching pandas' NaN-equal shift compare.
+    */
+  def changelog(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val anyChanged = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val isFirst = row_number().over(w) === 1
+    df.withColumn("__keep", isFirst || anyChanged)
+      .where(col("__keep")).drop("__keep")
+  }
+}
