@@ -82,7 +82,7 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("o_month"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
-    WindowOps.rollingAvg(monthly, Seq("c_mktsegment"), col("o_month"),
+    WindowOps.rollingAvg(monthly, Seq("c_mktsegment"), Seq(col("o_month")),
       col("revenue"), before = 5, after = 6, out = "rolling_revenue")
       .withColumn("rolling_revenue", round(col("rolling_revenue"), 4))
   }
@@ -224,6 +224,121 @@ object SparkEntry {
         weightedAvgExact(col("l_discount"), col("l_quantity"), 2).as("wavg_discount"),
         uniqueOrMixed(col("l_returnflag")).as("returnflag_label"))
 
+  // ---- §2.6 exact sliding median ----------------------------------------
+  // Reference: rolling_median screens
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:829-906).
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    WindowOps.rollingMedian(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        value = col("value"), before = 3, after = 3)
+      .select("user_id", "event_id", "ts", "value", "rolling_median")
+
+  // ---- §2.6/§2.12 double-delta spike flag --------------------------------
+  // Reference: flag_double_delta
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1040-1120).
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    WindowOps.flagDoubleDelta(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        value = col("value"), threshold = lit(20.0))
+      .select("user_id", "event_id", "ts", "value", "flag_spike")
+
+  // ---- §2.6 run-length encoding ------------------------------------------
+  // Reference: encode_run_length
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:340-517).
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    WindowOps.runLengths(t(s, dir, "events"),
+      keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+      flag = col("value") >= 10.0, orderName = "ts")
+
+  // ---- §2.6 identical-run flag -------------------------------------------
+  // Reference: flag_identical_run
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:777-795).
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    WindowOps.flagIdenticalRun(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        value = floor(col("value") / 10).cast("long"), minLen = 3,
+        out = "flag_run")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") / 10).cast("long").as("value_bucket"), col("flag_run"))
+
+  // ---- §2.6 per-group quantile binning (ntile) ---------------------------
+  // Reference: assign_groupwise_load_factor_bins
+  // (/root/reference/src/pudl/analysis/operational_characteristics.py:182-268).
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "events")
+      .withColumn("bin", ntile(4).over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))))
+      .select("event_id", "event_type", "value", "bin")
+  }
+
+  // ---- §2.6 cumulative running totals ------------------------------------
+  // The unbounded-preceding frame used by every ffill/cumsum port.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("rn", row_number().over(w))
+      .select("user_id", "event_id", "ts", "running_value", "rn")
+  }
+
+  // ---- §2.6 ramp rates ----------------------------------------------------
+  // Reference: summarize_ramp_rates
+  // (/root/reference/src/pudl/analysis/operational_characteristics.py:269-325).
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    WindowOps.rampRates(t(s, dir, "events"),
+      keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+      value = col("value"))
+
+  // ---- §2.6 min up/down times from run lengths ---------------------------
+  // Reference: calculate_min_up_or_down_times
+  // (/root/reference/src/pudl/analysis/operational_characteristics.py:533-570).
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    WindowOps.runLengths(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        flag = col("value") >= 10.0, orderName = "ts")
+      .groupBy(col("user_id"), col("flag"))
+      .agg(
+        min(col("run_length")).as("min_run"),
+        max(col("run_length")).as("max_run"),
+        count(lit(1)).as("n_runs"))
+
+  // ---- §2.12 group-median imputation of simulated gaps -------------------
+  // Reference: impute_flagged_values + simulate_nulls
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1554-1614,1372-1426);
+  // deterministic gap mask (event_id % 37) instead of seeded rand.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val gapped = t(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 37 === 0, lit(null))
+        .otherwise(col("value")))
+      .withColumn("hod", hour(col("ts")))
+    val med = gapped.groupBy(col("event_type"), col("hod"))
+      .agg(median(col("v")).as("group_median"))
+    gapped.join(broadcast(med), Seq("event_type", "hod"), "left")
+      // round 6: the two engines may interpolate even-count medians with
+      // differently-associated float ops; the 0.005-grid of (a+b)/2 over
+      // cent-valued data provably misses the 5e-7 rounding boundary.
+      .withColumn("value_imputed", round(coalesce(col("v"), col("group_median")), 6))
+      .withColumn("was_imputed", col("v").isNull)
+      .select("event_id", "event_type", "hod", "value_imputed", "was_imputed")
+  }
+
+  // ---- §2.8 top-k per group ----------------------------------------------
+  // Reference: get_best_matches top-1
+  // (/root/reference/src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:251-307).
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "events")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)))
+      .where(col("rk") <= 3)
+      .select("event_type", "rk", "event_id", "value")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -248,6 +363,16 @@ object SparkEntry {
     "q16_apply_diffs" -> (q16 _),
     "q17_anti_join" -> (q17 _),
     "q18_mixed_agg" -> (q18 _),
+    "q19_rolling_median" -> (q19 _),
+    "q20_spike_flag" -> (q20 _),
+    "q21_run_length" -> (q21 _),
+    "q22_identical_run" -> (q22 _),
+    "q23_ntile_bins" -> (q23 _),
+    "q24_cumulative" -> (q24 _),
+    "q25_ramp_rates" -> (q25 _),
+    "q26_min_up_down" -> (q26 _),
+    "q27_median_impute" -> (q27 _),
+    "q28_topk_per_group" -> (q28 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,5 +559,113 @@ object SparkEntry {
         |  CASE WHEN count(DISTINCT l_returnflag) = 1 THEN min(l_returnflag)
         |    ELSE 'mixed' END AS returnflag_label
         |FROM lineitem GROUP BY l_partkey""".stripMargin,
+    "q19_rolling_median" ->
+      """WITH fr AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM events)
+        |SELECT user_id, event_id, ts, value,
+        |  (arr[CAST((len(arr) + 1) // 2 AS INTEGER)]
+        |   + arr[CAST(len(arr) // 2 + 1 AS INTEGER)]) / 2.0 AS rolling_median
+        |FROM fr""".stripMargin,
+    "q20_spike_flag" ->
+      """SELECT user_id, event_id, ts, value,
+        |  (dp IS NOT NULL AND dn IS NOT NULL
+        |   AND abs(dp) > 20.0 AND abs(dn) > 20.0 AND dp * dn < 0) AS flag_spike
+        |FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |    value - lag(value) OVER w AS dp,
+        |    lead(value) OVER w - value AS dn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+    "q21_run_length" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, (value >= 10.0) AS flag FROM events),
+        |lagged AS (
+        |  SELECT *, lag(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_flag
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, ts, flag,
+        |    sum(CASE WHEN prev_flag IS DISTINCT FROM flag THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM lagged)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, min(flag) AS flag,
+        |  count(*) AS run_length, min(ts) AS run_start, max(ts) AS run_end
+        |FROM runs GROUP BY user_id, run_id""".stripMargin,
+    "q22_identical_run" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value / 10) AS BIGINT) AS value_bucket
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(value_bucket) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_b
+        |  FROM b),
+        |runs AS (
+        |  SELECT user_id, event_id, ts, value_bucket,
+        |    sum(CASE WHEN prev_b IS DISTINCT FROM value_bucket THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM lagged)
+        |SELECT user_id, event_id, ts, value_bucket,
+        |  (count(*) OVER (PARTITION BY user_id, run_id) >= 3
+        |   AND value_bucket IS NOT NULL) AS flag_run
+        |FROM runs""".stripMargin,
+    "q23_ntile_bins" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+        |FROM events""".stripMargin,
+    "q24_cumulative" ->
+      """SELECT user_id, event_id, ts,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events""".stripMargin,
+    "q25_ramp_rates" ->
+      """SELECT user_id, max(d) AS max_ramp_up, min(d) AS max_ramp_down
+        |FROM (
+        |  SELECT user_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin,
+    "q26_min_up_down" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, (value >= 10.0) AS flag FROM events),
+        |lagged AS (
+        |  SELECT *, lag(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_flag
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, flag,
+        |    sum(CASE WHEN prev_flag IS DISTINCT FROM flag THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM lagged),
+        |rl AS (
+        |  SELECT user_id, run_id, min(flag) AS flag, count(*) AS run_length
+        |  FROM runs GROUP BY user_id, run_id)
+        |SELECT user_id, flag, min(run_length) AS min_run, max(run_length) AS max_run,
+        |  count(*) AS n_runs
+        |FROM rl GROUP BY user_id, flag""".stripMargin,
+    "q27_median_impute" ->
+      """WITH gapped AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, hod, median(v) AS group_median
+        |  FROM gapped GROUP BY event_type, hod)
+        |SELECT g.event_id, g.event_type, g.hod,
+        |  round(coalesce(g.v, m.group_median), 6) AS value_imputed,
+        |  (g.v IS NULL) AS was_imputed
+        |FROM gapped g LEFT JOIN med m
+        |  ON g.event_type = m.event_type AND g.hod = m.hod""".stripMargin,
+    "q28_topk_per_group" ->
+      """SELECT event_type, rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events)
+        |WHERE rk <= 3""".stripMargin,
   )
 }

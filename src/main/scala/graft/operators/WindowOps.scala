@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Window / analytic kit (SURVEY §2.6, §2.12 flagging screens).
   *
-  * Every operator is a window expression over `partitionBy(keys).orderBy(ts)`
+  * Every operator is a window expression over `partitionBy(keys).orderBy(...)`
   * — one shuffle on the entity key, then per-partition sorted evaluation.
   * At 100 TB the partition count is the number of entities, which is what you
-  * want: no global sort, no driver state.
+  * want: no global sort, no driver state. Callers must pass a *total* order
+  * (include a unique tiebreak column) — pandas relied on implicit row order
+  * (SURVEY §7 hard-part #1).
   */
 object WindowOps {
 
-  def keyed(keys: Seq[String], order: Column*): WindowSpec =
+  def keyed(keys: Seq[String], order: Seq[Column]): WindowSpec =
     Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
 
   /** Centered rolling mean, window = `before` preceding .. `after` following
@@ -21,14 +23,14 @@ object WindowOps {
     * (`/root/reference/src/pudl/helpers.py:1375-1425`); pandas center=true with
     * even window spans [i-6, i+5].
     */
-  def rollingAvg(df: DataFrame, keys: Seq[String], order: Column, value: Column,
+  def rollingAvg(df: DataFrame, keys: Seq[String], order: Seq[Column], value: Column,
                  before: Int = 6, after: Int = 5, out: String = "rolling_avg"): DataFrame =
     df.withColumn(out,
       avg(value).over(keyed(keys, order).rowsBetween(-before, after)))
 
   /** Fill nulls from the rolling average of the non-null neighbors —
     * `fillna_w_rolling_avg` (`/root/reference/src/pudl/helpers.py:1426-1460`). */
-  def fillnaRollingAvg(df: DataFrame, keys: Seq[String], order: Column,
+  def fillnaRollingAvg(df: DataFrame, keys: Seq[String], order: Seq[Column],
                        valueCol: String, before: Int = 6, after: Int = 5): DataFrame =
     df.withColumn(valueCol,
       coalesce(col(valueCol),
@@ -38,49 +40,77 @@ object WindowOps {
     * sorted-array expression (stays in codegen) rather than an imperative
     * aggregator. Reference: `rolling_median`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:829-906`).
-    * Interpolating (percentile_cont 0.5) semantics on even counts.
+    * Interpolating (percentile_cont 0.5) semantics on even counts:
+    * (arr[(n+1)/2] + arr[n/2+1]) / 2 with 1-based integer indices.
     */
-  def rollingMedian(df: DataFrame, keys: Seq[String], order: Column, value: Column,
+  def rollingMedian(df: DataFrame, keys: Seq[String], order: Seq[Column], value: Column,
                     before: Int, after: Int, out: String = "rolling_median"): DataFrame = {
     val arr = array_sort(
       filter(collect_list(value).over(keyed(keys, order).rowsBetween(-before, after)),
         x => x.isNotNull))
     val n = size(arr)
-    val lo = element_at(arr, (n + 1) / 2)
-    val hi = element_at(arr, n / 2 + 1)
+    val lo = element_at(arr, ((n + 1) / 2).cast("int"))
+    val hi = element_at(arr, (n / 2).cast("int") + 1)
     df.withColumn(out, when(n > 0, (lo + hi) / 2.0))
   }
 
   /** Monotone run-ids for runs of equal `flag` values per key: cumulative
-    * sum of change-points. Reference: `encode_run_length`
+    * sum of null-safe change-points. Consecutive equal values (including
+    * consecutive nulls) share a run. Reference: `encode_run_length`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:340-517`),
     * `calculate_min_up_or_down_times` (`analysis/operational_characteristics.py:533-570`).
     */
-  def runIds(df: DataFrame, keys: Seq[String], order: Column, flag: Column,
+  def runIds(df: DataFrame, keys: Seq[String], order: Seq[Column], flag: Column,
              out: String = "run_id"): DataFrame = {
     val w = keyed(keys, order)
-    val changed = when(
-      lag(flag, 1).over(w).isNull || lag(flag, 1).over(w) =!= flag, 1
-    ).otherwise(0)
+    val changed = when(!(lag(flag, 1).over(w) <=> flag), 1).otherwise(0)
     df.withColumn(out,
       sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Per-run summary: one row per (key, run) with the run's flag value,
+    * length and bounds. Two shuffles on the entity key total.
+    * Reference: `encode_run_length`
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:340-517`). */
+  def runLengths(df: DataFrame, keys: Seq[String], order: Seq[Column], flag: Column,
+                 orderName: String): DataFrame = {
+    val withRun = runIds(df.withColumn("__flag", flag), keys, order,
+      col("__flag"), "run_id")
+    withRun.groupBy((keys :+ "run_id").map(col): _*)
+      .agg(
+        min(col("__flag")).as("flag"), // all values in a run are equal
+        count(lit(1)).as("run_length"),
+        min(col(orderName)).as("run_start"),
+        max(col(orderName)).as("run_end"))
+  }
+
+  /** Max ramp up / down per key from consecutive diffs — `summarize_ramp_rates`
+    * (`/root/reference/src/pudl/analysis/operational_characteristics.py:269-325`). */
+  def rampRates(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                value: Column): DataFrame = {
+    val w = keyed(keys, order)
+    df.withColumn("__diff", value - lag(value, 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(col("__diff")).as("max_ramp_up"),
+        min(col("__diff")).as("max_ramp_down"))
+  }
+
   /** Flag runs of >= `minLen` identical values — `flag_identical_run`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:777-795`). */
-  def flagIdenticalRun(df: DataFrame, keys: Seq[String], order: Column,
+  def flagIdenticalRun(df: DataFrame, keys: Seq[String], order: Seq[Column],
                        value: Column, minLen: Int, out: String = "flag_run"): DataFrame = {
-    val withRun = runIds(df, keys, order, value, "__run")
+    val withRun = runIds(df.withColumn("__v", value), keys, order, col("__v"), "__run")
     val wRun = Window.partitionBy((keys :+ "__run").map(col): _*)
     withRun
-      .withColumn(out, (count(lit(1)).over(wRun) >= minLen) && value.isNotNull)
-      .drop("__run")
+      .withColumn(out, (count(lit(1)).over(wRun) >= minLen) && col("__v").isNotNull)
+      .drop("__run", "__v")
   }
 
   /** Lag-based double-delta spike flag: |Δprev| and |Δnext| both exceed
     * `threshold` with opposite signs. Reference: `flag_double_delta`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:1040-1120`). */
-  def flagDoubleDelta(df: DataFrame, keys: Seq[String], order: Column,
+  def flagDoubleDelta(df: DataFrame, keys: Seq[String], order: Seq[Column],
                       value: Column, threshold: Column, out: String = "flag_spike"): DataFrame = {
     val w = keyed(keys, order)
     val dPrev = value - lag(value, 1).over(w)
