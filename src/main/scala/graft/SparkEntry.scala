@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.AggFunctions._
+import graft.functions.Cleaning
 import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -339,6 +340,76 @@ object SparkEntry {
       .select("event_type", "rk", "event_id", "value")
   }
 
+  // ---- §2.9 string simplification ----------------------------------------
+  // Reference: simplify_strings (/root/reference/src/pudl/helpers.py:829-868).
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("messy", concat(lit("  "), upper(col("p_name")), lit("   ")))
+      .withColumn("clean", Cleaning.simplifyStrings(col("messy")))
+      .select("p_partkey", "messy", "clean")
+
+  // ---- §2.9 zero-pad / leading-zero strip roundtrip ----------------------
+  // Reference: zero_pad_numeric_string + remove_leading_zeros_from_numeric_strings
+  // (/root/reference/src/pudl/helpers.py:1518-1568,1142-1177).
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumn("padded", Cleaning.zeroPad(col("s_suppkey").cast("string"), 9))
+      .withColumn("roundtrip", col("padded").cast("long").cast("string"))
+      .select("s_suppkey", "padded", "roundtrip")
+
+  // ---- §2.9 code-table encode (fix/ignore/validate) ----------------------
+  // Reference: Encoder.encode (/root/reference/src/pudl/metadata/classes.py:410-634).
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Cleaning.encode(s,
+        t(s, dir, "customer").withColumn("raw", col("c_mktsegment")),
+        column = "c_mktsegment",
+        valid = Seq("BUILDING", "AUTOMOBILE", "MACHINERY"),
+        fixes = Map("HOUSEHOLD" -> "BUILDING"),
+        ignored = Seq("FURNITURE"))
+      .select(col("c_custkey"), col("raw"), col("c_mktsegment").as("segment_coded"))
+
+  // ---- §2.9 unit conversion + out-of-range correction --------------------
+  // Reference: convert_units + correct_units
+  // (/root/reference/src/pudl/transform/classes.py:540-624,659-791).
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("qty_kg", Cleaning.convertUnits(col("l_quantity"), 0.45359237))
+      .withColumn("price_corrected",
+        Cleaning.correctUnits(col("l_extendedprice"), 0, 50000, 0.001))
+      .select("l_orderkey", "l_linenumber", "qty_kg", "price_corrected")
+
+  // ---- §2.9 date composition / truncation --------------------------------
+  // Reference: convert_to_date / month_year_to_date / PERIODS
+  // (/root/reference/src/pudl/helpers.py:1082-1141, metadata/dtypes.py:114-123).
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .withColumn("d", dayofmonth(col("o_orderdate")))
+      .withColumn("composed_date", Cleaning.composeDate(col("y"), col("m"), col("d")))
+      .withColumn("quarter_start", date_trunc("quarter", col("o_orderdate")))
+      .select("o_orderkey", "y", "m", "d", "composed_date", "quarter_start")
+
+  // ---- §2.9 numeric extraction from messy strings ------------------------
+  // Reference: strip_non_numeric_values (/root/reference/src/pudl/transform/classes.py:392-439).
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k_str", Cleaning.extractNumeric(col("props")))
+      .withColumn("k_value",
+        when(col("k_str") === "", lit(null)).otherwise(col("k_str")).cast("long"))
+      .select("event_id", "k_value")
+
+  // ---- §2.9 company-name normalization ------------------------------------
+  // Reference: CompanyNameCleaner / enforce_snake_case
+  // (/root/reference/src/pudl/analysis/record_linkage/name_cleaner.py:105-400,
+  //  transform/classes.py:347-391).
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumn("name_snake", Cleaning.enforceSnakeCase(col("s_name")))
+      .withColumn("name_words",
+        trim(regexp_replace(lower(col("s_name")), "[^a-z0-9]+", " ")))
+      .select("s_suppkey", "name_snake", "name_words")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -373,6 +444,13 @@ object SparkEntry {
     "q26_min_up_down" -> (q26 _),
     "q27_median_impute" -> (q27 _),
     "q28_topk_per_group" -> (q28 _),
+    "q29_simplify_strings" -> (q29 _),
+    "q30_zero_pad" -> (q30 _),
+    "q31_encode" -> (q31 _),
+    "q32_convert_units" -> (q32 _),
+    "q33_date_compose" -> (q33 _),
+    "q34_extract_numeric" -> (q34 _),
+    "q35_name_normalize" -> (q35 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,5 +745,54 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id ASC) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
+    "q29_simplify_strings" ->
+      """SELECT p_partkey, '  ' || upper(p_name) || '   ' AS messy,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower('  ' || upper(p_name) || '   '),
+        |    '[^\x20-\x7e]', '', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM part""".stripMargin,
+    "q30_zero_pad" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN regexp_matches(CAST(s_suppkey AS VARCHAR), '^\d+$')
+        |    THEN lpad(CAST(s_suppkey AS VARCHAR), 9, '0') END AS padded,
+        |  CAST(CAST(lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS BIGINT) AS VARCHAR)
+        |    AS roundtrip
+        |FROM supplier""".stripMargin,
+    "q31_encode" ->
+      """SELECT c_custkey, c_mktsegment AS raw,
+        |  CASE WHEN c_mktsegment IN ('FURNITURE') THEN NULL
+        |       WHEN c_mktsegment = 'HOUSEHOLD' THEN 'BUILDING'
+        |       WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+        |         THEN c_mktsegment
+        |       ELSE NULL END AS segment_coded
+        |FROM customer""".stripMargin,
+    "q32_convert_units" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 0.45359237 AS qty_kg,
+        |  CASE WHEN (l_extendedprice BETWEEN 0 AND 50000)
+        |         OR l_extendedprice IS NULL THEN l_extendedprice
+        |       ELSE l_extendedprice * 0.001 END AS price_corrected
+        |FROM lineitem""".stripMargin,
+    "q33_date_compose" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  make_date(CAST(year(o_orderdate) AS INTEGER),
+        |            CAST(month(o_orderdate) AS INTEGER),
+        |            CAST(day(o_orderdate) AS INTEGER)) AS composed_date,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+        |FROM orders""".stripMargin,
+    "q34_extract_numeric" ->
+      """SELECT event_id,
+        |  CAST(nullif(regexp_extract(props, '(-?\d+(\.\d+)?)', 1), '') AS BIGINT)
+        |    AS k_value
+        |FROM events""".stripMargin,
+    "q35_name_normalize" ->
+      """SELECT s_suppkey,
+        |  regexp_replace(regexp_replace(trim(lower(s_name)), '[^a-z0-9]+', '_', 'g'),
+        |    '^_+|_+$', '', 'g') AS name_snake,
+        |  trim(regexp_replace(lower(s_name), '[^a-z0-9]+', ' ', 'g')) AS name_words
+        |FROM supplier""".stripMargin,
   )
 }

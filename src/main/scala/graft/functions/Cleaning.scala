@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level cleaning functions (SURVEY §2.9) — the Spark analogue of the
+  * reference's `ColumnTransformFunc` library
+  * (`/root/reference/src/pudl/transform/classes.py:147-254`). Everything is a
+  * pure `Column => Column` built from codegen'd built-ins; the only UDF is
+  * NFKD normalization (no built-in exists).
+  */
+object Cleaning {
+
+  /** lower, trim, collapse internal whitespace, strip non-printable-ASCII.
+    * Reference: `simplify_strings` (`/root/reference/src/pudl/helpers.py:829-868`). */
+  def simplifyStrings(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\x20-\\x7e]", ""),
+      "\\s+", " "))
+
+  /** Unicode NFKD + drop combining marks + lower/strip — `normalize_strings`
+    * (`/root/reference/src/pudl/transform/classes.py:291-346`). UDF: no
+    * Catalyst built-in does NFKD. */
+  val normalizeStringsUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}", "").toLowerCase.trim
+  }
+
+  /** snake_case values — `enforce_snake_case`
+    * (`/root/reference/src/pudl/transform/classes.py:347-391`). */
+  def enforceSnakeCase(c: Column): Column =
+    regexp_replace(regexp_replace(trim(lower(c)), "[^a-z0-9]+", "_"), "^_+|_+$", "")
+
+  /** Extract the first numeric token from a messy string —
+    * `strip_non_numeric_values` (`/root/reference/src/pudl/transform/classes.py:392-439`). */
+  def extractNumeric(c: Column): Column =
+    regexp_extract(c, "(-?\\d+(\\.\\d+)?)", 1)
+
+  /** Linear unit conversion `col * m + b` — `convert_units`
+    * (`/root/reference/src/pudl/transform/classes.py:540-624`). */
+  def convertUnits(c: Column, m: Double, b: Double = 0.0): Column = c * m + b
+
+  /** Detect out-of-range values and apply the inverse conversion to bring
+    * them in range — `correct_units`
+    * (`/root/reference/src/pudl/transform/classes.py:659-791`). */
+  def correctUnits(c: Column, lo: Double, hi: Double, m: Double): Column =
+    when(c.between(lo, hi) || c.isNull, c).otherwise(c * m)
+
+  /** NULL out-of-range values — `oob_to_nan`
+    * (`/root/reference/src/pudl/helpers.py:429-492`). */
+  def oobToNan(c: Column, lo: Double, hi: Double): Column =
+    when(c.between(lo, hi), c)
+
+  /** Sentinel→NULL — `standardize_na_values`
+    * (`/root/reference/src/pudl/transform/classes.py:905-928`). */
+  def naSentinelsToNull(c: Column, sentinels: Seq[String]): Column =
+    when(c.isin(sentinels: _*), lit(null)).otherwise(c)
+
+  /** Zero-pad a numeric string to `width` — `zero_pad_numeric_string`
+    * (`/root/reference/src/pudl/helpers.py:1518-1568`). Non-numeric → NULL. */
+  def zeroPad(c: Column, width: Int): Column =
+    when(c.rlike("^\\d+$"), lpad(c, width, "0"))
+
+  /** %→ratio with domain check — `standardize_percentages_ratio`
+    * (`/root/reference/src/pudl/helpers.py:1671-1710`). */
+  def percentToRatio(c: Column): Column =
+    when(c.between(0, 100), c / 100.0)
+
+  /** Compose y/m/d columns into a date — `convert_to_date`
+    * (`/root/reference/src/pudl/helpers.py:1082-1141`). */
+  def composeDate(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
+
+  /** Code-table driven recode: fix known-bad codes, NULL ignored codes,
+    * pass through valid codes, NULL everything else. Reference:
+    * `Encoder.encode` (`/root/reference/src/pudl/metadata/classes.py:410-634`).
+    * The code table is broadcast — at scale this is a map-side join.
+    */
+  def encode(spark: SparkSession, df: DataFrame, column: String,
+             valid: Seq[String], fixes: Map[String, String],
+             ignored: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val codeTable =
+      valid.map(v => (v, v)) ++ fixes.toSeq.filter { case (_, v) => valid.contains(v) }
+    val codes = codeTable.toDF("__raw", "__coded")
+    df.join(broadcast(codes), df(column) === col("__raw"), "left")
+      .withColumn(column,
+        when(df(column).isin(ignored: _*), lit(null)).otherwise(col("__coded")))
+      .drop("__raw", "__coded")
+  }
+}
