@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.AggFunctions._
 import graft.functions.Cleaning
+import graft.dedup.NearDup
+import graft.multimodal.BinaryOps
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -410,6 +414,65 @@ object SparkEntry {
         trim(regexp_replace(lower(col("s_name")), "[^a-z0-9]+", " ")))
       .select("s_suppkey", "name_snake", "name_words")
 
+  // ---- text analysis: token counting --------------------------------------
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("n_bpeish", TextAnalysis.bpeishTokenCount(col("text")))
+      .withColumn("len_matches_field", length(col("text")) === col("n_chars"))
+      .select("doc_id", "n_tokens", "n_bpeish", "len_matches_field")
+
+  // ---- text analysis: quality scoring -------------------------------------
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("punct_ratio", TextAnalysis.punctRatio(col("text")))
+      .withColumn("mean_token_len", TextAnalysis.meanTokenLen(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .select("doc_id", "punct_ratio", "mean_token_len", "quality")
+
+  // ---- text analysis: heuristic language ID -------------------------------
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(s, t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang", "lang_pred", "lexicon_hits")
+
+  // ---- dedup: exact fingerprint groups ------------------------------------
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    NearDup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+
+  // ---- dedup: exact n-gram Jaccard near-dup pairs -------------------------
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, thresholdNum = 1, thresholdDen = 4)
+
+  // ---- dedup: MinHash + LSH (the 100 TB path; no SQL oracle — validated
+  // against the exact-Jaccard pairs in the test suite) ----------------------
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.35)
+
+  // ---- similarity search: brute-force cosine top-k ------------------------
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.cosineTopK(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5)
+  }
+
+  // ---- similarity search: LSH-bucketed ANN (scale path; recall vs exact
+  // asserted in tests, no SQL oracle) ---------------------------------------
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, nBits = 6, dim = 64,
+      tables = 8)
+  }
+
+  // ---- multimodal: opaque binary columns + typed metadata -----------------
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    BinaryOps.withBlobMeta(
+        t(s, dir, "documents").withColumn("blob", BinaryOps.toBlob(col("text"))),
+        "blob")
+      .select("doc_id", "n_bytes", "sha256")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -451,6 +514,15 @@ object SparkEntry {
     "q33_date_compose" -> (q33 _),
     "q34_extract_numeric" -> (q34 _),
     "q35_name_normalize" -> (q35 _),
+    "q36_token_stats" -> (q36 _),
+    "q37_quality_score" -> (q37 _),
+    "q38_lang_id" -> (q38 _),
+    "q39_exact_dedup" -> (q39 _),
+    "q40_ngram_jaccard" -> (q40 _),
+    "q41_minhash_lsh" -> (q41 _),
+    "q42_cosine_topk" -> (q42 _),
+    "q43_lsh_ann" -> (q43 _),
+    "q44_multimodal_meta" -> (q44 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,5 +866,99 @@ object SparkEntry {
         |    '^_+|_+$', '', 'g') AS name_snake,
         |  trim(regexp_replace(lower(s_name), '[^a-z0-9]+', ' ', 'g')) AS name_words
         |FROM supplier""".stripMargin,
+    "q36_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpeish,
+        |  (len(text) = n_chars) AS len_matches_field
+        |FROM documents""".stripMargin,
+    "q37_quality_score" ->
+      """WITH x AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+        |      / len(text) AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id, punct_ratio,
+        |  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tokens
+        |    AS mean_token_len,
+        |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * (1.0 - punct_ratio)
+        |    AS quality
+        |FROM x""".stripMargin,
+    "q38_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |lex(tok, lang) AS (VALUES
+        |  ('the','en'),('a','en'),('data','en'),
+        |  ('el','es'),('la','es'),('los','es'),
+        |  ('der','de'),('und','de'),('das','de'),
+        |  ('le','fr'),('et','fr'),('les','fr')),
+        |scores AS (
+        |  SELECT toks.doc_id, lex.lang AS lang_pred, count(*) AS hits
+        |  FROM toks JOIN lex USING (tok) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, lang_pred, hits,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, lang_pred ASC) AS rk
+        |  FROM scores)
+        |SELECT d.doc_id, d.lang, coalesce(tp.lang_pred, 'und') AS lang_pred,
+        |  coalesce(tp.hits, 0) AS lexicon_hits
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM top WHERE rk = 1) tp USING (doc_id)""".stripMargin,
+    "q39_exact_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+        |  (doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)) AS is_dup
+        |FROM fp""".stripMargin,
+    "q40_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+        |  WHERE len(wl) >= 3),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, ca.n_sh AS na, cb.n_sh AS nb,
+        |  CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+        |FROM pairs
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE common * 4 >= 1 * (ca.n_sh + cb.n_sh - common)""".stripMargin,
+    "q42_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(q_emb, c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosine
+        |  FROM q, c WHERE q_id <> c_id)
+        |SELECT q_id, rk, c_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q44_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
   )
 }

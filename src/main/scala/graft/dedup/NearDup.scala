@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Near-duplicate detection for document corpora: exact (fingerprint),
+  * n-gram Jaccard (exact set similarity), MinHash+LSH (the 100 TB path),
+  * SimHash.
+  *
+  * Scale design: the exact-Jaccard pair join is quadratic in per-shingle
+  * document frequency — correct at test scale and the verification oracle
+  * for the LSH path. MinHash/LSH replaces the all-pairs join with a
+  * band-bucket equi-join: candidates ∝ true near-dups, not n².
+  */
+object NearDup {
+
+  /** Distinct word `n`-gram shingles per document: (id, shingle) rows. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = TextAnalysis.tokens(col(textCol))
+    val parts = (0 until n)
+      .map(j => s"element_at(__w, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.withColumn("__w", w)
+      .where(size(col("__w")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, size(__w) - ${n - 1}), i -> $parts)"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup via content fingerprint: canonical id = min doc id per
+    * fingerprint group. One hash-partitioned window — no driver state. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("fingerprint"), col("canonical_id"),
+        col("group_size"), col("is_dup"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    * The threshold test uses integer arithmetic (no float boundary):
+    * common * den >= num * (na + nb - common) for threshold = num/den.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .where(col("common") * thresholdDen >=
+        lit(thresholdNum) * (col("na") + col("nb") - col("common")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("id_a", "id_b", "common", "na", "nb", "jaccard")
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions keep
+    * the min over the doc's shingles. Returns (id, h0..h{k-1}). */
+  def minhashSignatures(shingles: DataFrame, idCol: String,
+                        numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures are split into `bands` bands of
+    * `numHashes/bands` rows hashed to a bucket; docs sharing any (band,
+    * bucket) become candidates; candidates are kept when the estimated
+    * Jaccard (fraction of equal minhash components) >= threshold.
+    *
+    * This is the 100 TB dedup path: shuffle keys are (band, bucket), the
+    * all-pairs join never materializes.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = wordShingles(df, idCol, textCol, shingleN)
+    val sig = minhashSignatures(sh, idCol, numHashes).cache()
+    val hCols = (0 until numHashes).map(i => col(s"h$i"))
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sigA = sig.select(col(idCol).as("id_a") +: hCols.zipWithIndex.map {
+      case (c, i) => c.as(s"a$i") }: _*)
+    val sigB = sig.select(col(idCol).as("id_b") +: hCols.zipWithIndex.map {
+      case (c, i) => c.as(s"b$i") }: _*)
+    val eq = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard", eq.cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over word hashes: bit i of the signature is the sign of
+    * the sum of (+1/-1) votes from each token's hash bit i. Hamming-close
+    * signatures ≈ similar docs. Pure expressions — codegen-friendly. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.withColumn("simhash", sig).select(col(idCol), col("simhash"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * `cosineTopK` is the exact brute-force baseline (and the oracle for the
+  * approximate path). `lshTopK` is the scale path: random-hyperplane LSH
+  * buckets make candidate generation an equi-join on (bucket), so the
+  * query×corpus cross product never materializes — at 100 TB the corpus is
+  * hash-partitioned by bucket and each query probes one partition.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a sequential left fold in double precision (deterministic
+    * association order — reproducible across engines and partitionings). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query row (brute force).
+    * Ranking uses the rounded cosine with an id tiebreak so ordering is
+    * insensitive to last-bit float drift. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val scored = q.crossJoin(c).where(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("c_emb")), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
+    * tiny (nBits × dim doubles), broadcast with the plan. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id for an embedding column. */
+  def lshBucket(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(emb, plane) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** All (table, bucket) memberships for an embedding: `tables` independent
+    * hash tables of `nBits` hyperplanes each. Multi-table is what buys
+    * recall: a true neighbor is a candidate if it collides in ANY table. */
+  private def bucketMemberships(emb: Column, nBits: Int, tables: Int,
+                                dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(emb, nBits, dim, seed = 42L + t).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k: candidates share an LSH bucket in any of `tables`
+    * hash tables, then exact cosine rank within candidates. Raise `tables`
+    * for recall, `nBits` for selectivity — candidate volume is
+    * ~ tables × corpus / 2^nBits per query, never the full cross product. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              embCol: String, k: Int, nBits: Int, dim: Int,
+              tables: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      explode(bucketMemberships(col(embCol), nBits, tables, dim)).as("bb"))
+      .select(col("q_id"), col("q_emb"), col("bb.tbl"), col("bb.bucket"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+      explode(bucketMemberships(col(embCol), nBits, tables, dim)).as("bb"))
+      .select(col("c_id"), col("c_emb"), col("bb.tbl"), col("bb.bucket"))
+    val cand = q.join(c, Seq("tbl", "bucket")).where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_emb", "c_id", "c_emb")
+      .dropDuplicates("q_id", "c_id")
+    cand
+      .withColumn("cosine", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cosine")
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.AggFunctions
+import graft.operators._
+
+/** Per-operator unit tests with small inline frames — mirrors the
+  * reference's tests/unit layer (SURVEY §5.1). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.keepFirst keeps latest per key") {
+    val df = Seq((1, "2020", 10.0), (1, "2021", 20.0), (2, "2019", 5.0))
+      .toDF("k", "yr", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("yr").desc))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getDouble(2))).toSeq ==
+      Seq((1, 20.0), (2, 5.0)))
+  }
+
+  test("Dedup.bestSnapshot prefers most non-nulls") {
+    val df = Seq(
+      (1, 1, Some(1.0), Some("a")),
+      (1, 2, None, Some("b")),
+      (2, 3, None, None)
+    ).toDF("k", "id", "x", "y")
+    val out = Dedup.bestSnapshot(df, Seq("k"), Seq("x", "y"), Seq(col("id").desc))
+      .orderBy("k").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 3))
+  }
+
+  test("Dedup.applyDiffs takes last non-null per column") {
+    val df = Seq(
+      (1, 1, Some(1.0), Some("a")),
+      (1, 2, None, Some("b")),
+      (1, 3, Some(3.0), None)
+    ).toDF("k", "ord", "x", "y")
+    val r = Dedup.applyDiffs(df, Seq("k"), "ord", Seq("x", "y")).collect().head
+    assert(r.getDouble(1) == 3.0 && r.getString(2) == "b")
+  }
+
+  test("AggFunctions.sumNa is NULL when any input is NULL") {
+    val df = Seq((1, Some(1.0)), (1, None), (2, Some(2.0)), (2, Some(3.0)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(AggFunctions.sumNa(col("v")).as("s"))
+      .orderBy("k").collect()
+    assert(out(0).isNullAt(1) && out(1).getDouble(1) == 5.0)
+  }
+
+  test("AggFunctions.weightedAvgExact matches hand computation") {
+    val df = Seq((0.10, 1.0), (0.20, 3.0)).toDF("v", "w")
+    val got = df.agg(AggFunctions.weightedAvgExact(col("v"), col("w"), 2))
+      .head().getDouble(0)
+    assert(math.abs(got - 0.175) < 1e-12)
+  }
+
+  test("Reshape.melt produces one row per (id, measure)") {
+    val df = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
+    val out = Reshape.melt(df, Seq("id"), Seq("a" -> "a", "b" -> "b"))
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("id", "variable", "value"))
+  }
+
+  test("Reshape.meltRegex melts columns matched by pattern") {
+    val df = Seq((1, 2.0, 3.0, 9.9)).toDF("id", "x_jan", "x_feb", "other")
+    val out = Reshape.meltRegex(df, Seq("id"), "x_(\\w+)", Seq("month"))
+    assert(out.count() == 2)
+    assert(out.select("month").as[String].collect().sorted.toSeq == Seq("feb", "jan"))
+  }
+
+  test("TemporalOps.expandTimeseries densifies and forward-fills") {
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), Some(1.0)),
+      (1, java.sql.Timestamp.valueOf("2020-04-01 00:00:00"), Some(4.0))
+    ).toDF("k", "ts", "v")
+    val out = TemporalOps.expandTimeseries(df, Seq("k"), "ts", "1 month", Seq("v"))
+      .orderBy("ts").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 1.0, 4.0))
+  }
+
+  test("TemporalOps.changelog drops consecutive dups") {
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"))
+      .toDF("k", "seq", "state")
+    val out = TemporalOps.changelog(df, Seq("k"), Seq(col("seq")), Seq("state"))
+    assert(out.select("seq").as[Int].collect().sorted.toSeq == Seq(1, 3, 5))
+  }
+
+  test("TemporalOps.dateMerge joins at year grain") {
+    val fine = Seq((1, java.sql.Timestamp.valueOf("2020-05-01 00:00:00"), 10.0))
+      .toDF("k", "d", "v")
+    val coarse = Seq((1, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 99.0))
+      .toDF("k", "yd", "annual")
+    val out = TemporalOps.dateMerge(fine, coarse, Seq("k"), "d", "yd", "year")
+    assert(out.select("annual").as[Double].head() == 99.0)
+  }
+
+  test("Allocation.scaleByOwnership conserves totals and defaults to 1.0") {
+    val data = Seq((1, 100.0), (2, 50.0)).toDF("k", "v")
+    val own = Seq((1, "o1", 0.25), (1, "o2", 0.75)).toDF("k", "owner", "frac")
+    val out = Allocation.scaleByOwnership(data, own, Seq("k"), "frac", Seq("v"))
+    val owned = out.where($"ownership_record_type" === "owned")
+    assert(owned.agg(sum($"v")).head().getDouble(0) == 150.0) // 25+75+50
+    assert(owned.where($"k" === 2).head().getDouble(1) == 50.0) // frac defaulted
+  }
+
+  test("Allocation.allocateProportionally conserves and splits equally on zero weights") {
+    val totals = Seq((1, 100.0), (2, 60.0)).toDF("k", "total")
+    val detail = Seq((1, "a", 1.0), (1, "b", 3.0), (2, "c", 0.0), (2, "d", 0.0))
+      .toDF("k", "unit", "w")
+    val out = Allocation.allocateProportionally(totals, detail, Seq("k"),
+      "total", "w", "alloc")
+    val m = out.collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(m("a") == 25.0 && m("b") == 75.0 && m("c") == 30.0 && m("d") == 30.0)
+  }
+
+  test("Harvest.occurrenceConsistency keeps modal value above strictness") {
+    val df = Seq((1, "x"), (1, "x"), (1, "x"), (1, "y"), (2, "p"), (2, "q"))
+      .toDF("k", "v")
+    val out = Harvest.occurrenceConsistency(df, Seq("k"), "v", 0.7)
+      .orderBy("k").collect()
+    assert(out(0).getString(1) == "x") // 3/4 = 0.75 > 0.7
+    assert(out(1).isNullAt(1)) // 1/2 = 0.5 <= 0.7
+  }
+
+  test("WindowOps.runLengths encodes runs with null-safe boundaries") {
+    val df = Seq((1, 1, true), (1, 2, true), (1, 3, false), (1, 4, true))
+      .toDF("k", "seq", "f")
+    val out = WindowOps.runLengths(df, Seq("k"), Seq(col("seq")), col("f"), "seq")
+      .orderBy("run_id").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("WindowOps.rollingMedian interpolates even frames") {
+    val df = Seq((1, 1, 1.0), (1, 2, 3.0)).toDF("k", "seq", "v")
+    val out = WindowOps.rollingMedian(df, Seq("k"), Seq(col("seq")), col("v"), 1, 0)
+      .orderBy("seq").collect()
+    assert(out(0).getDouble(3) == 1.0 && out(1).getDouble(3) == 2.0)
+  }
+}

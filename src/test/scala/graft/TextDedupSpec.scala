@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.NearDup
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles blanks and whitespace runs") {
+    val df = Seq("a  b\tc", "", "   ", "one").toDF("t")
+    val got = df.select(TextAnalysis.tokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b C", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y")).head()
+    assert(r.getBoolean(0))
+  }
+
+  test("exactDupGroups groups identical normalized docs") {
+    val df = Seq((1L, "hello  world"), (2L, "Hello World"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = NearDup.exactDupGroups(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 1L && out(1).getLong(2) == 1L)
+    assert(out(1).getBoolean(4) && !out(0).getBoolean(4))
+    assert(out(2).getLong(3) == 1L)
+  }
+
+  test("jaccardPairs finds the planted near-dup and skips unrelated docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.jaccardPairs(df, "doc_id", "text", 3, 1, 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("minhashLsh recalls exact-jaccard pairs on the fixture corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 2, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall too low (${exact.size} exact pairs)")
+    }
+  }
+
+  test("simhash: identical docs share signatures, disjoint docs differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val sigs = NearDup.simhash(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("langId predicts languages from lexicon hits with 'und' fallback") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(spark, df, "doc_id", "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+}
