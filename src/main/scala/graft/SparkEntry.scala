@@ -10,6 +10,8 @@ import graft.multimodal.BinaryOps
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
+import graft.graph.ConnectedComponents
+import graft.linkage.Linkage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -473,6 +475,113 @@ object SparkEntry {
         "blob")
       .select("doc_id", "n_bytes", "sha256")
 
+  // ---- §2.10 connected components (boiler-generator / subplant pattern) --
+  // Bipartite customer-supplier graph on high-value orders; component = min
+  // vertex id. Customers map to even ids, suppliers to odd.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .where(col("o_totalprice") > 465000 && col("o_custkey") < 300)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    ConnectedComponents.run(edges, "src", "dst")
+  }
+
+  // ---- §2.11 TF-IDF top term per document --------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Linkage.tfidfTopTerm(t(s, dir, "documents"), "doc_id", "text")
+
+  // ---- §2.11 blocked fuzzy join (nation block + levenshtein) -------------
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nkey"), col("c_custkey"),
+        expr("right(regexp_replace(c_name, '[^0-9]', ''), 4)").as("c_last4"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nkey"), col("s_suppkey"),
+        expr("right(regexp_replace(s_name, '[^0-9]', ''), 4)").as("s_last4"))
+    Linkage.blockedFuzzyJoin(c, sup, Seq("nkey"), "c_last4", "s_last4", maxDist = 1)
+      .select("nkey", "c_custkey", "s_suppkey", "c_last4", "s_last4", "name_dist")
+  }
+
+  // ---- §2.11 logistic pair scoring + top-1 match per record --------------
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nkey"), col("c_custkey"), col("c_acctbal"),
+        expr("right(regexp_replace(c_name, '[^0-9]', ''), 4)").as("c_last4"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nkey"), col("s_suppkey"), col("s_acctbal"),
+        expr("right(regexp_replace(s_name, '[^0-9]', ''), 4)").as("s_last4"))
+    val cand = Linkage.blockedFuzzyJoin(c, sup, Seq("nkey"), "c_last4", "s_last4",
+        maxDist = 2)
+      .withColumn("bal_diff", abs(col("c_acctbal") - col("s_acctbal")) / 10000.0)
+    val scored = cand.withColumn("score",
+      round(Linkage.logisticScore(Seq(
+        (lit(2) - col("name_dist")).cast("double") -> 1.2,
+        col("bal_diff") -> -0.5), bias = -1.0), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))
+          .orderBy(col("score").desc, col("s_suppkey").asc)))
+      .where(col("rk") === 1)
+      .select("c_custkey", "s_suppkey", "name_dist", "score")
+  }
+
+  // ---- §2.5 fuel_by_plant pattern: pivot to fractions + primary pick ------
+  // Reference: fuel_by_plant_ferc1 (/root/reference/src/pudl/analysis/fuel_by_plant.py:35-200).
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val piv = Reshape.pivot(t(s, dir, "lineitem"), Seq("l_suppkey"),
+        "l_returnflag", Seq("A", "N", "R"),
+        round(sum(col("l_extendedprice")), 4))
+      .withColumn("rev_a", coalesce(col("A"), lit(0.0)))
+      .withColumn("rev_n", coalesce(col("N"), lit(0.0)))
+      .withColumn("rev_r", coalesce(col("R"), lit(0.0)))
+      .drop("A", "N", "R")
+    val total = col("rev_a") + col("rev_n") + col("rev_r")
+    piv
+      .withColumn("frac_a", col("rev_a") / total)
+      .withColumn("frac_n", col("rev_n") / total)
+      .withColumn("frac_r", col("rev_r") / total)
+      .withColumn("primary_flag",
+        when(col("frac_a") > 0.5, "A").when(col("frac_n") > 0.5, "N")
+          .when(col("frac_r") > 0.5, "R").otherwise("none"))
+  }
+
+  // ---- §2.5 MCOE-style ratio metrics over grouped joins ------------------
+  // Reference: heat_rate/capacity_factor/mcoe
+  // (/root/reference/src/pudl/analysis/mcoe.py:314-739).
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"), year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        sum(col("l_quantity")).as("qty"),
+        min(col("s_acctbal")).as("capacity"))
+      .withColumn("price_per_qty", col("revenue") / col("qty"))
+      .withColumn("capacity_factor", col("revenue") / (col("capacity") * 8760.0))
+      .drop("capacity")
+
+  // ---- §2.5 plant-parts pattern: one fact at multiple entity grains ------
+  // Reference: plant-parts aggregation
+  // (/root/reference/src/pudl/analysis/plant_parts_eia.py:594-1102).
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+    def grain(label: String, key: Column): DataFrame =
+      base.groupBy(key.cast("string").as("part_key"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("l_suppkey")).as("n_suppliers"))
+        .withColumn("grain", lit(label))
+    grain("supplier", col("l_suppkey"))
+      .unionByName(grain("nation", col("s_nationkey")))
+      .unionByName(grain("region", col("n_regionkey")))
+      .select("grain", "part_key", "sum_qty", "n_rows", "n_suppliers")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -523,6 +632,13 @@ object SparkEntry {
     "q42_cosine_topk" -> (q42 _),
     "q43_lsh_ann" -> (q43 _),
     "q44_multimodal_meta" -> (q44 _),
+    "q45_connected_components" -> (q45 _),
+    "q46_tfidf_top_term" -> (q46 _),
+    "q47_blocked_fuzzy_join" -> (q47 _),
+    "q48_logistic_match" -> (q48 _),
+    "q49_pivot_fractions" -> (q49 _),
+    "q50_mcoe_ratios" -> (q50 _),
+    "q51_multi_grain_agg" -> (q51 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -960,5 +1076,104 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "q45_connected_components" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_totalprice > 465000 AND o_custkey < 300),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v)
+        |SELECT v, min(c) AS component FROM reach GROUP BY v""".stripMargin,
+    "q46_tfidf_top_term" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term AS top_term, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rk = 1""".stripMargin,
+    "q47_blocked_fuzzy_join" ->
+      """SELECT c_nationkey AS nkey, c_custkey, s_suppkey,
+        |  right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4) AS c_last4,
+        |  right(regexp_replace(s_name, '[^0-9]', '', 'g'), 4) AS s_last4,
+        |  levenshtein(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4),
+        |              right(regexp_replace(s_name, '[^0-9]', '', 'g'), 4)) AS name_dist
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE levenshtein(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4),
+        |                  right(regexp_replace(s_name, '[^0-9]', '', 'g'), 4)) <= 1""".stripMargin,
+    "q48_logistic_match" ->
+      """WITH cand AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    levenshtein(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4),
+        |                right(regexp_replace(s_name, '[^0-9]', '', 'g'), 4)) AS name_dist,
+        |    abs(c_acctbal - s_acctbal) / 10000.0 AS bal_diff
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+        |scored AS (
+        |  SELECT c_custkey, s_suppkey, name_dist,
+        |    round(1.0 / (1.0 + exp(-(CAST(2 - name_dist AS DOUBLE) * 1.2
+        |      + bal_diff * -0.5 + -1.0))), 6) AS score
+        |  FROM cand WHERE name_dist <= 2)
+        |SELECT c_custkey, s_suppkey, name_dist, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY score DESC, s_suppkey ASC) AS rk
+        |  FROM scored)
+        |WHERE rk = 1""".stripMargin,
+    "q49_pivot_fractions" ->
+      """WITH piv AS (
+        |  SELECT l_suppkey,
+        |    round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END), 4) AS rev_a,
+        |    round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END), 4) AS rev_n,
+        |    round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 4) AS rev_r
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, rev_a, rev_n, rev_r,
+        |  rev_a / (rev_a + rev_n + rev_r) AS frac_a,
+        |  rev_n / (rev_a + rev_n + rev_r) AS frac_n,
+        |  rev_r / (rev_a + rev_n + rev_r) AS frac_r,
+        |  CASE WHEN rev_a / (rev_a + rev_n + rev_r) > 0.5 THEN 'A'
+        |       WHEN rev_n / (rev_a + rev_n + rev_r) > 0.5 THEN 'N'
+        |       WHEN rev_r / (rev_a + rev_n + rev_r) > 0.5 THEN 'R'
+        |       ELSE 'none' END AS primary_flag
+        |FROM piv""".stripMargin,
+    "q50_mcoe_ratios" ->
+      """WITH g AS (
+        |  SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |    sum(l_quantity) AS qty,
+        |    min(s_acctbal) AS capacity
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_year, revenue, qty,
+        |  revenue / qty AS price_per_qty,
+        |  revenue / (capacity * 8760.0) AS capacity_factor
+        |FROM g""".stripMargin,
+    "q51_multi_grain_agg" ->
+      """WITH base AS (
+        |  SELECT l.*, s.s_nationkey, n.n_regionkey
+        |  FROM lineitem l
+        |  JOIN supplier s ON l_suppkey = s_suppkey
+        |  JOIN nation n ON s_nationkey = n_nationkey)
+        |SELECT 'supplier' AS grain, CAST(l_suppkey AS VARCHAR) AS part_key,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT 'nation', CAST(s_nationkey AS VARCHAR), sum(l_quantity),
+        |  count(*), count(DISTINCT l_suppkey)
+        |FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT 'region', CAST(n_regionkey AS VARCHAR), sum(l_quantity),
+        |  count(*), count(DISTINCT l_suppkey)
+        |FROM base GROUP BY 2""".stripMargin,
   )
 }
