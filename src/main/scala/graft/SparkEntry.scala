@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.AggFunctions._
-import graft.functions.Cleaning
+import graft.functions.{Cleaning, WeightedQuantile}
 import graft.dedup.NearDup
 import graft.multimodal.BinaryOps
 import graft.similarity.Similarity
@@ -582,6 +582,82 @@ object SparkEntry {
       .select("grain", "part_key", "sum_qty", "n_rows", "n_suppliers")
   }
 
+  // ---- §2.15 custom Aggregator: weighted quantile ------------------------
+  // Reference: weighted_quantile (/root/reference/src/pudl/validate/quality.py:67-110).
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(WeightedQuantile(col("l_discount"), col("l_quantity"), 1, 2)
+        .as("wmedian_discount"))
+
+  // ---- §2.2 spot fixes: keyed manual corrections -------------------------
+  // Reference: spot_fix_values (/root/reference/src/pudl/transform/classes.py:930-991).
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixes = Seq((1L, "MACHINERY"), (5L, "BUILDING"), (42L, "AUTOMOBILE"))
+      .toDF("c_custkey", "fix_segment")
+    t(s, dir, "customer")
+      .join(broadcast(fixes), Seq("c_custkey"), "left")
+      .withColumn("c_mktsegment", coalesce(col("fix_segment"), col("c_mktsegment")))
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  // ---- §2.2 drop partial periods when rolling up to annual ---------------
+  // Reference: drop_ytd_for_annual_tables (/root/reference/src/pudl/output/eia923.py:124-150).
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("month_rev"))
+    monthly.groupBy(col("l_suppkey"), col("ship_year"))
+      .agg(
+        round(sum(col("month_rev")), 2).as("annual_rev"),
+        count_distinct(col("ship_month")).as("n_months"))
+      .where(col("n_months") === 12)
+      .drop("n_months")
+  }
+
+  // ---- §2.14 event-time window function (streaming-parity form) ----------
+  // Same rollup EventStreams.hourlyCounts runs over readStream.
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("window.end").as("hour_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // ---- §1.3 declared-schema enforcement at the IO boundary ---------------
+  // Reference: Resource.enforce_schema (/root/reference/src/pudl/metadata/classes.py:1868-1930).
+  private val lineitemSlim = graft.schema.Resource("lineitem_slim", Seq(
+    graft.schema.Field("shipdate", graft.schema.FieldType.Datetime),
+    graft.schema.Field("l_orderkey", graft.schema.FieldType.Integer, required = true),
+    graft.schema.Field("l_linenumber", graft.schema.FieldType.Integer),
+    graft.schema.Field("qty", graft.schema.FieldType.Number),
+    graft.schema.Field("returnflag", graft.schema.FieldType.Str,
+      enum = Some(Seq("A", "R")))),
+    primaryKey = Seq("l_orderkey", "l_linenumber"))
+
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    lineitemSlim.enforceSchema(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_returnflag").as("returnflag"),
+        col("l_shipdate").as("shipdate"), col("l_tax")))
+
+  // ---- §5 declarative check runner (dbt/asset-check analogue) ------------
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import graft.checks.CheckRunner._
+    run(t(s, dir, "orders"), Seq(
+      UniqueKey("orders:pk_unique", Seq("o_orderkey")),
+      NotNull("orders:custkey_not_null", "o_custkey"),
+      InRange("orders:totalprice_range", "o_totalprice", 0, 1000000),
+      InEnum("orders:status_enum", "o_orderstatus", Seq("O", "F", "P")),
+      ColumnsRatio("orders:price_self_ratio", "o_totalprice", "o_totalprice",
+        0.999, 1.001)))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -639,6 +715,12 @@ object SparkEntry {
     "q49_pivot_fractions" -> (q49 _),
     "q50_mcoe_ratios" -> (q50 _),
     "q51_multi_grain_agg" -> (q51 _),
+    "q52_weighted_quantile" -> (q52 _),
+    "q53_spot_fix" -> (q53 _),
+    "q54_drop_ytd" -> (q54 _),
+    "q55_stream_window" -> (q55 _),
+    "q56_schema_enforce" -> (q56 _),
+    "q57_check_runner" -> (q57 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1175,5 +1257,68 @@ object SparkEntry {
         |SELECT 'region', CAST(n_regionkey AS VARCHAR), sum(l_quantity),
         |  count(*), count(DISTINCT l_suppkey)
         |FROM base GROUP BY 2""".stripMargin,
+    "q52_weighted_quantile" ->
+      """WITH x AS (
+        |  SELECT s_nationkey, l_discount AS v, l_quantity AS w
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |o AS (
+        |  SELECT s_nationkey, v,
+        |    sum(w) OVER (PARTITION BY s_nationkey ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY s_nationkey) AS wtot
+        |  FROM x)
+        |SELECT s_nationkey, min(v) AS wmedian_discount
+        |FROM o WHERE cumw * 2 >= wtot GROUP BY s_nationkey""".stripMargin,
+    "q53_spot_fix" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey WHEN 1 THEN 'MACHINERY' WHEN 5 THEN 'BUILDING'
+        |    WHEN 42 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "q54_drop_ytd" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |    round(sum(l_extendedprice), 2) AS month_rev
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_suppkey, ship_year, round(sum(month_rev), 2) AS annual_rev
+        |FROM monthly GROUP BY l_suppkey, ship_year
+        |HAVING count(DISTINCT ship_month) = 12""".stripMargin,
+    "q55_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS hour_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q56_schema_enforce" ->
+      """SELECT l_shipdate AS shipdate,
+        |  CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS qty,
+        |  CASE WHEN l_returnflag IN ('A', 'R') THEN l_returnflag END AS returnflag
+        |FROM lineitem""".stripMargin,
+    "q57_check_runner" ->
+      """SELECT 'orders:pk_unique' AS check_name,
+        |  count(*) = 0 AS passed, count(*) AS observed
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders:custkey_not_null',
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders:totalprice_range',
+        |  count(CASE WHEN o_totalprice IS NOT NULL
+        |    AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 END) = 0,
+        |  count(CASE WHEN o_totalprice IS NOT NULL
+        |    AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders:status_enum',
+        |  count(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0,
+        |  count(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'orders:price_self_ratio',
+        |  (sum(o_totalprice) / sum(o_totalprice)) BETWEEN 0.999 AND 1.001,
+        |  CAST(round(sum(o_totalprice) / sum(o_totalprice) * 1e6) AS BIGINT)
+        |FROM orders""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Resource
+
+/** Declarative data-quality check runner (SURVEY §5.3-5.4) — the engine's
+  * analogue of the reference's dbt/DuckDB validation layer (920 data_tests
+  * under `/root/reference/dbt/models`) and runtime asset checks
+  * (`src/pudl/dagster/asset_checks.py:264-351`).
+  *
+  * Each check compiles to ONE aggregation over the table; `runAll` unions
+  * the per-check single-row results — the whole suite is a handful of scans
+  * that Catalyst can pipeline, not row-by-row assertions.
+  */
+object CheckRunner {
+
+  sealed trait Check { def name: String }
+  /** PK uniqueness (`pudl_check_fks` / enforce_schema PK check). */
+  case class UniqueKey(name: String, keys: Seq[String]) extends Check
+  /** No nulls in required column. */
+  case class NotNull(name: String, column: String) extends Check
+  /** All values within [lo, hi] (nulls pass). */
+  case class InRange(name: String, column: String, lo: Double, hi: Double) extends Check
+  /** All values in the enum (nulls pass). */
+  case class InEnum(name: String, column: String, values: Seq[String]) extends Check
+  /** Exact row count golden (dbt `etl_full_row_counts` pattern). */
+  case class RowCount(name: String, expected: Long) extends Check
+  /** Σa / Σb within [lo, hi] (`expect_columns_ratio` macro). */
+  case class ColumnsRatio(name: String, num: String, den: String,
+                          lo: Double, hi: Double) extends Check
+
+  /** One row per check: (check_name, passed, observed). Fully lazy — each
+    * check is a one-row aggregation, the union is a single plan evaluated
+    * when the caller acts on it. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
+    checks.map {
+      case UniqueKey(n, keys) =>
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg(count(when(col("__n") > 1, 1)).as("observed"))
+          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+            col("observed"))
+      case NotNull(n, c) =>
+        badCount(df, n, col(c).isNull)
+      case InRange(n, c, lo, hi) =>
+        badCount(df, n, col(c).isNotNull && !col(c).between(lo, hi))
+      case InEnum(n, c, vs) =>
+        badCount(df, n, col(c).isNotNull && !col(c).isin(vs: _*))
+      case RowCount(n, expected) =>
+        df.agg(count(lit(1)).as("observed"))
+          .select(lit(n).as("check_name"),
+            (col("observed") === expected).as("passed"), col("observed"))
+      case ColumnsRatio(n, num, den, lo, hi) =>
+        df.agg((sum(col(num)) / sum(col(den))).as("__r"))
+          .select(lit(n).as("check_name"),
+            col("__r").between(lo, hi).as("passed"),
+            round(col("__r") * 1e6).cast("long").as("observed"))
+    }.reduce(_ unionByName _)
+
+  private def badCount(df: DataFrame, name: String, bad: Column): DataFrame =
+    df.agg(count(when(bad, 1)).as("observed"))
+      .select(lit(name).as("check_name"), (col("observed") === 0).as("passed"),
+        col("observed"))
+
+  /** Derive the standard check set from a declared Resource (PK unique +
+    * required/enum/range per field) — schema metadata drives validation,
+    * as in the reference's pandera-from-Resource factory. */
+  def fromResource(r: Resource): Seq[Check] = {
+    val pk = if (r.primaryKey.nonEmpty)
+      Seq(UniqueKey(s"${r.name}:pk_unique", r.primaryKey)) else Nil
+    val fieldChecks = r.fields.flatMap { f =>
+      val req = if (f.required) Seq(NotNull(s"${r.name}:${f.name}:not_null", f.name)) else Nil
+      val en = f.enum.map(v => InEnum(s"${r.name}:${f.name}:enum", f.name, v)).toSeq
+      val rng = (f.min, f.max) match {
+        case (Some(lo), Some(hi)) =>
+          Seq(InRange(s"${r.name}:${f.name}:range", f.name, lo, hi))
+        case _ => Nil
+      }
+      req ++ en ++ rng
+    }
+    pk ++ fieldChecks
+  }
+
+}

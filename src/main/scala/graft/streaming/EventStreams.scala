@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming façade over the hourly/timeseries operators
+  * (SURVEY §2.14): the reference is batch-only, so this is the additive
+  * streaming surface — the same windowed aggregations expressed over
+  * `readStream`, with watermarked event time and stateful sessionization.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window rollup — the streaming twin of the batch
+    * hourly aggregation (SparkEntry q08/q55). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(count: Long, sum: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user running session state via mapGroupsWithState — the custom-
+    * state shape (KeyValueGroupedDataset) the reference's per-entity
+    * accumulations would take in streaming form. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state: GroupState[SessionState]) =>
+        val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+        var c = prev.count; var s = prev.sum; var last = prev.lastTs
+        rows.foreach { e =>
+          c += 1; s += e.value; last = math.max(last, e.ts.getTime)
+        }
+        state.update(SessionState(c, s, last))
+        SessionOut(uid, c, s)
+      }
+      .toDF()
+  }
+
+  /** Drive a streaming query from a static parquet dir through a memory
+    * sink, synchronously (for tests / local parity checks). */
+  def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,
+                  transform: DataFrame => DataFrame,
+                  queryName: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.checks.CheckRunner
+import graft.checks.CheckRunner._
+import graft.functions.WeightedQuantile
+import graft.schema.{Field, FieldType, Registry, Resource}
+import graft.sources.ParquetSink
+
+class SchemaChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val res = Resource("t", Seq(
+    Field("id", FieldType.Integer, required = true),
+    Field("flag", FieldType.Str, enum = Some(Seq("A", "B"))),
+    Field("v", FieldType.Number, min = Some(0), max = Some(10))),
+    primaryKey = Seq("id"))
+
+  test("enforceSchema orders, casts, and nulls enum violations") {
+    val df = Seq((1.0, "A", 1, "x"), (2.0, "Z", 2, "y")).toDF("v", "flag", "id", "junk")
+    val out = res.enforceSchema(df)
+    assert(out.columns.toSeq == Seq("id", "flag", "v"))
+    assert(out.schema("id").dataType == LongType)
+    val flags = out.orderBy("id").select("flag").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(flags.toSeq == Seq("A", null))
+  }
+
+  test("CheckRunner flags violations and passes clean data") {
+    val df = Seq((1, "A", 5.0), (1, "B", 20.0), (2, null, 3.0))
+      .toDF("id", "flag", "v")
+    val out = CheckRunner.run(df, CheckRunner.fromResource(res) :+
+        RowCount("t:rows", 3L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!out("t:pk_unique")) // id 1 duplicated
+    assert(out("t:id:not_null"))
+    assert(out("t:flag:enum")) // nulls pass enum
+    assert(!out("t:v:range")) // 20.0 out of range
+    assert(out("t:rows"))
+  }
+
+  test("WeightedQuantile picks smallest value reaching cumulative weight") {
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0)).toDF("v", "w")
+    val got = df.agg(WeightedQuantile($"v", $"w", 1, 2)).head().getDouble(0)
+    assert(got == 3.0) // cum: 1,2,12 of 12; first >= 6 is v=3
+    val med = Seq((1.0, 5.0), (9.0, 5.0)).toDF("v", "w")
+      .agg(WeightedQuantile($"v", $"w", 1, 2)).head().getDouble(0)
+    assert(med == 1.0) // cum 5 of 10 reaches exactly half
+  }
+
+  test("ParquetSink writes enforced schema with partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1, "A", 5.0), (2, "B", 3.0)).toDF("id", "flag", "v")
+    ParquetSink.write(df, res, dir, partitionBy = Seq("flag"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType == LongType)
+  }
+}
