@@ -8,6 +8,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/session warm-up on the smallest fixture so the first measured
+    // query isn't charged Spark's one-time startup cost.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every column (count() alone lets
     // Catalyst prune the projections we're trying to measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

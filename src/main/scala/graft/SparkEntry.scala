@@ -585,10 +585,15 @@ object SparkEntry {
   // ---- §2.15 custom Aggregator: weighted quantile ------------------------
   // Reference: weighted_quantile (/root/reference/src/pudl/validate/quality.py:67-110).
   private def q52(s: SparkSession, dir: String): DataFrame =
+    // pre-pool weights by distinct value first: the UDAF buffer then holds
+    // |distinct values| pairs, not |rows| — same quantile (ties pool their
+    // weights either way), hash-agg does the heavy lifting map-side.
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_discount"))
+      .agg(sum(col("l_quantity")).as("w"))
       .groupBy(col("s_nationkey"))
-      .agg(WeightedQuantile(col("l_discount"), col("l_quantity"), 1, 2)
+      .agg(WeightedQuantile(col("l_discount"), col("w"), 1, 2)
         .as("wmedian_discount"))
 
   // ---- §2.2 spot fixes: keyed manual corrections -------------------------
@@ -658,6 +663,67 @@ object SparkEntry {
         0.999, 1.001)))
   }
 
+  // ---- §2.11 DBSCAN-approximation: eps-graph + connected components ------
+  // Reference: cluster_records_dbscan → eps-neighbor graph + CC
+  // (/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:129-177);
+  // min_samples≈1 deviation documented in SURVEY §7. Brute-force pairs here;
+  // the LSH bucket join (Similarity.lshTopK) is the at-scale candidate path.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // repartition the streamed side: a single-file parquet scan would run
+    // the whole O(n²) pair loop on one task otherwise
+    val par = s.sparkContext.defaultParallelism
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .repartition(par)
+      .withColumn("__na", sqrt(Similarity.dotFast(col("ea"), col("ea"))))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .withColumn("__nb", sqrt(Similarity.dotFast(col("eb"), col("eb"))))
+    val edges = a.crossJoin(b).where(col("ia") < col("ib"))
+      .withColumn("cos", round(
+        Similarity.dotFast(col("ea"), col("eb")) / (col("__na") * col("__nb")), 4))
+      .where(col("cos") >= 0.35)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val cc = ConnectedComponents.run(edges, "src", "dst")
+    emb.select(col("vec_id").as("v"))
+      .join(cc, Seq("v"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("v")))
+      .select("v", "cluster")
+  }
+
+  // ---- §2.8 global sort + limit (top-k driver pattern) -------------------
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
+  // ---- §2.8 era-union with missing columns -------------------------------
+  // Reference: CSV+XBRL era concat (/root/reference/src/pudl/transform/ferc714.py:800-810).
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    val legacy = orders.where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("era", lit("legacy"))
+    val modern = orders.where(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("era", lit("modern"))
+    legacy.unionByName(modern, allowMissingColumns = true)
+  }
+
+  // ---- §2.12 low-rank matrix completion (LATC pattern; tolerance-based
+  // validation in ImputeSpec, no SQL oracle — SURVEY §7 hard-part #3) ------
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "events")
+      .withColumn("day", dayofyear(col("ts")))
+      .withColumn("hod", hour(col("ts")))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(avg(col("value")).as("v"))
+      .withColumn("v", when(col("day") % 11 === 0, lit(null)).otherwise(col("v")))
+    graft.impute.MatrixCompletion.imputeDf(pivoted, "event_type", "day", "hod",
+      "v", rank = 3, iters = 50)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -721,6 +787,10 @@ object SparkEntry {
     "q55_stream_window" -> (q55 _),
     "q56_schema_enforce" -> (q56 _),
     "q57_check_runner" -> (q57 _),
+    "q58_dbscan_clusters" -> (q58 _),
+    "q59_sort_limit" -> (q59 _),
+    "q60_era_union" -> (q60 _),
+    "q61_matrix_impute" -> (q61 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1320,5 +1390,38 @@ object SparkEntry {
         |  (sum(o_totalprice) / sum(o_totalprice)) BETWEEN 0.999 AND 1.001,
         |  CAST(round(sum(o_totalprice) / sum(o_totalprice) * 1e6) AS BIGINT)
         |FROM orders""".stripMargin,
+    "q58_dbscan_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |ed AS (SELECT ia AS src, ib AS dst FROM p WHERE cos >= 0.35),
+        |sym AS (SELECT src AS a, dst AS b FROM ed
+        |        UNION SELECT dst AS a, src AS b FROM ed),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
+        |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
+        |SELECT e.vec_id AS v, coalesce(cc.component, e.vec_id) AS cluster
+        |FROM e LEFT JOIN cc ON e.vec_id = cc.v""".stripMargin,
+    "q59_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q60_era_union" ->
+      """SELECT o_orderkey, o_totalprice, 'legacy' AS era,
+        |  NULL AS o_orderpriority
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'modern', o_orderpriority
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.impute.MatrixCompletion
+
+class ImputeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("imputeByGroup recovers a low-rank matrix with planted gaps") {
+    // rank-2 matrix: m[i,j] = a_i*b_j + c_i*d_j
+    val n = 30
+    val cells = for {
+      i <- 0 until n; j <- 0 until n
+    } yield {
+      val truth = (i + 1) * (j + 1) * 0.1 + math.sin(i) * math.cos(j)
+      val missing = (i * 31 + j * 17) % 10 == 0 // ~10% deterministic gaps
+      MatrixCompletion.Cell("g1", i, j, if (missing) None else Some(truth))
+    }
+    val ds = spark.createDataset(cells)
+    val out = MatrixCompletion.imputeByGroup(spark, ds, rank = 2, iters = 300)
+    val imputed = out.filter(_.was_missing).collect()
+    assert(imputed.nonEmpty)
+    val truthMap = cells.map(c => (c.row, c.col) ->
+      ((c.row + 1) * (c.col + 1) * 0.1 + math.sin(c.row) * math.cos(c.col))).toMap
+    // WMAPE: near-zero truth cells would inflate plain MAPE
+    val errs = imputed.map { c =>
+      val t = truthMap((c.row, c.col))
+      (math.abs(c.value - t), math.abs(t))
+    }
+    val wmape = errs.map(_._1).sum / errs.map(_._2).sum
+    assert(wmape < 0.05, s"WMAPE $wmape too high")
+  }
+
+  test("imputeDf fills event-value gaps per event_type") {
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("day", dayofyear(col("ts")))
+      .withColumn("hod", hour(col("ts")))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(avg(col("value")).as("v"))
+      .withColumn("v", when(col("day") % 11 === 0, lit(null)).otherwise(col("v")))
+    val out = MatrixCompletion.imputeDf(events, "event_type", "day", "hod",
+      "v", rank = 3, iters = 5)
+    assert(out.where(col("was_missing")).count() > 0)
+    assert(out.where(col("value").isNull).count() == 0)
+  }
+}
