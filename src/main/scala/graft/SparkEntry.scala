@@ -10,7 +10,7 @@ import graft.multimodal.BinaryOps
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
-import graft.graph.ConnectedComponents
+import graft.graph.{CalcForest, ConnectedComponents}
 import graft.linkage.Linkage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -724,6 +724,62 @@ object SparkEntry {
       "v", rank = 3, iters = 50)
   }
 
+  // ---- §2.10 calculation forest: reconcile parent totals vs leaf sums ----
+  // Reference: XbrlCalculationForestFerc1 + Exploder.boom
+  // (/root/reference/src/pudl/output/ferc1.py:1814-2585,1212-1813). The
+  // forest (region <- nation) is metadata-sized and driver-built; the facts
+  // stay distributed.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+    def facts(node: Column) = base.groupBy(col("yr"), node.as("node"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("value"))
+    val allFacts = facts(concat(lit("nation:"), col("n_name")))
+      .unionByName(facts(concat(lit("region:"), col("r_name"))))
+    val edges = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(concat(lit("region:"), col("r_name")).as("parent"),
+        concat(lit("nation:"), col("n_name")).as("child"))
+      .collect() // metadata-sized dimension (25 rows)
+      .map(r => CalcForest.CalcEdge(r.getString(0), r.getString(1), 1.0)).toSeq
+    CalcForest.reconcile(s, allFacts, edges, Seq("yr"), "node", "value",
+        tolerance = 0.05)
+      .withColumn("calculated", round(col("calculated"), 4))
+      .withColumn("abs_diff", abs(col("reported") - col("calculated")))
+      .withColumn("is_consistent", col("abs_diff") <= 0.05)
+  }
+
+  // ---- §2.12 global outlier screen (median ± k·IQR per series) -----------
+  // Reference: global outlier flag in the screen suite
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:765-1354).
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ev.groupBy(col("user_id")).agg(
+      expr("percentile(value, 0.5)").as("med"),
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("thr_hi", round(col("med") + (col("q3") - col("q1")) * 3, 6))
+      .withColumn("thr_lo", round(col("med") - (col("q3") - col("q1")) * 3, 6))
+      .select("user_id", "thr_lo", "thr_hi")
+    ev.join(broadcast(stats), "user_id")
+      .withColumn("flag_outlier",
+        col("value") < col("thr_lo") || col("value") > col("thr_hi"))
+      .select("user_id", "event_id", "value", "thr_lo", "thr_hi", "flag_outlier")
+  }
+
+  // ---- §2.9 boolean recode + int-na fix ----------------------------------
+  // Reference: convert_col_to_bool + fix_int_na
+  // (/root/reference/src/pudl/helpers.py:1928-2005,964-1008).
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("is_finished",
+        Cleaning.convertToBool(col("o_orderstatus"), Seq("F"), Seq("O", "P")))
+      .withColumn("price_str", Cleaning.fixIntNa(col("o_totalprice")))
+      .select("o_orderkey", "is_finished", "price_str")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -791,6 +847,9 @@ object SparkEntry {
     "q59_sort_limit" -> (q59 _),
     "q60_era_union" -> (q60 _),
     "q61_matrix_impute" -> (q61 _),
+    "q62_calc_forest" -> (q62 _),
+    "q63_global_outlier" -> (q63 _),
+    "q64_bool_recode" -> (q64 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1423,5 +1482,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, 'modern', o_orderpriority
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+    "q62_calc_forest" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, n_name, r_name,
+        |    l_extendedprice AS ext
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (SELECT yr, 'nation:' || n_name AS node, round(sum(ext), 2) AS value
+        |        FROM base GROUP BY 1, 2),
+        |reg AS (SELECT yr, 'region:' || r_name AS node, round(sum(ext), 2) AS value
+        |        FROM base GROUP BY 1, 2),
+        |facts AS (SELECT * FROM nat UNION ALL SELECT * FROM reg),
+        |edges AS (
+        |  SELECT DISTINCT 'region:' || r_name AS parent,
+        |    'nation:' || n_name AS child, 1.0 AS weight
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |calc AS (
+        |  SELECT f.yr, e.parent, round(sum(f.value * e.weight), 4) AS calculated
+        |  FROM facts f JOIN edges e ON f.node = e.child GROUP BY 1, 2)
+        |SELECT r.yr, r.node AS parent, r.value AS reported, c.calculated,
+        |  abs(r.value - c.calculated) AS abs_diff,
+        |  abs(r.value - c.calculated) <= 0.05 AS is_consistent
+        |FROM facts r JOIN calc c ON r.yr = c.yr AND r.node = c.parent""".stripMargin,
+    "q63_global_outlier" ->
+      """WITH stats AS (
+        |  SELECT user_id,
+        |    round(quantile_cont(value, 0.5)
+        |      + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 3, 6)
+        |      AS thr_hi,
+        |    round(quantile_cont(value, 0.5)
+        |      - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 3, 6)
+        |      AS thr_lo
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.value, s.thr_lo, s.thr_hi,
+        |  (e.value < s.thr_lo OR e.value > s.thr_hi) AS flag_outlier
+        |FROM events e JOIN stats s ON e.user_id = s.user_id""".stripMargin,
+    "q64_bool_recode" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN true
+        |       WHEN o_orderstatus IN ('O', 'P') THEN false END AS is_finished,
+        |  CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str
+        |FROM orders""".stripMargin,
   )
 }

@@ -71,6 +71,18 @@ object Cleaning {
     * (`/root/reference/src/pudl/helpers.py:1082-1141`). */
   def composeDate(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
 
+  /** Whitelist boolean recode — `convert_col_to_bool` / `fix_boolean_columns`
+    * (`/root/reference/src/pudl/helpers.py:1928-2005`): listed true-values →
+    * true, listed false-values → false, everything else NULL. */
+  def convertToBool(c: Column, trueVals: Seq[String], falseVals: Seq[String]): Column =
+    when(c.isin(trueVals: _*), lit(true))
+      .when(c.isin(falseVals: _*), lit(false))
+
+  /** Int-like values with NA → clean digit string (ZIP/FIPS shape) —
+    * `fix_int_na` (`/root/reference/src/pudl/helpers.py:964-1008`). */
+  def fixIntNa(c: Column): Column =
+    round(c, 0).cast("long").cast("string")
+
   /** Code-table driven recode: fix known-bad codes, NULL ignored codes,
     * pass through valid codes, NULL everything else. Reference:
     * `Encoder.encode` (`/root/reference/src/pudl/metadata/classes.py:410-634`).
