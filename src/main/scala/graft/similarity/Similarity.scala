@@ -23,22 +23,12 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Same semantics as `dot` (sequential left fold, double precision) as a
-    * compiled UDF — Catalyst's interpreted higher-order functions box every
-    * element, which is the difference between 44 s and 2 s on a 12M-pair
-    * scoring pass. Association order matches `dot` exactly, so results are
-    * bit-identical. */
-  val dotFast = org.apache.spark.sql.functions.udf {
-    (a: Array[Float], b: Array[Float]) =>
-      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-      else {
-        var acc = 0.0
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-        java.lang.Double.valueOf(acc)
-      }
-  }
+  /** Same semantics as `dot` (sequential left fold, double precision) via
+    * the native codegen expression `graft.plans.FloatDotProduct` —
+    * Catalyst's interpreted higher-order functions box every element, which
+    * is the difference between 44 s and ~2 s on a 12M-pair scoring pass.
+    * Association order matches `dot` exactly, so results are bit-identical. */
+  def dotFast(a: Column, b: Column): Column = graft.plans.FloatDotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
