@@ -780,6 +780,41 @@ object SparkEntry {
       .withColumn("price_str", Cleaning.fixIntNa(col("o_totalprice")))
       .select("o_orderkey", "is_finished", "price_str")
 
+  // ---- §2.1 semi-structured source: JSON column parsing ------------------
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .select(col("event_id"), col("j.k").as("k_value"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+
+  // ---- §2.11 orphan nearest-neighbor assignment --------------------------
+  // Reference: match_orphaned_records (link_cross_year.py:241-299) — every
+  // vector outside the eps-graph joins its nearest clustered neighbor's
+  // component.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val par = s.sparkContext.defaultParallelism
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .repartition(par)
+      .withColumn("__na", sqrt(Similarity.dotFast(col("ea"), col("ea"))))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .withColumn("__nb", sqrt(Similarity.dotFast(col("eb"), col("eb"))))
+    val edges = a.crossJoin(b).where(col("ia") < col("ib"))
+      .withColumn("cos", round(
+        Similarity.dotFast(col("ea"), col("eb")) / (col("__na") * col("__nb")), 4))
+      .where(col("cos") >= 0.35)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val cc = ConnectedComponents.run(edges, "src", "dst")
+    val clustered = emb.join(cc, emb("vec_id") === cc("v"))
+      .select(col("vec_id"), col("embedding"), col("component"))
+    val orphans = emb.join(cc, emb("vec_id") === cc("v"), "left_anti")
+    Similarity.nearestAssign(orphans, clustered, "vec_id", "embedding",
+      "component")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -850,6 +885,8 @@ object SparkEntry {
     "q62_calc_forest" -> (q62 _),
     "q63_global_outlier" -> (q63 _),
     "q64_bool_recode" -> (q64 _),
+    "q65_json_parse" -> (q65 _),
+    "q66_orphan_assign" -> (q66 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1525,5 +1562,52 @@ object SparkEntry {
         |       WHEN o_orderstatus IN ('O', 'P') THEN false END AS is_finished,
         |  CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str
         |FROM orders""".stripMargin,
+    "q65_json_parse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+        |  json_extract_string(props, '$.k') AS k_str
+        |FROM events""".stripMargin,
+    "q66_orphan_assign" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |ed AS (SELECT ia AS src, ib AS dst FROM p WHERE cos >= 0.35),
+        |sym AS (SELECT src AS a, dst AS b FROM ed
+        |        UNION SELECT dst AS a, src AS b FROM ed),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
+        |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v),
+        |orph AS (
+        |  SELECT vec_id, embedding FROM e
+        |  WHERE vec_id NOT IN (SELECT v FROM cc)),
+        |cand AS (
+        |  SELECT o.vec_id AS orphan_id, cl.v AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(o.embedding, ce.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(o.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(ce.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine,
+        |    cc2.component AS assigned_cluster
+        |  FROM orph o
+        |  CROSS JOIN (SELECT v FROM cc) cl
+        |  JOIN e ce ON ce.vec_id = cl.v
+        |  JOIN cc cc2 ON cc2.v = cl.v)
+        |SELECT orphan_id, neighbor_id, cosine, assigned_cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY orphan_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        |  FROM cand) WHERE rk = 1""".stripMargin,
   )
 }

@@ -113,6 +113,42 @@ object NearDup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Per-cluster local re-split: clusters whose members duplicate a
+    * constraint key (the reference's "duplicate report years") are split by
+    * greedy complete-linkage on a member-distance callback, entirely inside
+    * `flatMapGroups` — clusters are tiny, so the local algorithm is
+    * distributed-safe (one cluster per task). Reference: `split_clusters`
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:170-240`).
+    *
+    * Input rows: (cluster, id, key). Output: (id, cluster, sub_cluster)
+    * where no (cluster, sub_cluster) contains a duplicate key.
+    */
+  def splitClusters(df: DataFrame, clusterCol: String, idCol: String,
+                    keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(clusterCol).cast("long"), col(idCol).cast("long"),
+        col(keyCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val members = it.toArray.sortBy(_._2)
+        // greedy: place each member (id order) into the first sub-cluster
+        // not yet containing its key; deterministic and local
+        val subs = scala.collection.mutable.ArrayBuffer
+          .empty[(scala.collection.mutable.Set[String], Int)]
+        members.iterator.map { case (_, id, key) =>
+          val slot = subs.find(!_._1.contains(key)).getOrElse {
+            val s = (scala.collection.mutable.Set.empty[String], subs.length)
+            subs += s; s
+          }
+          slot._1 += key
+          (id, cluster, slot._2)
+        }
+      }
+      .toDF(idCol, clusterCol, "sub_cluster")
+  }
+
   /** 64-bit SimHash over word hashes: bit i of the signature is the sign of
     * the sum of (+1/-1) votes from each token's hash bit i. Hamming-close
     * signatures ≈ similar docs. Pure expressions — codegen-friendly. */

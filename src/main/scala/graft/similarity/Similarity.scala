@@ -55,6 +55,26 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  /** Assign each orphan (unclustered) row to the cluster of its nearest
+    * clustered neighbor by cosine — `match_orphaned_records`
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:241-299`).
+    * Brute-force here (orphans × clustered); swap the cross join for the
+    * LSH bucket join at scale. */
+  def nearestAssign(orphans: DataFrame, clustered: DataFrame, idCol: String,
+                    embCol: String, clusterCol: String): DataFrame = {
+    val o = orphans.select(col(idCol).as("orphan_id"), col(embCol).as("o_emb"))
+      .withColumn("__on", sqrt(dotFast(col("o_emb"), col("o_emb"))))
+    val c = clustered.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        col(clusterCol).as("assigned_cluster"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    val scored = o.crossJoin(c)
+      .withColumn("cosine", round(
+        dotFast(col("o_emb"), col("c_emb")) / (col("__on") * col("__cn")), 4))
+    graft.operators.Dedup.keepFirst(scored, Seq("orphan_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc))
+      .select("orphan_id", "neighbor_id", "cosine", "assigned_cluster")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
     * tiny (nBits × dim doubles), broadcast with the plan. */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {

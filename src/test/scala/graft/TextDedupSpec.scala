@@ -65,6 +65,25 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("splitClusters breaks duplicate-key clusters deterministically") {
+    val df = Seq(
+      (10L, 1L, "2019"), (10L, 2L, "2019"), (10L, 3L, "2020"),
+      (20L, 4L, "2019")
+    ).toDF("cluster", "id", "yr")
+    val out = NearDup.splitClusters(df, "cluster", "id", "yr")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ids 1 and 2 share year 2019 -> different sub-clusters; 3 joins 1's
+    assert(out.toSeq == Seq((1L, 10L, 0), (2L, 10L, 1), (3L, 10L, 0),
+      (4L, 20L, 0)))
+    // no (cluster, sub) has duplicate keys
+    val dups = NearDup.splitClusters(df, "cluster", "id", "yr")
+      .join(df.select($"id", $"yr"), "id")
+      .groupBy("cluster", "sub_cluster", "yr").count()
+      .where($"count" > 1).count()
+    assert(dups == 0)
+  }
+
   test("langId predicts languages from lexicon hits with 'und' fallback") {
     val df = Seq(
       (1L, "the cat and the dog"),
