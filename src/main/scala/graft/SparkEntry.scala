@@ -34,7 +34,7 @@ object SparkEntry {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -50,7 +50,7 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
 
   // ---- §2.2 filter + projection (pushdown must reach the scan) -----------
@@ -815,6 +815,17 @@ object SparkEntry {
       "component")
   }
 
+  // ---- §2.7 stack_generators: explode multi-valued columns with rank -----
+  // Reference: stack_generators (/root/reference/src/pudl/analysis/allocate_gen_fuel.py:615-663)
+  // — multi-valued attribute columns become ranked rows via posexplode.
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        posexplode(array(col("c_mktsegment"), upper(col("c_mktsegment")),
+          col("c_name"))))
+      .withColumnRenamed("pos", "attr_rank")
+      .withColumnRenamed("col", "attr_value")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -887,6 +898,7 @@ object SparkEntry {
     "q64_bool_recode" -> (q64 _),
     "q65_json_parse" -> (q65 _),
     "q66_orphan_assign" -> (q66 _),
+    "q67_stack_explode" -> (q67 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -896,14 +908,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_region_revenue" ->
       """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1609,5 +1621,11 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY orphan_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS rk
         |  FROM cand) WHERE rk = 1""".stripMargin,
+    "q67_stack_explode" ->
+      """SELECT c_custkey, 0 AS attr_rank, c_mktsegment AS attr_value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 1, upper(c_mktsegment) FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 2, c_name FROM customer""".stripMargin,
   )
 }
