@@ -826,6 +826,17 @@ object SparkEntry {
       .withColumnRenamed("pos", "attr_rank")
       .withColumnRenamed("col", "attr_value")
 
+  // ---- §2.14 gap-based sessionization (batch twin of session windows) ----
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    WindowOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+        col("event_id"), gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("sum_value"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -899,6 +910,7 @@ object SparkEntry {
     "q65_json_parse" -> (q65 _),
     "q66_orphan_assign" -> (q66 _),
     "q67_stack_explode" -> (q67 _),
+    "q68_sessionize" -> (q68 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1627,5 +1639,23 @@ object SparkEntry {
         |SELECT c_custkey, 1, upper(c_mktsegment) FROM customer
         |UNION ALL
         |SELECT c_custkey, 2, c_name FROM customer""".stripMargin,
+    "q68_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM lagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
   )
 }

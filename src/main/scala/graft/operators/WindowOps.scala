@@ -107,6 +107,24 @@ object WindowOps {
       .drop("__run", "__v")
   }
 
+  /** Gap-based sessionization: a new session starts when the event-time gap
+    * from the previous row exceeds `gapSeconds`. Session ids are the
+    * cumulative count of session starts per key — the batch twin of
+    * streaming session windows (§2.14), built from the same cumulative-sum
+    * trick as runIds. Timestamps compare at microsecond precision (exact
+    * integers — no truncation ambiguity at the threshold). */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tiebreak: Column, gapSeconds: Long): DataFrame = {
+    val order = Seq(col(tsCol), tiebreak)
+    val w = keyed(keys, order)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isStart = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1
+    ).otherwise(0)
+    df.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Lag-based double-delta spike flag: |Δprev| and |Δnext| both exceed
     * `threshold` with opposite signs. Reference: `flag_double_delta`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:1040-1120`). */
