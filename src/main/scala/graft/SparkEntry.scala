@@ -837,6 +837,23 @@ object SparkEntry {
         max(col("ts")).as("session_end"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  // ---- dedup capstone: near-dup groups → canonical document -------------
+  // Full pipeline: shingle → exact-Jaccard pairs → connected components →
+  // min-id canonical per group (the LSH path q41 feeds the same CC at
+  // scale). Every document appears once with its canonical id.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, thresholdNum = 1, thresholdDen = 4)
+    val cc = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")), "src", "dst")
+    docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("v"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id", "is_dup")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -911,6 +928,7 @@ object SparkEntry {
     "q66_orphan_assign" -> (q66 _),
     "q67_stack_explode" -> (q67 _),
     "q68_sessionize" -> (q68 _),
+    "q69_neardup_canonical" -> (q69 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1657,5 +1675,34 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  round(sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q69_neardup_canonical" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+        |  WHERE len(wl) >= 3),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE common * 4 >= 1 * (ca.n_sh + cb.n_sh - common)),
+        |sym AS (SELECT src AS a, dst AS b FROM ed
+        |        UNION SELECT dst AS a, src AS b FROM ed),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
+        |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
+        |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS canonical_id,
+        |  (d.doc_id <> coalesce(cc.component, d.doc_id)) AS is_dup
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.v""".stripMargin,
   )
 }
