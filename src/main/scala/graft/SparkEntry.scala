@@ -35,8 +35,9 @@ object SparkEntry {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        avg(col("l_quantity")).as("avg_qty"),
+        (sum(round(col("l_discount") * 100, 0).cast("long")).cast("double")
+          / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   // ---- §2.3 denormalization joins: revenue by region × year --------------
@@ -113,7 +114,8 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+          / (lit(100.0) * count(lit(1)))).as("avg_value"))
 
   // ---- §2.3 date_merge: temporal-granularity equi-join -------------------
   // Monthly supplier revenue joined to its yearly total at year grain;
@@ -939,8 +941,9 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  avg(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+        |    / (100.0 * count(*)) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_region_revenue" ->
@@ -998,7 +1001,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value,
-        |  round(avg(value), 6) AS avg_value
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / (100.0 * count(*)) AS avg_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q09_date_merge" ->
       """WITH monthly AS (

@@ -36,13 +36,17 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
       val updated = labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
-        .select(labels("v"),
+        .select(labels("v").as("v"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("new_component"),
-          col("component"))
-      val next = updated
-        .select(col("v"), col("new_component").as("component"),
-          (col("new_component") < col("component")).as("__chg"))
+            .as("c1"),
+          col("component").as("c0"))
+      // pointer jump ("shortcutting"): follow the new label one more hop —
+      // halves the number of propagation rounds (O(log d) overall)
+      val lbl2 = updated.select(col("v").as("v2"), col("c1").as("c2"))
+      val next = updated.join(lbl2, updated("c1") === lbl2("v2"), "left")
+        .select(col("v"),
+          least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"),
+          (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("c0")).as("__chg"))
         .localCheckpoint()
       changed = next.where(col("__chg")).count()
       labels = next.drop("__chg")
