@@ -856,6 +856,21 @@ object SparkEntry {
       .select("doc_id", "canonical_id", "is_dup")
   }
 
+  // ---- §2.2/§2.9 cleaning chain: sentinels → NULL, % → ratio, range NULL -
+  // Reference: standardize_na_values + standardize_percentages_ratio +
+  // oob_to_nan (/root/reference/src/pudl/transform/classes.py:905-928,
+  // helpers.py:1671-1710,429-492) composed the way TableTransformer chains
+  // ColumnTransformFuncs.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("segment_clean",
+        Cleaning.naSentinelsToNull(col("c_mktsegment"), Seq("FURNITURE", "N/A")))
+      .withColumn("disc_pct", round(col("c_acctbal") / 100.0, 4))
+      .withColumn("disc_ratio", Cleaning.percentToRatio(col("disc_pct")))
+      .withColumn("acctbal_pos", Cleaning.oobToNan(col("c_acctbal"), 0, 1e9))
+      .select("c_custkey", "segment_clean", "disc_pct", "disc_ratio",
+        "acctbal_pos")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -931,6 +946,7 @@ object SparkEntry {
     "q67_stack_explode" -> (q67 _),
     "q68_sessionize" -> (q68 _),
     "q69_neardup_canonical" -> (q69 _),
+    "q70_cleaning_chain" -> (q70 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1708,5 +1724,14 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS canonical_id,
         |  (d.doc_id <> coalesce(cc.component, d.doc_id)) AS is_dup
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.v""".stripMargin,
+    "q70_cleaning_chain" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment IN ('FURNITURE', 'N/A') THEN NULL
+        |       ELSE c_mktsegment END AS segment_clean,
+        |  round(c_acctbal / 100.0, 4) AS disc_pct,
+        |  CASE WHEN round(c_acctbal / 100.0, 4) BETWEEN 0 AND 100
+        |       THEN round(c_acctbal / 100.0, 4) / 100.0 END AS disc_ratio,
+        |  CASE WHEN c_acctbal BETWEEN 0 AND 1e9 THEN c_acctbal END AS acctbal_pos
+        |FROM customer""".stripMargin,
   )
 }
