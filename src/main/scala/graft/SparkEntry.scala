@@ -871,6 +871,26 @@ object SparkEntry {
       .select("c_custkey", "segment_clean", "disc_pct", "disc_ratio",
         "acctbal_pos")
 
+  // ---- §2.12 orchestrated screen suite: priority flag accumulation -------
+  // Reference: flag_ruggles pipeline + flag() one-flag-per-cell
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1295-1354,247-272).
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 53 === 0, lit(null))
+        .otherwise(col("value")))
+    val order = Seq(col("ts"), col("event_id"))
+    val withRun = WindowOps.flagIdenticalRun(ev, Seq("user_id"), order,
+      floor(col("v") / 10).cast("long"), minLen = 3, out = "f_run")
+    val withSpike = WindowOps.flagDoubleDelta(withRun, Seq("user_id"), order,
+      col("v"), lit(25.0), out = "f_spike")
+    WindowOps.flagPipeline(withSpike, Seq(
+        "missing" -> col("v").isNull,
+        "oob" -> !col("v").between(0, 40),
+        "identical_run" -> col("f_run"),
+        "spike" -> col("f_spike")))
+      .select("user_id", "event_id", "v", "flag")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -947,6 +967,7 @@ object SparkEntry {
     "q68_sessionize" -> (q68 _),
     "q69_neardup_canonical" -> (q69 _),
     "q70_cleaning_chain" -> (q70 _),
+    "q71_flag_pipeline" -> (q71 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1733,5 +1754,36 @@ object SparkEntry {
         |       THEN round(c_acctbal / 100.0, 4) / 100.0 END AS disc_ratio,
         |  CASE WHEN c_acctbal BETWEEN 0 AND 1e9 THEN c_acctbal END AS acctbal_pos
         |FROM customer""".stripMargin,
+    "q71_flag_pipeline" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CAST(floor(v / 10) AS BIGINT) AS bucket,
+        |    lag(CAST(floor(v / 10) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_b,
+        |    v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dp,
+        |    lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) - v AS dn
+        |  FROM ev),
+        |runs AS (
+        |  SELECT *, sum(CASE WHEN prev_b IS DISTINCT FROM bucket THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM b),
+        |flags AS (
+        |  SELECT user_id, event_id, v,
+        |    (count(*) OVER (PARTITION BY user_id, run_id) >= 3
+        |      AND bucket IS NOT NULL) AS f_run,
+        |    (dp IS NOT NULL AND dn IS NOT NULL AND abs(dp) > 25.0
+        |      AND abs(dn) > 25.0 AND dp * dn < 0) AS f_spike
+        |  FROM runs)
+        |SELECT user_id, event_id, v,
+        |  CASE WHEN v IS NULL THEN 'missing'
+        |       WHEN NOT (v BETWEEN 0 AND 40) THEN 'oob'
+        |       WHEN f_run THEN 'identical_run'
+        |       WHEN f_spike THEN 'spike'
+        |       ELSE 'ok' END AS flag
+        |FROM flags""".stripMargin,
   )
 }

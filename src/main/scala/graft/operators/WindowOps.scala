@@ -107,6 +107,17 @@ object WindowOps {
       .drop("__run", "__v")
   }
 
+  /** One-flag-per-cell screen accumulation: screens are evaluated in
+    * priority order and the first matching screen names the cell's flag
+    * ("ok" if none match). Reference: the `flag()` accumulation that
+    * orchestrates the screen suite
+    * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:247-272`). */
+  def flagPipeline(df: DataFrame, screens: Seq[(String, Column)],
+                   out: String = "flag"): DataFrame =
+    df.withColumn(out, screens.foldRight(lit("ok"): Column) {
+      case ((name, cond), acc) => when(cond, lit(name)).otherwise(acc)
+    })
+
   /** Gap-based sessionization: a new session starts when the event-time gap
     * from the previous row exceeds `gapSeconds`. Session ids are the
     * cumulative count of session starts per key — the batch twin of
