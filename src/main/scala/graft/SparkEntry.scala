@@ -891,6 +891,44 @@ object SparkEntry {
       .select("user_id", "event_id", "v", "flag")
   }
 
+  // ---- §2.3 date_merge at quarter grain + reconstructed finest date ------
+  // The reconstruction half of date_merge (/root/reference/src/pudl/helpers.py:612-718):
+  // after joining at the coarse grain, the output date is the finest of the
+  // two sides (greatest/least).
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val monthly = li.groupBy(col("l_suppkey"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("month_rev"))
+    val quarterly = li.groupBy(col("l_suppkey"),
+        date_trunc("quarter", col("l_shipdate")).as("ship_quarter"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("quarter_rev"))
+    TemporalOps.dateMerge(monthly, quarterly, Seq("l_suppkey"),
+        leftDate = "ship_month", rightDate = "ship_quarter", grain = "quarter")
+      .withColumn("date_out",
+        greatest(col("ship_month"), date_trunc("quarter", col("ship_month"))))
+      .withColumn("rev_share_q", round(col("month_rev") / col("quarter_rev"), 6))
+  }
+
+  // ---- §2.6 quantile-breakpoint binning (qcut semantics, not ntile) ------
+  // Reference: assign_groupwise_load_factor_bins
+  // (/root/reference/src/pudl/analysis/operational_characteristics.py:182-268)
+  // computes per-group quantile breakpoints then assigns by comparison.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val breaks = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.25)"), 6).as("t1"),
+        round(expr("percentile(value, 0.5)"), 6).as("t2"),
+        round(expr("percentile(value, 0.75)"), 6).as("t3"))
+    ev.join(broadcast(breaks), "event_type")
+      .withColumn("bin",
+        when(col("value") <= col("t1"), 1)
+          .when(col("value") <= col("t2"), 2)
+          .when(col("value") <= col("t3"), 3)
+          .otherwise(4))
+      .select("event_type", "event_id", "value", "bin")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -968,6 +1006,8 @@ object SparkEntry {
     "q69_neardup_canonical" -> (q69 _),
     "q70_cleaning_chain" -> (q70 _),
     "q71_flag_pipeline" -> (q71 _),
+    "q72_date_merge_quarter" -> (q72 _),
+    "q74_quantile_bins" -> (q74 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1785,5 +1825,34 @@ object SparkEntry {
         |       WHEN f_spike THEN 'spike'
         |       ELSE 'ok' END AS flag
         |FROM flags""".stripMargin,
+    "q72_date_merge_quarter" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |    round(sum(l_extendedprice), 2) AS month_rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |quarterly AS (
+        |  SELECT l_suppkey, CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS ship_quarter,
+        |    round(sum(l_extendedprice), 2) AS quarter_rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m.l_suppkey, m.ship_month, m.month_rev, q.quarter_rev,
+        |  greatest(m.ship_month,
+        |    CAST(date_trunc('quarter', m.ship_month) AS TIMESTAMP)) AS date_out,
+        |  round(m.month_rev / q.quarter_rev, 6) AS rev_share_q
+        |FROM monthly m LEFT JOIN quarterly q
+        |  ON m.l_suppkey = q.l_suppkey
+        |  AND CAST(date_trunc('quarter', m.ship_month) AS TIMESTAMP) = q.ship_quarter""".stripMargin,
+    "q74_quantile_bins" ->
+      """WITH breaks AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS t1,
+        |    round(quantile_cont(value, 0.5), 6) AS t2,
+        |    round(quantile_cont(value, 0.75), 6) AS t3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value,
+        |  CASE WHEN e.value <= b.t1 THEN 1
+        |       WHEN e.value <= b.t2 THEN 2
+        |       WHEN e.value <= b.t3 THEN 3
+        |       ELSE 4 END AS bin
+        |FROM events e JOIN breaks b ON e.event_type = b.event_type""".stripMargin,
   )
 }
