@@ -17,19 +17,14 @@ import graft.text.TextAnalysis
   */
 object NearDup {
 
-  /** Distinct word `n`-gram shingles per document: (id, shingle) rows. */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = TextAnalysis.tokens(col(textCol))
-    val parts = (0 until n)
-      .map(j => s"element_at(__w, i + $j)")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    df.withColumn("__w", w)
-      .where(size(col("__w")) >= n)
-      .select(col(idCol),
-        explode(expr(s"transform(sequence(1, size(__w) - ${n - 1}), i -> $parts)"))
-          .as("shingle"))
-      .distinct()
-  }
+  /** Distinct word `n`-gram shingles per document: (id, shingle) rows.
+    * Dedup is per-document and therefore LOCAL (inside the native
+    * `WordShingles` expression, one eval per row) — no shuffle, unlike a
+    * global `distinct()` which would repartition the full (id, shingle) set
+    * for the same result, and no interpreted per-element lambdas. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.plans.WordShingles(col(textCol), n)).as("shingle"))
 
   /** Exact dedup via content fingerprint: canonical id = min doc id per
     * fingerprint group. One hash-partitioned window — no driver state. */
@@ -51,9 +46,21 @@ object NearDup {
                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+    // One groupBy-shingle pass replaces the shingle self-join: singleton
+    // shingles (document frequency 1 — the vast majority) never produce a
+    // pair, so they die in the size>=2 filter instead of flowing through a
+    // shuffle join; hot shingles emit their id×id combinations locally from
+    // the sorted posting list. Same pairs, one exchange fewer. At web scale
+    // a df cap on the posting list (drop non-discriminative stop-shingles)
+    // bounds the quadratic emit — not applied here to stay exact.
+    val common = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     common
       .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")

@@ -23,11 +23,20 @@ object Allocation {
                        fracCol: String, dataCols: Seq[String]): DataFrame = {
     val joined = data.join(ownership, keys, "left")
       .withColumn(fracCol, coalesce(col(fracCol), lit(1.0)))
-    val owned = dataCols.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, col(c) * col(fracCol))
-    }.withColumn("ownership_record_type", lit("owned"))
-    val total = joined.withColumn("ownership_record_type", lit("total"))
-    owned.unionByName(total)
+    // Both record sets come out of ONE pass via explode over a two-element
+    // struct array — a unionByName of two branches would execute the join
+    // (and everything upstream) twice, which at 100 TB doubles the scan.
+    def branch(t: String, v: String => org.apache.spark.sql.Column) =
+      struct(lit(t).as("ownership_record_type") +:
+        dataCols.map(c => v(c).as(c)): _*)
+    val outCols = joined.columns.map(c =>
+      if (dataCols.contains(c)) col(s"__rec.$c").as(c) else col(c))
+    joined
+      .withColumn("__rec", explode(array(
+        branch("owned", c => col(c) * col(fracCol)),
+        branch("total", c => col(c)))))
+      .select(outCols :+
+        col("__rec.ownership_record_type").as("ownership_record_type"): _*)
   }
 
   /** Allocate a coarse-grain total across fine-grain rows proportionally to
