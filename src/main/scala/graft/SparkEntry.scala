@@ -929,6 +929,119 @@ object SparkEntry {
       .select("event_type", "event_id", "value", "bin")
   }
 
+  // ---- §2.12 local-outlier screen via median prediction ------------------
+  // Reference: median_prediction + flag_local_outlier
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:907-970).
+  // Windows scaled to the fixture's ~67-point series (the reference's
+  // hourly defaults 48/480/±240 keep the same before/after shape).
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeseriesScreens.flagLocalOutlier(
+      t(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")),
+      col("value"), window = (6, 5), longWindow = (24, 23),
+      shifts = Seq(-12, -6, 0, 6, 12), iqrWindow = (12, 11),
+      multHi = 3.5, multLo = 2.5, scale = 6)
+      .select("user_id", "event_id", "value", "pred", "iqr",
+        "flag_local_hi", "flag_local_lo")
+
+  // ---- §2.12 anomalous-region screen -------------------------------------
+  // Reference: flag_anomalous_region
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1186-1229).
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeseriesScreens.flagAnomalousRegion(
+      t(s, dir, "events")
+        .withColumn("flagged", col("value") < 12),
+      Seq("user_id"), Seq(col("ts"), col("event_id")),
+      col("flagged"), window = 8, threshold = 0.5, out = "flag_region")
+      .select("user_id", "event_id", "flagged", "flag_region")
+
+  // ---- §2.12 bad-period screen (flag_bad_years, day grain) ---------------
+  // Reference: flag_bad_years
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1231-1294).
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value")))
+    graft.operators.TimeseriesScreens.flagBadPeriods(ev,
+      Seq("user_id"), "ts", col("v"), col("v") > 300,
+      period = date_trunc("day", col("ts")),
+      minData = 6.0, minDataFraction = 0.15)
+      .select(col("user_id"), col("event_id"), col("period"),
+        col("coverage_hours"), col("data_fraction"), col("flag_bad_period"))
+  }
+
+  // ---- §2.12 single-delta screen (sequential fixpoint per series; no SQL
+  // oracle — iterative removal is not SQL-expressible) ---------------------
+  // Reference: flag_single_delta / _find_single_delta
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1047-1185).
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeseriesScreens.flagSingleDelta(
+      t(s, dir, "events"), "user_id", "ts", "value", multiplier = 5.0)
+
+  // ---- §2.3 multi-way outer association with indicator columns -----------
+  // Reference: associate_generator_tables outer-merge chain
+  // (/root/reference/src/pudl/analysis/allocate_gen_fuel.py:664-790) +
+  // indicator merges (eia_ferc1_record_linkage.py:501-593). Entities missing
+  // from either side survive with coalesced keys and a provenance label.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .where(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = t(s, dir, "orders")
+      .where(col("o_custkey") % 2 === 0) // order side misses odd customers
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_totalprice"))
+    val rets = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("o_custkey").as("r_custkey"))
+      .agg(count(lit(1)).as("n_returns"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("custkey", coalesce(col("c_custkey"), col("o_custkey")))
+      .withColumn("source",
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .join(rets, col("custkey") === col("r_custkey"), "left")
+      .select(col("custkey"), col("c_mktsegment"), col("source"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_totalprice"), lit(0.0)).as("sum_totalprice"),
+        coalesce(col("n_returns"), lit(0L)).as("n_returns"))
+  }
+
+  // ---- §2.9 phone standardization + rolling-century year repair ----------
+  // Reference: standardize_phone_column + normalize_year_fragments
+  // (/root/reference/src/pudl/helpers.py:2326-2381,2553-2626). Messy inputs
+  // are synthesized deterministically from customer keys, covering every
+  // branch: punctuation formats, extensions, short numbers, all-zero, and
+  // 2-digit years on both sides of the century pivot.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .withColumn("area", (col("c_custkey") % 800 + 200).cast("string"))
+      .withColumn("mid", lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"))
+      .withColumn("last4", lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+      .withColumn("phone_raw",
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("("), col("area"), lit(") "), col("mid"), lit(" "), col("last4")))
+          .when(col("c_custkey") % 5 === 1,
+            concat(col("area"), lit("."), col("mid"), lit("."), col("last4"), lit("x"),
+              (col("c_custkey") % 9 + 1).cast("string")))
+          .when(col("c_custkey") % 5 === 2, concat(col("mid"), col("last4")))
+          .when(col("c_custkey") % 5 === 3, lit("0000000000"))
+          .otherwise(concat(col("area"), lit("-"), col("mid"), lit("-"), col("last4"))))
+      .withColumn("year_raw",
+        when(col("c_custkey") % 4 === 0,
+          lpad((col("c_custkey") % 100).cast("string"), 2, "0"))
+          .when(col("c_custkey") % 4 === 1,
+            (col("c_custkey") % 60 + 1960).cast("string"))
+          .when(col("c_custkey") % 4 === 2, lit("7"))
+          .otherwise(lpad((col("c_custkey") % 30).cast("string"), 2, "0")))
+    base.select(col("c_custkey"), col("phone_raw"), col("year_raw"),
+      Cleaning.standardizePhone(col("phone_raw")).as("phone_std"),
+      Cleaning.normalizeYearFragments(col("year_raw"), 1960, 2026)
+        .as("year_fixed"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1008,6 +1121,12 @@ object SparkEntry {
     "q71_flag_pipeline" -> (q71 _),
     "q72_date_merge_quarter" -> (q72 _),
     "q74_quantile_bins" -> (q74 _),
+    "q75_local_outlier" -> (q75 _),
+    "q76_anomalous_region" -> (q76 _),
+    "q77_bad_periods" -> (q77 _),
+    "q78_single_delta" -> (q78 _),
+    "q79_outer_assoc" -> (q79 _),
+    "q80_phone_year" -> (q80 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1854,5 +1973,220 @@ object SparkEntry {
         |       WHEN e.value <= b.t3 THEN 3
         |       ELSE 4 END AS bin
         |FROM events e JOIN breaks b ON e.event_type = b.event_type""".stripMargin,
+    "q75_local_outlier" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    list_sort(list_filter(list(value) OVER w12, x -> x IS NOT NULL)) AS a12,
+        |    list_sort(list_filter(list(value) OVER w48, x -> x IS NOT NULL)) AS a48
+        |  FROM events
+        |  WINDOW
+        |    w12 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |    w48 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 24 PRECEDING AND 23 FOLLOWING)),
+        |s2 AS (
+        |  SELECT *,
+        |    CAST(len(a12)-1 AS DOUBLE) * 0.5e0 AS h12,
+        |    CAST(len(a48)-1 AS DOUBLE) * 0.5e0 AS h48
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    a12[CAST(floor(h12) AS INT)+1] + (h12 - floor(h12)) *
+        |      (coalesce(a12[CAST(floor(h12) AS INT)+2],
+        |                a12[CAST(floor(h12) AS INT)+1]) -
+        |       a12[CAST(floor(h12) AS INT)+1]) AS m,
+        |    a48[CAST(floor(h48) AS INT)+1] + (h48 - floor(h48)) *
+        |      (coalesce(a48[CAST(floor(h48) AS INT)+2],
+        |                a48[CAST(floor(h48) AS INT)+1]) -
+        |       a48[CAST(floor(h48) AS INT)+1]) AS mlong
+        |  FROM s2),
+        |s4 AS (SELECT *, value - m AS off FROM s3),
+        |s5 AS (
+        |  SELECT *,
+        |    lag(off, 12) OVER wo AS l12, lag(off, 6) OVER wo AS l6,
+        |    lead(off, 6) OVER wo AS f6, lead(off, 12) OVER wo AS f12,
+        |    list_sort(list_filter(list(off) OVER wq, x -> x IS NOT NULL)) AS aq
+        |  FROM s4
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wq AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |s6 AS (
+        |  SELECT *,
+        |    list_sort(list_filter([l12, l6, off, f6, f12],
+        |      x -> x IS NOT NULL)) AS ash,
+        |    CAST(len(aq)-1 AS DOUBLE) * 0.75e0 AS h75,
+        |    CAST(len(aq)-1 AS DOUBLE) * 0.25e0 AS h25
+        |  FROM s5),
+        |s7 AS (
+        |  SELECT *,
+        |    (ash[(len(ash)+1)//2] + ash[len(ash)//2+1]) / 2.0e0 AS medoff,
+        |    aq[CAST(floor(h75) AS INT)+1] + (h75 - floor(h75)) *
+        |      (coalesce(aq[CAST(floor(h75) AS INT)+2],
+        |                aq[CAST(floor(h75) AS INT)+1]) -
+        |       aq[CAST(floor(h75) AS INT)+1]) AS p75,
+        |    aq[CAST(floor(h25) AS INT)+1] + (h25 - floor(h25)) *
+        |      (coalesce(aq[CAST(floor(h25) AS INT)+2],
+        |                aq[CAST(floor(h25) AS INT)+1]) -
+        |       aq[CAST(floor(h25) AS INT)+1]) AS p25
+        |  FROM s6),
+        |s8 AS (
+        |  SELECT user_id, event_id, value,
+        |    round(m * (1.0e0 + medoff / nullif(mlong, 0.0e0)), 6) AS pred,
+        |    round(p75 - p25, 6) AS iqr
+        |  FROM s7)
+        |SELECT user_id, event_id, value, pred, iqr,
+        |  value > pred + 3.5e0 * iqr AS flag_local_hi,
+        |  value < pred - 2.5e0 * iqr AS flag_local_lo
+        |FROM s8""".stripMargin,
+    "q76_anomalous_region" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value < 12 AS flagged FROM events),
+        |w1 AS (
+        |  SELECT *,
+        |    (count(*) OVER tr = 4 AND
+        |     sum(CASE WHEN flagged THEN 1 ELSE 0 END) OVER tr >= 1) AS is_after,
+        |    count(*) OVER ce AS c_ce,
+        |    sum(CASE WHEN flagged THEN 1 ELSE 0 END) OVER ce AS f_ce,
+        |    CASE WHEN flagged IS DISTINCT FROM lag(flagged) OVER wo
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM b
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    tr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |    ce AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING)),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN c_ce = 8 THEN 1 ELSE 0 END AS inner_valid,
+        |    CASE WHEN c_ce = 8 AND CAST(f_ce AS DOUBLE)/8 > 0.5e0
+        |      THEN 1 ELSE 0 END AS inner_val,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY user_id, run) AS runlen,
+        |    coalesce(lead(is_after, 3) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id), false) AS is_before,
+        |    (sum(inner_valid) OVER ce2 = 8 AND
+        |     max(inner_val) OVER ce2 = 1) AS is_region
+        |  FROM w2
+        |  WINDOW ce2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING))
+        |SELECT user_id, event_id, flagged,
+        |  (NOT flagged) AND is_after AND is_before AND runlen <= 4
+        |    AND is_region AS flag_region
+        |FROM w3""".stripMargin,
+    "q77_bad_periods" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |p AS (SELECT *, CAST(date_trunc('day', ts) AS TIMESTAMP) AS period
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, period,
+        |    min(CASE WHEN v IS NOT NULL THEN ts END) AS first_ts,
+        |    max(CASE WHEN v IS NOT NULL THEN ts END) AS last_ts,
+        |    count(v) AS n,
+        |    max(CAST(v > 300 AS INT)) AS has_flags
+        |  FROM p GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT user_id, period,
+        |    CAST(epoch_us(last_ts) - epoch_us(first_ts) AS DOUBLE)
+        |      / 3600000000.0e0 + 1.0e0 AS coverage_hours,
+        |    n, has_flags
+        |  FROM g),
+        |g3 AS (
+        |  SELECT user_id, period, coverage_hours,
+        |    CAST(n AS DOUBLE) / coverage_hours AS data_fraction,
+        |    coalesce(coverage_hours < 6.0e0, true) OR
+        |      (CAST(n AS DOUBLE) / coverage_hours < 0.15e0 AND has_flags = 1)
+        |      AS flag_bad_period
+        |  FROM g2)
+        |SELECT p.user_id, p.event_id, p.period, g3.coverage_hours,
+        |  g3.data_fraction, g3.flag_bad_period
+        |FROM p JOIN g3 ON p.user_id = g3.user_id AND p.period = g3.period""".stripMargin,
+    "q79_outer_assoc" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+        |ords AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS sum_totalprice
+        |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1),
+        |rets AS (
+        |  SELECT o_custkey AS r_custkey, count(*) AS n_returns
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1),
+        |fo AS (
+        |  SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |    CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |         WHEN c_custkey IS NOT NULL THEN 'left_only'
+        |         ELSE 'right_only' END AS source,
+        |    n_orders, sum_totalprice
+        |  FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey)
+        |SELECT f.custkey, f.c_mktsegment, f.source,
+        |  coalesce(f.n_orders, 0) AS n_orders,
+        |  coalesce(f.sum_totalprice, 0.0) AS sum_totalprice,
+        |  coalesce(r.n_returns, 0) AS n_returns
+        |FROM fo f LEFT JOIN rets r ON f.custkey = r.r_custkey""".stripMargin,
+    "q80_phone_year" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 800 + 200 AS VARCHAR) AS area,
+        |    lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') AS mid,
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS last4
+        |  FROM customer),
+        |raw AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0
+        |           THEN '(' || area || ') ' || mid || ' ' || last4
+        |         WHEN c_custkey % 5 = 1
+        |           THEN area || '.' || mid || '.' || last4 || 'x' ||
+        |                CAST(c_custkey % 9 + 1 AS VARCHAR)
+        |         WHEN c_custkey % 5 = 2 THEN mid || last4
+        |         WHEN c_custkey % 5 = 3 THEN '0000000000'
+        |         ELSE area || '-' || mid || '-' || last4 END AS phone_raw,
+        |    CASE WHEN c_custkey % 4 = 0
+        |           THEN lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+        |         WHEN c_custkey % 4 = 1
+        |           THEN CAST(c_custkey % 60 + 1960 AS VARCHAR)
+        |         WHEN c_custkey % 4 = 2 THEN '7'
+        |         ELSE lpad(CAST(c_custkey % 30 AS VARCHAR), 2, '0')
+        |    END AS year_raw
+        |  FROM base),
+        |parsed AS (
+        |  SELECT c_custkey, phone_raw, year_raw,
+        |    regexp_extract(regexp_replace(phone_raw, '\.0$', ''),
+        |      '^([^xX]*)', 1) AS main_raw,
+        |    regexp_extract(regexp_replace(phone_raw, '\.0$', ''),
+        |      '[xX](\d+)$', 1) AS ext
+        |  FROM raw),
+        |dig AS (
+        |  SELECT *, regexp_replace(main_raw, '[^0-9]', '', 'g') AS digits
+        |  FROM parsed),
+        |fmt AS (
+        |  SELECT *,
+        |    CASE WHEN length(digits) = 10
+        |      THEN substring(digits,1,3) || '-' || substring(digits,4,3) ||
+        |           '-' || substring(digits,7,4)
+        |      ELSE digits END AS formatted
+        |  FROM dig),
+        |yr AS (
+        |  SELECT *,
+        |    CASE WHEN length(year_raw) = 2 THEN
+        |      CASE WHEN 2000 + TRY_CAST(year_raw AS INT) > 2026
+        |        THEN 2000 + TRY_CAST(year_raw AS INT) - 100
+        |        ELSE 2000 + TRY_CAST(year_raw AS INT) END
+        |      ELSE TRY_CAST(year_raw AS INT) END AS mapped
+        |  FROM fmt)
+        |SELECT c_custkey, phone_raw, year_raw,
+        |  CASE WHEN digits = '' OR regexp_full_match(digits, '0+') THEN NULL
+        |       WHEN ext <> '' THEN formatted || 'x' || ext
+        |       ELSE formatted END AS phone_std,
+        |  CASE WHEN regexp_full_match(year_raw, '\d{2}|\d{4}')
+        |         AND mapped BETWEEN 1960 AND 2026 THEN mapped
+        |  END AS year_fixed
+        |FROM yr""".stripMargin,
   )
 }

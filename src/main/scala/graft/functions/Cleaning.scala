@@ -83,6 +83,46 @@ object Cleaning {
   def fixIntNa(c: Column): Column =
     round(c, 0).cast("long").cast("string")
 
+  /** Phone standardization — `standardize_phone_column`
+    * (`/root/reference/src/pudl/helpers.py:2326-2381`): strip a trailing
+    * ".0", split off an `x<digits>` extension, drop non-digits; exactly 10
+    * digits format as ###-###-####, other lengths pass through as bare
+    * digits; the extension is re-appended as `x#`; empty or all-zero
+    * numbers → NULL. */
+  def standardizePhone(c: Column): Column = {
+    val noFloat = regexp_replace(c, "\\.0$", "")
+    val mainRaw = regexp_extract(noFloat, "^([^xX]*)", 1)
+    val ext = regexp_extract(noFloat, "[xX](\\d+)$", 1)
+    val digits = regexp_replace(mainRaw, "[^0-9]", "")
+    val formatted = when(length(digits) === 10,
+      concat_ws("-", substring(digits, 1, 3), substring(digits, 4, 3),
+        substring(digits, 7, 4))).otherwise(digits)
+    val withExt = when(ext =!= "", concat(formatted, lit("x"), ext))
+      .otherwise(formatted)
+    when(digits === "" || digits.rlike("^0+$"), lit(null)).otherwise(withExt)
+  }
+
+  /** 2-digit → 4-digit year repair with a rolling-century rule —
+    * `normalize_year_fragments` (`/root/reference/src/pudl/helpers.py:2553-2626`):
+    * 2-digit years map into `baseCentury`, rolling back 100 years when the
+    * result exceeds `maxValid`. Where the reference raises on malformed or
+    * out-of-range values, this column form yields NULL (engines can't raise
+    * per-row; pair with a CheckRunner NotNull to reproduce the hard
+    * failure). */
+  def normalizeYearFragments(c: Column, minValid: Int, maxValid: Int,
+                             baseCentury: Int = 2000): Column = {
+    require(baseCentury % 100 == 0 && maxValid - minValid < 100 &&
+      minValid <= maxValid, "invalid rolling-century configuration")
+    val s = c.cast("string")
+    val y = s.cast("int")
+    val mapped = when(length(s) === 2,
+      when(lit(baseCentury) + y > maxValid, lit(baseCentury) + y - 100)
+        .otherwise(lit(baseCentury) + y))
+      .otherwise(y)
+    when(s.rlike("^(\\d{2}|\\d{4})$") && mapped.between(minValid, maxValid),
+      mapped)
+  }
+
   /** Code-table driven recode: fix known-bad codes, NULL ignored codes,
     * pass through valid codes, NULL everything else. Reference:
     * `Encoder.encode` (`/root/reference/src/pudl/metadata/classes.py:410-634`).

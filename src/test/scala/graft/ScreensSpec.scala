@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+import graft.operators.TimeseriesScreens
+
+/** Unit tests for the remaining Ruggles screens (SURVEY §2.12) and the
+  * phone/year scalar recodes (§2.9). */
+class ScreensSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingQuantileExpr interpolates like pandas/quantile_cont") {
+    val df = Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 10.0))
+      .toDF("k", "i", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"i")
+    val out = df.withColumn("q75",
+      TimeseriesScreens.rollingQuantileExpr($"v", 0.75, w, 3, 3))
+      .orderBy("i").select("q75").as[Double].collect()
+    // full frame [1,2,3,10]: h = 3*0.75 = 2.25 -> 3 + 0.25*(10-3) = 4.75
+    assert(out.forall(_ == 4.75))
+  }
+
+  test("horizontalMedian drops nulls and interpolates") {
+    val df = Seq((Option(1.0), Option(3.0), Option.empty[Double]))
+      .toDF("a", "b", "c")
+    val m = df.select(TimeseriesScreens.horizontalMedian(
+      Seq($"a", $"b", $"c")).as("m")).as[Double].head()
+    assert(m == 2.0)
+  }
+
+  test("flagLocalOutlier flags a spike above the median prediction") {
+    // flat series with one huge spike: pred tracks the median, iqr small
+    val rows = (1 to 40).map(i => (1, i, if (i == 20) 500.0 else 10.0 + (i % 3)))
+    val df = rows.toDF("k", "i", "v")
+    val out = TimeseriesScreens.flagLocalOutlier(df, Seq("k"), Seq($"i"),
+      $"v", window = (4, 3), longWindow = (10, 9),
+      shifts = Seq(-6, 0, 6), iqrWindow = (8, 7))
+    val flagged = out.where($"flag_local_hi").select("i").as[Int].collect()
+    assert(flagged.toSeq == Seq(20))
+    assert(out.where($"flag_local_lo").count() == 0)
+  }
+
+  test("flagAnomalousRegion flags unflagged values inside flagged regions") {
+    // one dense flagged block (i in 10..25), with unflagged holes at 14, 18
+    val rows = (1 to 40).map(i =>
+      (1, i, (i >= 10 && i <= 25) && i != 14 && i != 18))
+    val df = rows.toDF("k", "i", "flagged")
+    val out = TimeseriesScreens.flagAnomalousRegion(df, Seq("k"), Seq($"i"),
+      $"flagged", window = 8, threshold = 0.5)
+    val regions = out.where($"flag_region").select("i").as[Int].collect().sorted
+    assert(regions.nonEmpty && regions.forall(i => i == 14 || i == 18))
+    // far-away unflagged values are never flagged
+    assert(!out.where($"flag_region" && ($"i" < 10 || $"i" > 25)).head(1).nonEmpty)
+  }
+
+  test("flagBadPeriods flags short-coverage periods") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // key 1: 12 hourly points (coverage 12h, fraction 1) — good
+    // key 2: two points 2h apart (coverage 3h < 6) — bad
+    val rows = (0 until 12).map(h => (1L, ts(h), Some(1.0))) ++
+      Seq((2L, ts(0), Some(1.0)), (2L, ts(2), Some(2.0)))
+    val df = rows.toDF("k", "ts", "v")
+    val out = TimeseriesScreens.flagBadPeriods(df, Seq("k"), "ts", $"v",
+      lit(false), date_trunc("month", $"ts"), minData = 6.0,
+      minDataFraction = 0.5)
+    val byKey = out.select($"k", $"flag_bad_period").distinct().as[(Long, Boolean)]
+      .collect().toMap
+    assert(byKey(1L) == false && byKey(2L) == true)
+  }
+
+  test("flagSingleDelta chains consecutive outliers off the surviving level") {
+    // level ~10 with two consecutive wild values; both must flag because the
+    // scan compares against the last SURVIVING value
+    val rows = Seq(10.0, 10.5, 10.2, 200.0, 210.0, 10.4, 10.1, 10.6, 10.3, 10.2)
+      .zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+    val df = rows.toDF("k", "t", "v")
+    val out = TimeseriesScreens.flagSingleDelta(df, "k", "t", "v",
+      multiplier = 5.0)
+    val flagged = out.where($"flag_single_delta").select("t").as[Long]
+      .collect().sorted
+    assert(flagged.toSeq == Seq(3L, 4L))
+  }
+
+  test("standardizePhone covers formats, extensions and invalids") {
+    val df = Seq("(415) 555 0123", "415.555.0123x7", "5550123",
+      "0000000000", "415-555-0123", "boo").toDF("p")
+    val out = df.select(Cleaning.standardizePhone($"p").as("s"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("415-555-0123"), Some("415-555-0123x7"),
+      Some("5550123"), None, Some("415-555-0123"), None))
+  }
+
+  test("normalizeYearFragments applies the rolling-century rule") {
+    val df = Seq("05", "95", "1995", "7", "30").toDF("y")
+    val out = df.select(Cleaning.normalizeYearFragments($"y", 1960, 2026)
+      .as("yy")).as[Option[Int]].collect().toSeq
+    // 05 -> 2005; 95 -> 1995; 1995 passes; "7" malformed -> null;
+    // 30 -> 1930 (out of range) -> null
+    assert(out == Seq(Some(2005), Some(1995), Some(1995), None, None))
+  }
+}
