@@ -939,7 +939,7 @@ object SparkEntry {
       t(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")),
       col("value"), window = (6, 5), longWindow = (24, 23),
       shifts = Seq(-12, -6, 0, 6, 12), iqrWindow = (12, 11),
-      multHi = 3.5, multLo = 2.5, scale = 6)
+      multHi = 3.5, multLo = 2.5)
       .select("user_id", "event_id", "value", "pred", "iqr",
         "flag_local_hi", "flag_local_lo")
 
@@ -1042,6 +1042,101 @@ object SparkEntry {
         .as("year_fixed"))
   }
 
+  // ---- §2.12 low-tubal-rank tensor completion (FFT variant; tolerance-
+  // based validation in ImputeSpec, no SQL oracle — SURVEY §7 hard-part #3)
+  // Reference: impute_latc_tubal
+  // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:648-764).
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val tensor = t(s, dir, "events")
+      .withColumn("day", dayofyear(col("ts")) - 1)
+      .withColumn("hod", hour(col("ts")))
+      .withColumn("ubucket", (col("user_id") % 8).cast("int"))
+      .groupBy(col("event_type"), col("day"), col("ubucket"), col("hod"))
+      .agg(avg(col("value")).as("v"))
+      .withColumn("v", when(col("day") % 11 === 0, lit(null)).otherwise(col("v")))
+    graft.impute.TubalCompletion.imputeDf(tensor, "event_type", "day",
+      "ubucket", "hod", "v", rank = 2, iters = 30)
+  }
+
+  // ---- §2.13 planar overlay with area-weighted apportionment -------------
+  // Reference: overlay / self_union ratio semantics
+  // (/root/reference/src/pudl/analysis/spatial.py:118-288). Supplier
+  // "territories" × customer "counties" as boxes derived from keys; pairs
+  // come from the grid-bucketed spatial equi-join (cell = 8) with
+  // reference-point dedup — the oracle reproduces the same pairs with a
+  // plain range join, proving the blocking is lossless.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val terr = t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") % 50) * 2.0).as("x1"),
+        ((col("s_suppkey") % 30) * 2.0).as("y1"),
+        ((col("s_suppkey") % 50) * 2.0 + 3.0 + (col("s_suppkey") % 4)).as("x2"),
+        ((col("s_suppkey") % 30) * 2.0 + 2.0 + (col("s_suppkey") % 5)).as("y2"))
+    val county = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 40) * 2.5).as("x1"),
+        ((col("c_custkey") % 24) * 2.5).as("y1"),
+        // 4x4 counties: right_area = 16, so area_fraction is exactly dyadic
+        // (m/64) and the prorated product is bit-identical across engines —
+        // a /3 denominator would put round() on a repeating-decimal boundary
+        ((col("c_custkey") % 40) * 2.5 + 4.0).as("x2"),
+        ((col("c_custkey") % 24) * 2.5 + 4.0).as("y2"),
+        col("c_acctbal"))
+    graft.spatial.SpatialOps.overlayBoxes(terr, county, "s_suppkey",
+        "c_custkey", Seq("c_acctbal"), cell = 8.0)
+      // no rounding: inter_area is an exact multiple of 0.25, the fraction
+      // is exactly m/64, and the allocation is one IEEE multiply — all
+      // bit-identical across engines (rounding could only hurt)
+      .select(col("s_suppkey"), col("c_custkey"), col("inter_area"),
+        col("area_fraction"), col("c_acctbal_alloc").as("acctbal_alloc"))
+  }
+
+  // ---- §2.13 group-wise dissolve: exact union area per nation ------------
+  // Reference: dissolve (/root/reference/src/pudl/analysis/spatial.py:173-206).
+  // Integer-coordinate boxes make the oracle exact: union area == number of
+  // covered unit cells, which SQL counts directly — the sweep-line result
+  // must equal it cell for cell.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val boxes = t(s, dir, "supplier")
+      .select(col("s_nationkey"),
+        (col("s_suppkey") % 40).cast("double").as("x1"),
+        ((col("s_suppkey") * 7) % 30).cast("double").as("y1"),
+        ((col("s_suppkey") % 40) + 1 + (col("s_suppkey") % 5)).cast("double").as("x2"),
+        (((col("s_suppkey") * 7) % 30) + 1 + (col("s_suppkey") % 4)).cast("double").as("y2"))
+    graft.spatial.SpatialOps.unionAreaByGroup(boxes, "s_nationkey")
+  }
+
+  // ---- §2.13 point-in-region spatial join + ring area ---------------------
+  // Reference: georeferenced FIPS->geometry joins + add_geometries
+  // (/root/reference/src/pudl/output/ferc714.py:884-946,
+  // analysis/service_territory.py:65-374). Nations tile the plane as 20x20
+  // cells; each customer point lands in exactly one region (half-open
+  // containment). The region's ring area comes from the shoelace
+  // expression over its polygon ring.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val regions = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        ((col("n_nationkey") % 5) * 20.0).as("x1"),
+        (floor(col("n_nationkey") / 5) * 20.0).as("y1"),
+        ((col("n_nationkey") % 5) * 20.0 + 20.0).as("x2"),
+        (floor(col("n_nationkey") / 5) * 20.0 + 20.0).as("y2"))
+      .withColumn("ring_area", graft.spatial.SpatialOps.shoelaceArea(
+        array(
+          struct(col("x1").as("x"), col("y1").as("y")),
+          struct(col("x2").as("x"), col("y1").as("y")),
+          struct(col("x2").as("x"), col("y2").as("y")),
+          struct(col("x1").as("x"), col("y2").as("y")))))
+    val points = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 97) * 1.03).as("px"),
+        ((col("c_custkey") % 89) * 1.1).as("py"))
+    points.join(broadcast(regions),
+        col("px") >= col("x1") && col("px") < col("x2") &&
+          col("py") >= col("y1") && col("py") < col("y2"), "left")
+      .select(col("c_custkey"), col("px"), col("py"), col("n_nationkey"),
+        col("n_name"), col("ring_area"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1127,6 +1222,10 @@ object SparkEntry {
     "q78_single_delta" -> (q78 _),
     "q79_outer_assoc" -> (q79 _),
     "q80_phone_year" -> (q80 _),
+    "q81_tubal_impute" -> (q81 _),
+    "q82_overlay_alloc" -> (q82 _),
+    "q83_dissolve_area" -> (q83 _),
+    "q84_point_in_region" -> (q84 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2031,8 +2130,8 @@ object SparkEntry {
         |  FROM s6),
         |s8 AS (
         |  SELECT user_id, event_id, value,
-        |    round(m * (1.0e0 + medoff / nullif(mlong, 0.0e0)), 6) AS pred,
-        |    round(p75 - p25, 6) AS iqr
+        |    m * (1.0e0 + medoff / nullif(mlong, 0.0e0)) AS pred,
+        |    p75 - p25 AS iqr
         |  FROM s7)
         |SELECT user_id, event_id, value, pred, iqr,
         |  value > pred + 3.5e0 * iqr AS flag_local_hi,
@@ -2188,5 +2287,73 @@ object SparkEntry {
         |         AND mapped BETWEEN 1960 AND 2026 THEN mapped
         |  END AS year_fixed
         |FROM yr""".stripMargin,
+    "q82_overlay_alloc" ->
+      """WITH terr AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey % 50) * 2.0e0 AS ax1,
+        |    (s_suppkey % 30) * 2.0e0 AS ay1,
+        |    (s_suppkey % 50) * 2.0e0 + 3.0e0 + (s_suppkey % 4) AS ax2,
+        |    (s_suppkey % 30) * 2.0e0 + 2.0e0 + (s_suppkey % 5) AS ay2
+        |  FROM supplier),
+        |county AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 40) * 2.5e0 AS bx1,
+        |    (c_custkey % 24) * 2.5e0 AS by1,
+        |    (c_custkey % 40) * 2.5e0 + 4.0e0 AS bx2,
+        |    (c_custkey % 24) * 2.5e0 + 4.0e0 AS by2,
+        |    c_acctbal
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT s_suppkey, c_custkey,
+        |    (least(ax2, bx2) - greatest(ax1, bx1)) *
+        |      (least(ay2, by2) - greatest(ay1, by1)) AS inter_area,
+        |    (bx2 - bx1) * (by2 - by1) AS right_area, c_acctbal
+        |  FROM terr JOIN county
+        |    ON least(ax2, bx2) > greatest(ax1, bx1)
+        |   AND least(ay2, by2) > greatest(ay1, by1))
+        |SELECT s_suppkey, c_custkey, inter_area,
+        |  inter_area / right_area AS area_fraction,
+        |  c_acctbal * (inter_area / right_area) AS acctbal_alloc
+        |FROM pairs""".stripMargin,
+    "q83_dissolve_area" ->
+      """WITH boxes AS (
+        |  SELECT s_nationkey,
+        |    CAST(s_suppkey % 40 AS INT) AS x1,
+        |    CAST((s_suppkey * 7) % 30 AS INT) AS y1,
+        |    CAST((s_suppkey % 40) + 1 + (s_suppkey % 5) AS INT) AS x2,
+        |    CAST(((s_suppkey * 7) % 30) + 1 + (s_suppkey % 4) AS INT) AS y2
+        |  FROM supplier),
+        |cellsx AS (
+        |  SELECT s_nationkey, y1, y2, unnest(range(x1, x2)) AS cx FROM boxes),
+        |cellsy AS (
+        |  SELECT s_nationkey, cx, unnest(range(y1, y2)) AS cy FROM cellsx),
+        |cells AS (SELECT DISTINCT s_nationkey, cx, cy FROM cellsy),
+        |agg AS (
+        |  SELECT s_nationkey, CAST(count(*) AS DOUBLE) AS union_area
+        |  FROM cells GROUP BY 1),
+        |nb AS (SELECT s_nationkey, count(*) AS n_boxes FROM boxes GROUP BY 1)
+        |SELECT a.s_nationkey, a.union_area, nb.n_boxes
+        |FROM agg a JOIN nb ON a.s_nationkey = nb.s_nationkey""".stripMargin,
+    "q84_point_in_region" ->
+      """WITH regions AS (
+        |  SELECT n_nationkey, n_name,
+        |    (n_nationkey % 5) * 20.0e0 AS x1,
+        |    floor(n_nationkey / 5) * 20.0e0 AS y1,
+        |    (n_nationkey % 5) * 20.0e0 + 20.0e0 AS x2,
+        |    floor(n_nationkey / 5) * 20.0e0 + 20.0e0 AS y2
+        |  FROM nation),
+        |r2 AS (
+        |  SELECT *,
+        |    abs((x1*y1 - x2*y1) + (x2*y2 - x2*y1) + (x2*y2 - x1*y2) +
+        |        (x1*y1 - x1*y2)) / 2.0e0 AS ring_area
+        |  FROM regions),
+        |points AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 97) * 1.03e0 AS px,
+        |    (c_custkey % 89) * 1.1e0 AS py
+        |  FROM customer)
+        |SELECT p.c_custkey, p.px, p.py, r.n_nationkey, r.n_name, r.ring_area
+        |FROM points p LEFT JOIN r2 r
+        |  ON p.px >= r.x1 AND p.px < r.x2 AND p.py >= r.y1 AND p.py < r.y2""".stripMargin,
   )
 }

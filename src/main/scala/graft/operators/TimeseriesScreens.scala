@@ -60,14 +60,15 @@ object TimeseriesScreens {
     * ±240 step 24 on hourly data = same hour-of-day across ±10 days).
     *
     * Windows are (before, after) row-frame halves; pandas' centered window
-    * of size w maps to before = w/2, after = w - w/2 - 1. Outputs are
-    * rounded to `scale` so the flag comparison is boundary-stable across
-    * engines. */
+    * of size w maps to before = w/2, after = w - w/2 - 1. Outputs stay
+    * unrounded: every step is deterministic IEEE arithmetic, so `pred` and
+    * `iqr` are bit-identical across engines (`scale` >= 0 opts into
+    * rounding, which can only introduce boundary divergence). */
   def flagLocalOutlier(df: DataFrame, keys: Seq[String], order: Seq[Column],
                        value: Column, window: (Int, Int), longWindow: (Int, Int),
                        shifts: Seq[Int], iqrWindow: (Int, Int),
                        multHi: Double = 3.5, multLo: Double = 2.5,
-                       scale: Int = 6): DataFrame = {
+                       scale: Int = -1): DataFrame = {
     val w = keyed(keys, order)
     val m = rollingQuantileExpr(value, 0.5, w, window._1, window._2)
     val mLong = rollingQuantileExpr(value, 0.5, w, longWindow._1, longWindow._2)
@@ -80,15 +81,15 @@ object TimeseriesScreens {
       case s if s > 0 => lag(col("__off"), s).over(w)
       case s => lead(col("__off"), -s).over(w)
     }
+    def r(c: Column): Column = if (scale >= 0) round(c, scale) else c
     val withPred = withOffset
       .withColumn("__medoff", horizontalMedian(shifted))
-      .withColumn("pred", round(
+      .withColumn("pred", r(
         col("__m") * (lit(1.0) +
-          col("__medoff") / when(col("__mlong") =!= 0.0, col("__mlong"))), scale))
-      .withColumn("iqr", round(
+          col("__medoff") / when(col("__mlong") =!= 0.0, col("__mlong")))))
+      .withColumn("iqr", r(
         rollingQuantileExpr(col("__off"), 0.75, w, iqrWindow._1, iqrWindow._2) -
-          rollingQuantileExpr(col("__off"), 0.25, w, iqrWindow._1, iqrWindow._2),
-        scale))
+          rollingQuantileExpr(col("__off"), 0.25, w, iqrWindow._1, iqrWindow._2)))
     withPred
       .withColumn("flag_local_hi",
         value > col("pred") + lit(multHi) * col("iqr"))

@@ -31,6 +31,37 @@ class ImputeSpec extends SparkSpec {
     assert(wmape < 0.05, s"WMAPE $wmape too high")
   }
 
+  test("TubalCompletion recovers a low-tubal-rank tensor with planted gaps") {
+    import graft.impute.TubalCompletion
+    // tubal-rank-2 tensor: every period slice is a rank-2 combination whose
+    // coefficients vary smoothly (sinusoidally) across periods
+    val (nR, nC, nS) = (12, 10, 16)
+    val cells = for {
+      i <- 0 until nR; j <- 0 until nC; s <- 0 until nS
+    } yield {
+      val w = 2 * math.Pi * s / nS
+      val truth = (i + 1) * (j + 1) * 0.05 * (2.0 + math.cos(w)) +
+        math.sin(i + 1) * math.cos(j + 1) * math.sin(w + 0.5)
+      val missing = (i * 131 + j * 37 + s * 11) % 12 == 0 // ~8% gaps
+      TubalCompletion.Cell3("g1", i, j, s, if (missing) None else Some(truth))
+    }
+    val ds = spark.createDataset(cells)
+    val out = TubalCompletion.imputeByGroup(spark, ds, rank = 2, iters = 3000, tol = 1e-10)
+    val imputed = out.filter(_.was_missing).collect()
+    assert(imputed.nonEmpty)
+    def truthOf(i: Int, j: Int, s: Int): Double = {
+      val w = 2 * math.Pi * s / nS
+      (i + 1) * (j + 1) * 0.05 * (2.0 + math.cos(w)) +
+        math.sin(i + 1) * math.cos(j + 1) * math.sin(w + 0.5)
+    }
+    val errs = imputed.map { c =>
+      val t = truthOf(c.row, c.col, c.slice)
+      (math.abs(c.value - t), math.abs(t))
+    }
+    val wmape = errs.map(_._1).sum / errs.map(_._2).sum
+    assert(wmape < 0.05, s"tubal WMAPE $wmape too high")
+  }
+
   test("imputeDf fills event-value gaps per event_type") {
     val events = Tables.load(spark, sf, "events")
       .withColumn("day", dayofyear(col("ts")))
