@@ -26,11 +26,16 @@ object TimeseriesScreens {
     * over a row frame, as a declarative sorted-array expression: with
     * h = (n-1)·q, result = arr[⌊h⌋] + (h-⌊h⌋)·(arr[⌊h⌋+1] - arr[⌊h⌋]).
     * Nulls are dropped from the frame (pandas min_periods=1 behavior). */
-  def rollingQuantileExpr(value: Column, q: Double, w: WindowSpec,
-                          before: Int, after: Int): Column = {
-    val arr = array_sort(
-      filter(collect_list(value).over(w.rowsBetween(-before, after)),
-        x => x.isNotNull))
+  /** Sorted non-null frame contents as an array column — materialize ONCE
+    * per distinct frame and derive several quantiles from it; each
+    * collect+sort window pass over a sliding frame is O(frame) per row. */
+  def sortedFrame(value: Column, w: WindowSpec, before: Int,
+                  after: Int): Column =
+    array_sort(
+      array_compact(collect_list(value).over(w.rowsBetween(-before, after))))
+
+  /** Interpolated quantile from an already-sorted array. */
+  def quantileFromSorted(arr: Column, q: Double): Column = {
     val n = size(arr)
     val h = (n - 1).cast("double") * lit(q)
     val lo = element_at(arr, floor(h).cast("int") + 1)
@@ -38,6 +43,10 @@ object TimeseriesScreens {
     val hi = coalesce(try_element_at(arr, floor(h).cast("int") + 2), lo)
     when(n > 0, lo + (h - floor(h)) * (hi - lo))
   }
+
+  def rollingQuantileExpr(value: Column, q: Double, w: WindowSpec,
+                          before: Int, after: Int): Column =
+    quantileFromSorted(sortedFrame(value, w, before, after), q)
 
   /** Horizontal (across-columns) interpolated median, nulls dropped. */
   def horizontalMedian(values: Seq[Column]): Column = {
@@ -84,18 +93,21 @@ object TimeseriesScreens {
     def r(c: Column): Column = if (scale >= 0) round(c, scale) else c
     val withPred = withOffset
       .withColumn("__medoff", horizontalMedian(shifted))
+      // p75 and p25 share the frame: one collect+sort window pass, not two
+      .withColumn("__aq",
+        sortedFrame(col("__off"), w, iqrWindow._1, iqrWindow._2))
       .withColumn("pred", r(
         col("__m") * (lit(1.0) +
           col("__medoff") / when(col("__mlong") =!= 0.0, col("__mlong")))))
       .withColumn("iqr", r(
-        rollingQuantileExpr(col("__off"), 0.75, w, iqrWindow._1, iqrWindow._2) -
-          rollingQuantileExpr(col("__off"), 0.25, w, iqrWindow._1, iqrWindow._2)))
+        quantileFromSorted(col("__aq"), 0.75) -
+          quantileFromSorted(col("__aq"), 0.25)))
     withPred
       .withColumn("flag_local_hi",
         value > col("pred") + lit(multHi) * col("iqr"))
       .withColumn("flag_local_lo",
         value < col("pred") - lit(multLo) * col("iqr"))
-      .drop("__m", "__mlong", "__off", "__medoff")
+      .drop("__m", "__mlong", "__off", "__medoff", "__aq")
   }
 
   /** Anomalous-region screen — unflagged values surrounded by enough

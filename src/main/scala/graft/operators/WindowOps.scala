@@ -45,9 +45,11 @@ object WindowOps {
     */
   def rollingMedian(df: DataFrame, keys: Seq[String], order: Seq[Column], value: Column,
                     before: Int, after: Int, out: String = "rolling_median"): DataFrame = {
+    // collect_list skips nulls natively; array_compact (native) documents
+    // the no-null invariant without an interpreted per-element filter()
     val arr = array_sort(
-      filter(collect_list(value).over(keyed(keys, order).rowsBetween(-before, after)),
-        x => x.isNotNull))
+      array_compact(collect_list(value)
+        .over(keyed(keys, order).rowsBetween(-before, after))))
     val n = size(arr)
     val lo = element_at(arr, ((n + 1) / 2).cast("int"))
     val hi = element_at(arr, (n / 2).cast("int") + 1)

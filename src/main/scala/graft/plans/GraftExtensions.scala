@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Catalyst integration point: registers graft's native expressions in the
+  * session FunctionRegistry so they are first-class SQL functions —
+  * `spark.sql("SELECT float_dot_product(a, b)")`,
+  * `SELECT word_shingles(text, 3)` — usable from the engine's SQL front
+  * door (SURVEY §3.3) exactly like built-ins, with the same codegen path
+  * as the Column API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot_product"),
+      info("float_dot_product",
+        "float_dot_product(a, b) - dot product of two float arrays in double precision"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_dot_product expects 2 arguments")
+        FloatDotProduct(args(0), args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct lowercase word n-gram shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles expects 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(args(0), n)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

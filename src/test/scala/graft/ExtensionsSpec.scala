@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions registers native expressions as SQL functions — the SQL
+  * front door (SURVEY §3.3) sees them like built-ins. Needs its own session
+  * (extensions bind at session build). */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("word_shingles and float_dot_product are callable from SQL") {
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions),
+      shufflePartitions = 2).getOrCreate()
+    try {
+      val sh = spark.sql(
+        "SELECT word_shingles('a b c d', 3) AS s").head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val d = spark.sql(
+        """SELECT float_dot_product(
+          |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      // do not stop: the shared TestSession may own the underlying context
+    }
+  }
+}
