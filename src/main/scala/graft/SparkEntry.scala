@@ -1137,6 +1137,36 @@ object SparkEntry {
         col("n_name"), col("ring_area"))
   }
 
+  // ---- similarity search: IVF ANN (k-means coarse quantizer; recall-
+  // tested vs exact in SimilaritySpec, no SQL oracle — approximate) --------
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16, nProbe = 4)
+  }
+
+  // ---- §2.13 polygon clipping (self_union core): ring ∩ convex window ----
+  // The native ConvexClip expression (Sutherland–Hodgman) computes the
+  // intersection ring; the oracle recomputes the area with independent
+  // rectangle arithmetic — the two must agree exactly (integer coords).
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    def corner(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val win = array(
+      corner(lit(15.0), lit(15.0)), corner(lit(75.0), lit(15.0)),
+      corner(lit(75.0), lit(75.0)), corner(lit(15.0), lit(75.0)))
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        ((col("n_nationkey") % 5) * 20.0).as("x1"),
+        (floor(col("n_nationkey") / 5) * 20.0).as("y1"),
+        ((col("n_nationkey") % 5) * 20.0 + 20.0).as("x2"),
+        (floor(col("n_nationkey") / 5) * 20.0 + 20.0).as("y2"))
+      .withColumn("clipped_area", graft.spatial.SpatialOps.shoelaceArea(
+        graft.plans.ConvexClip(array(
+          corner(col("x1"), col("y1")), corner(col("x2"), col("y1")),
+          corner(col("x2"), col("y2")), corner(col("x1"), col("y2"))), win)))
+      .select("n_nationkey", "x1", "y1", "x2", "y2", "clipped_area")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1226,6 +1256,8 @@ object SparkEntry {
     "q82_overlay_alloc" -> (q82 _),
     "q83_dissolve_area" -> (q83 _),
     "q84_point_in_region" -> (q84 _),
+    "q85_ivf_ann" -> (q85 _),
+    "q86_convex_clip" -> (q86 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2355,5 +2387,17 @@ object SparkEntry {
         |SELECT p.c_custkey, p.px, p.py, r.n_nationkey, r.n_name, r.ring_area
         |FROM points p LEFT JOIN r2 r
         |  ON p.px >= r.x1 AND p.px < r.x2 AND p.py >= r.y1 AND p.py < r.y2""".stripMargin,
+    "q86_convex_clip" ->
+      """SELECT n_nationkey,
+        |  (n_nationkey % 5) * 20.0e0 AS x1,
+        |  floor(n_nationkey / 5) * 20.0e0 AS y1,
+        |  (n_nationkey % 5) * 20.0e0 + 20.0e0 AS x2,
+        |  floor(n_nationkey / 5) * 20.0e0 + 20.0e0 AS y2,
+        |  greatest(0.0e0, least((n_nationkey % 5) * 20.0e0 + 20.0e0, 75.0e0) -
+        |           greatest((n_nationkey % 5) * 20.0e0, 15.0e0)) *
+        |  greatest(0.0e0, least(floor(n_nationkey / 5) * 20.0e0 + 20.0e0, 75.0e0) -
+        |           greatest(floor(n_nationkey / 5) * 20.0e0, 15.0e0))
+        |    AS clipped_area
+        |FROM nation""".stripMargin,
   )
 }

@@ -101,6 +101,58 @@ object Similarity {
         lshBucket(emb, nBits, dim, seed = 42L + t).as("bucket"))
     }: _*)
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path next to LSH: a k-means coarse quantizer (MLlib, deterministic
+    * seed) partitions the corpus into `nCells` cells; each query probes its
+    * `nProbe` nearest centroids and ranks exactly within those cells.
+    *
+    * At 100 TB the corpus is hash-partitioned by cell id (the shuffle key),
+    * centroids are a broadcast dimension, and candidate volume per query is
+    * ~ nProbe/nCells of the corpus — the cross product never forms. Recall
+    * rises with `nProbe` (nProbe = nCells degrades to exact brute force).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              embCol: String, k: Int, nCells: Int, nProbe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.select(
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid") // tiny: broadcast dimension
+    // corpus rows live in their single nearest cell
+    val cDist = dotFast(col(embCol), col(embCol)) -
+      lit(2.0) * dotFast(col(embCol), col("centroid")) +
+      dotFast(col("centroid"), col("centroid"))
+    val corpusCells = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(cDist.asc, col("cell").asc)))
+      .where(col("__rk") === 1)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"), col("cell"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    // queries probe their nProbe nearest cells
+    val queryCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(cDist.asc, col("cell").asc)))
+      .where(col("__rk") <= nProbe)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("cell"))
+      .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
+    queryCells.join(corpusCells, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(
+        dotFast(col("q_emb"), col("c_emb")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cosine")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, then exact cosine rank within candidates. Raise `tables`
     * for recall, `nBits` for selectivity — candidate volume is

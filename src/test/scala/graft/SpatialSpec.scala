@@ -56,6 +56,25 @@ class SpatialSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ConvexClip: L-shape clipped by rectangle has the exact area") {
+    // L-shape (area 12) clipped by square [1,3]x[1,3]: the clip square
+    // overlaps the L everywhere except the notch quadrant [2,3]x[2,3] -> 3
+    val ell = ring((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))
+    val clip = ring((1, 1), (3, 1), (3, 3), (1, 3))
+    val df = Seq(1).toDF("one").select(
+      SpatialOps.shoelaceArea(graft.plans.ConvexClip(ell, clip)).as("a"),
+      // disjoint clip -> empty ring -> area 0
+      SpatialOps.shoelaceArea(
+        graft.plans.ConvexClip(ell, ring((10, 10), (12, 10), (12, 12), (10, 12))))
+        .as("zero"),
+      // clip fully inside subject -> clip's own area
+      SpatialOps.shoelaceArea(
+        graft.plans.ConvexClip(ell, ring((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5))))
+        .as("inner"))
+    val r = df.head()
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
+  }
+
   test("unionAreaByGroup: sweep equals brute-force cell counting") {
     // integer-coordinate boxes -> union area == count of covered unit cells
     val boxes = (1 to 25).map(i =>
