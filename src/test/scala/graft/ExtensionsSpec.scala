@@ -3,16 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** GraftExtensions registers native expressions as SQL functions — the SQL
-  * front door (SURVEY §3.3) sees them like built-ins. Needs its own session
-  * (extensions bind at session build). */
+  * front door (SURVEY §3.3) sees them like built-ins. Builds its own
+  * session (extensions bind at session build), sharing the JVM's
+  * SparkContext, and restores the shared session afterwards. */
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("word_shingles and float_dot_product are callable from SQL") {
-    val spark = GraftSession.tune(
-      SparkSession.builder().master("local[2]")
-        .withExtensions(new graft.plans.GraftExtensions),
-      shufflePartitions = 2).getOrCreate()
+    val prior = TestSession.spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val spark = GraftSession.tune(
+        SparkSession.builder().master("local[2]")
+          .withExtensions(new graft.plans.GraftExtensions),
+        shufflePartitions = 2).getOrCreate()
       val sh = spark.sql(
         "SELECT word_shingles('a b c d', 3) AS s").head().getSeq[String](0)
       assert(sh == Seq("a b c", "b c d"))
@@ -23,7 +27,8 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         .head().getDouble(0)
       assert(d == 11.0)
     } finally {
-      // do not stop: the shared TestSession may own the underlying context
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
     }
   }
 }
