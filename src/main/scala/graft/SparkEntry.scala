@@ -1167,6 +1167,28 @@ object SparkEntry {
       .select("n_nationkey", "x1", "y1", "x2", "y2", "clipped_area")
   }
 
+  // ---- §2.2 row-map driven filtering/labeling of positional rows ---------
+  // Reference: select_dbf_rows_by_category + align_row_numbers_dbf
+  // (/root/reference/src/pudl/transform/ferc1.py:547-631): positional
+  // report rows join a per-era row map (a small curated dimension, like the
+  // reference's CSV row maps) to gain a category, then filter on it.
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rowMap = (for {
+      y <- 1990 to 2000
+      ln <- 1 to 7
+    } yield (y, ln, (y + ln) % 3 match {
+      case 0 => "revenue"; case 1 => "expense"; case _ => "skip"
+    })).toDF("map_year", "map_line", "row_category")
+    t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .join(broadcast(rowMap),
+        col("ship_year") === col("map_year") &&
+          col("l_linenumber") === col("map_line"), "left")
+      .where(col("row_category") =!= "skip")
+      .select("l_orderkey", "l_linenumber", "ship_year", "row_category")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1258,6 +1280,7 @@ object SparkEntry {
     "q84_point_in_region" -> (q84 _),
     "q85_ivf_ann" -> (q85 _),
     "q86_convex_clip" -> (q86 _),
+    "q87_row_map" -> (q87 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2399,5 +2422,14 @@ object SparkEntry {
         |           greatest(floor(n_nationkey / 5) * 20.0e0, 15.0e0))
         |    AS clipped_area
         |FROM nation""".stripMargin,
+    "q87_row_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CASE (year(l_shipdate) + l_linenumber) % 3
+        |    WHEN 0 THEN 'revenue' WHEN 1 THEN 'expense' END AS row_category
+        |FROM lineitem
+        |WHERE year(l_shipdate) BETWEEN 1990 AND 2000
+        |  AND l_linenumber BETWEEN 1 AND 7
+        |  AND (year(l_shipdate) + l_linenumber) % 3 <> 2""".stripMargin,
   )
 }

@@ -50,7 +50,7 @@ object TimeseriesScreens {
 
   /** Horizontal (across-columns) interpolated median, nulls dropped. */
   def horizontalMedian(values: Seq[Column]): Column = {
-    val arr = array_sort(filter(array(values: _*), x => x.isNotNull))
+    val arr = array_sort(array_compact(array(values: _*)))
     val n = size(arr)
     val lo = element_at(arr, ((n + 1) / 2).cast("int"))
     val hi = element_at(arr, (n / 2).cast("int") + 1)
