@@ -1189,6 +1189,31 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "ship_year", "row_category")
   }
 
+  // ---- §2.5 full multi-table harvest with strictness + rounding ----------
+  // Reference: harvest_entity_tables (/root/reference/src/pudl/transform/eia.py:396-700).
+  // Two "reporting tables" disagree on a customer's segment and balance:
+  // the direct table is clean; the order-grain table injects noise on
+  // ~1/11 of reports and ±1 balance jitter that the round(-1) special case
+  // (the lat/long pattern) absorbs before the consistency vote.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val direct = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        // +0.007 keeps every quantized balance off the X5.0 half-boundary,
+        // where Spark (half-up) and DuckDB (half-even on doubles) disagree
+        (col("c_acctbal") + 0.007).as("balance"))
+    val reported = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("custkey"),
+        when(col("o_orderkey") % 11 === 0, lit("NOISY"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        (col("c_acctbal") + (col("o_orderkey") % 3) - 1 + 0.007).as("balance"))
+    Harvest.harvestEntityTables(Seq(direct, reported), Seq("custkey"),
+        attrs = Seq("segment", "balance"),
+        strictness = Map("segment" -> 0.7, "balance" -> 0.5),
+        roundScale = Map("balance" -> -1))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1281,6 +1306,7 @@ object SparkEntry {
     "q85_ivf_ann" -> (q85 _),
     "q86_convex_clip" -> (q86 _),
     "q87_row_map" -> (q87 _),
+    "q88_harvest_full" -> (q88 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2431,5 +2457,51 @@ object SparkEntry {
         |WHERE year(l_shipdate) BETWEEN 1990 AND 2000
         |  AND l_linenumber BETWEEN 1 AND 7
         |  AND (year(l_shipdate) + l_linenumber) % 3 <> 2""".stripMargin,
+    "q88_harvest_full" ->
+      """WITH direct AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    c_acctbal + 0.007e0 AS balance
+        |  FROM customer),
+        |reported AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'NOISY'
+        |         ELSE c_mktsegment END AS segment,
+        |    c_acctbal + (o_orderkey % 3) - 1 + 0.007e0 AS balance
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |seg_cand AS (
+        |  SELECT custkey, segment FROM direct
+        |  UNION ALL SELECT custkey, segment FROM reported),
+        |seg_counts AS (
+        |  SELECT custkey, segment, count(*) AS vc FROM seg_cand
+        |  WHERE segment IS NOT NULL GROUP BY 1, 2),
+        |seg_rank AS (
+        |  SELECT *, sum(vc) OVER (PARTITION BY custkey) AS tc,
+        |    row_number() OVER (PARTITION BY custkey
+        |      ORDER BY vc DESC, segment ASC) AS rk
+        |  FROM seg_counts),
+        |seg AS (
+        |  SELECT custkey,
+        |    CASE WHEN CAST(vc AS DOUBLE)/tc > 0.7e0 THEN segment END AS segment,
+        |    CAST(vc AS DOUBLE)/tc AS segment_rate
+        |  FROM seg_rank WHERE rk = 1),
+        |bal_cand AS (
+        |  SELECT custkey, round(balance, -1) + 0.0e0 AS balance FROM direct
+        |  UNION ALL SELECT custkey, round(balance, -1) + 0.0e0 FROM reported),
+        |bal_counts AS (
+        |  SELECT custkey, balance, count(*) AS vc FROM bal_cand
+        |  WHERE balance IS NOT NULL GROUP BY 1, 2),
+        |bal_rank AS (
+        |  SELECT *, sum(vc) OVER (PARTITION BY custkey) AS tc,
+        |    row_number() OVER (PARTITION BY custkey
+        |      ORDER BY vc DESC, balance ASC) AS rk
+        |  FROM bal_counts),
+        |bal AS (
+        |  SELECT custkey,
+        |    CASE WHEN CAST(vc AS DOUBLE)/tc > 0.5e0 THEN balance END AS balance,
+        |    CAST(vc AS DOUBLE)/tc AS balance_rate
+        |  FROM bal_rank WHERE rk = 1)
+        |SELECT coalesce(s.custkey, b.custkey) AS custkey, s.segment,
+        |  s.segment_rate, b.balance, b.balance_rate
+        |FROM seg s FULL OUTER JOIN bal b ON s.custkey = b.custkey""".stripMargin,
   )
 }

@@ -38,4 +38,40 @@ object Harvest {
       .select(keyCols ++ Seq(col(valueCol), col("value_count"),
         col("total_count"), col("rate")): _*)
   }
+
+  /** Full multi-table harvest — `harvest_entity_tables`
+    * (`/root/reference/src/pudl/transform/eia.py:396-700`): candidate
+    * (entity, attribute) observations are unioned from every reporting
+    * table that carries the attribute, each attribute runs
+    * `occurrenceConsistency` with its own strictness override
+    * (`:467-480`), and numeric attributes may be rounded before the
+    * consistency vote (the lat/long special case, `:201-252`). The
+    * harvested attribute frames are assembled into one entity table by
+    * full-outer joins on the entity key.
+    *
+    * Scale: each attribute is an independent union → two aggregations on
+    * the entity key; the final assembly joins one row per entity per
+    * attribute — all shuffle keys are the entity key.
+    */
+  def harvestEntityTables(tables: Seq[DataFrame], entityKeys: Seq[String],
+                          attrs: Seq[String],
+                          strictness: Map[String, Double] = Map.empty,
+                          roundScale: Map[String, Int] = Map.empty): DataFrame = {
+    val harvested = attrs.map { a =>
+      val cand = tables.filter(_.columns.contains(a)).map { tbl =>
+        val c = roundScale.get(a) match {
+          // + 0.0 normalizes IEEE -0.0 to +0.0 (engines differ on the sign
+          // of zero out of round(); -0.0 + 0.0 = +0.0 always)
+          case Some(s) => (round(col(a), s) + lit(0.0)).as(a)
+          case None => col(a)
+        }
+        tbl.select(entityKeys.map(col) :+ c: _*)
+      }.reduce(_.unionByName(_))
+      occurrenceConsistency(cand, entityKeys, a,
+        strictness.getOrElse(a, 0.7))
+        .select(entityKeys.map(col) :+ col(a) :+
+          col("rate").as(s"${a}_rate"): _*)
+    }
+    harvested.reduce((x, y) => x.join(y, entityKeys, "full_outer"))
+  }
 }

@@ -114,6 +114,20 @@ class OperatorSpec extends SparkSpec {
     assert(m("a") == 25.0 && m("b") == 75.0 && m("c") == 30.0 && m("d") == 30.0)
   }
 
+  test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
+    val a = Seq((1, "x", 10.2), (2, "p", 7.0)).toDF("k", "seg", "bal")
+    val b = Seq((1, "x", 11.0), (1, "y", 9.0), (2, "q", 7.3), (2, "q", 7.4))
+      .toDF("k", "seg", "bal")
+    val out = Harvest.harvestEntityTables(Seq(a, b), Seq("k"),
+      attrs = Seq("seg", "bal"),
+      strictness = Map("seg" -> 0.6, "bal" -> 0.6),
+      roundScale = Map("bal" -> 0)).orderBy("k").collect()
+    // k=1: seg x 2/3 > 0.6 -> "x"; bal rounds to (10, 11, 9) -> no majority
+    assert(out(0).getString(1) == "x" && out(0).isNullAt(3))
+    // k=2: seg q 2/3 kept; bal rounds to (7, 7, 7) -> 7.0 kept
+    assert(out(1).getString(1) == "q" && out(1).getDouble(3) == 7.0)
+  }
+
   test("Harvest.occurrenceConsistency keeps modal value above strictness") {
     val df = Seq((1, "x"), (1, "x"), (1, "x"), (1, "y"), (2, "p"), (2, "q"))
       .toDF("k", "v")
