@@ -46,6 +46,26 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup — the ingest-time twin of the batch fingerprint
+    * dedup (NearDup.exactDupGroups): keep the first record per key, with
+    * state bounded by the watermark so it doesn't grow forever
+    * (`dropDuplicatesWithinWatermark`). At 100 TB-scale ingest this is the
+    * first stage of the training-data pipeline: duplicates are dropped
+    * before they ever hit storage. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stateless screens applied on a stream: missing/out-of-range flags are
+    * pure row-local expressions, so the batch `flagPipeline` runs on a
+    * streaming DataFrame unchanged — one definition, two execution modes. */
+  def screenStream(events: DataFrame, lo: Double, hi: Double): DataFrame =
+    graft.operators.WindowOps.flagPipeline(events, Seq(
+      "missing" -> col("value").isNull,
+      "oob" -> !col("value").between(lo, hi)))
+
   /** Drive a streaming query from a static parquet dir through a memory
     * sink, synchronously (for tests / local parity checks). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

@@ -31,6 +31,41 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("dedupStream drops duplicate keys like the batch fingerprint dedup") {
+    val batchEvents = Tables.load(spark, sf, "events")
+      // duplicate every event's key space: user_id collisions guaranteed
+      .withColumn("dup_key", col("event_id") % 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      EventStreams.dedupStream(_, Seq("dup_key")), "dedup_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("dedup_out").select("dup_key").distinct().count()
+    val want = batchEvents.select("dup_key").distinct().count()
+    // every key survives exactly once
+    assert(spark.table("dedup_out").count() == want && got == want)
+  }
+
+  test("screenStream applies stateless screens over a stream") {
+    val batchEvents = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      EventStreams.screenStream(_, 0.0, 40.0), "screen_out")
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("screen_out")
+    val batch = EventStreams.screenStream(batchEvents, 0.0, 40.0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.where(col("flag") === "oob").count() ==
+      batch.where(col("flag") === "oob").count())
+  }
+
   test("sessionize accumulates per-user state") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
