@@ -1214,6 +1214,35 @@ object SparkEntry {
         roundScale = Map("balance" -> -1))
   }
 
+  // ---- §2.11 true-granularity labeling across aggregation grains ---------
+  // Reference: TrueGranLabeler (/root/reference/src/pudl/analysis/plant_parts_eia.py:1103-1182)
+  // — a record is the TRUE grain when no finer part produced an identical
+  // aggregate; duplicates across grains keep only the finest (priority
+  // order supplier > nation > region), via one window over the aggregate
+  // signature.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+    def grain(label: String, priority: Int, key: Column): DataFrame =
+      base.groupBy(key.cast("string").as("part_key"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("l_suppkey")).as("n_suppliers"))
+        .withColumn("grain", lit(label))
+        .withColumn("priority", lit(priority))
+    val parts = grain("supplier", 1, col("l_suppkey"))
+      .unionByName(grain("nation", 2, col("s_nationkey")))
+      .unionByName(grain("region", 3, col("n_regionkey")))
+    val sig = Window.partitionBy(col("sum_qty"), col("n_rows"), col("n_suppliers"))
+    parts
+      .withColumn("true_gran", row_number().over(
+        sig.orderBy(col("priority").asc, col("part_key").asc)) === 1)
+      .select("grain", "part_key", "sum_qty", "n_rows", "n_suppliers",
+        "true_gran")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1307,6 +1336,7 @@ object SparkEntry {
     "q86_convex_clip" -> (q86 _),
     "q87_row_map" -> (q87 _),
     "q88_harvest_full" -> (q88 _),
+    "q89_true_gran" -> (q89 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2503,5 +2533,30 @@ object SparkEntry {
         |SELECT coalesce(s.custkey, b.custkey) AS custkey, s.segment,
         |  s.segment_rate, b.balance, b.balance_rate
         |FROM seg s FULL OUTER JOIN bal b ON s.custkey = b.custkey""".stripMargin,
+    "q89_true_gran" ->
+      """WITH base AS (
+        |  SELECT l.*, s.s_nationkey, n.n_regionkey
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |parts AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS part_key,
+        |    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+        |    count(DISTINCT l_suppkey) AS n_suppliers,
+        |    'supplier' AS grain, 1 AS priority
+        |  FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS VARCHAR), round(sum(l_quantity), 2),
+        |    count(*), count(DISTINCT l_suppkey), 'nation', 2
+        |  FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS VARCHAR), round(sum(l_quantity), 2),
+        |    count(*), count(DISTINCT l_suppkey), 'region', 3
+        |  FROM base GROUP BY 1)
+        |SELECT grain, part_key, sum_qty, n_rows, n_suppliers,
+        |  row_number() OVER (
+        |    PARTITION BY sum_qty, n_rows, n_suppliers
+        |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
+        |FROM parts""".stripMargin,
   )
 }

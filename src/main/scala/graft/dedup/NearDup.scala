@@ -44,6 +44,9 @@ object NearDup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    // cached: the shingle stream feeds both the per-doc counts and the
+    // posting-list pass (measured faster than recomputing, even with the
+    // native expression)
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // One groupBy-shingle pass replaces the shingle self-join: singleton
