@@ -1243,6 +1243,30 @@ object SparkEntry {
         "true_gran")
   }
 
+  // ---- §2.9 heuristic address parsing ------------------------------------
+  // Reference: parse_address (/root/reference/src/pudl/helpers.py:2660-2701);
+  // regex-heuristic stand-in for the usaddress CRF (documented deviation).
+  // Addresses synthesized deterministically; 1/7 are malformed (no zip) and
+  // must yield all-NULL parts.
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .withColumn("addr_raw",
+        when(col("c_custkey") % 7 === 0,
+          concat(lit("PO Box "), (col("c_custkey") % 1000).cast("string")))
+          .otherwise(concat(
+            (col("c_custkey") % 900 + 1).cast("string"), lit(" "),
+            element_at(array(lit("Main St"), lit("Oak Ave"), lit("Elm Dr")),
+              (col("c_custkey") % 3 + 1).cast("int")),
+            lit(", Springfield, "),
+            element_at(array(lit("IL"), lit("CA"), lit("TX"), lit("NY")),
+              (col("c_custkey") % 4 + 1).cast("int")),
+            lit(" "), lpad((col("c_custkey") % 100000).cast("string"), 5, "0"))))
+    Cleaning.parseAddress(col("addr_raw"))
+      .foldLeft(base) { case (acc, (name, expr)) => acc.withColumn(name, expr) }
+      .select("c_custkey", "addr_raw", "addr_number", "addr_street",
+        "addr_city", "addr_state", "addr_zip")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1337,6 +1361,7 @@ object SparkEntry {
     "q87_row_map" -> (q87 _),
     "q88_harvest_full" -> (q88 _),
     "q89_true_gran" -> (q89 _),
+    "q90_parse_address" -> (q90 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2558,5 +2583,34 @@ object SparkEntry {
         |    PARTITION BY sum_qty, n_rows, n_suppliers
         |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
         |FROM parts""".stripMargin,
+    "q90_parse_address" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0
+        |      THEN 'PO Box ' || CAST(c_custkey % 1000 AS VARCHAR)
+        |      ELSE CAST(c_custkey % 900 + 1 AS VARCHAR) || ' ' ||
+        |        (['Main St', 'Oak Ave', 'Elm Dr'])[c_custkey % 3 + 1] ||
+        |        ', Springfield, ' ||
+        |        (['IL', 'CA', 'TX', 'NY'])[c_custkey % 4 + 1] || ' ' ||
+        |        lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+        |    END AS addr_raw
+        |  FROM customer)
+        |SELECT c_custkey, addr_raw,
+        |  nullif(regexp_extract(addr_raw,
+        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 1), '')
+        |    AS addr_number,
+        |  nullif(regexp_extract(addr_raw,
+        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 2), '')
+        |    AS addr_street,
+        |  nullif(regexp_extract(addr_raw,
+        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 3), '')
+        |    AS addr_city,
+        |  nullif(regexp_extract(addr_raw,
+        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 4), '')
+        |    AS addr_state,
+        |  nullif(regexp_extract(addr_raw,
+        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 5), '')
+        |    AS addr_zip
+        |FROM base""".stripMargin,
   )
 }

@@ -123,6 +123,21 @@ object Cleaning {
       mapped)
   }
 
+  /** Heuristic US address parse — `parse_address`
+    * (`/root/reference/src/pudl/helpers.py:2660-2701`). The reference uses
+    * the probabilistic usaddress CRF; this is the documented regex-heuristic
+    * stand-in (SURVEY §2.9): "NUMBER STREET, CITY, ST ZIP" shapes split
+    * into typed parts, NULL where a part is absent. Pure expressions. */
+  def parseAddress(c: Column): Seq[(String, Column)] = {
+    val pat = "^\\s*(\\d+)\\s+([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*([A-Z]{2})\\s+(\\d{5})\\s*$"
+    def part(i: Int): Column = {
+      val v = regexp_extract(c, pat, i)
+      when(v =!= "", v)
+    }
+    Seq("addr_number" -> part(1), "addr_street" -> part(2),
+      "addr_city" -> part(3), "addr_state" -> part(4), "addr_zip" -> part(5))
+  }
+
   /** Code-table driven recode: fix known-bad codes, NULL ignored codes,
     * pass through valid codes, NULL everything else. Reference:
     * `Encoder.encode` (`/root/reference/src/pudl/metadata/classes.py:410-634`).
