@@ -1267,6 +1267,36 @@ object SparkEntry {
         "addr_city", "addr_state", "addr_zip")
   }
 
+  // ---- §2.13 capstone: territory compilation + weighted demand allocation
+  // Reference: get_territory_fips/compile_geoms + the state-demand
+  // population weighting (/root/reference/src/pudl/analysis/service_territory.py:65-374,
+  // analysis/state_demand.py:159-380): a utility's territory is the
+  // dissolved union of its county boxes; utility-level demand allocates to
+  // counties by population fraction (conservation by construction).
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val county = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_custkey") % 40).cast("double").as("x1"),
+        (col("c_custkey") % 24).cast("double").as("y1"),
+        (col("c_custkey") % 40 + 2).cast("double").as("x2"),
+        (col("c_custkey") % 24 + 2).cast("double").as("y2"),
+        (floor(abs(col("c_acctbal"))) + 1).as("population"))
+    val demand = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("demand_total"))
+    val terr = graft.spatial.SpatialOps.unionAreaByGroup(
+        county.select(col("c_nationkey"), col("x1"), col("y1"), col("x2"), col("y2")),
+        "c_nationkey")
+      .select(col("c_nationkey"), col("union_area"))
+    Allocation.allocateProportionally(demand, county, Seq("c_nationkey"),
+        totalCol = "demand_total", weightCol = "population",
+        out = "alloc_demand")
+      .join(terr, Seq("c_nationkey"))
+      .select("c_custkey", "c_nationkey", "population", "alloc_demand",
+        "union_area")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1362,6 +1392,7 @@ object SparkEntry {
     "q88_harvest_full" -> (q88 _),
     "q89_true_gran" -> (q89 _),
     "q90_parse_address" -> (q90 _),
+    "q91_territory_demand" -> (q91 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2612,5 +2643,36 @@ object SparkEntry {
         |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 5), '')
         |    AS addr_zip
         |FROM base""".stripMargin,
+    "q91_territory_demand" ->
+      """WITH county AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_custkey % 40 AS INT) AS x1,
+        |    CAST(c_custkey % 24 AS INT) AS y1,
+        |    CAST(c_custkey % 40 + 2 AS INT) AS x2,
+        |    CAST(c_custkey % 24 + 2 AS INT) AS y2,
+        |    CAST(floor(abs(c_acctbal)) + 1 AS BIGINT) AS population
+        |  FROM customer),
+        |demand AS (
+        |  SELECT c_nationkey, round(sum(o_totalprice), 2) AS demand_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |wsum AS (
+        |  SELECT c_nationkey, CAST(sum(population) AS DOUBLE) AS tot,
+        |    count(*) AS n
+        |  FROM county GROUP BY 1),
+        |cellsx AS (
+        |  SELECT c_nationkey, y1, y2, unnest(range(x1, x2)) AS cx FROM county),
+        |cellsy AS (
+        |  SELECT c_nationkey, cx, unnest(range(y1, y2)) AS cy FROM cellsx),
+        |terr AS (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS union_area
+        |  FROM (SELECT DISTINCT c_nationkey, cx, cy FROM cellsy) GROUP BY 1)
+        |SELECT c.c_custkey, c.c_nationkey, c.population,
+        |  (CASE WHEN w.tot <> 0.0e0 THEN c.population / w.tot
+        |        ELSE 1.0e0 / w.n END) * d.demand_total AS alloc_demand,
+        |  t.union_area
+        |FROM county c
+        |JOIN wsum w ON c.c_nationkey = w.c_nationkey
+        |JOIN demand d ON c.c_nationkey = d.c_nationkey
+        |JOIN terr t ON c.c_nationkey = t.c_nationkey""".stripMargin,
   )
 }
