@@ -50,6 +50,36 @@ object BinaryOps {
         // one "frame" = a byte slice; real impl decodes at the offset
         substring(base64(col(blobCol)), 1, 8).as("frame_preview"))
 
+  case class BlobRow(id: Long, blob: Array[Byte])
+  case class ResizedRow(id: Long, width: Int, height: Int, n_bytes: Long,
+                        thumb: Array[Byte])
+
+  /** Batched per-partition media transform — the Scala twin of the
+    * `mapInPandas` batch shape: rows stream through `mapPartitions` in
+    * groups of `batchSize`, so a real codec/model gets amortized batch
+    * calls (GPU-friendly) instead of per-row invocations, and the
+    * partitioning (one task per input split) is preserved. The resize
+    * itself is STUBBED deterministically (truncate bytes to the "thumbnail"
+    * size); the batch/iterator mechanics are the real, tested part. */
+  def resizeBatchedStub(df: DataFrame, idCol: String, blobCol: String,
+                        thumbBytes: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real implementation would hand the whole batch to the codec
+          batch.iterator.map { r =>
+            val thumb = r.blob.take(thumbBytes)
+            ResizedRow(r.id, math.min(r.blob.length, 1920),
+              math.min(r.blob.length, 1080), r.blob.length.toLong, thumb)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic byte-histogram features per blob (16 buckets on the high
     * nibble, via hex encoding) — a real distributed feature-extraction pass
     * (explode bytes → groupBy) that a model-based featurizer would replace. */

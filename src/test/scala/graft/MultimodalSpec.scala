@@ -39,4 +39,13 @@ class MultimodalSpec extends SparkSpec {
     val total = (1 until row.length).map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
     assert(total == 4L)
   }
+  test("resizeBatchedStub preserves rows and bounds thumbnails via batched mapPartitions") {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+      .select(col("doc_id"), graft.multimodal.BinaryOps.toBlob(col("text")).as("blob"))
+    val out = graft.multimodal.BinaryOps.resizeBatchedStub(docs, "doc_id", "blob",
+      thumbBytes = 16, batchSize = 8)
+    assert(out.count() == 100)
+    assert(out.where(length(col("thumb")) > 16).count() == 0)
+    assert(out.where(col("n_bytes") <= 0).count() == 0)
+  }
 }
