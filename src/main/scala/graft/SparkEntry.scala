@@ -1142,7 +1142,8 @@ object SparkEntry {
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb,
-      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16, nProbe = 4)
+      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16, nProbe = 4,
+      kmeansIters = 8)
   }
 
   // ---- §2.13 polygon clipping (self_union core): ring ∩ convex window ----

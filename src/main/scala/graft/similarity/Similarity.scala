@@ -82,12 +82,15 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id for an embedding column. */
+  /** Sign-bit LSH bucket id for an embedding column. Planes are float
+    * literal arrays so the projection runs through the native codegen
+    * `FloatDotProduct` — the interpreted higher-order fold was the hot
+    * path of bucket assignment. */
   def lshBucket(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nBits, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      when(dot(emb, plane) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      val plane = array(p.map(v => lit(v.toFloat)): _*)
+      when(dotFast(emb, plane) > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }
 
@@ -113,14 +116,14 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, nCells: Int, nProbe: Int,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, kmeansIters: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val train = corpus.select(
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(kmeansIters)
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
