@@ -44,30 +44,34 @@ object NearDup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    // cached: the shingle stream feeds both the per-doc counts and the
-    // posting-list pass (measured faster than recomputing, even with the
-    // native expression)
-    val sh = wordShingles(df, idCol, textCol, n).cache()
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // n_sh (the doc's distinct-shingle count) is just the size of the
+    // shingle array — attached at generation, so no per-doc aggregation and
+    // no count joins ever happen. The whole operator is TWO shuffles:
+    // groupBy(shingle) to build posting lists, groupBy(pair) to count
+    // co-occurrences.
+    val sh = df
+      .withColumn("__sh", graft.plans.WordShingles(col(textCol), n))
+      .select(col(idCol), size(col("__sh")).as("n_sh"),
+        explode(col("__sh")).as("shingle"))
     // One groupBy-shingle pass replaces the shingle self-join: singleton
     // shingles (document frequency 1 — the vast majority) never produce a
     // pair, so they die in the size>=2 filter instead of flowing through a
     // shuffle join; hot shingles emit their id×id combinations locally from
-    // the sorted posting list. Same pairs, one exchange fewer. At web scale
-    // a df cap on the posting list (drop non-discriminative stop-shingles)
-    // bounds the quadratic emit — not applied here to stay exact.
-    val common = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    // the posting list sorted by id. At web scale a df cap on the posting
+    // list (drop non-discriminative stop-shingles) bounds the quadratic
+    // emit — not applied here to stay exact.
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("n_sh")))).as("ids"))
       .where(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-          |    struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+          |    struct(x.id AS id_a, y.id AS id_b,
+          |           x.n_sh AS na, y.n_sh AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.na"), col("p.nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
       .where(col("common") * thresholdDen >=
         lit(thresholdNum) * (col("na") + col("nb") - col("common")))
       .withColumn("jaccard",
