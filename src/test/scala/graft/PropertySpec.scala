@@ -75,4 +75,70 @@ class PropertySpec extends SparkSpec {
       assert(s2.isNullAt(1))
     }
   }
+  private val boxesGen: Gen[List[(Double, Double, Double, Double)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, for {
+      x1 <- Gen.choose(0, 20); y1 <- Gen.choose(0, 20)
+      w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+    } yield (x1.toDouble, y1.toDouble, (x1 + w).toDouble, (y1 + h).toDouble)))
+
+  test("unionAreaByGroup equals integer cell counting on random boxes") {
+    forAll(boxesGen, 12) { bs =>
+      val df = bs.map { case (x1, y1, x2, y2) => (1L, x1, y1, x2, y2) }
+        .toDF("g", "x1", "y1", "x2", "y2")
+      val got = graft.spatial.SpatialOps.unionAreaByGroup(df, "g")
+        .select("union_area").as[Double].head()
+      val cells = bs.flatMap { case (x1, y1, x2, y2) =>
+        for (cx <- x1.toInt until x2.toInt; cy <- y1.toInt until y2.toInt)
+          yield (cx, cy)
+      }.toSet
+      assert(got == cells.size.toDouble)
+    }
+  }
+
+  test("ConvexClip area is bounded and exact for box-box intersections") {
+    forAll(boxesGen, 12) { bs =>
+      val pairs = bs.zip(bs.reverse)
+      pairs.foreach { case ((ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2)) =>
+        val ring = (x1: Double, y1: Double, x2: Double, y2: Double) =>
+          array(
+            struct(lit(x1).as("x"), lit(y1).as("y")),
+            struct(lit(x2).as("x"), lit(y1).as("y")),
+            struct(lit(x2).as("x"), lit(y2).as("y")),
+            struct(lit(x1).as("x"), lit(y2).as("y")))
+        val got = Seq(1).toDF("one").select(
+          graft.spatial.SpatialOps.shoelaceArea(graft.plans.ConvexClip(
+            ring(ax1, ay1, ax2, ay2), ring(bx1, by1, bx2, by2))).as("a"))
+          .as[Double].head()
+        val exp = math.max(0.0, math.min(ax2, bx2) - math.max(ax1, bx1)) *
+          math.max(0.0, math.min(ay2, by2) - math.max(ay1, by1))
+        assert(got == exp, s"clip area $got != $exp")
+      }
+    }
+  }
+
+  private val docGen: Gen[List[String]] =
+    Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.choose(3, 12).flatMap(w => Gen.listOfN(w,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))))
+
+  test("jaccardPairs matches a brute-force shingle-set jaccard") {
+    forAll(docGen, 10) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = graft.dedup.NearDup.jaccardPairs(df, "id", "text", 2, 1, 4)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map(r => ((r._1, r._2), r._3)).toMap
+      def shingles(t: String): Set[String] =
+        t.toLowerCase.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+      val exp = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        si = shingles(docs(i)); sj = shingles(docs(j))
+        inter = (si & sj).size
+        if si.size >= 1 && sj.size >= 1 && inter * 4 >= (si.size + sj.size - inter)
+        if inter > 0
+      } yield ((i.toLong, j.toLong),
+        inter.toDouble / (si.size + sj.size - inter))).toMap
+      assert(got == exp, s"got=$got exp=$exp")
+    }
+  }
 }
