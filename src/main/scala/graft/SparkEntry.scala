@@ -1300,6 +1300,25 @@ object SparkEntry {
         "union_area")
   }
 
+  // ---- §5 dbt-macro checks: subcomponent totals, weighted-quantile
+  // bounds, period-over-period continuity ----------------------------------
+  // Reference: expect_subcomponents_sum_to_total / weighted_quantile /
+  // expect_column_change_within_ratio (/root/reference/dbt/macros/) +
+  // group-mean continuity (src/pudl/dagster/asset_checks.py:221-263).
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.checks.CheckRunner._
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    run(j, Seq(
+      SubcomponentsSum("orders:parts_vs_total", Seq("o_orderkey"),
+        "l_extendedprice", "o_totalprice", tol = 0.25),
+      WeightedQuantileBound("lineitem:wq_discount_bound", "l_discount",
+        "l_quantity", qNum = 1, qDen = 2, lo = 0.0, hi = 0.06),
+      ChangeWithinRatio("orders:yearly_revenue_continuity", "o_year",
+        "l_extendedprice", ratio = 0.9)))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1396,6 +1415,7 @@ object SparkEntry {
     "q89_true_gran" -> (q89 _),
     "q90_parse_address" -> (q90 _),
     "q91_territory_demand" -> (q91 _),
+    "q92_dbt_checks" -> (q92 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2677,5 +2697,42 @@ object SparkEntry {
         |JOIN wsum w ON c.c_nationkey = w.c_nationkey
         |JOIN demand d ON c.c_nationkey = d.c_nationkey
         |JOIN terr t ON c.c_nationkey = t.c_nationkey""".stripMargin,
+    "q92_dbt_checks" ->
+      """WITH j AS (
+        |  SELECT l.*, o.o_totalprice, o.o_orderdate,
+        |    CAST(year(o.o_orderdate) AS INT) AS o_year
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c1 AS (
+        |  SELECT 'orders:parts_vs_total' AS check_name,
+        |    count(CASE WHEN abs(p - t) > 0.25 * abs(t) THEN 1 END) AS observed
+        |  FROM (SELECT l_orderkey, sum(l_extendedprice) AS p,
+        |          max(o_totalprice) AS t
+        |        FROM j GROUP BY 1)),
+        |pool AS (
+        |  SELECT l_discount AS v, sum(l_quantity) AS w FROM j GROUP BY 1),
+        |wq AS (
+        |  SELECT min(v) AS q FROM (
+        |    SELECT v,
+        |      sum(w) OVER (ORDER BY v
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |      sum(w) OVER () AS wtot
+        |    FROM pool)
+        |  WHERE cumw * 2 >= wtot),
+        |c2 AS (
+        |  SELECT 'lineitem:wq_discount_bound' AS check_name, q,
+        |    CAST(round(q * 1e6) AS BIGINT) AS observed
+        |  FROM wq),
+        |yearly AS (
+        |  SELECT o_year, sum(l_extendedprice) AS t FROM j GROUP BY 1),
+        |c3 AS (
+        |  SELECT 'orders:yearly_revenue_continuity' AS check_name,
+        |    count(CASE WHEN prev IS NOT NULL
+        |      AND NOT (t / prev BETWEEN 0.1e0 AND 1.9e0) THEN 1 END) AS observed
+        |  FROM (SELECT t, lag(t) OVER (ORDER BY o_year) AS prev FROM yearly))
+        |SELECT check_name, observed = 0 AS passed, observed FROM c1
+        |UNION ALL
+        |SELECT check_name, q >= 0.0e0 AND q <= 0.06e0 AS passed, observed FROM c2
+        |UNION ALL
+        |SELECT check_name, observed = 0 AS passed, observed FROM c3""".stripMargin,
   )
 }

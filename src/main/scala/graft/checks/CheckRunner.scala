@@ -30,6 +30,23 @@ object CheckRunner {
   /** Σa / Σb within [lo, hi] (`expect_columns_ratio` macro). */
   case class ColumnsRatio(name: String, num: String, den: String,
                           lo: Double, hi: Double) extends Check
+  /** Per group, |Σ(child parts) - total| <= tol·|total| — the
+    * `expect_subcomponents_sum_to_total` macro
+    * (`/root/reference/dbt/macros/`): `totalCol` is reported once per
+    * group (as max), `partCol` sums over the group's part rows. */
+  case class SubcomponentsSum(name: String, groupKeys: Seq[String],
+                              partCol: String, totalCol: String,
+                              tol: Double) extends Check
+  /** Weighted quantile qNum/qDen of `valueCol` (weights `weightCol`)
+    * within [lo, hi] — the `weighted_quantile` distribution-bounds macro. */
+  case class WeightedQuantileBound(name: String, valueCol: String,
+                                   weightCol: String, qNum: Long, qDen: Long,
+                                   lo: Double, hi: Double) extends Check
+  /** Group totals change within [1-ratio, 1+ratio] between consecutive
+    * periods — `expect_column_change_within_ratio` (year-over-year
+    * continuity; `asset_checks.py:221-263` group-mean continuity twin). */
+  case class ChangeWithinRatio(name: String, periodCol: String,
+                               valueCol: String, ratio: Double) extends Check
 
   /** One row per check: (check_name, passed, observed). Fully lazy — each
     * check is a one-row aggregation, the union is a single plan evaluated
@@ -56,6 +73,31 @@ object CheckRunner {
           .select(lit(n).as("check_name"),
             col("__r").between(lo, hi).as("passed"),
             round(col("__r") * 1e6).cast("long").as("observed"))
+      case SubcomponentsSum(n, keys, part, total, tol) =>
+        df.groupBy(keys.map(col): _*)
+          .agg(sum(col(part)).as("__parts"), max(col(total)).as("__total"))
+          .agg(count(when(
+            abs(col("__parts") - col("__total")) > lit(tol) * abs(col("__total")),
+            1)).as("observed"))
+          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+            col("observed"))
+      case WeightedQuantileBound(n, v, w, qNum, qDen, lo, hi) =>
+        df.groupBy(col(v)).agg(sum(col(w)).as("__w"))
+          .agg(graft.functions.WeightedQuantile(col(v), col("__w"), qNum, qDen)
+            .as("__q"))
+          .select(lit(n).as("check_name"),
+            col("__q").between(lo, hi).as("passed"),
+            round(col("__q") * 1e6).cast("long").as("observed"))
+      case ChangeWithinRatio(n, period, v, ratio) =>
+        import org.apache.spark.sql.expressions.Window
+        df.groupBy(col(period)).agg(sum(col(v)).as("__t"))
+          .withColumn("__prev",
+            lag(col("__t"), 1).over(Window.orderBy(col(period))))
+          .agg(count(when(col("__prev").isNotNull &&
+            !(col("__t") / col("__prev")).between(1 - ratio, 1 + ratio), 1))
+            .as("observed"))
+          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+            col("observed"))
     }.reduce(_ unionByName _)
 
   private def badCount(df: DataFrame, name: String, bad: Column): DataFrame =
