@@ -46,6 +46,49 @@ object EventStreams {
       .toDF()
   }
 
+  case class OpenSession(startTs: Long, lastTs: Long, count: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Gap-based session windows via flatMapGroupsWithState — the custom-
+    * state streaming twin of `WindowOps.sessionize`: per user, events
+    * extend the open session while the gap stays under `gapSeconds`; a
+    * larger gap EMITS the closed session and opens a new one. The final
+    * open session stays in state until more data (or a timeout policy)
+    * closes it — standard streaming semantics; the batch twin sees it as
+    * one more session, which the parity test accounts for. */
+  def sessionWindows(spark: SparkSession, events: DataFrame,
+                     gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapSeconds * 1000L =>
+                cur = Some(s.copy(lastTs = t, count = s.count + 1,
+                  sum = s.sum + e.value))
+              case Some(s) =>
+                closed += ClosedSession(uid, new java.sql.Timestamp(s.startTs),
+                  new java.sql.Timestamp(s.lastTs), s.count, s.sum)
+                cur = Some(OpenSession(t, t, 1L, e.value))
+              case None =>
+                cur = Some(OpenSession(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup — the ingest-time twin of the batch fingerprint
     * dedup (NearDup.exactDupGroups): keep the first record per key, with
     * state bounded by the watermark so it doesn't grow forever
@@ -69,11 +112,11 @@ object EventStreams {
   /** Drive a streaming query from a static parquet dir through a memory
     * sink, synchronously (for tests / local parity checks). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,
-                  transform: DataFrame => DataFrame,
-                  queryName: String): StreamingQuery = {
+                  transform: DataFrame => DataFrame, queryName: String,
+                  mode: OutputMode = OutputMode.Update()): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = transform(stream).writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(mode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("sessionWindows (flatMapGroupsWithState) matches batch sessionization") {
+    val batchEvents = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      EventStreams.sessionWindows(spark, _, gapSeconds = 1800), "sess_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+
+    // one batch: every session except each user's final (still open) one is
+    // emitted closed — batch sessions = closed + one open per user
+    val closed = spark.table("sess_out").count()
+    val batchSessions = graft.operators.WindowOps.sessionize(batchEvents,
+        Seq("user_id"), "ts", col("event_id"), gapSeconds = 1800)
+      .select("user_id", "session_id").distinct().count()
+    val users = batchEvents.select("user_id").distinct().count()
+    assert(closed == batchSessions - users)
+  }
+
   test("dedupStream drops duplicate keys like the batch fingerprint dedup") {
     val batchEvents = Tables.load(spark, sf, "events")
       // duplicate every event's key space: user_id collisions guaranteed
