@@ -1319,6 +1319,12 @@ object SparkEntry {
         "l_extendedprice", ratio = 0.9)))
   }
 
+  // ---- dedup: SimHash signatures + banded Hamming pairs (no SQL oracle —
+  // xxhash64 has no DuckDB twin; recall vs exact Jaccard in TextDedupSpec)
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1416,6 +1422,7 @@ object SparkEntry {
     "q90_parse_address" -> (q90 _),
     "q91_territory_demand" -> (q91 _),
     "q92_dbt_checks" -> (q92 _),
+    "q93_simhash_pairs" -> (q93 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -163,6 +163,35 @@ object NearDup {
       .toDF(idCol, clusterCol, "sub_cluster")
   }
 
+  /** SimHash near-dup pairs: signatures within `maxHamming` bits. Candidate
+    * generation is the classic band trick — split the 64-bit signature into
+    * `bands` equal bit-bands; any pair within maxHamming < bands Hamming
+    * distance must agree exactly on at least one band (pigeonhole), so
+    * candidates meet on a (band, band-bits) equi-join and the exact
+    * `bit_count` filter runs only inside buckets. Same blocking shape as
+    * MinHash-LSH/IVF: the all-pairs comparison never materializes. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for pigeonhole recall")
+    val sig = simhash(df, idCol, textCol)
+    val width = 64 / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1).as("bits"))
+    }
+    val buckets = sig.select(col(idCol), col("simhash"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bits"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bits"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** 64-bit SimHash over word hashes: bit i of the signature is the sign of
     * the sum of (+1/-1) votes from each token's hash bit i. Hamming-close
     * signatures ≈ similar docs. Pure expressions — codegen-friendly. */

@@ -94,4 +94,21 @@ class TextDedupSpec extends SparkSpec {
       .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
     assert(out == Seq("en", "es", "und"))
   }
+  test("simhashPairs finds near-identical docs and respects the Hamming cap") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = graft.dedup.NearDup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+    val got = pairs.collect()
+    assert(got.forall(_.getInt(2) <= 3))
+    // exact duplicates (identical fingerprints) must appear among the pairs
+    val exact = graft.dedup.NearDup.exactDupGroups(docs, "doc_id", "text")
+      .where(org.apache.spark.sql.functions.col("is_dup"))
+      .select("canonical_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = exact.count(gotSet.contains)
+      assert(hit == exact.size, s"simhash missed exact dup pairs: $hit/${exact.size}")
+    }
+  }
 }
