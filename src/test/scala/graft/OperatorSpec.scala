@@ -114,6 +114,21 @@ class OperatorSpec extends SparkSpec {
     assert(m("a") == 25.0 && m("b") == 75.0 && m("c") == 30.0 && m("d") == 30.0)
   }
 
+  test("ConnectedComponents: distributed loop equals driver union-find") {
+    import org.apache.spark.sql.functions.col
+    // chain + triangle + isolated edge across several components
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (5L, 4L), (6L, 5L)).toDF("src", "dst")
+    val local = graph.ConnectedComponents.run(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // threshold 0 forces the iterative min-label + pointer-jump path
+    val dist = graph.ConnectedComponents.run(edges, "src", "dst",
+        localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == dist)
+    assert(local(6L) == 1L && local(12L) == 10L && local(21L) == 20L)
+  }
+
   test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
     val a = Seq((1, "x", 10.2), (2, "p", 7.0)).toDF("k", "seg", "bal")
     val b = Seq((1, "x", 11.0), (1, "y", 9.0), (2, "q", 7.3), (2, "q", 7.4))
