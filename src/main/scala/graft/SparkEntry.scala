@@ -448,11 +448,14 @@ object SparkEntry {
     NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, thresholdNum = 1, thresholdDen = 4)
 
-  // ---- dedup: MinHash + LSH (the 100 TB path; no SQL oracle — validated
-  // against the exact-Jaccard pairs in the test suite) ----------------------
+  // ---- dedup: MinHash + LSH (the 100 TB path). Runs on the PORTABLE
+  // MD5-prefix hash family so the DuckDB oracle replays the whole sketch —
+  // signatures, band buckets, candidate pairs — exactly; the default
+  // xxhash64 family (cheaper at scale) is recall-tested in TextDedupSpec.
   private def q41(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.35)
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.35,
+      family = graft.functions.PortableHashFamily)
 
   // ---- similarity search: brute-force cosine top-k ------------------------
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -1319,11 +1322,49 @@ object SparkEntry {
         "l_extendedprice", ratio = 0.9)))
   }
 
-  // ---- dedup: SimHash signatures + banded Hamming pairs (no SQL oracle —
-  // xxhash64 has no DuckDB twin; recall vs exact Jaccard in TextDedupSpec)
+  // ---- dedup: SimHash signatures + banded Hamming pairs. Portable hash
+  // family (60-bit MD5 prefix) → the oracle rebuilds signatures, bands and
+  // Hamming distances bit-for-bit in SQL; the xxhash64 default stays the
+  // scale path (recall-tested in TextDedupSpec).
   private def q93(s: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 3, bands = 4)
+        maxHamming = 3, bands = 4, family = graft.functions.PortableHashFamily)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  // ---- §2.9 add_fips_ids / clean_eia_counties + find_timezone: messy name
+  // → simplify → manual-fix map → broadcast code dim (zero-padded), plus
+  // static tz lookup with deterministic Etc/GMT longitude fallback (the
+  // timezonefinder stand-in). Dim = 25 TPC-H nations → ISO 3166-1 numeric.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoCodes
+    val dim = GeoCodes.nationDim(s)
+    val fixes = Map("untied states" -> "united states")
+    val raw = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("raw_state",
+        when(col("c_custkey") % 7 === 0,
+          concat(lit("  "), lower(col("n_name")), lit("  ")))
+          .when(col("c_custkey") % 13 === 0 && col("n_name") === "UNITED STATES",
+            lit("UNTIED STATES"))
+          .otherwise(col("n_name")))
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double"))
+    // tz dim deliberately partial (codes < '500') so the longitude fallback
+    // path is exercised on real rows, like plants with no state in the ref.
+    val withFips = GeoCodes.addFipsIds(raw, "raw_state", dim,
+      outCol = "country_fips", width = 3, fixes = fixes)
+    GeoCodes.findTimezone(withFips, "raw_state", Some("lon"),
+        dim.where(col("code") < "500"), outCol = "timezone", fixes = fixes)
+      .select(col("c_custkey"), col("__name_clean").as("state_clean"),
+        col("country_fips"), col("timezone"))
+  }
+
+  // ---- dedup: embedding-cosine near-dup pairs — banded sign-bit blocking
+  // over portable Rademacher hyperplanes + exact cosine filter inside
+  // buckets. Fully replayed by the DuckDB oracle (same sign matrix via MD5).
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, threshold = 0.4, nBits = 24, bands = 4)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1423,6 +1464,8 @@ object SparkEntry {
     "q91_territory_demand" -> (q91 _),
     "q92_dbt_checks" -> (q92 _),
     "q93_simhash_pairs" -> (q93 _),
+    "q94_fips_tz" -> (q94 _),
+    "q95_embedding_neardup" -> (q95 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2741,5 +2784,143 @@ object SparkEntry {
         |SELECT check_name, q >= 0.0e0 AND q <= 0.06e0 AS passed, observed FROM c2
         |UNION ALL
         |SELECT check_name, observed = 0 AS passed, observed FROM c3""".stripMargin,
+    "q41_minhash_lsh" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+        |  WHERE len(wl) >= 3),
+        |hs AS (
+        |  SELECT doc_id, i,
+        |    min(('0x' || substr(md5(i::VARCHAR || '_' || shingle), 1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN range(0, 32) t(i) GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    ('0x' || substr(md5(string_agg(h::VARCHAR, '_' ORDER BY i)), 1, 15))::BIGINT
+        |      AS bucket
+        |  FROM hs GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |eq AS (
+        |  SELECT id_a, id_b, sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS neq
+        |  FROM cand
+        |  JOIN hs ha ON ha.doc_id = id_a
+        |  JOIN hs hb ON hb.doc_id = id_b AND hb.i = ha.i
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(neq AS DOUBLE) / 32 AS est_jaccard
+        |FROM eq WHERE CAST(neq AS DOUBLE) / 32 >= 0.35""".stripMargin,
+    "q93_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5('0_' || tok), 1, 15))::BIGINT AS hv
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(0, 60) t(i) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS sg
+        |  FROM votes GROUP BY 1),
+        |bb AS (
+        |  SELECT doc_id, sg, b, (sg >> (b * 15)) & 32767 AS bits
+        |  FROM sig CROSS JOIN range(0, 4) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |  FROM bb a JOIN bb b
+        |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "q94_fips_tz" ->
+      """WITH dim(state_name, code, tz) AS (VALUES
+        |  ('algeria','012','Africa/Algiers'),
+        |  ('argentina','032','America/Argentina/Buenos_Aires'),
+        |  ('brazil','076','America/Sao_Paulo'),
+        |  ('canada','124','America/Toronto'),
+        |  ('egypt','818','Africa/Cairo'),
+        |  ('ethiopia','231','Africa/Addis_Ababa'),
+        |  ('france','250','Europe/Paris'),
+        |  ('germany','276','Europe/Berlin'),
+        |  ('india','356','Asia/Kolkata'),
+        |  ('indonesia','360','Asia/Jakarta'),
+        |  ('iran','364','Asia/Tehran'),
+        |  ('iraq','368','Asia/Baghdad'),
+        |  ('japan','392','Asia/Tokyo'),
+        |  ('jordan','400','Asia/Amman'),
+        |  ('kenya','404','Africa/Nairobi'),
+        |  ('morocco','504','Africa/Casablanca'),
+        |  ('mozambique','508','Africa/Maputo'),
+        |  ('peru','604','America/Lima'),
+        |  ('china','156','Asia/Shanghai'),
+        |  ('romania','642','Europe/Bucharest'),
+        |  ('saudi arabia','682','Asia/Riyadh'),
+        |  ('vietnam','704','Asia/Ho_Chi_Minh'),
+        |  ('russia','643','Europe/Moscow'),
+        |  ('united kingdom','826','Europe/London'),
+        |  ('united states','840','America/New_York')),
+        |base AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN '  ' || lower(n_name) || '  '
+        |         WHEN c_custkey % 13 = 0 AND n_name = 'UNITED STATES'
+        |           THEN 'UNTIED STATES'
+        |         ELSE n_name END AS raw_state,
+        |    CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |clean AS (
+        |  SELECT c_custkey, lon,
+        |    CASE WHEN s = 'untied states' THEN 'united states' ELSE s END AS s
+        |  FROM (SELECT c_custkey, lon,
+        |          trim(regexp_replace(regexp_replace(lower(raw_state),
+        |            '[^\x20-\x7e]', '', 'g'), '\s+', ' ', 'g')) AS s
+        |        FROM base)),
+        |off AS (SELECT *, CAST(round(lon / 15.0) AS INTEGER) AS o FROM clean)
+        |SELECT c_custkey, s AS state_clean,
+        |  lpad(d.code, 3, '0') AS country_fips,
+        |  coalesce(tz.tz, 'Etc/GMT' ||
+        |    CASE WHEN o >= 0 THEN '-' || o::VARCHAR
+        |         ELSE '+' || (-o)::VARCHAR END) AS timezone
+        |FROM off
+        |LEFT JOIN dim d ON off.s = d.state_name
+        |LEFT JOIN (SELECT state_name, tz FROM dim WHERE code < '500') tz
+        |  ON off.s = tz.state_name""".stripMargin,
+    "q95_embedding_neardup" ->
+      """WITH signs AS (
+        |  SELECT i, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+        |           % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+        |  FROM range(0, 24) t(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.i,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+        |  FROM embeddings e CROSS JOIN signs s),
+        |bits AS (
+        |  SELECT vec_id, i // 6 AS band,
+        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bits a JOIN bits b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+        |norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n) AS c
+        |  FROM cand
+        |  JOIN norms a ON a.vec_id = id_a
+        |  JOIN norms b ON b.vec_id = id_b)
+        |SELECT id_a, id_b, round(c, 4) AS cosine
+        |FROM scored WHERE c >= 0.4""".stripMargin,
   )
 }

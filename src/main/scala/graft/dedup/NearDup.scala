@@ -81,10 +81,11 @@ object NearDup {
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions keep
     * the min over the doc's shingles. Returns (id, h0..h{k-1}). */
-  def minhashSignatures(shingles: DataFrame, idCol: String,
-                        numHashes: Int): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int,
+                        family: graft.functions.HashFamily =
+                          graft.functions.XxHashFamily): DataFrame = {
     val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      .map(i => min(family.hash(i, col("shingle"))).as(s"h$i"))
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -98,15 +99,17 @@ object NearDup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      family: graft.functions.HashFamily =
+                        graft.functions.XxHashFamily): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = wordShingles(df, idCol, textCol, shingleN)
-    val sig = minhashSignatures(sh, idCol, numHashes).cache()
+    val sig = minhashSignatures(sh, idCol, numHashes, family).cache()
     val hCols = (0 until numHashes).map(i => col(s"h$i"))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      struct(lit(b).as("band"), family.combine(slice).as("bucket"))
     }
     val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
@@ -171,10 +174,13 @@ object NearDup {
     * `bit_count` filter runs only inside buckets. Same blocking shape as
     * MinHash-LSH/IVF: the all-pairs comparison never materializes. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4,
+                   family: graft.functions.HashFamily =
+                     graft.functions.XxHashFamily): DataFrame = {
     require(maxHamming < bands, "need maxHamming < bands for pigeonhole recall")
-    val sig = simhash(df, idCol, textCol)
-    val width = 64 / bands
+    require(family.bits % bands == 0, "bands must divide signature width")
+    val sig = simhash(df, idCol, textCol, family)
+    val width = family.bits / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width)
@@ -195,16 +201,19 @@ object NearDup {
   /** 64-bit SimHash over word hashes: bit i of the signature is the sign of
     * the sum of (+1/-1) votes from each token's hash bit i. Hamming-close
     * signatures ≈ similar docs. Pure expressions — codegen-friendly. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              family: graft.functions.HashFamily =
+                graft.functions.XxHashFamily): DataFrame = {
+    val nBits = family.bits
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { i =>
+      .withColumn("h", family.hash(0, col("tok")))
+    val bitVotes = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i")
     }
     val votes = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.withColumn("simhash", sig).select(col(idCol), col("simhash"))

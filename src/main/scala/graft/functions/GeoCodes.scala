@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Name→code geocoding dims and lookups (SURVEY §2.9).
+  *
+  * Reference operators:
+  *   - `add_fips_ids` / `clean_eia_counties`
+  *     (`/root/reference/src/pudl/helpers.py:273-428`): normalize state/county
+  *     names, apply a manual-fix map for known misspellings, join a static
+  *     FIPS dimension, emit zero-padded code columns.
+  *   - `find_timezone` (`/root/reference/src/pudl/transform/eia.py:80-121`):
+  *     state → IANA timezone via a static lookup, lat/lng fallback.
+  *
+  * Spark design: the dimension is a broadcast join (a few dozen to a few
+  * thousand rows — it never shuffles the fact side at any scale); the manual
+  * fixes are a `when` chain folded into the join key expression so the whole
+  * lookup is one codegen'd stage. The reference's lat/lng path calls
+  * `timezonefinder` (a polygon index); we substitute the deterministic
+  * nautical approximation `Etc/GMT∓round(lon/15)` — documented deviation,
+  * the operator shape (static lookup + coalesced fallback) is identical.
+  *
+  * The fixture tables have TPC-H nations, not US states, so the shipped dim
+  * maps the 25 nation names to ISO 3166-1 numeric codes (public knowledge) —
+  * same semantics: authoritative name→zero-padded-code dimension.
+  */
+object GeoCodes {
+
+  /** (name, ISO 3166-1 numeric code, representative IANA timezone) for the
+    * 25 TPC-H nations. Names are stored pre-normalized (lower case), like
+    * the reference's FIPS dim after `simplify_strings`. */
+  val nationIsoTz: Seq[(String, String, String)] = Seq(
+    ("algeria", "012", "Africa/Algiers"),
+    ("argentina", "032", "America/Argentina/Buenos_Aires"),
+    ("brazil", "076", "America/Sao_Paulo"),
+    ("canada", "124", "America/Toronto"),
+    ("egypt", "818", "Africa/Cairo"),
+    ("ethiopia", "231", "Africa/Addis_Ababa"),
+    ("france", "250", "Europe/Paris"),
+    ("germany", "276", "Europe/Berlin"),
+    ("india", "356", "Asia/Kolkata"),
+    ("indonesia", "360", "Asia/Jakarta"),
+    ("iran", "364", "Asia/Tehran"),
+    ("iraq", "368", "Asia/Baghdad"),
+    ("japan", "392", "Asia/Tokyo"),
+    ("jordan", "400", "Asia/Amman"),
+    ("kenya", "404", "Africa/Nairobi"),
+    ("morocco", "504", "Africa/Casablanca"),
+    ("mozambique", "508", "Africa/Maputo"),
+    ("peru", "604", "America/Lima"),
+    ("china", "156", "Asia/Shanghai"),
+    ("romania", "642", "Europe/Bucharest"),
+    ("saudi arabia", "682", "Asia/Riyadh"),
+    ("vietnam", "704", "Asia/Ho_Chi_Minh"),
+    ("russia", "643", "Europe/Moscow"),
+    ("united kingdom", "826", "Europe/London"),
+    ("united states", "840", "America/New_York"))
+
+  /** The static dim as a DataFrame: (state_name, code, tz). */
+  def nationDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    nationIsoTz.toDF("state_name", "code", "tz")
+  }
+
+  /** Normalize a messy name column and apply manual fixes — the
+    * `clean_eia_counties` step: `simplify_strings` then a known-misspelling
+    * map. Pure expressions (one `when` per fix). */
+  def cleanName(c: Column, fixes: Map[String, String]): Column = {
+    val simplified = Cleaning.simplifyStrings(c)
+    fixes.foldLeft(simplified) { case (acc, (bad, good)) =>
+      when(acc === bad, good).otherwise(acc)
+    }
+  }
+
+  /** `add_fips_ids`: clean the name column, broadcast-join the dim, add the
+    * zero-padded code column (`width` digits). Unmatched names keep a NULL
+    * code, like the reference (which warns and leaves NA). */
+  def addFipsIds(df: DataFrame, nameCol: String, dim: DataFrame,
+                 outCol: String = "state_id_fips", width: Int = 3,
+                 fixes: Map[String, String] = Map.empty): DataFrame = {
+    val dimSel = dim.select(col("state_name").as("__name_clean"),
+      lpad(col("code"), width, "0").as(outCol))
+    df.withColumn("__name_clean", cleanName(col(nameCol), fixes))
+      .join(broadcast(dimSel), Seq("__name_clean"), "left")
+  }
+
+  /** `find_timezone`: static name→tz lookup with a deterministic longitude
+    * fallback (`Etc/GMT∓n`, nautical convention — Etc/GMT-1 is UTC+1). */
+  def findTimezone(df: DataFrame, nameCol: String, lonCol: Option[String],
+                   dim: DataFrame, outCol: String = "timezone",
+                   fixes: Map[String, String] = Map.empty): DataFrame = {
+    val dimSel = dim.select(col("state_name").as("__tz_name"),
+      col("tz").as("__tz_dim"))
+    val joined = df.withColumn("__tz_name", cleanName(col(nameCol), fixes))
+      .join(broadcast(dimSel), Seq("__tz_name"), "left")
+    val out = lonCol match {
+      case Some(lon) => joined.withColumn(outCol,
+        coalesce(col("__tz_dim"), etcGmt(col(lon))))
+      case None => joined.withColumn(outCol, col("__tz_dim"))
+    }
+    out.drop("__tz_dim", "__tz_name")
+  }
+
+  /** Longitude → "Etc/GMT∓n" (nautical time zone, ±0.5h boundary at
+    * round-half-even like both engines' `round`). */
+  def etcGmt(lon: Column): Column = {
+    val off = round(lon / 15.0, 0).cast("int")
+    concat(lit("Etc/GMT"),
+      when(off >= 0, concat(lit("-"), off.cast("string")))
+        .otherwise(concat(lit("+"), (-off).cast("string"))))
+  }
+}

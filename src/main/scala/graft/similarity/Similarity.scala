@@ -156,6 +156,67 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes derived from the portable
+    * MD5-prefix hash: sign(i,d) = +1 iff hex60(md5("i_d")) is even. Unlike
+    * the Gaussian planes in [[lshBucket]], these are reproducible in ANY
+    * engine with MD5 — the DuckDB oracle rebuilds the identical matrix, and
+    * sign-bit projections of ±1 planes are bit-exact (same in-order double
+    * sum on both sides). Rademacher projections preserve angles in
+    * expectation just like Gaussian ones (Achlioptas 2001). */
+  private def rademacherPlanes(nBits: Int, dim: Int): Seq[Array[Float]] =
+    (0 until nBits).map { i =>
+      Array.tabulate(dim) { d =>
+        if (graft.functions.PortableHash.hex60(s"${i}_$d") % 2 == 0) 1f else -1f
+      }
+    }
+
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member of
+    * the dedup family (exact / MinHash / SimHash / Jaccard live in
+    * `graft.dedup.NearDup`). Candidate generation is banded sign-bit
+    * blocking: an `nBits`-bit hyperplane signature split into `bands`
+    * equal bands; pairs agreeing exactly on ≥1 band meet in a (band, bits)
+    * equi-join, then the EXACT cosine filter `>= threshold` runs inside
+    * buckets only. The all-pairs cross product never materializes: shuffle
+    * keys are (band, bits), candidate volume per doc is ~ bands × corpus /
+    * 2^(nBits/bands) — the same blocking shape as MinHash-LSH, tuned by
+    * band width. With the portable plane matrix the entire operator
+    * (signatures → buckets → pairs → cosine) is replayable by the DuckDB
+    * oracle, so it is hash-checked, not rows-only. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, threshold: Double, nBits: Int = 24,
+                         bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val w = nBits / bands
+    val planes = rademacherPlanes(nBits, dim)
+    val bitCols = planes.map { p =>
+      dotFast(col(embCol), array(p.map(v => lit(v)): _*)) > 0
+    }
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until w)
+        .map(r => when(bitCols(b * w + r), lit(1L << r)).otherwise(0L))
+        .reduce(_.bitwiseOR(_))
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    val buckets = df.select(col(idCol),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bits"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bits"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val emb = df.select(col(idCol), col(embCol))
+      .withColumn("__n", sqrt(dotFast(col(embCol), col(embCol))))
+    val ea = emb.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col("__n").as("__na"))
+    val eb = emb.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      col("__n").as("__nb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("__cos",
+        dotFast(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .where(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, then exact cosine rank within candidates. Raise `tables`
     * for recall, `nBits` for selectivity — candidate volume is

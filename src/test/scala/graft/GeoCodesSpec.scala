@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, GeoCodes, PortableHash, PortableHashFamily}
+
+class GeoCodesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("portable hex60: JVM twin == Spark column == DuckDB reference values") {
+    // Reference values computed independently with python hashlib (== DuckDB
+    // md5): int(md5(s).hexdigest()[:15], 16).
+    assert(PortableHash.hex60("0_the") == 318072122888941889L)
+    assert(PortableHash.hex60("1_quick brown fox") == 271649956553939561L)
+    assert(PortableHash.seeded(7, "abc") == 1060178307449739230L)
+    val got = Seq("the", "quick brown fox")
+      .toDF("s")
+      .select(PortableHash.seeded(0, $"s").as("h0"),
+        PortableHash.seeded(1, $"s").as("h1"))
+      .collect()
+    assert(got(0).getLong(0) == PortableHash.seeded(0, "the"))
+    assert(got(1).getLong(1) == PortableHash.seeded(1, "quick brown fox"))
+  }
+
+  test("PortableHashFamily.combine matches the string_agg SQL twin") {
+    // combine(h0, h1) = hex60("h0_h1") on decimal renderings
+    val df = Seq((12L, 345L)).toDF("a", "b")
+    val got = df.select(
+      PortableHashFamily.combine(Seq($"a", $"b")).as("c")).head().getLong(0)
+    assert(got == PortableHash.hex60("12_345"))
+  }
+
+  test("addFipsIds: normalize + manual fix + broadcast dim + zero-pad") {
+    val dim = GeoCodes.nationDim(spark)
+    val df = Seq(
+      (1L, "  FRANCE  "),     // messy case/space → normalize
+      (2L, "UNTIED STATES"),  // known misspelling → manual fix
+      (3L, "ATLANTIS")        // unmatched → NULL code
+    ).toDF("id", "state")
+    val out = GeoCodes.addFipsIds(df, "state", dim, outCol = "fips", width = 3,
+        fixes = Map("untied states" -> "united states"))
+      .orderBy("id").select("fips").as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("250"), Some("840"), None))
+  }
+
+  test("findTimezone: dim hit wins, longitude fallback covers the rest") {
+    val dim = GeoCodes.nationDim(spark)
+    val df = Seq(
+      (1L, "japan", 0.0),       // dim hit → Asia/Tokyo
+      (2L, "atlantis", 31.0),   // miss → Etc/GMT-2 (31/15 rounds to 2)
+      (3L, "atlantis", -97.0),  // miss → Etc/GMT+6 (-97/15 rounds to -6)
+      (4L, "atlantis", 0.0)     // miss → Etc/GMT-0
+    ).toDF("id", "state", "lon")
+    val out = GeoCodes.findTimezone(df, "state", Some("lon"), dim)
+      .orderBy("id").select("timezone").as[String].collect()
+    assert(out.toSeq ==
+      Seq("Asia/Tokyo", "Etc/GMT-2", "Etc/GMT+6", "Etc/GMT-0"))
+  }
+
+  test("cleanName applies fixes AFTER normalization") {
+    val df = Seq("  UNTIED   STATES ").toDF("s")
+    val got = df.select(GeoCodes.cleanName($"s",
+      Map("untied states" -> "united states"))).head().getString(0)
+    assert(got == "united states")
+  }
+}
