@@ -2792,10 +2792,20 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
         |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
         |  WHERE len(wl) >= 3),
+        |consts AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('a_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substr(md5('b_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 32) t(i)),
+        |sx AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
+        |  FROM sh),
         |hs AS (
-        |  SELECT doc_id, i,
-        |    min(('0x' || substr(md5(i::VARCHAR || '_' || shingle), 1, 15))::BIGINT) AS h
-        |  FROM sh CROSS JOIN range(0, 32) t(i) GROUP BY 1, 2),
+        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS h
+        |  FROM sx CROSS JOIN consts GROUP BY 1, 2),
         |bnd AS (
         |  SELECT doc_id, i // 4 AS band,
         |    ('0x' || substr(md5(string_agg(h::VARCHAR, '_' ORDER BY i)), 1, 15))::BIGINT

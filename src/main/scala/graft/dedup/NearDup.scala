@@ -84,9 +84,12 @@ object NearDup {
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int,
                         family: graft.functions.HashFamily =
                           graft.functions.XxHashFamily): DataFrame = {
+    // digest each shingle ONCE (family.base), then derive the k members
+    // arithmetically — k× fewer string hashes on the hot path
+    val based = shingles.withColumn("__hb", family.base(col("shingle")))
     val aggs = (0 until numHashes)
-      .map(i => min(family.hash(i, col("shingle"))).as(s"h$i"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .map(i => min(family.derive(i, col("__hb"))).as(s"h$i"))
+    based.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: signatures are split into `bands` bands of

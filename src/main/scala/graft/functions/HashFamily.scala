@@ -22,17 +22,42 @@ sealed trait HashFamily {
   def combine(cols: Seq[Column]): Column
   /** Usable signature width in bits (for SimHash-style bit votes). */
   def bits: Int
+  /** Two-phase form for k-member evaluation over the same input (MinHash):
+    * `base` digests the string once; `derive(i, base)` yields member i.
+    * Splitting lets implementations pay the string hash once per row
+    * instead of once per member. */
+  def base(c: Column): Column
+  def derive(seed: Int, base: Column): Column
 }
 
 object XxHashFamily extends HashFamily {
   def hash(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
   def combine(cols: Seq[Column]): Column = xxhash64(cols: _*)
   def bits: Int = 64
+  def base(c: Column): Column = c
+  def derive(seed: Int, base: Column): Column = hash(seed, base)
 }
 
 object PortableHashFamily extends HashFamily {
+  /** 2³¹−1 (Mersenne prime) — the affine family's modulus. Products of two
+    * <2³¹ operands stay under 2⁶² and never overflow a signed 64-bit int,
+    * in Spark or in DuckDB. */
+  val P = 2147483647L
+
   def hash(seed: Int, c: Column): Column = PortableHash.seeded(seed, c)
   def combine(cols: Seq[Column]): Column =
     PortableHash.hex60(concat_ws("_", cols.map(_.cast("string")): _*))
   def bits: Int = 60
+
+  /** One MD5 per row: x = hex60(s) mod P. */
+  def base(c: Column): Column = PortableHash.hex60(c) % P
+
+  /** Universal affine member i: (aᵢ·x + bᵢ) mod P with aᵢ,bᵢ derived from
+    * the portable hash of the member index — the SQL twin computes the same
+    * constants with md5('a_i')/md5('b_i'). */
+  def derive(seed: Int, base: Column): Column = {
+    val a = PortableHash.hex60(s"a_$seed") % (P - 1) + 1
+    val b = PortableHash.hex60(s"b_$seed") % P
+    (lit(a) * base + lit(b)) % P
+  }
 }
