@@ -79,6 +79,11 @@ object Etl {
       s"$outDir/${customerSummary.name}")
     ParquetSink.write(outputs(supplierYearly.name), supplierYearly,
       s"$outDir/${supplierYearly.name}", partitionBy = Seq("ship_year"))
+    // legacy single-file mirror of both outputs — the reference's
+    // PudlMixedFormatIOManager writes Parquet AND SQLite side by side
+    graft.sources.SqliteSink.write(
+      outputs.toSeq.map { case (n, df) => n -> df.orderBy(df.columns.head) },
+      s"$outDir/graft.sqlite")
 
     // validation layer over the written outputs (dbt analogue)
     val results = Seq(
