@@ -156,7 +156,14 @@ object SparkEntry {
   // scale_by_ownership (/root/reference/src/pudl/helpers.py:2006-2104).
   private def q12(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one shuffle, reused twice: hash(l_orderkey) satisfies both the
+    // (orderkey, suppkey) groupBy clustering and the window partitioning,
+    // so the agg and the fraction window share a single exchange. This
+    // trades away the map-side partial agg — correct here because
+    // (orderkey, suppkey) is near-distinct per row, so partial aggregation
+    // would not shrink the shuffle anyway
     val own = t(s, dir, "lineitem")
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("__q"))
       .withColumn("fraction_owned",

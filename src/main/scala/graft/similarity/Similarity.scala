@@ -123,7 +123,11 @@ object Similarity {
     import spark.implicits._
     val train = corpus.select(
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    // random init (seeded): k-means|| costs several extra passes over the
+    // corpus for an init quality that does not matter here — the centroids
+    // only partition space for candidate routing, recall comes from nProbe
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(kmeansIters)
+      .setInitMode("random")
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
