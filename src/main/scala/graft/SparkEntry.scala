@@ -471,13 +471,15 @@ object SparkEntry {
       idCol = "vec_id", embCol = "embedding", k = 5)
   }
 
-  // ---- similarity search: LSH-bucketed ANN (scale path; recall vs exact
-  // asserted in tests, no SQL oracle) ---------------------------------------
+  // ---- similarity search: LSH-bucketed ANN (scale path). Portable
+  // Rademacher planes → the DuckDB oracle rebuilds all 8 hash tables,
+  // buckets, candidates and the top-k ranking exactly; the Gaussian-plane
+  // default stays recall-tested in SimilaritySpec.
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 20), emb,
       idCol = "vec_id", embCol = "embedding", k = 5, nBits = 6, dim = 64,
-      tables = 8)
+      tables = 8, portable = true)
   }
 
   // ---- multimodal: opaque binary columns + typed metadata -----------------
@@ -2853,6 +2855,44 @@ object SparkEntry {
         |  FROM bb a JOIN bb b
         |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "q43_lsh_ann" ->
+      """WITH signs AS (
+        |  SELECT g, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5(g::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+        |           % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+        |  FROM range(0, 48) t(g)),
+        |proj AS (
+        |  SELECT e.vec_id, s.g // 6 AS tbl, s.g % 6 AS i,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+        |  FROM embeddings e CROSS JOIN signs s),
+        |buck AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM buck q JOIN buck c
+        |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n), 4)
+        |      AS cosine
+        |  FROM cand
+        |  JOIN norms a ON a.vec_id = q_id
+        |  JOIN norms b ON b.vec_id = c_id)
+        |SELECT q_id, rk, c_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q94_fips_tz" ->
       """WITH dim(state_name, code, tz) AS (VALUES
         |  ('algeria','012','Africa/Algiers'),

@@ -96,13 +96,28 @@ object Similarity {
 
   /** All (table, bucket) memberships for an embedding: `tables` independent
     * hash tables of `nBits` hyperplanes each. Multi-table is what buys
-    * recall: a true neighbor is a candidate if it collides in ANY table. */
+    * recall: a true neighbor is a candidate if it collides in ANY table.
+    * `portable = true` swaps the Gaussian planes for MD5-derived Rademacher
+    * planes (global plane index g = t·nBits + i), making every bucket
+    * reproducible by the DuckDB oracle. */
   private def bucketMemberships(emb: Column, nBits: Int, tables: Int,
-                                dim: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        lshBucket(emb, nBits, dim, seed = 42L + t).as("bucket"))
-    }: _*)
+                                dim: Int, portable: Boolean = false): Column =
+    if (!portable)
+      array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(emb, nBits, dim, seed = 42L + t).as("bucket"))
+      }: _*)
+    else {
+      val all = rademacherPlanes(tables * nBits, dim)
+      array((0 until tables).map { t =>
+        val bits = (0 until nBits).map { i =>
+          val p = all(t * nBits + i)
+          when(dotFast(emb, array(p.map(v => lit(v)): _*)) > 0,
+            shiftleft(lit(1L), i)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_))
+        struct(lit(t).as("tbl"), bits.as("bucket"))
+      }: _*)
+    }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to LSH: a k-means coarse quantizer (MLlib, deterministic
@@ -227,13 +242,13 @@ object Similarity {
     * ~ tables × corpus / 2^nBits per query, never the full cross product. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, nBits: Int, dim: Int,
-              tables: Int = 4): DataFrame = {
+              tables: Int = 4, portable: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
-      explode(bucketMemberships(col(embCol), nBits, tables, dim)).as("bb"))
+      explode(bucketMemberships(col(embCol), nBits, tables, dim, portable)).as("bb"))
       .select(col("q_id"), col("q_emb"), col("bb.tbl"), col("bb.bucket"))
       .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
-      explode(bucketMemberships(col(embCol), nBits, tables, dim)).as("bb"))
+      explode(bucketMemberships(col(embCol), nBits, tables, dim, portable)).as("bb"))
       .select(col("c_id"), col("c_emb"), col("bb.tbl"), col("bb.bucket"))
       .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
     val cand = q.join(c, Seq("tbl", "bucket")).where(col("q_id") =!= col("c_id"))
