@@ -63,6 +63,44 @@ object GeoCodes {
     nationIsoTz.toDF("state_name", "code", "tz")
   }
 
+  /** US state → (FIPS code, primary IANA timezone) — the reference's actual
+    * domain (`addfips` data, public). Pre-normalized names like the fixture
+    * dim; DC and the 50 states. */
+  val stateFipsTz: Seq[(String, String, String)] = Seq(
+    ("alabama", "01", "America/Chicago"), ("alaska", "02", "America/Anchorage"),
+    ("arizona", "04", "America/Phoenix"), ("arkansas", "05", "America/Chicago"),
+    ("california", "06", "America/Los_Angeles"), ("colorado", "08", "America/Denver"),
+    ("connecticut", "09", "America/New_York"), ("delaware", "10", "America/New_York"),
+    ("district of columbia", "11", "America/New_York"),
+    ("florida", "12", "America/New_York"), ("georgia", "13", "America/New_York"),
+    ("hawaii", "15", "Pacific/Honolulu"), ("idaho", "16", "America/Boise"),
+    ("illinois", "17", "America/Chicago"), ("indiana", "18", "America/Indiana/Indianapolis"),
+    ("iowa", "19", "America/Chicago"), ("kansas", "20", "America/Chicago"),
+    ("kentucky", "21", "America/New_York"), ("louisiana", "22", "America/Chicago"),
+    ("maine", "23", "America/New_York"), ("maryland", "24", "America/New_York"),
+    ("massachusetts", "25", "America/New_York"), ("michigan", "26", "America/Detroit"),
+    ("minnesota", "27", "America/Chicago"), ("mississippi", "28", "America/Chicago"),
+    ("missouri", "29", "America/Chicago"), ("montana", "30", "America/Denver"),
+    ("nebraska", "31", "America/Chicago"), ("nevada", "32", "America/Los_Angeles"),
+    ("new hampshire", "33", "America/New_York"), ("new jersey", "34", "America/New_York"),
+    ("new mexico", "35", "America/Denver"), ("new york", "36", "America/New_York"),
+    ("north carolina", "37", "America/New_York"), ("north dakota", "38", "America/Chicago"),
+    ("ohio", "39", "America/New_York"), ("oklahoma", "40", "America/Chicago"),
+    ("oregon", "41", "America/Los_Angeles"), ("pennsylvania", "42", "America/New_York"),
+    ("rhode island", "44", "America/New_York"), ("south carolina", "45", "America/New_York"),
+    ("south dakota", "46", "America/Chicago"), ("tennessee", "47", "America/Chicago"),
+    ("texas", "48", "America/Chicago"), ("utah", "49", "America/Denver"),
+    ("vermont", "50", "America/New_York"), ("virginia", "51", "America/New_York"),
+    ("washington", "53", "America/Los_Angeles"), ("west virginia", "54", "America/New_York"),
+    ("wisconsin", "55", "America/Chicago"), ("wyoming", "56", "America/Denver"))
+
+  /** US dim as a DataFrame with the same (state_name, code, tz) shape, so
+    * `addFipsIds`/`findTimezone` run unchanged on the real domain. */
+  def stateDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stateFipsTz.toDF("state_name", "code", "tz")
+  }
+
   /** Normalize a messy name column and apply manual fixes — the
     * `clean_eia_counties` step: `simplify_strings` then a known-misspelling
     * map. Pure expressions (one `when` per fix). */

@@ -56,6 +56,19 @@ class GeoCodesSpec extends SparkSpec {
       Seq("Asia/Tokyo", "Etc/GMT-2", "Etc/GMT+6", "Etc/GMT-0"))
   }
 
+  test("US state dim: addFipsIds zero-pads to 2 and finds timezones") {
+    val dim = GeoCodes.stateDim(spark)
+    val df = Seq((1L, "  California "), (2L, "WEST   VIRGINIA"), (3L, "Texas"))
+      .toDF("id", "state")
+    val out = GeoCodes.findTimezone(
+        GeoCodes.addFipsIds(df, "state", dim, outCol = "fips", width = 2),
+        "state", None, dim)
+      .orderBy("id").select("fips", "timezone")
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("06", "America/Los_Angeles"),
+      ("54", "America/New_York"), ("48", "America/Chicago")))
+  }
+
   test("cleanName applies fixes AFTER normalization") {
     val df = Seq("  UNTIED   STATES ").toDF("s")
     val got = df.select(GeoCodes.cleanName($"s",
