@@ -109,6 +109,63 @@ object EventStreams {
       "missing" -> col("value").isNull,
       "oob" -> !col("value").between(lo, hi)))
 
+  /** Streaming MinHash near-dup candidates — ingest-time near-duplicate
+    * detection, stage two of the streaming dedup path after
+    * [[dedupStream]]'s exact fingerprint drop.
+    *
+    * Batch MinHash needs a per-doc aggregation over exploded shingles;
+    * here the signature is computed PER ROW (fold over the shingle array:
+    * `array_min(transform(...))`), so no streaming aggregation state is
+    * needed at all. Docs explode to (band, bucket) memberships and
+    * candidates meet in a watermarked STREAM-STREAM self-join on the band
+    * key with an event-time range bound: state is bounded by
+    * watermark × bucket width, exactly the right shape at ingest scale —
+    * a new document is compared only against the recent window of docs
+    * sharing a band bucket, never the full history.
+    *
+    * Pairs can surface once per shared band (documented; the downstream
+    * batch compaction dedupes). Use `NearDup.minhashLshPairs` for the
+    * full-corpus batch pass.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, tsCol: String,
+                        textCol: String, shingleN: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4,
+                        joinWindow: String = "10 minutes",
+                        watermark: String = "20 minutes",
+                        family: graft.functions.HashFamily =
+                          graft.functions.XxHashFamily): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withBases = docs
+      .withColumn("__bases",
+        transform(graft.plans.WordShingles(col(textCol), shingleN),
+          s => family.base(s)))
+      .where(size(col("__bases")) > 0)
+    val hCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__bases"), b => family.derive(i, b)))
+        .as(s"__h$i"))
+    val sig = withBases.select(col(idCol) +: col(tsCol) +: hCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), family.combine(slice).as("bucket"))
+    }
+    val buckets = sig
+      .select(col(idCol), col(tsCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col(tsCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withWatermark(tsCol, watermark)
+    val left = buckets.select(col(idCol).as("id_a"), col(tsCol).as("ts_a"),
+      col("band"), col("bucket"))
+    val right = buckets.select(col(idCol).as("id_b"), col(tsCol).as("ts_b"),
+      col("band"), col("bucket"))
+    left.join(right, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b") &&
+        col("ts_b").between(
+          col("ts_a") - expr(s"INTERVAL $joinWindow"),
+          col("ts_a") + expr(s"INTERVAL $joinWindow")))
+      .select(col("id_a"), col("id_b"), col("ts_a"), col("ts_b"), col("band"))
+  }
+
   /** Drive a streaming query from a static parquet dir through a memory
     * sink, synchronously (for tests / local parity checks). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

@@ -96,4 +96,74 @@ class StreamingSpec extends SparkSpec {
       .where(col("n_events") =!= col("n")).count()
     assert(joined == 0)
   }
+
+  test("nearDupCandidates: stream-stream band join finds planted near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on " +
+      "running through the quiet green field toward the distant river"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val docs = Seq(
+      (1L, ts(0), base),
+      (2L, ts(2), base + " bank"),               // near-dup of 1, in window
+      (3L, ts(4), "totally different words with nothing shared at all " +
+        "between these two documents whatsoever in any shingle"),
+      (4L, ts(40), base)                          // dup of 1 but OUT of window
+    ).toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      EventStreams.nearDupCandidates(_, "doc_id", "ts", "text",
+        joinWindow = "10 minutes", watermark = "20 minutes"),
+      "neardup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+
+    val pairs = spark.table("neardup_out")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+    // doc 4 is an exact dup of doc 1/2 but 40/38 minutes away — outside the
+    // 10-minute join window, so no (1,4)/(2,4) pair may appear
+    assert(!pairs.exists { case (_, b) => b == 4L }, s"out-of-window: $pairs")
+    // unrelated doc 3 shares no shingles
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, pairs.toString)
+  }
+
+  test("nearDupCandidates streaming pairs match the batch band join") {
+    import spark.implicits._
+    // 30 docs in one time cluster: 10 bases, each with 2 jittered variants
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 10).flatMap { b =>
+      val baseWords = Seq.fill(30)(words(rnd.nextInt(words.length)))
+      (0 until 3).map { v =>
+        val w = if (v == 0) baseWords
+          else baseWords.updated(rnd.nextInt(30), words(rnd.nextInt(words.length)))
+        ((b * 3 + v).toLong,
+          java.sql.Timestamp.valueOf(f"2026-01-01 10:${b % 10}%02d:30"),
+          w.mkString(" "))
+      }
+    }.toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup2").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      EventStreams.nearDupCandidates(_, "doc_id", "ts", "text",
+        joinWindow = "30 minutes", watermark = "1 hour"),
+      "neardup_par", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(60000)
+    val streamed = spark.table("neardup_par")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+
+    // batch twin: same per-row signature logic via the batch band join
+    val batchPairs = EventStreams.nearDupCandidates(staged, "doc_id", "ts",
+        "text", joinWindow = "30 minutes", watermark = "1 hour")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs,
+      s"stream=${streamed.size} batch=${batchPairs.size} " +
+        s"diff=${streamed.diff(batchPairs) ++ batchPairs.diff(streamed)}")
+    assert(batchPairs.nonEmpty)
+  }
 }
