@@ -141,4 +141,31 @@ class PropertySpec extends SparkSpec {
       assert(got == exp, s"got=$got exp=$exp")
     }
   }
+
+  test("PortableHash: Spark column form == JVM form on arbitrary strings") {
+    import graft.functions.{PortableHash, PortableHashFamily}
+    val strGen: Gen[List[String]] = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(40)),
+        Gen.listOfN(8, Gen.choose(32.toChar, 0x2fff.toChar)).map(_.mkString),
+        Gen.const(""), Gen.const(" spaced out "))))
+    forAll(strGen, 10) { ss =>
+      val df = ss.toDF("s")
+      val got = df.select(
+          PortableHash.hex60($"s").as("h"),
+          PortableHashFamily.base($"s").as("b"),
+          PortableHashFamily.derive(3, PortableHashFamily.base($"s")).as("d3"))
+        .collect()
+      ss.zip(got).foreach { case (s, row) =>
+        val jvmH = PortableHash.hex60(s)
+        val jvmB = jvmH % PortableHashFamily.P
+        val a = PortableHash.hex60("a_3") % (PortableHashFamily.P - 1) + 1
+        val b = PortableHash.hex60("b_3") % PortableHashFamily.P
+        assert(row.getLong(0) == jvmH, s"hex60($s)")
+        assert(row.getLong(1) == jvmB, s"base($s)")
+        assert(row.getLong(2) == (a * jvmB + b) % PortableHashFamily.P,
+          s"derive(3, $s)")
+      }
+    }
+  }
 }
