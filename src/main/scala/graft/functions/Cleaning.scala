@@ -52,6 +52,33 @@ object Cleaning {
   def oobToNan(c: Column, lo: Double, hi: Double): Column =
     when(c.between(lo, hi), c)
 
+  /** NULL an out-of-range value AND its dependent columns together —
+    * `oob_to_nan_with_dependent_cols` (`/root/reference/src/pudl/helpers.py:460-492`):
+    * when the anchor value is invalid, columns derived from it are invalid
+    * too. Returns the replacement expressions for (anchor, dependents...). */
+  def oobToNanWithDependents(df: DataFrame, anchorCol: String, lo: Double,
+                             hi: Double, dependents: Seq[String]): DataFrame = {
+    val valid = col(anchorCol).between(lo, hi)
+    val replaced = (anchorCol +: dependents).map { c =>
+      c -> when(valid, col(c))
+    }
+    replaced.foldLeft(df) { case (acc, (name, expr)) =>
+      acc.withColumn(name, expr)
+    }
+  }
+
+  /** snake_case + simplify COLUMN NAMES (plan-time rename) —
+    * `simplify_columns` (`/root/reference/src/pudl/helpers.py:1201-1230`). */
+  def simplifyColumns(df: DataFrame): DataFrame = {
+    val renames = df.columns.map { c =>
+      c -> c.trim.toLowerCase
+        .replaceAll("[^0-9a-z]+", "_").replaceAll("^_+|_+$", "")
+    }
+    require(renames.map(_._2).distinct.length == renames.length,
+      s"simplifyColumns would collide: ${renames.mkString(", ")}")
+    df.withColumnsRenamed(renames.toMap)
+  }
+
   /** Sentinel→NULL — `standardize_na_values`
     * (`/root/reference/src/pudl/transform/classes.py:905-928`). */
   def naSentinelsToNull(c: Column, sentinels: Seq[String]): Column =

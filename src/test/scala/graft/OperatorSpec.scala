@@ -166,4 +166,25 @@ class OperatorSpec extends SparkSpec {
       .orderBy("seq").collect()
     assert(out(0).getDouble(3) == 1.0 && out(1).getDouble(3) == 2.0)
   }
+
+  test("oobToNanWithDependents nulls the anchor AND derived columns together") {
+    import graft.functions.Cleaning
+    val df = Seq((1L, 50.0, 5.0, "a"), (2L, 9999.0, 3.0, "b"))
+      .toDF("id", "mw", "capacity_factor", "note")
+    val out = Cleaning.oobToNanWithDependents(df, "mw", 0, 1000,
+        dependents = Seq("capacity_factor"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 50.0 && out(0).getDouble(2) == 5.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(1).getString(3) == "b") // untouched column survives
+  }
+
+  test("simplifyColumns snake_cases names and rejects collisions") {
+    import graft.functions.Cleaning
+    val df = Seq((1, 2, 3)).toDF("Plant Name ", "MW (net)", "ok_col")
+    assert(Cleaning.simplifyColumns(df).columns.toSeq ==
+      Seq("plant_name", "mw_net", "ok_col"))
+    val clash = Seq((1, 2)).toDF("a b", "a_b")
+    intercept[IllegalArgumentException](Cleaning.simplifyColumns(clash))
+  }
 }
