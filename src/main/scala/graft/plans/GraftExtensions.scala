@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 /** Catalyst integration point: registers graft's native expressions in the
   * session FunctionRegistry so they are first-class SQL functions —
@@ -43,6 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles: n must be an integer literal, got $other")
         }
         WordShingles(args(0), n)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    // the portable 60-bit MD5-prefix hash (graft.functions.PortableHash) as
+    // a SQL function — same composed Catalyst tree as the Column form, so
+    // results are bit-identical to DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT
+    ext.injectFunction((
+      FunctionIdentifier("hex60"),
+      info("hex60",
+        "hex60(x) - portable 60-bit hash: first 15 hex digits of md5(x) as a BIGINT"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hex60 expects 1 argument")
+        Cast(Conv(
+          Substring(Md5(Cast(Cast(args(0), StringType), BinaryType)),
+            Literal(1), Literal(15)),
+          Literal(16), Literal(10)), LongType)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

@@ -26,6 +26,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
         .head().getDouble(0)
       assert(d == 11.0)
+      // hex60: must match the JVM twin (and therefore DuckDB's md5 form)
+      val h = spark.sql("SELECT hex60('0_the') AS h").head().getLong(0)
+      assert(h == graft.functions.PortableHash.hex60("0_the"))
+      assert(h == 318072122888941889L)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
