@@ -23,7 +23,11 @@ class SqliteSinkSpec extends SparkSpec {
          |ic = con.execute("PRAGMA integrity_check").fetchone()[0]
          |rows = con.execute(${"\"\"\""}$sql${"\"\"\""}).fetchall()
          |print(json.dumps({"ic": ic, "rows": rows}))""".stripMargin
-    Seq("python3", "-c", script).!!.trim
+    val out = new StringBuilder; val err = new StringBuilder
+    val rc = Seq("python3", "-c", script) !
+      ProcessLogger(out.append(_), err.append(_))
+    assert(rc == 0, s"python3 failed (rc=$rc): $err")
+    out.toString.trim
   }
 
   test("mixed-type rows round-trip through a real sqlite3 reader") {
@@ -80,6 +84,34 @@ class SqliteSinkSpec extends SparkSpec {
         "(SELECT count(*) FROM sqlite_master WHERE type='table')")
     assert(out.contains("\"ic\": \"ok\""), s"integrity check failed: $out")
     assert(out.contains("[1, 0, 2]"), out)
+  }
+
+  test("integer width boundaries and blobs encode exactly") {
+    assume(havePython, "python3+sqlite3 unavailable")
+    val db = Files.createTempDirectory("sq").resolve("i.db").toString
+    val vals = Seq(0L, 1L, -1L, 127L, -128L, 128L, 32767L, -32769L,
+      8388607L, 2147483647L, -2147483649L, 140737488355327L,
+      Long.MaxValue, Long.MinValue)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, Array(0xde.toByte, 0xad.toByte)) }
+      .toDF("id", "v", "bin")
+    SqliteSink.write(Seq("ints" -> df), db)
+    val out = pyQuery(db, "SELECT v, hex(bin) FROM ints ORDER BY id")
+    assert(out.contains("\"ic\": \"ok\""), s"integrity check failed: $out")
+    vals.foreach(v => assert(out.contains(s"[$v, \"DEAD\"]"), s"$v in $out"))
+  }
+
+  test("three-level b-tree (interior of interiors) stays consistent") {
+    assume(havePython, "python3+sqlite3 unavailable")
+    val db = Files.createTempDirectory("sq").resolve("deep.db").toString
+    val n = 60000
+    val df = (1 to n).map(i => (i.toLong, i.toDouble * 0.5)).toDF("id", "v")
+    SqliteSink.write(Seq("deep" -> df), db)
+    val out = pyQuery(db,
+      "SELECT count(*), sum(id), round(sum(v), 1) FROM deep")
+    assert(out.contains("\"ic\": \"ok\""), s"integrity check failed: $out")
+    val sid = (1 to n).map(_.toLong).sum
+    assert(out.contains(s"[$n, $sid,"), out)
   }
 
   test("dates and timestamps store as ISO text") {
