@@ -1375,6 +1375,13 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, threshold = 0.4, nBits = 24, bands = 4)
 
+  // ---- §2.11 DistanceMatrix replacement under its own metric: p-stable
+  // euclidean LSH near pairs (grid buckets per table, exact |a-b| <= eps
+  // inside buckets). Portable grids → oracle-replayed end-to-end.
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Similarity.euclideanNearPairs(t(s, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, eps = 1.1, w = 2.0, tables = 8, portable = true)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1475,6 +1482,7 @@ object SparkEntry {
     "q93_simhash_pairs" -> (q93 _),
     "q94_fips_tz" -> (q94 _),
     "q95_embedding_neardup" -> (q95 _),
+    "q96_euclidean_pairs" -> (q96 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2945,6 +2953,41 @@ object SparkEntry {
         |LEFT JOIN dim d ON off.s = d.state_name
         |LEFT JOIN (SELECT state_name, tz FROM dim WHERE code < '500') tz
         |  ON off.s = tz.state_name""".stripMargin,
+    "q96_euclidean_pairs" ->
+      """WITH grids AS (
+        |  SELECT t,
+        |    list_transform(range(0, 64), d ->
+        |      CASE WHEN ('0x' || substr(md5('eg_' || t::VARCHAR || '_' || d::VARCHAR),
+        |             1, 15))::BIGINT % 2 = 0
+        |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS g,
+        |    (('0x' || substr(md5('eshift_' || t::VARCHAR), 1, 15))::BIGINT
+        |      % 1000000) / 1000000.0 AS shift
+        |  FROM range(0, 8) t(t)),
+        |buck AS (
+        |  SELECT e.vec_id, grids.t AS tbl,
+        |    CAST(floor(
+        |      list_sum(list_transform(list_zip(e.embedding, grids.g),
+        |        x -> CAST(x[1] AS DOUBLE) * x[2])) / 2.0 + grids.shift)
+        |      AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN grids),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buck a JOIN buck b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS sq
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    a.sq - 2.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) + b.sq AS d2
+        |  FROM cand
+        |  JOIN dots a ON a.vec_id = id_a
+        |  JOIN dots b ON b.vec_id = id_b)
+        |SELECT id_a, id_b, round(sqrt(greatest(d2, 0.0)), 6) AS dist
+        |FROM scored WHERE d2 <= 1.1 * 1.1""".stripMargin,
     "q95_embedding_neardup" ->
       """WITH signs AS (
         |  SELECT i, list_transform(range(0, 64), d ->

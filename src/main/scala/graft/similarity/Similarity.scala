@@ -236,6 +236,66 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
   }
 
+  /** Euclidean near-pair generation via p-stable LSH — the scale
+    * replacement for the reference's O(n²) `DistanceMatrix` memmap
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:34-128`)
+    * under its own metric (the cross-year features are euclidean, not
+    * cosine). Classic Datar–Indyk scheme: bucket_t(v) = ⌊(v·g_t + b_t)/w⌋
+    * for a Gaussian direction g_t and uniform shift b_t; vectors within
+    * distance eps land in the same bucket of some table with probability
+    * rising as w/eps grows. Candidates meet on the (table, bucket)
+    * equi-join — same blocking shape as every other family here — and the
+    * EXACT distance filter runs inside buckets only.
+    *
+    * Neighboring-bucket misses are covered by multiple tables (shifted
+    * grids), the standard multi-table trade: recall is tuned by `tables`
+    * and `w` (≈ 2×eps is a good default), never by widening to a cross
+    * join. Seeded and deterministic. */
+  def euclideanNearPairs(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, eps: Double, w: Double,
+                         tables: Int = 8, seed: Long = 42L,
+                         portable: Boolean = false): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // portable mode: Rademacher directions + MD5-derived shifts, so the
+    // DuckDB oracle rebuilds grids, buckets and candidates exactly
+    // (namespaced "eg_"/"eshift_" keys; q95's planes use bare "i_d")
+    val grids: Seq[(Array[Float], Double)] =
+      if (portable) Seq.tabulate(tables) { t =>
+        (Array.tabulate(dim) { d =>
+          if (graft.functions.PortableHash.hex60(s"eg_${t}_$d") % 2 == 0) 1f
+          else -1f
+        }, (graft.functions.PortableHash.hex60(s"eshift_$t") % 1000000L)
+          / 1000000.0)
+      }
+      else Seq.fill(tables)(
+        (Array.fill(dim)(rnd.nextGaussian().toFloat), rnd.nextDouble()))
+    val bandStructs = grids.zipWithIndex.map { case ((g, shift), t) =>
+      val proj = dotFast(col(embCol), array(g.map(v => lit(v)): _*))
+      struct(lit(t).as("tbl"),
+        floor(proj / w + lit(shift)).cast("long").as("bucket"))
+    }
+    val buckets = df.select(col(idCol),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.tbl"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val e = df.select(col(idCol), col(embCol))
+    val ea = e.select(col(idCol).as("id_a"), col(embCol).as("__ea"))
+    val eb = e.select(col(idCol).as("id_b"), col(embCol).as("__eb"))
+    // exact squared distance via the codegen dot product:
+    // |a-b|² = a·a - 2a·b + b·b
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("__d2",
+        dotFast(col("__ea"), col("__ea"))
+          - lit(2.0) * dotFast(col("__ea"), col("__eb"))
+          + dotFast(col("__eb"), col("__eb")))
+      .where(col("__d2") <= eps * eps)
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(greatest(col("__d2"), lit(0.0))), 6).as("dist"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, then exact cosine rank within candidates. Raise `tables`
     * for recall, `nBits` for selectivity — candidate volume is

@@ -34,6 +34,27 @@ class EmbeddingNearDupSpec extends SparkSpec {
       s"unexpected non-planted pair in $found")
   }
 
+  test("euclideanNearPairs: planted close pairs found, far pairs exact-filtered") {
+    val rnd = new scala.util.Random(13)
+    // 30 well-separated centers (pairwise distance >> eps), each with a
+    // close satellite at distance ~0.1
+    val centers = Seq.tabulate(30)(i =>
+      Array.tabulate(dim)(d => (10.0 * rnd.nextGaussian()).toFloat))
+    val satellites = centers.map(c => c.map(v => v + 0.025f))
+    val all = (centers ++ satellites).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = all.toDF("vec_id", "embedding")
+    val eps = 0.5
+    val got = Similarity.euclideanNearPairs(df, "vec_id", "embedding",
+      dim = dim, eps = eps, w = 1.0, tables = 8).collect()
+    // every returned pair is genuinely within eps (exact filter)
+    assert(got.forall(_.getDouble(2) <= eps))
+    val found = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 30).map(i => (i.toLong, (i + 30).toLong)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"euclidean LSH recall $recall")
+    assert(found.subsetOf(planted), s"far pair leaked: ${found.diff(planted)}")
+  }
+
   test("banded blocking bounds candidate volume vs all-pairs") {
     // 200 random vectors: all-pairs = 19900; candidates via 4 bands of 6
     // bits ≈ 4 × n²/2 / 64 — assert an order-of-magnitude reduction.
