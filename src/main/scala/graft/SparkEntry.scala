@@ -3022,5 +3022,58 @@ object SparkEntry {
         |  JOIN norms b ON b.vec_id = id_b)
         |SELECT id_a, id_b, round(c, 4) AS cosine
         |FROM scored WHERE c >= 0.4""".stripMargin,
+    // Sequential two-pass fixpoint replayed as a per-series left fold
+    // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
+    // across steps, so the fold state is encoded positionally in a flat
+    // DOUBLE[]: slot 1 = last surviving value, slots 2.. = 0/1 flags.
+    "q78_single_delta" ->
+      """WITH numbered AS (
+        |  SELECT user_id, epoch_us(ts)//1000000 AS ts, value,
+        |         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+        |  FROM events
+        |), grp AS (
+        |  SELECT user_id,
+        |         list(struct_pack(ts := ts, v := value) ORDER BY ts) AS arr,
+        |         5.0 * (quantile_cont(d, 0.75) FILTER (WHERE d IS NOT NULL)
+        |              - quantile_cont(d, 0.25) FILTER (WHERE d IS NOT NULL)) AS thr
+        |  FROM numbered GROUP BY user_id
+        |), fwd_pass AS (
+        |  SELECT user_id, arr, thr,
+        |    list_reduce(
+        |      list_prepend(CAST([NULL] AS DOUBLE[]),
+        |                   list_transform(arr, e -> [e.v])),
+        |      (a, x) -> list_concat(
+        |        [CASE WHEN x[1] IS NULL THEN a[1]
+        |              WHEN thr IS NOT NULL AND a[1] IS NOT NULL
+        |                   AND abs(x[1] - a[1]) > thr THEN a[1]
+        |              ELSE x[1] END],
+        |        list_concat(a[2:],
+        |          [CASE WHEN x[1] IS NOT NULL AND thr IS NOT NULL
+        |                     AND a[1] IS NOT NULL AND abs(x[1] - a[1]) > thr
+        |                THEN 1.0 ELSE 0.0 END])))[2:] AS fwd
+        |  FROM grp
+        |), bwd_pass AS (
+        |  SELECT user_id, arr, fwd,
+        |    list_reverse(list_reduce(
+        |      list_prepend(CAST([NULL] AS DOUBLE[]),
+        |        list_reverse(list_transform(range(1, len(arr) + 1),
+        |                                    i -> [arr[i].v, fwd[i]]))),
+        |      (a, x) -> list_concat(
+        |        [CASE WHEN x[1] IS NULL OR x[2] = 1.0 THEN a[1]
+        |              WHEN thr IS NOT NULL AND a[1] IS NOT NULL
+        |                   AND abs(x[1] - a[1]) > thr THEN a[1]
+        |              ELSE x[1] END],
+        |        list_concat(a[2:],
+        |          [CASE WHEN x[1] IS NOT NULL AND x[2] = 0.0 AND thr IS NOT NULL
+        |                     AND a[1] IS NOT NULL AND abs(x[1] - a[1]) > thr
+        |                THEN 1.0 ELSE 0.0 END])))[2:]) AS bwd
+        |  FROM fwd_pass
+        |)
+        |SELECT user_id, u.e.ts AS ts, u.e.v AS value,
+        |       (u.e.f1 = 1.0 OR u.e.f2 = 1.0) AS flag_single_delta
+        |FROM bwd_pass,
+        |  UNNEST(list_transform(range(1, len(arr) + 1),
+        |    i -> struct_pack(ts := arr[i].ts, v := arr[i].v,
+        |                     f1 := fwd[i], f2 := bwd[i]))) AS u(e)""".stripMargin,
   )
 }
