@@ -1382,6 +1382,19 @@ object SparkEntry {
     Similarity.euclideanNearPairs(t(s, dir, "embeddings"), "vec_id",
       "embedding", dim = 64, eps = 1.1, w = 2.0, tables = 8, portable = true)
 
+  // ---- §2.11 full cross-year linkage orchestration -----------------------
+  // Reference: link_ids_cross_year graph (link_cross_year.py:299-360) —
+  // edges with same-year veto → connected components → duplicate-year
+  // split → orphan nearest-neighbor assignment, as ONE composition. Years
+  // are synthesized deterministically from vec_id; the portable Rademacher
+  // planes let the oracle replay every stage including the LSH blocking.
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.linkage.Linkage.linkIdsCrossYear(
+      t(s, dir, "embeddings")
+        .withColumn("year", (col("vec_id") % 4 + 2019).cast("int")),
+      "vec_id", "year", "embedding",
+      dim = 64, simThreshold = 0.4, assignThreshold = 0.3)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1483,6 +1496,7 @@ object SparkEntry {
     "q94_fips_tz" -> (q94 _),
     "q95_embedding_neardup" -> (q95 _),
     "q96_euclidean_pairs" -> (q96 _),
+    "q97_link_cross_year" -> (q97 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3022,6 +3036,95 @@ object SparkEntry {
         |  JOIN norms b ON b.vec_id = id_b)
         |SELECT id_a, id_b, round(c, 4) AS cosine
         |FROM scored WHERE c >= 0.4""".stripMargin,
+    // Full §2.11 linkage pipeline replayed end-to-end: portable-plane LSH
+    // edges (as q95) + same-year veto → recursive-CTE connected components
+    // (as q45) → first-fit split as a window (row_number per (component,
+    // year) − 1, see NearDup.splitClusters) → brute-force orphan top-1.
+    "q97_link_cross_year" ->
+      """WITH RECURSIVE signs AS (
+        |  SELECT i, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+        |           % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+        |  FROM range(0, 24) t(i)),
+        |yr AS (
+        |  SELECT vec_id, CAST(vec_id % 4 + 2019 AS INTEGER) AS year
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT e.vec_id, s.i,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+        |  FROM embeddings e CROSS JOIN signs s),
+        |bits AS (
+        |  SELECT vec_id, i // 6 AS band,
+        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bits a JOIN bits b
+        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+        |norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+        |  FROM embeddings),
+        |edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n) AS c
+        |    FROM cand
+        |    JOIN norms a ON a.vec_id = id_a
+        |    JOIN norms b ON b.vec_id = id_b)
+        |  WHERE c >= 0.4),
+        |vetoed AS (
+        |  SELECT e.id_a, e.id_b FROM edges e
+        |  JOIN yr ya ON ya.vec_id = e.id_a
+        |  JOIN yr yb ON yb.vec_id = e.id_b
+        |  WHERE ya.year != yb.year),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM vetoed
+        |        UNION SELECT id_b, id_a FROM vetoed),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
+        |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v),
+        |split AS (
+        |  SELECT y.vec_id, cc.component,
+        |    row_number() OVER (PARTITION BY cc.component, y.year
+        |                       ORDER BY y.vec_id) - 1 AS sub
+        |  FROM cc JOIN yr y ON y.vec_id = cc.v),
+        |labeled AS (
+        |  SELECT vec_id,
+        |    min(vec_id) OVER (PARTITION BY component, sub) AS record_label
+        |  FROM split),
+        |orphans AS (
+        |  SELECT vec_id FROM yr WHERE vec_id NOT IN (SELECT v FROM cc)),
+        |assign_scored AS (
+        |  SELECT o.vec_id AS orphan_id, l.vec_id AS neighbor_id,
+        |    l.record_label,
+        |    round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (na.n * nb.n), 4)
+        |      AS cos4
+        |  FROM orphans o
+        |  CROSS JOIN labeled l
+        |  JOIN norms na ON na.vec_id = o.vec_id
+        |  JOIN norms nb ON nb.vec_id = l.vec_id),
+        |assigned AS (
+        |  SELECT orphan_id AS vec_id, record_label FROM (
+        |    SELECT orphan_id, record_label, cos4,
+        |      row_number() OVER (PARTITION BY orphan_id
+        |        ORDER BY cos4 DESC, neighbor_id ASC) AS rk
+        |    FROM assign_scored)
+        |  WHERE rk = 1 AND cos4 >= 0.3),
+        |singles AS (
+        |  SELECT vec_id, vec_id AS record_label FROM orphans
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM assigned))
+        |SELECT y.vec_id, y.year, u.record_label
+        |FROM yr y JOIN (SELECT vec_id, record_label FROM labeled
+        |                UNION ALL SELECT vec_id, record_label FROM assigned
+        |                UNION ALL SELECT vec_id, record_label FROM singles) u
+        |  ON u.vec_id = y.vec_id""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat

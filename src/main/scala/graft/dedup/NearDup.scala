@@ -133,41 +133,37 @@ object NearDup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Per-cluster local re-split: clusters whose members duplicate a
-    * constraint key (the reference's "duplicate report years") are split by
-    * greedy complete-linkage on a member-distance callback, entirely inside
-    * `flatMapGroups` — clusters are tiny, so the local algorithm is
-    * distributed-safe (one cluster per task). Reference: `split_clusters`
-    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:170-240`).
+  /** Re-split clusters whose members duplicate a constraint key (the
+    * reference's "duplicate report years"): greedy first-fit in member-id
+    * order — each member goes to the first sub-cluster not yet containing
+    * its key. Reference: `split_clusters`
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:170-240`;
+    * greedy first-fit stands in for its agglomerative re-split, deviation
+    * documented).
+    *
+    * First-fit collapses to a single window expression: the j-th occurrence
+    * of a key within a cluster (in id order) always lands in sub-cluster
+    * j−1. Induction: if every earlier occurrence i sits in sub i−1, then
+    * subs 0..j−2 all contain the key, sub j−1 does not (only occurrence j
+    * could have been placed there), and if sub j−1 doesn't exist yet the
+    * new sub is created at exactly index j−1 (subs 0..j−2 exist). So
+    * `sub_cluster = row_number over (cluster, key | order by id) − 1` —
+    * one shuffle on the cluster key, whole-stage codegen, no per-cluster
+    * local state (the earlier `flatMapGroups` form is equivalent;
+    * NearDupSplitSpec proves it against a set-based simulation).
     *
     * Input rows: (cluster, id, key). Output: (id, cluster, sub_cluster)
     * where no (cluster, sub_cluster) contains a duplicate key.
     */
   def splitClusters(df: DataFrame, clusterCol: String, idCol: String,
-                    keyCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(clusterCol).cast("long"), col(idCol).cast("long"),
-        col(keyCol).cast("string"))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (cluster, it) =>
-        val members = it.toArray.sortBy(_._2)
-        // greedy: place each member (id order) into the first sub-cluster
-        // not yet containing its key; deterministic and local
-        val subs = scala.collection.mutable.ArrayBuffer
-          .empty[(scala.collection.mutable.Set[String], Int)]
-        members.iterator.map { case (_, id, key) =>
-          val slot = subs.find(!_._1.contains(key)).getOrElse {
-            val s = (scala.collection.mutable.Set.empty[String], subs.length)
-            subs += s; s
-          }
-          slot._1 += key
-          (id, cluster, slot._2)
-        }
-      }
-      .toDF(idCol, clusterCol, "sub_cluster")
-  }
+                    keyCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+        col(clusterCol).cast("long").as(clusterCol),
+        col(keyCol).cast("string").as(keyCol))
+      .withColumn("sub_cluster",
+        (row_number().over(Window.partitionBy(col(clusterCol), col(keyCol))
+          .orderBy(col(idCol))) - 1).cast("int"))
+      .select(col(idCol), col(clusterCol), col("sub_cluster"))
 
   /** SimHash near-dup pairs: signatures within `maxHamming` bits. Candidate
     * generation is the classic band trick — split the 64-bit signature into

@@ -5,6 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
+import graft.graph.ConnectedComponents
+import graft.dedup.NearDup
+import graft.similarity.Similarity
 
 /** Record-linkage kit (SURVEY §2.11): TF-IDF term weighting, blocked fuzzy
   * joins, and pairwise match scoring — the Spark-first re-expression of the
@@ -64,5 +67,69 @@ object Linkage {
   def logisticScore(features: Seq[(Column, Double)], bias: Double): Column = {
     val z = features.map { case (f, w) => f * w }.reduce(_ + _) + lit(bias)
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Cross-year entity linkage — the full `link_ids_cross_year` graph
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:299-360`)
+    * re-expressed as a composition of the implemented distributed stages:
+    *
+    *  1. **Edges with year penalty**: banded sign-bit blocking +
+    *     exact-cosine filter ([[Similarity.cosineNearDupPairs]]) replaces
+    *     the O(n²) `DistanceMatrix` memmap; the reference's same-year
+    *     distance penalty (`compute_distance_with_year_penalty`) becomes
+    *     dropping same-year edges — the penalty exists precisely so DBSCAN
+    *     never merges two same-year records directly.
+    *  2. **Cluster**: eps-graph connected components
+    *     ([[ConnectedComponents.run]]) ≈ DBSCAN with min_samples≈1
+    *     (deviation documented at `cluster_records_dbscan`).
+    *  3. **Split**: same-year records can still chain together
+    *     transitively, so clusters with duplicate years are re-split
+    *     greedily per cluster ([[NearDup.splitClusters]]).
+    *  4. **Orphans**: unclustered records join the label of their nearest
+    *     clustered neighbor when cosine ≥ `assignThreshold` (the
+    *     reference's looser agglomerative `distance_threshold = 0.5`),
+    *     else keep a singleton label — single-linkage nearest-neighbor
+    *     stands in for average-linkage agglomerative (deviation noted at
+    *     `nearestAssign`).
+    *
+    * The stable `record_label` is the minimum member id of the final
+    * cluster — deterministic under any partitioning.
+    *
+    * @return (idCol, yearCol, record_label) */
+  def linkIdsCrossYear(records: DataFrame, idCol: String, yearCol: String,
+                       embCol: String, dim: Int, simThreshold: Double,
+                       assignThreshold: Double,
+                       nBits: Int = 24, bands: Int = 4): DataFrame = {
+    val ids = records.select(col(idCol).cast("long").as(idCol),
+      col(yearCol), col(embCol))
+    // 1. blocked near-pair edges, same-year pairs vetoed
+    val edges = Similarity
+      .cosineNearDupPairs(ids, idCol, embCol, dim, simThreshold, nBits, bands)
+      .join(ids.select(col(idCol).as("id_a"), col(yearCol).as("__ya")), "id_a")
+      .join(ids.select(col(idCol).as("id_b"), col(yearCol).as("__yb")), "id_b")
+      .where(col("__ya") =!= col("__yb"))
+      .select("id_a", "id_b")
+    // 2. cluster
+    val cc = ConnectedComponents.run(edges, "id_a", "id_b")
+      .withColumnRenamed("v", idCol)
+    // 3. re-split clusters that chained duplicate years together
+    val clustered = ids.join(cc, Seq(idCol))
+    val labeled = NearDup
+      .splitClusters(clustered, "component", idCol, yearCol)
+      .withColumn("record_label", min(col(idCol)).over(
+        Window.partitionBy(col("component"), col("sub_cluster"))))
+      .select(col(idCol), col("record_label"))
+    // 4. orphans: nearest clustered neighbor if close enough, else singleton
+    val orphans = ids.join(cc.select(idCol), Seq(idCol), "left_anti")
+    val assigned = Similarity
+      .nearestAssign(orphans, ids.join(labeled, Seq(idCol)),
+        idCol, embCol, "record_label")
+      .where(col("cosine") >= assignThreshold)
+      .select(col("orphan_id").as(idCol),
+        col("assigned_cluster").as("record_label"))
+    val singletons = orphans.join(assigned.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).cast("long").as("record_label"))
+    ids.select(col(idCol), col(yearCol))
+      .join(labeled.unionByName(assigned).unionByName(singletons), Seq(idCol))
   }
 }
