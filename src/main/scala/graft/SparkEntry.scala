@@ -983,8 +983,9 @@ object SparkEntry {
         col("coverage_hours"), col("data_fraction"), col("flag_bad_period"))
   }
 
-  // ---- §2.12 single-delta screen (sequential fixpoint per series; no SQL
-  // oracle — iterative removal is not SQL-expressible) ---------------------
+  // ---- §2.12 single-delta screen (sequential fixpoint per series; the
+  // two-pass fixpoint IS oracle-checked — DuckDB replays it as a
+  // list_reduce fold over each series, see oracleSql("q78_single_delta")) --
   // Reference: flag_single_delta / _find_single_delta
   // (/root/reference/src/pudl/analysis/timeseries_cleaning.py:1047-1185).
   private def q78(s: SparkSession, dir: String): DataFrame =

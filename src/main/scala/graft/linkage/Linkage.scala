@@ -95,11 +95,18 @@ object Linkage {
     * The stable `record_label` is the minimum member id of the final
     * cluster — deterministic under any partitioning.
     *
+    * `blockOrphans = true` routes step 4 through the banded LSH candidate
+    * join ([[Similarity.nearestAssignBlocked]], same plane family as step
+    * 1) — the 100 TB path, where the orphans × clustered cross join is the
+    * one remaining quadratic stage. Default `false` keeps the exact
+    * nearest-neighbor semantics (and the DuckDB-oracle replay of q97).
+    *
     * @return (idCol, yearCol, record_label) */
   def linkIdsCrossYear(records: DataFrame, idCol: String, yearCol: String,
                        embCol: String, dim: Int, simThreshold: Double,
                        assignThreshold: Double,
-                       nBits: Int = 24, bands: Int = 4): DataFrame = {
+                       nBits: Int = 24, bands: Int = 4,
+                       blockOrphans: Boolean = false): DataFrame = {
     val ids = records.select(col(idCol).cast("long").as(idCol),
       col(yearCol), col(embCol))
     // 1. blocked near-pair edges, same-year pairs vetoed
@@ -121,9 +128,13 @@ object Linkage {
       .select(col(idCol), col("record_label"))
     // 4. orphans: nearest clustered neighbor if close enough, else singleton
     val orphans = ids.join(cc.select(idCol), Seq(idCol), "left_anti")
-    val assigned = Similarity
-      .nearestAssign(orphans, ids.join(labeled, Seq(idCol)),
-        idCol, embCol, "record_label")
+    val labeledRows = ids.join(labeled, Seq(idCol))
+    val nearest =
+      if (blockOrphans) Similarity.nearestAssignBlocked(
+        orphans, labeledRows, idCol, embCol, "record_label", dim, nBits, bands)
+      else Similarity.nearestAssign(
+        orphans, labeledRows, idCol, embCol, "record_label")
+    val assigned = nearest
       .where(col("cosine") >= assignThreshold)
       .select(col("orphan_id").as(idCol),
         col("assigned_cluster").as("record_label"))

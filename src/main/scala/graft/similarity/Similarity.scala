@@ -34,6 +34,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine guarded for zero-norm vectors. A zero denominator is a runtime
+    * DIVIDE_BY_ZERO error under ANSI mode (Spark 4 default) and NaN/NULL
+    * otherwise — and NaN orders FIRST under `desc` (NaN is greatest) and
+    * passes `>= threshold`, where SQL engines produce NULL (sorts last,
+    * fails comparisons). `try_divide` + NaN/NULL → −1 (below any real
+    * cosine) makes every mode rank and threshold like the oracle's
+    * NULLS-last behavior. */
+  private def safeCosine(num: Column, denom: Column): Column =
+    coalesce(nanvl(try_divide(num, denom), lit(-1.0)), lit(-1.0))
+
   /** Exact top-k cosine neighbors for each query row (brute force).
     * Ranking uses the rounded cosine with an id tiebreak so ordering is
     * insensitive to last-bit float drift. */
@@ -45,8 +55,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
       .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
     val scored = q.crossJoin(c).where(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", round(
-        dotFast(col("q_emb"), col("c_emb")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -68,8 +78,43 @@ object Similarity {
         col(clusterCol).as("assigned_cluster"))
       .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
     val scored = o.crossJoin(c)
-      .withColumn("cosine", round(
-        dotFast(col("o_emb"), col("c_emb")) / (col("__on") * col("__cn")), 4))
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("o_emb"), col("c_emb")), col("__on") * col("__cn")), 4))
+    graft.operators.Dedup.keepFirst(scored, Seq("orphan_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc))
+      .select("orphan_id", "neighbor_id", "cosine", "assigned_cluster")
+  }
+
+  /** Scale path for [[nearestAssign]]: candidates come from the banded
+    * sign-bit LSH equi-join (same portable Rademacher planes as
+    * [[cosineNearDupPairs]]) instead of the orphans × clustered cross join.
+    * Shuffle keys are (band, bits); per-orphan candidate volume is
+    * ~ bands × clustered / 2^(nBits/bands). Narrow bands (bands = nBits →
+    * 1-bit bands) approach full recall at the cost of wider buckets; the
+    * default 6-bit bands match the near-dup blocking. An orphan whose every
+    * band bucket is empty gets no assignment (stays a singleton upstream) —
+    * the approximation the cross join avoids, traded for never
+    * materializing the product at 100 TB. */
+  def nearestAssignBlocked(orphans: DataFrame, clustered: DataFrame,
+                           idCol: String, embCol: String, clusterCol: String,
+                           dim: Int, nBits: Int = 24,
+                           bands: Int = 4): DataFrame = {
+    val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
+    def buckets(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(as), col("bb.band"), col("bb.bits"))
+    val cand = buckets(orphans, "orphan_id")
+      .join(buckets(clustered.select(idCol, embCol), "neighbor_id"),
+        Seq("band", "bits"))
+      .select("orphan_id", "neighbor_id").distinct()
+    val o = orphans.select(col(idCol).as("orphan_id"), col(embCol).as("o_emb"))
+      .withColumn("__on", sqrt(dotFast(col("o_emb"), col("o_emb"))))
+    val c = clustered.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb"), col(clusterCol).as("assigned_cluster"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    val scored = cand.join(o, "orphan_id").join(c, "neighbor_id")
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("o_emb"), col("c_emb")), col("__on") * col("__cn")), 4))
     graft.operators.Dedup.keepFirst(scored, Seq("orphan_id"),
         Seq(col("cosine").desc, col("neighbor_id").asc))
       .select("orphan_id", "neighbor_id", "cosine", "assigned_cluster")
@@ -166,8 +211,8 @@ object Similarity {
       .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
     queryCells.join(corpusCells, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", round(
-        dotFast(col("q_emb"), col("c_emb")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cosine").desc, col("c_id").asc)))
@@ -201,21 +246,29 @@ object Similarity {
     * band width. With the portable plane matrix the entire operator
     * (signatures → buckets → pairs → cosine) is replayable by the DuckDB
     * oracle, so it is hash-checked, not rows-only. */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                         dim: Int, threshold: Double, nBits: Int = 24,
-                         bands: Int = 4): DataFrame = {
+  /** Banded sign-bit signature structs for an embedding: `bands` structs of
+    * (band, bits) where bits packs `nBits/bands` portable Rademacher-plane
+    * signs. The shared candidate-generation key for the cosine family. */
+  private def bandedSignStructs(embCol: String, dim: Int, nBits: Int,
+                                bands: Int): Seq[Column] = {
     require(nBits % bands == 0, "bands must divide nBits")
     val w = nBits / bands
     val planes = rademacherPlanes(nBits, dim)
     val bitCols = planes.map { p =>
       dotFast(col(embCol), array(p.map(v => lit(v)): _*)) > 0
     }
-    val bandStructs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val bits = (0 until w)
         .map(r => when(bitCols(b * w + r), lit(1L << r)).otherwise(0L))
         .reduce(_.bitwiseOR(_))
       struct(lit(b).as("band"), bits.as("bits"))
     }
+  }
+
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, threshold: Double, nBits: Int = 24,
+                         bands: Int = 4): DataFrame = {
+    val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
     val buckets = df.select(col(idCol),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bits"))
@@ -230,8 +283,8 @@ object Similarity {
     val eb = emb.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
       col("__n").as("__nb"))
     cand.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("__cos",
-        dotFast(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .withColumn("__cos", safeCosine(
+        dotFast(col("__ea"), col("__eb")), col("__na") * col("__nb")))
       .where(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
   }
@@ -315,8 +368,8 @@ object Similarity {
       .select("q_id", "q_emb", "__qn", "c_id", "c_emb", "__cn")
       .dropDuplicates("q_id", "c_id")
     cand
-      .withColumn("cosine", round(
-        dotFast(col("q_emb"), col("c_emb")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cosine").desc, col("c_id").asc)))

@@ -37,6 +37,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@5 = $recall")
   }
 
+  test("zero-norm embeddings rank last (cosine NaN guarded to -1)") {
+    val orphans = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val clustered = Seq(
+      (1L, Array(0.0f, 0.0f), 100L), // zero norm: cosine would be NaN
+      (2L, Array(0.9f, 0.1f), 200L)
+    ).toDF("vec_id", "embedding", "cluster")
+    val out = Similarity.nearestAssign(orphans, clustered,
+      "vec_id", "embedding", "cluster").collect()
+    // Unguarded, NaN sorts first under desc and id 1 wins; guarded, the
+    // real neighbor (id 2) wins and the NaN pair scores -1.
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+    val top1 = Similarity.cosineTopK(
+      orphans, orphans.unionByName(clustered.drop("cluster")),
+      "vec_id", "embedding", 1).collect()
+    assert(top1(0).getLong(2) == 2L)
+  }
+
+  test("nearestAssignBlocked matches brute force with 1-bit bands") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val orphans = emb.where($"vec_id" < 15)
+    val clustered = emb.where($"vec_id" >= 15 && $"vec_id" < 200)
+      .withColumn("cluster", $"vec_id" % 7)
+    val exact = Similarity.nearestAssign(orphans, clustered,
+        "vec_id", "embedding", "cluster")
+      .select("orphan_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // 1-bit bands (bands = nBits): any pair agreeing on >=1 of 12 sign bits
+    // is a candidate -- near-full recall while staying an equi-join.
+    val blocked = Similarity.nearestAssignBlocked(orphans, clustered,
+        "vec_id", "embedding", "cluster", dim = 64, nBits = 12, bands = 12)
+      .select("orphan_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(blocked == exact, s"blocked=$blocked exact=$exact")
+  }
+
   test("ivfTopK achieves reasonable recall@5 vs brute force on fixtures") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.where($"vec_id" < 20)
