@@ -164,6 +164,44 @@ object Similarity {
       }: _*)
     }
 
+  /** Driver-side Lloyd iterations over a bounded sample: seeded distinct
+    * init, empty clusters keep their previous centroid. Deterministic given
+    * (sample order, seed). k·N·dim·iters ≈ 16·4096·64·8 ≈ 34M flops — µs-ms
+    * scale, no cluster work. */
+  private def localLloyd(sample: Array[Array[Float]], k: Int, iters: Int,
+                         seed: Long): Seq[Array[Float]] = {
+    require(sample.nonEmpty, "IVF quantizer needs a non-empty corpus sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(sample.indices.toVector).take(k).sorted
+    var centroids = init.map(i => sample(i).map(_.toDouble)).toArray
+    val kEff = centroids.length // k capped by sample size
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val diff = v(j) - centroids(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(kEff) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.map(_.toFloat)).toSeq
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path next to LSH: a k-means coarse quantizer (MLlib, deterministic
     * seed) partitions the corpus into `nCells` cells; each query probes its
@@ -176,37 +214,37 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, nCells: Int, nProbe: Int,
-              seed: Long = 42L, kmeansIters: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val train = corpus.select(
-      array_to_vector(col(embCol).cast("array<double>")).as("features"))
-    // random init (seeded): k-means|| costs several extra passes over the
-    // corpus for an init quality that does not matter here — the centroids
-    // only partition space for candidate routing, recall comes from nProbe
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(kmeansIters)
-      .setInitMode("random")
-      .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid") // tiny: broadcast dimension
-    // corpus rows live in their single nearest cell
-    val cDist = dotFast(col(embCol), col(embCol)) -
-      lit(2.0) * dotFast(col(embCol), col("centroid")) +
-      dotFast(col("centroid"), col("centroid"))
-    val corpusCells = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(cDist.asc, col("cell").asc)))
-      .where(col("__rk") === 1)
+              seed: Long = 42L, kmeansIters: Int = 20,
+              sampleN: Int = 4096): DataFrame = {
+    // Coarse quantizer trained on a bounded, deterministic sample — the
+    // standard IVF recipe at scale (FAISS trains on ~max(10k, 40·nCells)
+    // points regardless of corpus size): centroids only ROUTE candidates,
+    // recall comes from nProbe. sort+limit is a distributed TopK (no full
+    // collect), then Lloyd runs driver-side on ≤sampleN rows in ~ms —
+    // replacing kmeansIters full MLlib passes over the corpus.
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol), col(embCol)).sort(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = localLloyd(sample, nCells, kmeansIters, seed)
+    // Literal centroids → cell routing is one codegen expression per row:
+    // argmin over cells of |v−c|² = v·v − 2v·c + c·c, with the per-row v·v
+    // constant dropped (ordering only). array_sort on (dist, cell) structs
+    // orders by dist with the cell id as tiebreak. No shuffle, no window.
+    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(v => lit(v)): _*)
+      val cNorm2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      struct((lit(cNorm2) - lit(2.0) * dotFast(col(embCol), cArr)).as("dist"),
+        lit(i).as("cell"))
+    }
+    val cellsByDist = array_sort(array(cellStructs: _*))
+    val corpusCells = corpus
+      .withColumn("cell", element_at(cellsByDist, 1).getField("cell"))
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"), col("cell"))
       .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
     // queries probe their nProbe nearest cells
-    val queryCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(cDist.asc, col("cell").asc)))
-      .where(col("__rk") <= nProbe)
+    val queryCells = queries
+      .withColumn("cell", explode(
+        transform(slice(cellsByDist, 1, nProbe), s => s.getField("cell"))))
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("cell"))
       .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
     queryCells.join(corpusCells, Seq("cell"))
