@@ -121,11 +121,17 @@ object Linkage {
       .withColumnRenamed("v", idCol)
     // 3. re-split clusters that chained duplicate years together
     val clustered = ids.join(cc, Seq(idCol))
+    // (id, label) pairs are reused by three downstream branches (orphan
+    // scoring, the singleton anti-join, the final union); localCheckpoint
+    // materializes them once instead of re-running the split window per
+    // occurrence. Linkage labels are ids+longs — tiny relative to the
+    // embedding corpus at any scale.
     val labeled = NearDup
       .splitClusters(clustered, "component", idCol, yearCol)
       .withColumn("record_label", min(col(idCol)).over(
         Window.partitionBy(col("component"), col("sub_cluster"))))
       .select(col(idCol), col("record_label"))
+      .localCheckpoint()
     // 4. orphans: nearest clustered neighbor if close enough, else singleton
     val orphans = ids.join(cc.select(idCol), Seq(idCol), "left_anti")
     val labeledRows = ids.join(labeled, Seq(idCol))
@@ -138,6 +144,7 @@ object Linkage {
       .where(col("cosine") >= assignThreshold)
       .select(col("orphan_id").as(idCol),
         col("assigned_cluster").as("record_label"))
+      .localCheckpoint()
     val singletons = orphans.join(assigned.select(idCol), Seq(idCol), "left_anti")
       .select(col(idCol), col(idCol).cast("long").as("record_label"))
     ids.select(col(idCol), col(yearCol))

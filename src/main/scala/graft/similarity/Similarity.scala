@@ -127,16 +127,15 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id for an embedding column. Planes are float
-    * literal arrays so the projection runs through the native codegen
-    * `FloatDotProduct` — the interpreted higher-order fold was the hot
-    * path of bucket assignment. */
+  /** Sign-bit LSH bucket id for an embedding column. The whole plane
+    * matrix evaluates in ONE native `PlaneSignBits` node (constant float[]
+    * reference, codegen'd primitive loop) — bit i of the result is plane
+    * i's sign, identical to the per-plane `FloatDotProduct` form but
+    * without nBits × dim literal nodes in the plan. */
   def lshBucket(emb: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nBits, dim, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(v => lit(v.toFloat)): _*)
-      when(dotFast(emb, plane) > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    graft.plans.PlaneSignBits(emb,
+      planes.flatMap(_.map(_.toFloat)).toArray, dim)
   }
 
   /** All (table, bucket) memberships for an embedding: `tables` independent
@@ -155,12 +154,9 @@ object Similarity {
     else {
       val all = rademacherPlanes(tables * nBits, dim)
       array((0 until tables).map { t =>
-        val bits = (0 until nBits).map { i =>
-          val p = all(t * nBits + i)
-          when(dotFast(emb, array(p.map(v => lit(v)): _*)) > 0,
-            shiftleft(lit(1L), i)).otherwise(0L)
-        }.reduce(_.bitwiseOR(_))
-        struct(lit(t).as("tbl"), bits.as("bucket"))
+        val flat = (0 until nBits).flatMap(i => all(t * nBits + i)).toArray
+        struct(lit(t).as("tbl"),
+          graft.plans.PlaneSignBits(emb, flat, dim).as("bucket"))
       }: _*)
     }
 
@@ -226,17 +222,20 @@ object Similarity {
       .select(col(idCol), col(embCol)).sort(col(idCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     val centroids = localLloyd(sample, nCells, kmeansIters, seed)
-    // Literal centroids → cell routing is one codegen expression per row:
+    // Constant centroids → cell routing is one codegen expression per row:
     // argmin over cells of |v−c|² = v·v − 2v·c + c·c, with the per-row v·v
-    // constant dropped (ordering only). array_sort on (dist, cell) structs
-    // orders by dist with the cell id as tiebreak. No shuffle, no window.
-    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.map(v => lit(v)): _*)
-      val cNorm2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
-      struct((lit(cNorm2) - lit(2.0) * dotFast(col(embCol), cArr)).as("dist"),
-        lit(i).as("cell"))
-    }
-    val cellsByDist = array_sort(array(cellStructs: _*))
+    // constant dropped (ordering only). All centroid dots come from ONE
+    // PlaneProjections node (constant float[] matrix); array_sort on
+    // (dist, cell) structs orders by dist with the cell id as tiebreak.
+    // No shuffle, no window.
+    val dim = sample.head.length
+    val cNorms2 = array(centroids.map(c =>
+      lit(c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))): _*)
+    val distArr = zip_with(
+      graft.plans.PlaneProjections(col(embCol), centroids.flatten.toArray, dim),
+      cNorms2, (proj, n2) => n2 - lit(2.0) * proj)
+    val cellsByDist = array_sort(
+      transform(distArr, (d, i) => struct(d.as("dist"), i.as("cell"))))
     val corpusCells = corpus
       .withColumn("cell", element_at(cellsByDist, 1).getField("cell"))
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"), col("cell"))
@@ -291,14 +290,12 @@ object Similarity {
                                 bands: Int): Seq[Column] = {
     require(nBits % bands == 0, "bands must divide nBits")
     val w = nBits / bands
-    val planes = rademacherPlanes(nBits, dim)
-    val bitCols = planes.map { p =>
-      dotFast(col(embCol), array(p.map(v => lit(v)): _*)) > 0
-    }
+    val flat = rademacherPlanes(nBits, dim).flatten.toArray
+    // one signature node; band b = bits [b·w, (b+1)·w) of the signature —
+    // integer shift+mask instead of per-plane literal-array dots
+    val sig = graft.plans.PlaneSignBits(col(embCol), flat, dim)
     (0 until bands).map { b =>
-      val bits = (0 until w)
-        .map(r => when(bitCols(b * w + r), lit(1L << r)).otherwise(0L))
-        .reduce(_.bitwiseOR(_))
+      val bits = shiftright(sig, b * w).bitwiseAND(lit((1L << w) - 1))
       struct(lit(b).as("band"), bits.as("bits"))
     }
   }
@@ -360,28 +357,35 @@ object Similarity {
       }
       else Seq.fill(tables)(
         (Array.fill(dim)(rnd.nextGaussian().toFloat), rnd.nextDouble()))
-    val bandStructs = grids.zipWithIndex.map { case ((g, shift), t) =>
-      val proj = dotFast(col(embCol), array(g.map(v => lit(v)): _*))
-      struct(lit(t).as("tbl"),
-        floor(proj / w + lit(shift)).cast("long").as("bucket"))
-    }
+    // all grid projections in one PlaneProjections node, shifts as one
+    // literal array; zip_with + posexplode keeps the plan at a handful of
+    // nodes instead of tables × dim literals
+    val flat = grids.flatMap(_._1).toArray
+    val shifts = array(grids.map { case (_, s) => lit(s) }: _*)
+    val bucketArr = zip_with(
+      graft.plans.PlaneProjections(col(embCol), flat, dim), shifts,
+      (proj, shift) => floor(proj / w + shift).cast("long"))
     val buckets = df.select(col(idCol),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.tbl"), col("bb.bucket"))
+        posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    val e = df.select(col(idCol), col(embCol))
-    val ea = e.select(col(idCol).as("id_a"), col(embCol).as("__ea"))
-    val eb = e.select(col(idCol).as("id_b"), col(embCol).as("__eb"))
     // exact squared distance via the codegen dot product:
-    // |a-b|² = a·a - 2a·b + b·b
+    // |a-b|² = a·a - 2a·b + b·b, with the self-dots computed once per ROW
+    // (O(n)) instead of per pair (O(candidates)); the final expression
+    // keeps the same left-to-right association, so __d2 is bit-identical
+    val e = df.select(col(idCol), col(embCol))
+      .withColumn("__n2", dotFast(col(embCol), col(embCol)))
+    val ea = e.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col("__n2").as("__na2"))
+    val eb = e.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      col("__n2").as("__nb2"))
     cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("__d2",
-        dotFast(col("__ea"), col("__ea"))
+        col("__na2")
           - lit(2.0) * dotFast(col("__ea"), col("__eb"))
-          + dotFast(col("__eb"), col("__eb")))
+          + col("__nb2"))
       .where(col("__d2") <= eps * eps)
       .select(col("id_a"), col("id_b"),
         round(sqrt(greatest(col("__d2"), lit(0.0))), 6).as("dist"))
