@@ -1396,6 +1396,23 @@ object SparkEntry {
       "vec_id", "year", "embedding",
       dim = 64, simThreshold = 0.4, assignThreshold = 0.3)
 
+  // ---- §2.11 blocked fuzzy join under Jaro–Winkler ------------------------
+  // The reference's actual record-linkage string metric (recordlinkage's
+  // jarowinkler, embed_dataframe.py:346-371); q47 is the levenshtein twin.
+  // The native JaroWinkler expression matches DuckDB's
+  // jaro_winkler_similarity bit-for-bit, so the filter and the rounded
+  // similarity replay exactly.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nkey"), col("c_custkey"), col("c_name"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nkey"), col("s_suppkey"), col("s_name"))
+    Linkage.blockedFuzzyJoinJw(c, sup, Seq("nkey"), "c_name", "s_name",
+        minSim = 0.77)
+      .select(col("nkey"), col("c_custkey"), col("s_suppkey"),
+        round(col("name_sim"), 6).as("name_sim"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1498,6 +1515,7 @@ object SparkEntry {
     "q95_embedding_neardup" -> (q95 _),
     "q96_euclidean_pairs" -> (q96 _),
     "q97_link_cross_year" -> (q97 _),
+    "q98_jaro_winkler" -> (q98 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3126,6 +3144,16 @@ object SparkEntry {
         |                UNION ALL SELECT vec_id, record_label FROM assigned
         |                UNION ALL SELECT vec_id, record_label FROM singles) u
         |  ON u.vec_id = y.vec_id""".stripMargin,
+    // The native JaroWinkler expression replicates DuckDB's
+    // jaro_winkler_similarity (RapidFuzz semantics: boost threshold 0.7,
+    // prefix cap 4, summed m/len1 + m/len2 + (m-t)/m then one /3) with the
+    // same double association order — filter and rounded value replay
+    // bit-for-bit.
+    "q98_jaro_winkler" ->
+      """SELECT c_nationkey AS nkey, c_custkey, s_suppkey,
+        |  round(jaro_winkler_similarity(c_name, s_name), 6) AS name_sim
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE jaro_winkler_similarity(c_name, s_name) >= 0.77""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat

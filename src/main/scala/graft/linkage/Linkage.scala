@@ -59,6 +59,21 @@ object Linkage {
       .withColumn("name_dist", levenshtein(col(leftText), col(rightText)))
       .where(col("name_dist") <= maxDist)
 
+  /** Blocked fuzzy join under Jaro–Winkler — the reference's actual string
+    * metric (recordlinkage's jarowinkler,
+    * `/root/reference/src/pudl/analysis/record_linkage/embed_dataframe.py:346-371`):
+    * equi-join on `blockKeys`, keep pairs with similarity >= `minSim`. The
+    * native [[graft.plans.JaroWinkler]] expression matches DuckDB's
+    * `jaro_winkler_similarity` bit-for-bit, so the operator is
+    * SQL-oracle-replayable. */
+  def blockedFuzzyJoinJw(left: DataFrame, right: DataFrame,
+                         blockKeys: Seq[String], leftText: String,
+                         rightText: String, minSim: Double): DataFrame =
+    left.join(right, blockKeys)
+      .withColumn("name_sim",
+        graft.plans.JaroWinkler(col(leftText), col(rightText)))
+      .where(col("name_sim") >= minSim)
+
   /** Logistic match score over fixed-weight features — the shape of the
     * reference's pair-match model
     * (`/root/reference/src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:137-393`)

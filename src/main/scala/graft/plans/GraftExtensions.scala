@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(args(0), n)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (boost threshold 0.7, prefix cap 4)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler expects 2 arguments")
+        JaroWinkler(args(0), args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // the portable 60-bit MD5-prefix hash (graft.functions.PortableHash) as
     // a SQL function — same composed Catalyst tree as the Column form, so
     // results are bit-identical to DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT

@@ -30,6 +30,9 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val h = spark.sql("SELECT hex60('0_the') AS h").head().getLong(0)
       assert(h == graft.functions.PortableHash.hex60("0_the"))
       assert(h == 318072122888941889L)
+      val jw = spark.sql(
+        "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head().getDouble(0)
+      assert(jw == 0.9611111111111111)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

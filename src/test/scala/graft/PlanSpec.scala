@@ -9,6 +9,25 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("JaroWinklerAlgo matches DuckDB jaro_winkler_similarity semantics") {
+    import graft.plans.JaroWinklerAlgo.compute
+    // expected values probed from DuckDB 1.x jaro_winkler_similarity
+    assert(compute("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(compute("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(compute("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(compute("abc", "abc") == 1.0)
+    assert(compute("abc", "") == 0.0)
+    assert(compute("", "") == 0.0) // DuckDB: both-empty is 0, not 1
+    assert(compute("ab", "ba") == 0.0) // window 0: no matches
+    assert(compute("prefixaaaa", "prefixbbbb") == 0.8400000000000001)
+    assert(compute("CRATE", "TRACE") == 0.7333333333333334) // no common prefix
+    // boost gate: jaro 0.683 < 0.7 -> NO prefix boost despite shared prefix
+    assert(compute("x", "xyyyyyyyyyyyyyyyyyyy") == 0.6833333333333332 ||
+      compute("x", "xyyyyyyyyyyyyyyyyyyy") == 0.6833333333333333)
+    assert(compute("ab", "abzzzzzzzzzzzz") == 0.7714285714285715 ||
+      compute("ab", "abzzzzzzzzzzzz") == 0.7714285714285714)
+  }
+
   test("q02 star join broadcasts dims, no nested-loop join") {
     val p = plan("q02_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
