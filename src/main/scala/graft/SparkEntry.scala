@@ -1152,13 +1152,14 @@ object SparkEntry {
         col("n_name"), col("ring_area"))
   }
 
-  // ---- similarity search: IVF ANN (k-means coarse quantizer; recall-
-  // tested vs exact in SimilaritySpec, no SQL oracle — approximate) --------
+  // ---- similarity search: IVF ANN (portable sampled-seed quantizer —
+  // seed set, cell assignment, probes and ranking all replayed by the
+  // DuckDB oracle; the Lloyd-trained variant stays recall-tested in
+  // SimilaritySpec) --------------------------------------------------------
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb.where(col("vec_id") < 20), emb,
-      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16, nProbe = 4,
-      kmeansIters = 8)
+    Similarity.ivfTopKSeeded(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16, nProbe = 4)
   }
 
   // ---- §2.13 polygon clipping (self_union core): ring ∩ convex window ----
@@ -2645,6 +2646,48 @@ object SparkEntry {
         |SELECT p.c_custkey, p.px, p.py, r.n_nationkey, r.n_name, r.ring_area
         |FROM points p LEFT JOIN r2 r
         |  ON p.px >= r.x1 AND p.px < r.x2 AND p.py >= r.y1 AND p.py < r.y2""".stripMargin,
+    "q85_ivf_ann" ->
+      """WITH hashed AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id, embedding FROM hashed
+        |  ORDER BY h, vec_id::VARCHAR LIMIT 16),
+        |cells AS (
+        |  SELECT embedding AS s_emb,
+        |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS cell
+        |  FROM hashed WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        |cd AS (
+        |  SELECT e.vec_id AS id, e.embedding AS emb, c.cell,
+        |    round(
+        |      list_sum(list_transform(c.s_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.s_emb),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS dist
+        |  FROM embeddings e, cells c),
+        |assigned AS (
+        |  SELECT id AS c_id, emb AS c_emb, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY dist, cell) AS rn FROM cd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT id AS q_id, emb AS q_emb, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY dist, cell) AS rn FROM cd WHERE id < 20) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(q_emb, c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosine
+        |  FROM probes JOIN assigned USING (cell) WHERE q_id <> c_id)
+        |SELECT q_id, rk, c_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q86_convex_clip" ->
       """SELECT n_nationkey,
         |  (n_nationkey % 5) * 20.0e0 AS x1,

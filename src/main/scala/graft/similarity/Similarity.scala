@@ -222,18 +222,52 @@ object Similarity {
       .select(col(idCol), col(embCol)).sort(col(idCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     val centroids = localLloyd(sample, nCells, kmeansIters, seed)
+    ivfRank(queries, corpus, idCol, embCol, k, centroids, nProbe,
+      roundedRouting = false)
+  }
+
+  /** Portable IVF — same routing/ranking as [[ivfTopK]], but the coarse
+    * quantizer is the `nCells` corpus rows with the smallest portable hash
+    * `hex60("ivf_" || id)` (ties by id-as-string), used directly as
+    * centroids with no Lloyd refinement. Sampled-seed init is a standard
+    * IVF quantizer (recall still comes from `nProbe`, cells are merely
+    * routing); picking seeds by a deterministic engine-portable hash makes
+    * the ENTIRE operator — seed set, cell assignment, probe set, final
+    * ranking — replayable by the DuckDB oracle, so the approximate ANN path
+    * graduates from rows-only to hash-checked. Cell-routing distances are
+    * rounded (4 dp, cell-id tiebreak) so argmin agrees across engines
+    * despite summation-order float drift. */
+  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, k: Int, nCells: Int,
+                    nProbe: Int): DataFrame = {
+    val centroids: Seq[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("__sid"), col(embCol).as("__emb"))
+      .withColumn("__h",
+        graft.functions.PortableHash.hex60(concat(lit("ivf_"), col("__sid"))))
+      .sort(col("__h"), col("__sid")).limit(nCells) // distributed TopK
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    ivfRank(queries, corpus, idCol, embCol, k, centroids, nProbe,
+      roundedRouting = true)
+  }
+
+  /** Shared IVF routing/ranking for a constant centroid matrix. */
+  private def ivfRank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int, centroids: Seq[Array[Float]],
+                      nProbe: Int, roundedRouting: Boolean): DataFrame = {
     // Constant centroids → cell routing is one codegen expression per row:
     // argmin over cells of |v−c|² = v·v − 2v·c + c·c, with the per-row v·v
     // constant dropped (ordering only). All centroid dots come from ONE
     // PlaneProjections node (constant float[] matrix); array_sort on
     // (dist, cell) structs orders by dist with the cell id as tiebreak.
     // No shuffle, no window.
-    val dim = sample.head.length
+    val dim = centroids.head.length
     val cNorms2 = array(centroids.map(c =>
       lit(c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))): _*)
-    val distArr = zip_with(
+    val rawDist = zip_with(
       graft.plans.PlaneProjections(col(embCol), centroids.flatten.toArray, dim),
       cNorms2, (proj, n2) => n2 - lit(2.0) * proj)
+    val distArr =
+      if (roundedRouting) transform(rawDist, d => round(d, 4)) else rawDist
     val cellsByDist = array_sort(
       transform(distArr, (d, i) => struct(d.as("dist"), i.as("cell"))))
     val corpusCells = corpus

@@ -81,4 +81,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
+
+  test("ivfTopKSeeded (portable quantizer) keeps reasonable recall@5") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKSeeded(q, emb, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"seeded IVF recall@5 = $recall")
+  }
 }
