@@ -1414,6 +1414,21 @@ object SparkEntry {
         round(col("name_sim"), 6).as("name_sim"))
   }
 
+  // ---- §2.11 orphan assignment, LSH scale path ---------------------------
+  // The banded sign-bit blocked variant of q66's brute-force nearest
+  // assignment (match_orphaned_records, link_cross_year.py:241-299): the
+  // orphans × clustered product never forms — candidates meet on the
+  // (band, bits) equi-join over portable Rademacher planes, so the DuckDB
+  // oracle replays blocking, scoring and top-1 exactly.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val orphans = emb.where(col("vec_id") < 50)
+    val clustered = emb.where(col("vec_id") >= 50)
+      .withColumn("cluster", col("vec_id") % 7)
+    Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
+      "embedding", "cluster", dim = 64, nBits = 24, bands = 4)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1517,6 +1532,7 @@ object SparkEntry {
     "q96_euclidean_pairs" -> (q96 _),
     "q97_link_cross_year" -> (q97 _),
     "q98_jaro_winkler" -> (q98 _),
+    "q99_orphan_assign_lsh" -> (q99 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3197,6 +3213,46 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(c_name, s_name), 6) AS name_sim
         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
         |WHERE jaro_winkler_similarity(c_name, s_name) >= 0.77""".stripMargin,
+    // Blocked orphan assignment: same portable 24-plane / 6-bit-band
+    // blocking as q95, then exact-cosine top-1 inside candidate buckets.
+    "q99_orphan_assign_lsh" ->
+      """WITH signs AS (
+        |  SELECT i, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+        |           % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+        |  FROM range(0, 24) t(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.i,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+        |  FROM embeddings e CROSS JOIN signs s),
+        |bits AS (
+        |  SELECT vec_id, i // 6 AS band,
+        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT o.vec_id AS orphan_id, c.vec_id AS neighbor_id
+        |  FROM bits o JOIN bits c ON o.band = c.band AND o.bits = c.bits
+        |  WHERE o.vec_id < 50 AND c.vec_id >= 50),
+        |norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT orphan_id, neighbor_id,
+        |    round(list_sum(list_transform(list_zip(o.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (o.n * c.n),
+        |      4) AS cosine
+        |  FROM cand
+        |  JOIN norms o ON o.vec_id = orphan_id
+        |  JOIN norms c ON c.vec_id = neighbor_id)
+        |SELECT orphan_id, neighbor_id, cosine,
+        |  neighbor_id % 7 AS assigned_cluster
+        |FROM (SELECT *, row_number() OVER (PARTITION BY orphan_id
+        |        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+        |WHERE rk = 1""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat
