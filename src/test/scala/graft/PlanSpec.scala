@@ -64,4 +64,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "map-side combine missing")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q99 blocked orphan assignment never forms a cross product") {
+    val p = plan("q99_orphan_assign_lsh")
+    // candidates must meet on the (band, bits) equi-join, neither as a
+    // cartesian product nor as a broadcast nested loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q85 IVF cell routing is shuffle-free scan-side work") {
+    val df = SparkEntry.queries("q85_ivf_ann")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // corpus-side cell assignment is a per-row expression over constant
+    // centroids: the only exchanges allowed are the candidate join and the
+    // per-query top-k window, never a cross product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -68,6 +68,58 @@ class XbrlSpec extends SparkSpec {
     assert(name.getAs[String]("value") == "Acme Power C002")
   }
 
+  test("parseInstance round-trips arbitrary generated facts") {
+    // property-style round trip on seeded random instances: serialize
+    // random facts to instance XML, parse, compare field-by-field —
+    // including XML-escaped text values
+    val rnd = new scala.util.Random(42L)
+    (0 until 10).foreach { trial =>
+      val nCtx = 1 + rnd.nextInt(4)
+      val ctxs = (0 until nCtx).map { c =>
+        val inst = rnd.nextBoolean()
+        (s"ctx$c", inst,
+          f"20${10 + rnd.nextInt(15)}%d-01-01", f"20${10 + rnd.nextInt(15)}%d-12-31")
+      }
+      val facts = (0 until 1 + rnd.nextInt(8)).map { f =>
+        val (cid, _, _, _) = ctxs(rnd.nextInt(nCtx))
+        val value = rnd.nextInt(4) match {
+          case 0 => s"${rnd.nextInt(100000)}"
+          case 1 => s"name & <co> ${rnd.nextInt(99)}"   // escaping
+          case 2 => s"  padded ${rnd.nextInt(99)}  "    // trimming
+          case _ => s"${rnd.nextDouble()}"
+        }
+        (s"Concept$f", cid, value)
+      }
+      def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      val xml = new StringBuilder(
+        """<?xml version="1.0"?><xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance" xmlns:t="http://example.com/t">""")
+      ctxs.foreach { case (cid, inst, d0, d1) =>
+        xml.append(s"""<xbrli:context id="$cid"><xbrli:entity>""")
+          .append(s"""<xbrli:identifier scheme="s">E$trial</xbrli:identifier>""")
+          .append("</xbrli:entity><xbrli:period>")
+          .append(
+            if (inst) s"<xbrli:instant>$d1</xbrli:instant>"
+            else s"<xbrli:startDate>$d0</xbrli:startDate><xbrli:endDate>$d1</xbrli:endDate>")
+          .append("</xbrli:period></xbrli:context>")
+      }
+      facts.foreach { case (concept, cid, value) =>
+        xml.append(s"""<t:$concept contextRef="$cid">${esc(value)}</t:$concept>""")
+      }
+      xml.append("</xbrli:xbrl>")
+      val parsed = XbrlReader.parseInstance(
+        xml.toString.getBytes("UTF-8"), s"trial$trial")
+      assert(parsed.length == facts.length)
+      facts.zip(parsed).foreach { case ((concept, cid, value), row) =>
+        val ctx = ctxs.find(_._1 == cid).get
+        assert(row(2) == concept)
+        assert(row(3) == cid)
+        assert(row(1) == s"E$trial")
+        assert(row(4) == (if (ctx._2) "instant" else "duration"))
+        assert(row(10) == value.trim)
+      }
+    }
+  }
+
   test("instant/duration pivots split facts by period type") {
     val dir = Files.createTempDirectory("graft_xbrl2").toString
     Files.writeString(Paths.get(dir, "f1.xbrl"), instanceXml("C001", 2023))
