@@ -1429,6 +1429,19 @@ object SparkEntry {
       "embedding", "cluster", dim = 64, nBits = 24, bands = 4)
   }
 
+  // ---- training-data pipeline: incremental batch-vs-history dedup -------
+  // The production dedup shape: a new ingest batch screened against the
+  // historical corpus (exact fingerprint probe, then MinHash band-bucket
+  // candidates, history never re-shuffled). Portable family → the oracle
+  // replays fingerprints, signatures, buckets, best-match and labels.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    NearDup.incrementalDedup(
+      docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+      "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+      threshold = 0.35, family = graft.functions.PortableHashFamily)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1533,6 +1546,7 @@ object SparkEntry {
     "q97_link_cross_year" -> (q97 _),
     "q98_jaro_winkler" -> (q98 _),
     "q99_orphan_assign_lsh" -> (q99 _),
+    "q100_incremental_dedup" -> (q100 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3253,6 +3267,69 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY orphan_id
         |        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
         |WHERE rk = 1""".stripMargin,
+    // Incremental batch-vs-history dedup: exact fingerprint probe (q39's
+    // normalization), then the q41 MinHash machinery restricted to
+    // new-batch survivors × history, best match by (est DESC, hist id ASC).
+    "q100_incremental_dedup" ->
+      """WITH fph AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    min(doc_id) AS exact_match_id
+        |  FROM documents WHERE doc_id < 400 GROUP BY 1),
+        |ex AS (
+        |  SELECT n.doc_id, fph.exact_match_id
+        |  FROM documents n LEFT JOIN fph
+        |    ON md5(trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))) = fph.fp
+        |  WHERE n.doc_id >= 400),
+        |words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+        |  WHERE len(wl) >= 3),
+        |consts AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('a_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substr(md5('b_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 32) t(i)),
+        |sx AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
+        |  FROM sh),
+        |hs AS (
+        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS h
+        |  FROM sx CROSS JOIN consts GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    ('0x' || substr(md5(string_agg(h::VARCHAR, '_' ORDER BY i)), 1, 15))::BIGINT
+        |      AS bucket
+        |  FROM hs GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS nid, h.doc_id AS hid
+        |  FROM bnd n JOIN bnd h ON n.band = h.band AND n.bucket = h.bucket
+        |  WHERE n.doc_id >= 400 AND h.doc_id < 400
+        |    AND n.doc_id IN (SELECT doc_id FROM ex WHERE exact_match_id IS NULL)),
+        |eq AS (
+        |  SELECT nid, hid, sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS neq
+        |  FROM cand
+        |  JOIN hs ha ON ha.doc_id = nid
+        |  JOIN hs hb ON hb.doc_id = hid AND hb.i = ha.i
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT nid, hid, est FROM (
+        |    SELECT nid, hid, CAST(neq AS DOUBLE) / 32 AS est,
+        |      row_number() OVER (PARTITION BY nid
+        |        ORDER BY CAST(neq AS DOUBLE) / 32 DESC, hid ASC) AS rn
+        |    FROM eq WHERE CAST(neq AS DOUBLE) / 32 >= 0.35) WHERE rn = 1)
+        |SELECT ex.doc_id,
+        |  CASE WHEN ex.exact_match_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN best.hid IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS status,
+        |  coalesce(ex.exact_match_id, best.hid) AS match_id,
+        |  best.est AS est_jaccard
+        |FROM ex LEFT JOIN best ON best.nid = ex.doc_id""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat

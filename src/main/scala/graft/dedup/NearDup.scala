@@ -133,6 +133,89 @@ object NearDup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental corpus dedup — the production shape of dedup at 100 TB:
+    * screen a NEW ingest batch against the HISTORICAL corpus without
+    * re-shuffling history per batch.
+    *
+    *   1. exact: the batch's content fingerprints probe the historical
+    *      fingerprint index. At scale that index is a bucketed-by-
+    *      fingerprint artifact (optionally behind a Bloom-filter
+    *      pre-screen), so history contributes a bucketed scan per batch,
+    *      never a shuffle.
+    *   2. near-dup: surviving docs' MinHash band buckets equi-join the
+    *      historical band-bucket index (precomputed once per corpus
+    *      version); exact signature comparison runs only inside candidate
+    *      buckets; best match = max estimated Jaccard, min historical id
+    *      tiebreak.
+    *
+    * Every new-batch doc comes back labeled `exact_dup` (fingerprint
+    * collision with history — match_id = min colliding id, no est),
+    * `near_dup` (est_jaccard ≥ threshold vs some historical doc), or
+    * `unique`. Exact wins over near. Within-batch duplicates are the
+    * batch-local problem ([[exactDupGroups]] / [[minhashLshPairs]] on the
+    * batch alone); this operator is the batch-vs-history stage.
+    * est_jaccard is k/numHashes — an exact binary fraction for
+    * power-of-two numHashes, so engines agree bit-for-bit. */
+  def incrementalDedup(newBatch: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                       threshold: Double = 0.5,
+                       family: graft.functions.HashFamily =
+                         graft.functions.XxHashFamily): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val histIdx = history
+      .select(fp.as("__fp"), col(idCol).as("__hid"))
+      .groupBy("__fp").agg(min(col("__hid")).as("exact_match_id"))
+    val exact = newBatch.select(col(idCol), col(textCol))
+      .withColumn("__fp", fp)
+      .join(histIdx, Seq("__fp"), "left")
+    val survivors = exact.where(col("exact_match_id").isNull)
+      .select(col(idCol), col(textCol))
+
+    def sigOf(df: DataFrame) = minhashSignatures(
+      wordShingles(df, idCol, textCol, shingleN), idCol, numHashes, family)
+    def bucketsOf(sig: DataFrame, as: String) = {
+      val bandStructs = (0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), family.combine(slice).as("bucket"))
+      }
+      sig.select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(as), col("bb.band"), col("bb.bucket"))
+    }
+    val sigNew = sigOf(survivors).cache()
+    val sigHist = sigOf(history).cache()
+    val cand = bucketsOf(sigNew, "__nid")
+      .join(bucketsOf(sigHist, "__hid"), Seq("band", "bucket"))
+      .select("__nid", "__hid").distinct()
+    val hCols = (0 until numHashes).map(i => col(s"h$i"))
+    val sigA = sigNew.select(col(idCol).as("__nid") +:
+      hCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
+    val sigB = sigHist.select(col(idCol).as("__hid") +:
+      hCols.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+    val eq = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val best = graft.operators.Dedup.keepFirst(
+      cand.join(sigA, "__nid").join(sigB, "__hid")
+        .withColumn("__est", eq.cast("double") / numHashes)
+        .where(col("__est") >= threshold),
+      Seq("__nid"), Seq(col("__est").desc, col("__hid").asc))
+      .select(col("__nid").as(idCol), col("__hid").as("near_match_id"),
+        col("__est").as("est_jaccard"))
+
+    exact.select(col(idCol), col("exact_match_id"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_match_id").isNotNull, lit("exact_dup"))
+          .when(col("near_match_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"),
+        col("est_jaccard"))
+  }
+
   /** Re-split clusters whose members duplicate a constraint key (the
     * reference's "duplicate report years"): greedy first-fit in member-id
     * order — each member goes to the first sub-cluster not yet containing

@@ -111,4 +111,31 @@ class TextDedupSpec extends SparkSpec {
       assert(hit == exact.size, s"simhash missed exact dup pairs: $hit/${exact.size}")
     }
   }
+
+  test("incrementalDedup labels batch docs against history") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val history = docs.where(col("doc_id") < 400)
+    val batch = docs.where(col("doc_id") >= 400)
+    val out = graft.dedup.NearDup.incrementalDedup(
+      batch, history, "doc_id", "text", threshold = 0.35)
+    val rows = out.collect()
+    // total coverage: every batch doc labeled exactly once
+    assert(rows.length == batch.count())
+    assert(rows.map(_.getAs[String]("status")).toSet
+      .subsetOf(Set("exact_dup", "near_dup", "unique")))
+    // exact dups agree with a direct fingerprint join
+    val fpJoin = graft.dedup.NearDup.exactDupGroups(docs, "doc_id", "text")
+      .where(col("doc_id") >= 400 && col("canonical_id") < 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotExact = rows.filter(_.getAs[String]("status") == "exact_dup")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotExact == fpJoin, s"exact sets differ: $gotExact vs $fpJoin")
+    // every match id points into history, never into the batch
+    rows.filter(_.getAs[String]("status") != "unique")
+      .foreach(r => assert(r.getAs[Long]("match_id") < 400))
+    // near-dup estimates respect the threshold
+    rows.filter(_.getAs[String]("status") == "near_dup")
+      .foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.35))
+  }
 }
