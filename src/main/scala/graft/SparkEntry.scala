@@ -674,7 +674,9 @@ object SparkEntry {
       InRange("orders:totalprice_range", "o_totalprice", 0, 1000000),
       InEnum("orders:status_enum", "o_orderstatus", Seq("O", "F", "P")),
       ColumnsRatio("orders:price_self_ratio", "o_totalprice", "o_totalprice",
-        0.999, 1.001)))
+        0.999, 1.001),
+      ForeignKey("orders:custkey_fk", Seq("o_custkey"),
+        t(s, dir, "customer"), Seq("c_custkey"))))
   }
 
   // ---- §2.11 DBSCAN-approximation: eps-graph + connected components ------
@@ -2147,7 +2149,13 @@ object SparkEntry {
         |SELECT 'orders:price_self_ratio',
         |  (sum(o_totalprice) / sum(o_totalprice)) BETWEEN 0.999 AND 1.001,
         |  CAST(round(sum(o_totalprice) / sum(o_totalprice) * 1e6) AS BIGINT)
-        |FROM orders""".stripMargin,
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders:custkey_fk', count(*) = 0, count(*)
+        |FROM orders o
+        |WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)""".stripMargin,
     "q58_dbscan_clusters" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, embedding FROM embeddings),

@@ -47,6 +47,15 @@ object CheckRunner {
     * continuity; `asset_checks.py:221-263` group-mean continuity twin). */
   case class ChangeWithinRatio(name: String, periodCol: String,
                                valueCol: String, ratio: Double) extends Check
+  /** Referential integrity (`pudl_check_fks`,
+    * `/root/reference/src/pudl/validate/integrity.py:109-160`): child rows
+    * whose key tuple is absent from the parent. SQL FK semantics — a tuple
+    * containing a NULL passes. Cross-table, so the check carries its parent
+    * frame; the anti-join broadcasts when the parent key set is small, and
+    * at scale the distinct parent keys shuffle once per suite run. */
+  case class ForeignKey(name: String, childCols: Seq[String],
+                        parent: DataFrame,
+                        parentCols: Seq[String]) extends Check
 
   /** One row per check: (check_name, passed, observed). Fully lazy — each
     * check is a one-row aggregation, the union is a single plan evaluated
@@ -88,6 +97,16 @@ object CheckRunner {
           .select(lit(n).as("check_name"),
             col("__q").between(lo, hi).as("passed"),
             round(col("__q") * 1e6).cast("long").as("observed"))
+      case ForeignKey(n, cc, parent, pc) =>
+        val child = df.select(cc.map(col): _*)
+          .where(cc.map(col(_).isNotNull).reduce(_ && _))
+        val par = parent
+          .select(pc.zip(cc).map { case (p, c) => col(p).as(c) }: _*)
+          .distinct()
+        child.join(par, cc, "left_anti")
+          .agg(count(lit(1)).as("observed"))
+          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+            col("observed"))
       case ChangeWithinRatio(n, period, v, ratio) =>
         import org.apache.spark.sql.expressions.Window
         df.groupBy(col(period)).agg(sum(col(v)).as("__t"))

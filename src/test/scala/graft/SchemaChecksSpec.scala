@@ -49,6 +49,20 @@ class SchemaChecksSpec extends SparkSpec {
     assert(med == 1.0) // cum 5 of 10 reaches exactly half
   }
 
+  test("ForeignKey counts child keys absent from the parent, nulls pass") {
+    val child = Seq((1, 10), (2, 10), (3, 99), (4, 98))
+      .toDF("id", "parent_id")
+      .withColumn("parent_id",
+        org.apache.spark.sql.functions.when($"id" === 4, null)
+          .otherwise($"parent_id"))
+    val parent = Seq((10, "a"), (20, "b")).toDF("pk", "name")
+    val out = CheckRunner.run(child, Seq(
+        CheckRunner.ForeignKey("child:fk", Seq("parent_id"), parent, Seq("pk"))))
+      .collect().head
+    assert(!out.getBoolean(1))
+    assert(out.getLong(2) == 1) // only id=3 violates; id=4's NULL passes
+  }
+
   test("ParquetSink writes enforced schema with partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val df = Seq((1, "A", 5.0), (2, "B", 3.0)).toDF("id", "flag", "v")
