@@ -924,6 +924,27 @@ object SparkEntry {
       .withColumn("rev_share_q", round(col("month_rev") / col("quarter_rev"), 6))
   }
 
+  // ---- §2.5 multi-grain aggregation in ONE shuffle: rollup ---------------
+  // The one-pass twin of q51's unioned grain groupBys (plant-parts
+  // aggregation, /root/reference/src/pudl/analysis/plant_parts_eia.py:594-1102):
+  // ROLLUP computes every hierarchy level in a single partial+final
+  // aggregation instead of re-scanning the base per grain — at 100 TB, one
+  // shuffle instead of |grains|. grouping() disambiguates subtotal rows
+  // from genuine NULL keys.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+    base.rollup(col("n_regionkey"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_rows"),
+        (grouping(col("n_regionkey")) * 2 + grouping(col("n_name")))
+          .cast("long").as("gid"))
+      .select("n_regionkey", "n_name", "gid", "revenue", "n_rows")
+  }
+
   // ---- §2.6 quantile-breakpoint binning (qcut semantics, not ntile) ------
   // Reference: assign_groupwise_load_factor_bins
   // (/root/reference/src/pudl/analysis/operational_characteristics.py:182-268)
@@ -1522,6 +1543,7 @@ object SparkEntry {
     "q70_cleaning_chain" -> (q70 _),
     "q71_flag_pipeline" -> (q71 _),
     "q72_date_merge_quarter" -> (q72 _),
+    "q73_rollup_grains" -> (q73 _),
     "q74_quantile_bins" -> (q74 _),
     "q75_local_outlier" -> (q75 _),
     "q76_anomalous_region" -> (q76 _),
@@ -2388,6 +2410,15 @@ object SparkEntry {
         |FROM monthly m LEFT JOIN quarterly q
         |  ON m.l_suppkey = q.l_suppkey
         |  AND CAST(date_trunc('quarter', m.ship_month) AS TIMESTAMP) = q.ship_quarter""".stripMargin,
+    "q73_rollup_grains" ->
+      """SELECT n_regionkey, n_name,
+        |  CAST(GROUPING(n_regionkey) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_regionkey, n_name)""".stripMargin,
     "q74_quantile_bins" ->
       """WITH breaks AS (
         |  SELECT event_type,
