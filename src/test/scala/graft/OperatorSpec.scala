@@ -129,6 +129,31 @@ class OperatorSpec extends SparkSpec {
     assert(local(6L) == 1L && local(12L) == 10L && local(21L) == 20L)
   }
 
+  test("ConnectedComponents.runStars equals union-find on random graphs") {
+    import org.apache.spark.sql.functions.col
+    // random sparse graphs across densities and a worst-case path graph
+    // (long diameter — the shape star contraction exists for)
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .toDF("src", "dst")
+      val expect = graph.ConnectedComponents.run(edges, "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val stars = graph.ConnectedComponents.runStars(edges, "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(stars == expect, s"seed=$seed")
+    }
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainLabels = graph.ConnectedComponents.runStars(chain, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chainLabels.size == 41 && chainLabels.values.forall(_ == 0L))
+    // self-loop-only vertex stays its own component
+    val loops = Seq((7L, 7L), (1L, 2L)).toDF("src", "dst")
+    val loopLabels = graph.ConnectedComponents.runStars(loops, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loopLabels == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
     val a = Seq((1, "x", 10.2), (2, "p", 7.0)).toDF("k", "seg", "bal")
     val b = Seq((1, "x", 11.0), (1, "y", 9.0), (2, "q", 7.3), (2, "q", 7.4))
