@@ -171,9 +171,13 @@ object NearDup {
     val exact = newBatch.select(col(idCol), col(textCol))
       .withColumn("__fp", fp)
       .join(histIdx, Seq("__fp"), "left")
-    val survivors = exact.where(col("exact_match_id").isNull)
-      .select(col(idCol), col(textCol))
 
+    // The sketch runs over the WHOLE batch, not the exact-survivors — the
+    // survivor filter would make every signature stage depend on (and
+    // re-evaluate) the fingerprint probe join; sketching the few exact
+    // dups too is cheaper than a second pass over the plan, and their
+    // near fields are masked in the final projection, so the output is
+    // identical to the survivor-filtered form.
     def sigOf(df: DataFrame) = minhashSignatures(
       wordShingles(df, idCol, textCol, shingleN), idCol, numHashes, family)
     def bucketsOf(sig: DataFrame, as: String) = {
@@ -185,7 +189,7 @@ object NearDup {
       sig.select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bb"))
         .select(col(as), col("bb.band"), col("bb.bucket"))
     }
-    val sigNew = sigOf(survivors).cache()
+    val sigNew = sigOf(newBatch.select(col(idCol), col(textCol))).cache()
     val sigHist = sigOf(history).cache()
     val cand = bucketsOf(sigNew, "__nid")
       .join(bucketsOf(sigHist, "__hid"), Seq("band", "bucket"))
@@ -206,6 +210,8 @@ object NearDup {
       .select(col("__nid").as(idCol), col("__hid").as("near_match_id"),
         col("__est").as("est_jaccard"))
 
+    // near fields masked for exact dups (their sketch rows exist but the
+    // survivor-filtered form never computed them — same visible output)
     exact.select(col(idCol), col("exact_match_id"))
       .join(best, Seq(idCol), "left")
       .select(col(idCol),
@@ -213,7 +219,8 @@ object NearDup {
           .when(col("near_match_id").isNotNull, lit("near_dup"))
           .otherwise(lit("unique")).as("status"),
         coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"),
-        col("est_jaccard"))
+        when(col("exact_match_id").isNull, col("est_jaccard"))
+          .as("est_jaccard"))
   }
 
   /** Re-split clusters whose members duplicate a constraint key (the

@@ -120,6 +120,68 @@ object Similarity {
       .select("orphan_id", "neighbor_id", "cosine", "assigned_cluster")
   }
 
+  /** Exact eps-graph edges (rounded cosine ≥ threshold) by brute force —
+    * the verification twin of the blocked LSH paths, standing in for the
+    * reference's O(n²) `DistanceMatrix` memmap
+    * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:34-128`).
+    *
+    * The declarative crossJoin form pays ~0.5 KB of UnsafeRow copy per pair
+    * (two 64-float arrays materialized through the nested-loop join) — at
+    * 12M fixture pairs that memcpy IS the runtime. Since this path only
+    * exists where the corpus is bounded (it is quadratic by definition; the
+    * scale path is [[cosineNearDupPairs]]), the corpus is collected and
+    * broadcast once (~20 bytes + 4·dim per row) and the triangular pair
+    * loop runs on primitive float arrays inside `mapPartitions` — SURVEY
+    * §7's "last resort" tier, justified here because no join materializes
+    * anything. Row ranges are stride-interleaved so every task gets an
+    * equal share of the triangle (contiguous blocks would give the first
+    * task n·par more pairs than the last).
+    *
+    * Output is bit-identical to the crossJoin + [[dotFast]] + `round(_, 4)`
+    * form: same left-fold association, same `BigDecimal` HALF_UP rounding
+    * (what Spark's `round` does for doubles). Zero-norm vectors are
+    * skipped (the declarative form's NaN cosine compares TRUE under
+    * Spark's NaN-is-greatest `>=`, which no oracle reproduces — the same
+    * divergence [[safeCosine]] guards). */
+  def bruteForceEpsPairs(df: DataFrame, idCol: String, embCol: String,
+                         threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corpus: Array[(Long, Array[Float])] = df
+      .select(col(idCol).cast("long"), col(embCol))
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val norms: Array[Double] = corpus.map { case (_, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    val n = corpus.length
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.range(0, par.toLong, 1, par).as[Long].flatMap { p =>
+      val (c, nm) = bc.value
+      Iterator.range(p.toInt, n, par).flatMap { i =>
+        val (ida, va) = c(i)
+        val na = nm(i)
+        Iterator.range(i + 1, n).flatMap { j =>
+          val (idb, vb) = c(j)
+          val nb = nm(j)
+          if (na == 0.0 || nb == 0.0) Iterator.empty
+          else {
+            var acc = 0.0; var k = 0
+            val len = math.min(va.length, vb.length)
+            while (k < len) { acc += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val cos = java.math.BigDecimal.valueOf(acc / (na * nb))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) Iterator.single((ida, idb, cos))
+            else Iterator.empty
+          }
+        }
+      }
+    }.toDF("id_a", "id_b", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
     * tiny (nBits × dim doubles), broadcast with the plan. */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
