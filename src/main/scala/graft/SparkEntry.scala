@@ -1453,6 +1453,24 @@ object SparkEntry {
       threshold = 0.35, family = graft.functions.PortableHashFamily)
   }
 
+  // ---- §2.10 connected components, star-contraction path -----------------
+  // Same labeling contract as q45 but on a deliberately chain-shaped graph
+  // (customers chained by consecutive key within (nation, key mod 25) —
+  // hundreds of long paths), exercising ConnectedComponents.runStars: the
+  // large-star/small-star alternation whose round count is O(log n)
+  // regardless of diameter. The oracle replays reachability with a
+  // recursive CTE.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nk"), (col("c_custkey") % 25).as("lane"),
+        col("c_custkey").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nk"), col("lane")).orderBy(col("a"))))
+      .where(col("b").isNotNull)
+    ConnectedComponents.runStars(edges, "a", "b")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1559,6 +1577,7 @@ object SparkEntry {
     "q98_jaro_winkler" -> (q98 _),
     "q99_orphan_assign_lsh" -> (q99 _),
     "q100_incremental_dedup" -> (q100 _),
+    "q101_cc_stars" -> (q101 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3357,6 +3376,22 @@ object SparkEntry {
         |  coalesce(ex.exact_match_id, best.hid) AS match_id,
         |  best.est AS est_jaccard
         |FROM ex LEFT JOIN best ON best.nid = ex.doc_id""".stripMargin,
+    "q101_cc_stars" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT c_custkey AS a,
+        |      lead(c_custkey) OVER (
+        |        PARTITION BY c_nationkey, c_custkey % 25
+        |        ORDER BY c_custkey) AS b
+        |    FROM customer)
+        |  WHERE b IS NOT NULL),
+        |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v)
+        |SELECT v, min(c) AS component FROM reach GROUP BY v""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat

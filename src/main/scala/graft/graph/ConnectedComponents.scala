@@ -102,31 +102,62 @@ object ConnectedComponents {
         lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // One large-star + small-star alternation. Both phases are windowed
+    // per-node mins — NO joins: the groupBy-then-join-back form spawns a
+    // broadcast build + probe job per join per round (~10 scheduler
+    // round-trips/round on small graphs); the window computes the same
+    // per-group min inside the shuffle grouping needs anyway, so a full
+    // round is 3 exchanges and no action. Same primitives at scale: hash
+    // shuffles on vertex id.
+    def round(in: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+      // Emitted edges (v, m) have m ≤ u < v — already directed
+      // child=first/parent=second, no self-loops; duplicates are absorbed
+      // by the small-star distinct.
+      val dir = in.unionByName(in.select(col("b").as("a"), col("a").as("b")))
+        .withColumn("m", least(min(col("b")).over(w), col("a")))
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star: all of child group u's parents (and u itself) link to
+      // the group min (parents are all < u, so min(N) = min(N ∪ {u}));
+      // the per-group (u, m) edge is emitted per row and deduped
+      dir
+        .withColumn("m", min(col("b")).over(w))
+        .select(explode(array(
+          struct(col("b").as("a"), col("m").as("b")),
+          struct(col("a"), col("m").as("b")))).as("s"))
+        .select(col("s.a").as("a"), col("s.b").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
     var sig = signature(e)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // large-star: symmetrize, group per node, larger neighbors -> min
-      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      val lsMin = sym.groupBy("a")
-        .agg(least(min(col("b")), first(col("a"))).as("m"))
-      val ls = sym.join(lsMin, "a").where(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .where(col("a") =!= col("b")).distinct()
-      // small-star: direct edges child=max, parent=min; child group -> min
-      val dir = ls.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
-      val ssMin = dir.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = dir.join(ssMin, "a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionByName(ssMin.select(col("a"), col("m").as("b")))
-        .where(col("a") =!= col("b")).distinct()
-        .localCheckpoint()
-      val nextSig = signature(ss)
-      converged = nextSig == sig
-      sig = nextSig
-      e = ss
-      i += 1
+    // Latency/throughput switch: each round's stages are freshly planned
+    // and codegen-compiled (new expr ids every iteration — janino pays
+    // ~0.1-0.3 s per stage per round). Below ~10M edges the loop is
+    // scheduler/compile-bound, so run it interpreted; above, rounds are
+    // data-bound and whole-stage codegen earns its compile time.
+    val spark = e.sparkSession
+    val codegenKey = "spark.sql.codegen.wholeStage"
+    val prevCodegen = spark.conf.getOption(codegenKey)
+    val smallGraph = sig._1 <= 10000000L
+    if (smallGraph) spark.conf.set(codegenKey, "false")
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // two alternations per materialization: halves the driver actions
+        // (checkpoint + signature) the convergence loop pays; costs at most
+        // one extra (idempotent) alternation after the fixed point
+        val ss = round(round(e)).localCheckpoint()
+        val nextSig = signature(ss)
+        converged = nextSig == sig
+        sig = nextSig
+        e = ss
+        i += 1
+      }
+    } finally if (smallGraph) prevCodegen match {
+      case Some(v) => spark.conf.set(codegenKey, v)
+      case None => spark.conf.unset(codegenKey)
     }
     // fixed point is (child, root) stars; roots + self-loop-only vertices
     // label themselves
