@@ -1471,6 +1471,23 @@ object SparkEntry {
     ConnectedComponents.runStars(edges, "a", "b")
   }
 
+  // ---- training-data pipeline: greedy sequence packing -------------------
+  // Concat-then-chunk into fixed 512-token context windows, 32 independent
+  // shards — per-doc placement (shard stream offsets, starting window,
+  // window span) as pure window arithmetic.
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      budget = 512, nShards = 32)
+
+  // ---- training-data pipeline: deterministic train/val/test split --------
+  // Salted portable-hash bucket per doc id → stable 80/10/10 membership
+  // that reruns, backfills and other engines reproduce exactly.
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "lang", "split_bucket", "split")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1578,6 +1595,8 @@ object SparkEntry {
     "q99_orphan_assign_lsh" -> (q99 _),
     "q100_incremental_dedup" -> (q100 _),
     "q101_cc_stars" -> (q101 _),
+    "q102_pack_sequences" -> (q102 _),
+    "q103_split_assign" -> (q103 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3392,6 +3411,36 @@ object SparkEntry {
         |  UNION
         |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v)
         |SELECT v, min(c) AS component FROM reach GROUP BY v""".stripMargin,
+    "q102_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, shard, end_off,
+        |  end_off - n_tokens AS start_off,
+        |  CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+        |  (end_off - n_tokens) % 512 AS chunk_pos,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE CAST(floor((end_off - 1) / 512.0) AS BIGINT)
+        |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
+        |  END AS n_chunks
+        |FROM off""".stripMargin,
+    "q103_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 100 AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // Sequential two-pass fixpoint replayed as a per-series left fold
     // (list_reduce). DuckDB 1.0's list_reduce drops struct accumulators
     // across steps, so the fold state is encoded positionally in a flat

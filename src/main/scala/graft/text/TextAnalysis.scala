@@ -72,4 +72,33 @@ object TextAnalysis {
     * text — the exact-dedup key. */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  /** Greedy concat-then-chunk sequence packing — the standard LLM
+    * pretraining layout: documents are laid end to end in a deterministic
+    * order and cut into fixed `budget`-token context windows. Packing is
+    * only sequential WITHIN a stream, so the corpus is split into
+    * `nShards` shards (id mod nShards) that pack independently — at 100 TB
+    * the cumulative sum is one window per shard (one shuffle on the shard
+    * key), parallel across shards, and adding shards re-balances without
+    * touching the per-shard layout.
+    *
+    * Returns one row per document: its shard, token count, start/end token
+    * offsets in the shard stream, the context window (`chunk_id`) it
+    * starts in, its position inside that window, and how many windows it
+    * spans (0 for empty documents). Pure window arithmetic — replayable by
+    * any SQL engine. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("chunk_id", floor(col("start_off") / lit(budget.toDouble)))
+      .withColumn("chunk_pos", col("start_off") % budget)
+      .withColumn("n_chunks", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(floor((col("end_off") - 1) / lit(budget.toDouble))
+          - col("chunk_id") + 1))
+  }
 }

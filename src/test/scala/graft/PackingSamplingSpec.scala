@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.text.TextAnalysis
+
+class PackingSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("packSequences: offsets are contiguous per shard and chunks cover tokens") {
+    val df = docs((0L until 40L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" "))): _*)
+    val out = TextAnalysis.packSequences(df, "doc_id", "text",
+      budget = 5, nShards = 4).collect()
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // stream contiguity: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") == a.getAs[Long]("end_off"))
+        case _ =>
+      }
+      // chunk arithmetic: start chunk/pos consistent, span covers end
+      for (r <- sorted) {
+        val start = r.getAs[Long]("start_off")
+        val end = r.getAs[Long]("end_off")
+        val n = r.getAs[Int]("n_tokens")
+        assert(r.getAs[Long]("chunk_id") == start / 5)
+        assert(r.getAs[Long]("chunk_pos") == start % 5)
+        if (n > 0)
+          assert(r.getAs[Long]("n_chunks") == (end - 1) / 5 - start / 5 + 1)
+      }
+    }
+  }
+
+  test("packSequences: empty documents consume no tokens and span 0 chunks") {
+    val df = docs((1L, "a b c"), (2L, "   "), (3L, "d"))
+    val out = TextAnalysis.packSequences(df, "doc_id", "text",
+        budget = 2, nShards = 1)
+      .orderBy("doc_id").collect()
+    assert(out(1).getAs[Int]("n_tokens") == 0)
+    assert(out(1).getAs[Long]("n_chunks") == 0L)
+    assert(out(1).getAs[Long]("start_off") == out(1).getAs[Long]("end_off"))
+    // doc 3 starts right after doc 1's 3 tokens despite the empty doc
+    assert(out(2).getAs[Long]("start_off") == 3L)
+  }
+
+  test("deterministicSplit: stable, exhaustive, respects bucket thresholds") {
+    val df = (0L until 500L).toDF("doc_id")
+    val s1 = Sampling.deterministicSplit(df, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).collect()
+    val s2 = Sampling.deterministicSplit(df.repartition(7), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for (r <- s1) {
+      val (id, bucket, split) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(split == (if (bucket < 80) "train"
+                       else if (bucket < 90) "val" else "test"))
+      assert(s2(id) == split) // partitioning-independent
+      // pure function of the id: recompute the bucket on the driver
+      assert(bucket ==
+        graft.functions.PortableHash.hex60(s"split_$id") % 100)
+    }
+    // rough proportions at n=500 (hash buckets, not exact quotas)
+    val counts = s1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
+  }
+
+  test("deterministicSplit: shortfall leaves a NULL holdout") {
+    val df = (0L until 200L).toDF("doc_id")
+    val out = Sampling.deterministicSplit(df, "doc_id", Seq("sample" -> 10))
+    val nulls = out.where(col("split").isNull).count()
+    val sampled = out.where(col("split") === "sample").count()
+    assert(nulls + sampled == 200L && sampled > 0 && nulls > 0)
+  }
+}
