@@ -1488,6 +1488,11 @@ object SparkEntry {
         "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .select("doc_id", "lang", "split_bucket", "split")
 
+  // ---- training-data pipeline: n-gram vocabulary (top-k by doc freq) -----
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramVocab(t(s, dir, "documents"), "doc_id", "text",
+      n = 2, k = 200)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1597,6 +1602,7 @@ object SparkEntry {
     "q101_cc_stars" -> (q101 _),
     "q102_pack_sequences" -> (q102 _),
     "q103_split_assign" -> (q103 _),
+    "q104_ngram_vocab" -> (q104 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3430,6 +3436,18 @@ object SparkEntry {
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
         |  END AS n_chunks
         |FROM off""".stripMargin,
+    "q104_ngram_vocab" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] AS shingle
+        |  FROM words, unnest(range(1, len(wl))) t(i)
+        |  WHERE len(wl) >= 2)
+        |SELECT shingle, count(*) AS doc_freq FROM sh
+        |GROUP BY shingle
+        |ORDER BY doc_freq DESC, shingle ASC
+        |LIMIT 200""".stripMargin,
     "q103_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -73,6 +73,21 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 
+  /** Top-k n-gram vocabulary by document frequency — the vocab-pruning /
+    * stop-shingle-mining pass of a dedup or tokenizer pipeline. Shingles
+    * are distinct per document (one native `WordShingles` eval per row),
+    * so the count IS document frequency; one hash aggregation on the
+    * shingle, then a global top-k that Spark executes as
+    * TakeOrderedAndProject (no full sort materialization). The (df desc,
+    * shingle asc) tiebreak makes the cut deterministic on any engine. */
+  def ngramVocab(df: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.plans.WordShingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle").asc)
+      .limit(k)
+
   /** Greedy concat-then-chunk sequence packing — the standard LLM
     * pretraining layout: documents are laid end to end in a deterministic
     * order and cut into fixed `budget`-token context windows. Packing is
