@@ -82,4 +82,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q102 sequence packing is ONE shuffle (the shard window)") {
+    val p = plan("q102_pack_sequences")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q103 split assignment is a narrow projection — no shuffle at all") {
+    val p = plan("q103_split_assign")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q104 vocab top-k is TakeOrdered, not a full sort") {
+    val p = plan("q104_ngram_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), "map-side combine missing")
+  }
 }
