@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming façade over the hourly/timeseries operators
@@ -43,6 +43,42 @@ object EventStreams {
         state.update(SessionState(c, s, last))
         SessionOut(uid, c, s)
       }
+      .toDF()
+  }
+
+  /** [[sessionize]]'s processor re-expressed on `transformWithState` —
+    * Spark 4's arbitrary-state API (the successor to mapGroupsWithState):
+    * named state variables behind a handle, optional TTL, timers, and a
+    * RocksDB-backed store. Same accumulation semantics; StreamingSpec
+    * asserts output parity between the two APIs batch-for-batch. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("running",
+        Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      val prev = if (state.exists()) state.get() else SessionState(0L, 0.0, 0L)
+      var c = prev.count; var s = prev.sum; var last = prev.lastTs
+      rows.foreach { e =>
+        c += 1; s += e.value; last = math.max(last, e.ts.getTime)
+      }
+      state.update(SessionState(c, s, last))
+      Iterator.single(SessionOut(uid, c, s))
+    }
+  }
+
+  /** Per-user running totals via [[RunningTotalsProcessor]]. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — the only store
+    * transformWithState supports. */
+  def sessionizeTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 

@@ -97,6 +97,24 @@ class StreamingSpec extends SparkSpec {
     assert(joined == 0)
   }
 
+  test("sessionizeTws (transformWithState) matches the mapGroupsWithState twin") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.load(spark, sf, "events")
+      val tws = EventStreams.sessionizeTws(spark, events)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val mgws = EventStreams.sessionize(spark, events)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(tws.nonEmpty && tws == mgws)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("nearDupCandidates: stream-stream band join finds planted near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
