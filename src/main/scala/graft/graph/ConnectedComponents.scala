@@ -19,16 +19,25 @@ import org.apache.spark.sql.functions._
   *    (pairs ∝ true duplicates), so this path covers most production runs;
   *    the threshold (default 5M edges ≈ 80 MB on the driver) keeps it safe.
   *
-  *  - **Large graphs**: iterative min-label propagation with pointer
-  *    jumping. Each iteration is one shuffle-join on vertex id + one
-  *    aggregation; rounds ≤ O(log diameter). `localCheckpoint` truncates
-  *    plan lineage so the loop doesn't build an ever-deeper DAG. For huge
-  *    diameters swap the loop body for large-star/small-star contraction
-  *    (same join primitives, O(log n) rounds).
+  *  - **Large graphs**: large-star/small-star contraction ([[runStars]],
+  *    Kiveris et al. SoCC'14) — O(log n) rounds regardless of graph
+  *    diameter, join-free windowed rounds, the safe default when the
+  *    shape is unknown. Min-label propagation with pointer jumping
+  *    ([[runLabelProp]]) stays available for known-small-diameter graphs
+  *    (crosswalks), where it converges in fewer exchanges.
+  *    `localCheckpoint` truncates plan lineage in both loops.
   */
 object ConnectedComponents {
 
-  /** @return (vertex "v", component) with component = min vertex id reachable. */
+  /** @return (vertex "v", component) with component = min vertex id reachable.
+    *
+    * Routing: below `localEdgeThreshold` the edge list collects to a driver
+    * union-find (one job); above it the star-contraction loop
+    * ([[runStars]]) runs — O(log n) rounds with no dependence on graph
+    * diameter, the safe default when the shape is unknown. The min-label
+    * loop ([[runLabelProp]]) stays available for known-small-diameter
+    * graphs, where its two-hop pointer jumping converges in fewer
+    * exchanges. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxIter: Int = 25,
           localEdgeThreshold: Long = 5000000L): DataFrame = {
@@ -39,7 +48,10 @@ object ConnectedComponents {
       .cache()
     val nEdges = e.count()
     if (nEdges <= localEdgeThreshold) runLocal(e)
-    else runDistributed(e, maxIter)
+    else {
+      e.unpersist()
+      runStars(edges, srcCol, dstCol, maxIter = math.max(maxIter, 50))
+    }
   }
 
   /** Driver union-find (path compression + union by rank). */
@@ -70,7 +82,7 @@ object ConnectedComponents {
     * Components in MapReduce and Beyond*, ACM SoCC 2014) — the web-scale
     * path promised in the header. Convergence takes O(log n) rounds
     * REGARDLESS of graph diameter, where min-label propagation (even with
-    * pointer jumping, [[runDistributed]]) needs O(log diameter) rounds and
+    * pointer jumping, [[runLabelProp]]) needs O(log diameter) rounds and
     * degrades on path-shaped graphs (a 1M-hop chain: ~20 rounds vs ~60).
     * Both phases are one hash aggregation + one shuffle join on vertex id —
     * the same primitives as the label loop, so the 100 TB cost model is
@@ -163,6 +175,20 @@ object ConnectedComponents {
     // label themselves
     verts.join(e.select(col("a").as("v"), col("b").as("c")), Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("v")).as("component"))
+  }
+
+  /** Min-label propagation with two-hop pointer jumping — fewer exchanges
+    * per round than star contraction, but round count grows with graph
+    * diameter; prefer for known-small-diameter graphs (crosswalks, star
+    * schemas). Takes the raw edge list like [[runStars]]. */
+  def runLabelProp(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxIter: Int = 25): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .cache()
+    runDistributed(e, maxIter)
   }
 
   private def runDistributed(sym0: DataFrame, maxIter: Int): DataFrame = {

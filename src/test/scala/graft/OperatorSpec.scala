@@ -121,11 +121,15 @@ class OperatorSpec extends SparkSpec {
       (10L, 12L), (20L, 21L), (5L, 4L), (6L, 5L)).toDF("src", "dst")
     val local = graph.ConnectedComponents.run(edges, "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // threshold 0 forces the iterative min-label + pointer-jump path
+    // threshold 0 forces the distributed (star-contraction) path
     val dist = graph.ConnectedComponents.run(edges, "src", "dst",
         localEdgeThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(local == dist)
+    // the min-label + pointer-jump loop stays available and agrees too
+    val lbl = graph.ConnectedComponents.runLabelProp(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == lbl)
     assert(local(6L) == 1L && local(12L) == 10L && local(21L) == 20L)
   }
 
