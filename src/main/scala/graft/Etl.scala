@@ -37,6 +37,17 @@ object Etl {
     Field("wavg_discount", FieldType.Number)),
     primaryKey = Seq("s_suppkey", "ship_year"))
 
+  /** Training-corpus layout: canonical (deduped) docs with their stable
+    * split membership and packed context-window placement. */
+  val corpusPacked: Resource = Resource("out_corpus_packed", Seq(
+    Field("doc_id", FieldType.Integer, required = true),
+    Field("split", FieldType.Str,
+      enum = Some(Seq("train", "val", "test"))),
+    Field("n_tokens", FieldType.Integer),
+    Field("shard", FieldType.Integer),
+    Field("chunk_id", FieldType.Integer)),
+    primaryKey = Seq("doc_id"))
+
   /** Build both outputs as one lineage over the fixture tables. */
   def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     val orders = Tables.load(spark, sfDir, "orders")
@@ -65,7 +76,25 @@ object Etl {
         weightedAvgExact(col("l_discount"), col("l_quantity"), 2)
           .as("wavg_discount"))
 
-    Map(customerSummary.name -> custOut, supplierYearly.name -> suppOut)
+    // training-data stage: exact dedup -> deterministic split -> packing,
+    // one lazy lineage over the documents fixture
+    val documents = Tables.load(spark, sfDir, "documents")
+    val canonical = documents.join(
+      graft.dedup.NearDup.exactDupGroups(documents, "doc_id", "text")
+        .where(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"))
+    val packed = graft.text.TextAnalysis.packSequences(
+      canonical, "doc_id", "text", budget = 512, nShards = 8)
+    val corpusOut = packed.join(
+        graft.operators.Sampling.deterministicSplit(
+            canonical.select(col("doc_id")), "doc_id",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+      .select("doc_id", "split", "n_tokens", "shard", "chunk_id")
+
+    Map(customerSummary.name -> custOut, supplierYearly.name -> suppOut,
+      corpusPacked.name -> corpusOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,6 +108,10 @@ object Etl {
       s"$outDir/${customerSummary.name}")
     ParquetSink.write(outputs(supplierYearly.name), supplierYearly,
       s"$outDir/${supplierYearly.name}", partitionBy = Seq("ship_year"))
+    // training corpus partitioned by split: downstream loaders prune to
+    // their split without touching the others
+    ParquetSink.write(outputs(corpusPacked.name), corpusPacked,
+      s"$outDir/${corpusPacked.name}", partitionBy = Seq("split"))
     // legacy single-file mirror of both outputs — the reference's
     // PudlMixedFormatIOManager writes Parquet AND SQLite side by side
     graft.sources.SqliteSink.write(
@@ -94,7 +127,10 @@ object Etl {
         spark.read.parquet(s"$outDir/${supplierYearly.name}"),
         CheckRunner.fromResource(supplierYearly) :+
           ColumnsRatio("out_supplier_yearly:rev_per_discount_sane",
-            "revenue", "revenue", 0.999, 1.001))
+            "revenue", "revenue", 0.999, 1.001)),
+      corpusPacked.name -> CheckRunner.run(
+        spark.read.parquet(s"$outDir/${corpusPacked.name}"),
+        CheckRunner.fromResource(corpusPacked))
     )
     results.foreach { case (table, df) =>
       println(s"== checks: $table ==")
