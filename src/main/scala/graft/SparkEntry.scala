@@ -1493,6 +1493,24 @@ object SparkEntry {
     TextAnalysis.ngramVocab(t(s, dir, "documents"), "doc_id", "text",
       n = 2, k = 200)
 
+  // ---- as-of join (merge_asof / DuckDB ASOF JOIN twin) -------------------
+  // Each event picks the user's most recent order day at-or-before the
+  // event time. Right side pre-aggregated to unique (user, day) so the
+  // match is unambiguous; day totals in exact integer cents so both
+  // engines produce the identical double.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val right = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"))
+      .agg(max(col("o_orderkey")).as("last_order_id"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("day_total"))
+    val left = t(s, dir, "events").select("event_id", "user_id", "ts")
+    TemporalOps.asofJoin(left, right, Seq("user_id"), "ts", "ots",
+        matchedTsName = "order_ts")
+      .select("event_id", "user_id", "ts", "order_ts", "last_order_id",
+        "day_total")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1603,6 +1621,7 @@ object SparkEntry {
     "q102_pack_sequences" -> (q102 _),
     "q103_split_assign" -> (q103 _),
     "q104_ngram_vocab" -> (q104 _),
+    "q105_asof_join" -> (q105 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3436,6 +3455,16 @@ object SparkEntry {
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
         |  END AS n_chunks
         |FROM off""".stripMargin,
+    "q105_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    max(o_orderkey) AS last_order_id,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, r.ots AS order_ts,
+        |  r.last_order_id, r.day_total
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ots""".stripMargin,
     "q104_ngram_vocab" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl

@@ -30,6 +30,66 @@ object TemporalOps {
     l.join(r, keys :+ "__grain", how).drop("__grain")
   }
 
+  /** As-of (backward) join: each left row picks the most recent right row
+    * with rightTs ≤ leftTs within its key group — pandas `merge_asof` /
+    * DuckDB `ASOF JOIN` semantics, equal timestamps match.
+    *
+    * Spark has no as-of physical operator; the naive key-equi join +
+    * range filter explodes with per-key history length. This form is the
+    * scale-correct one: tag both sides, union, and run ONE window over
+    * (key, ts) carrying the last non-null right payload forward — both
+    * inputs shuffle once on the key and the match falls out of a single
+    * sorted pass, O(left + right) rows. Ties among right rows on the same
+    * (key, ts) resolve to the greatest payload tuple (deterministic under
+    * any partitioning); pre-aggregate the right side to unique (key, ts)
+    * when a different rule is needed.
+    *
+    * @param matchedTsName   output column holding the matched right ts
+    * @param toleranceSeconds when set, matches older than this many
+    *                         seconds before the left ts are nulled out
+    *                         (merge_asof `tolerance`)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               matchedTsName: String = "matched_ts",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    val payloadCols = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val rt = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__isLeft"),
+        struct(col(rightTs).cast("timestamp").as("__mts") +:
+          payloadCols.map(col): _*).as("__payload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val payloadType = rt.schema("__payload").dataType
+    val lt = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).cast("timestamp").as("__ts"),
+        lit(1).as("__isLeft"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        leftCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      // right rows sort before left at equal ts (equal timestamps match);
+      // right-row ties resolve by payload order -> last = greatest tuple
+      .orderBy(col("__ts").asc, col("__isLeft").asc, col("__payload").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lt.unionByName(rt)
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__isLeft") === 1)
+    val gated = toleranceSeconds match {
+      case Some(t) => when(col("__m").isNotNull &&
+        col("__ts").cast("long") - col("__m.__mts").cast("long") <= t,
+        col("__m"))
+      case None => col("__m")
+    }
+    matched.withColumn("__m", gated)
+      .select(keys.map(col) ++ leftCols.map(col) ++
+        (col("__m.__mts").as(matchedTsName) +:
+          payloadCols.map(c => col(s"__m.$c").as(c))): _*)
+  }
+
   /** Densify a keyed timeseries to a fixed `step` between each key's min and
     * max observed date, then forward-fill `fillCols` from the last non-null.
     * Reference: `expand_timeseries` (`/root/reference/src/pudl/helpers.py:719-806`),

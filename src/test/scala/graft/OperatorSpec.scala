@@ -158,6 +158,34 @@ class OperatorSpec extends SparkSpec {
     assert(loopLabels == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("TemporalOps.asofJoin: backward match, equal-ts inclusion, tolerance") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "a"),
+      (1L, ts("2026-01-01 12:00:00"), "b"),
+      (1L, ts("2026-01-01 09:00:00"), "c"), // before any right row
+      (2L, ts("2026-01-01 10:30:00"), "d")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100.0), // equal ts -> matches "a"
+      (1L, ts("2026-01-01 11:00:00"), 200.0),
+      (2L, ts("2026-01-01 01:00:00"), 300.0)
+    ).toDF("k", "rts", "v")
+    val out = operators.TemporalOps.asofJoin(left, right, Seq("k"), "ts", "rts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("v"))).toMap
+    assert(out("a").contains(100.0)) // equal timestamps match
+    assert(out("b").contains(200.0)) // latest at-or-before wins
+    assert(out("c").isEmpty)         // nothing before -> null
+    assert(out("d").contains(300.0))
+    // tolerance: 2's only match is 9.5h old -> nulled at 1h tolerance
+    val tol = operators.TemporalOps.asofJoin(left, right, Seq("k"), "ts", "rts",
+        toleranceSeconds = Some(3600L))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("v"))).toMap
+    assert(tol("b").contains(200.0) && tol("d").isEmpty)
+  }
+
   test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
     val a = Seq((1, "x", 10.2), (2, "p", 7.0)).toDF("k", "seg", "bal")
     val b = Seq((1, "x", 11.0), (1, "y", 9.0), (2, "q", 7.3), (2, "q", 7.4))
