@@ -1511,6 +1511,23 @@ object SparkEntry {
         "day_total")
   }
 
+  // ---- range join: events inside anchor events' 4-hour follow-up window -
+  // Binned-blocking interval join (equi-join on (user, bucket) + exact
+  // BETWEEN inside buckets — never a nested loop); oracle is DuckDB's
+  // native inequality join. Buckets (6 h) deliberately misaligned with
+  // the interval length (4 h) so spanning intervals are exercised.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val intervals = events.where(col("event_id") % 37 === 0)
+      .select(col("user_id"), col("event_id").as("anchor_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("end_ts"))
+    val points = events.select("event_id", "user_id", "ts")
+    TemporalOps.intervalJoin(points, intervals, Seq("user_id"),
+        "ts", "start_ts", "end_ts", bucketSeconds = 6L * 3600)
+      .select("event_id", "user_id", "ts", "anchor_id", "start_ts", "end_ts")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1622,6 +1639,7 @@ object SparkEntry {
     "q103_split_assign" -> (q103 _),
     "q104_ngram_vocab" -> (q104 _),
     "q105_asof_join" -> (q105 _),
+    "q106_interval_join" -> (q106 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3455,6 +3473,13 @@ object SparkEntry {
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
         |  END AS n_chunks
         |FROM off""".stripMargin,
+    "q106_interval_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, a.event_id AS anchor_id,
+        |  a.ts AS start_ts, a.ts + INTERVAL 4 HOUR AS end_ts
+        |FROM events e JOIN events a
+        |  ON e.user_id = a.user_id
+        | AND a.event_id % 37 = 0
+        | AND e.ts BETWEEN a.ts AND a.ts + INTERVAL 4 HOUR""".stripMargin,
     "q105_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS ots,

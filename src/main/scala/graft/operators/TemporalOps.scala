@@ -90,6 +90,34 @@ object TemporalOps {
           payloadCols.map(c => col(s"__m.$c").as(c))): _*)
   }
 
+  /** Range (interval-containment) join: pair each point with every
+    * interval of its key group satisfying start ≤ t ≤ end — without the
+    * nested-loop join Spark would otherwise plan for an inequality
+    * condition.
+    *
+    * Blocking: intervals explode to the coarse time buckets they overlap
+    * (width `bucketSeconds`), points map to their single bucket, and
+    * candidates meet in an ordinary (keys, bucket) equi-join; the exact
+    * BETWEEN filter runs inside buckets only. A true pair meets in
+    * exactly one bucket — the point's — so no dedup pass is needed.
+    * Shuffle keys are (keys, bucket); candidate volume per point is the
+    * intervals overlapping its bucket, tuned by `bucketSeconds` (≈ median
+    * interval length is a good default). The same shape as the spatial
+    * grid join (SpatialOps.overlayBoxes), one dimension down. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   tCol: String, startCol: String, endCol: String,
+                   bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val p = points.withColumn("__b",
+      floor(col(tCol).cast("timestamp").cast("long") / bucketSeconds))
+    val iv = intervals.withColumn("__b", explode(sequence(
+      floor(col(startCol).cast("timestamp").cast("long") / bucketSeconds),
+      floor(col(endCol).cast("timestamp").cast("long") / bucketSeconds))))
+    p.join(iv, keys :+ "__b")
+      .where(col(tCol).between(col(startCol), col(endCol)))
+      .drop("__b")
+  }
+
   /** Densify a keyed timeseries to a fixed `step` between each key's min and
     * max observed date, then forward-fill `fillCols` from the last non-null.
     * Reference: `expand_timeseries` (`/root/reference/src/pudl/helpers.py:719-806`),

@@ -186,6 +186,25 @@ class OperatorSpec extends SparkSpec {
     assert(tol("b").contains(200.0) && tol("d").isEmpty)
   }
 
+  test("TemporalOps.intervalJoin equals the brute-force range join") {
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000)
+    val rnd = new scala.util.Random(7)
+    val points = Seq.tabulate(120)(i => (i.toLong, rnd.nextInt(4).toLong,
+      ts(rnd.nextInt(300)))).toDF("pid", "k", "t")
+    val ivs = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(280)
+      (1000L + i, rnd.nextInt(4).toLong, ts(s), ts(s + 1 + rnd.nextInt(50)))
+    }.toDF("iid", "k", "s", "e")
+    // bucket deliberately NOT aligned to interval lengths
+    val got = operators.TemporalOps.intervalJoin(points, ivs, Seq("k"),
+        "t", "s", "e", bucketSeconds = 7200L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(ivs, Seq("k"))
+      .where($"t".between($"s", $"e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
     val a = Seq((1, "x", 10.2), (2, "p", 7.0)).toDF("k", "seg", "bal")
     val b = Seq((1, "x", 11.0), (1, "y", 9.0), (2, "q", 7.3), (2, "q", 7.4))

@@ -94,6 +94,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q106 interval join is an equi-join on buckets, never a nested loop") {
+    val p = plan("q106_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q104 vocab top-k is TakeOrdered, not a full sort") {
     val p = plan("q104_ngram_vocab")
     assert(p.contains("TakeOrderedAndProject"), p)
