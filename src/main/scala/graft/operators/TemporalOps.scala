@@ -110,9 +110,13 @@ object TemporalOps {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val p = points.withColumn("__b",
       floor(col(tCol).cast("timestamp").cast("long") / bucketSeconds))
-    val iv = intervals.withColumn("__b", explode(sequence(
-      floor(col(startCol).cast("timestamp").cast("long") / bucketSeconds),
-      floor(col(endCol).cast("timestamp").cast("long") / bucketSeconds))))
+    // end < start can never satisfy BETWEEN — drop such intervals up
+    // front (sequence() would throw on a descending range, where the SQL
+    // semantics are "matches nothing")
+    val iv = intervals.where(col(endCol) >= col(startCol))
+      .withColumn("__b", explode(sequence(
+        floor(col(startCol).cast("timestamp").cast("long") / bucketSeconds),
+        floor(col(endCol).cast("timestamp").cast("long") / bucketSeconds))))
     p.join(iv, keys :+ "__b")
       .where(col(tCol).between(col(startCol), col(endCol)))
       .drop("__b")

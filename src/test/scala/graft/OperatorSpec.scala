@@ -203,6 +203,10 @@ class OperatorSpec extends SparkSpec {
       .where($"t".between($"s", $"e"))
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want && want.nonEmpty)
+    // degenerate interval (end < start): BETWEEN-nothing, not a crash
+    val bad = Seq((9000L, 1L, ts(100), ts(50))).toDF("iid", "k", "s", "e")
+    assert(operators.TemporalOps.intervalJoin(points, bad, Seq("k"),
+      "t", "s", "e", bucketSeconds = 7200L).count() == 0L)
   }
 
   test("Harvest.harvestEntityTables unions tables, rounds, applies strictness") {
