@@ -39,6 +39,42 @@ class MultimodalSpec extends SparkSpec {
     val total = (1 until row.length).map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
     assert(total == 4L)
   }
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages reads real PNG bytes; corrupt blobs yield null metadata") {
+    val rows = Seq(
+      (1L, pngBytes(8, 6, 0xffffff)),       // white
+      (2L, pngBytes(4, 4, 0x000000)),       // black
+      (3L, "not an image".getBytes("UTF-8")))
+    val df = rows.toDF("id", "blob")
+    val out = BinaryOps.decodeImages(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 8 && out(1L).getInt(2) == 6)
+    assert(math.abs(out(1L).getDouble(4) - 255.0) < 1e-6) // white luma
+    assert(out(2L).getDouble(4) == 0.0)                   // black luma
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))    // corrupt lane
+  }
+
+  test("resizeImages produces decodable thumbs at the target size") {
+    val df = Seq((1L, pngBytes(32, 16, 0x336699))).toDF("id", "blob")
+    val out = BinaryOps.resizeImages(df, "id", "blob", thumbW = 8, thumbH = 4)
+      .head()
+    assert(out.getInt(1) == 8 && out.getInt(2) == 4)
+    val thumb = out.getAs[Array[Byte]]("thumb")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumb))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    // solid-color input -> solid-color thumbnail
+    assert((back.getRGB(3, 2) & 0xffffff) == 0x336699)
+  }
+
   test("resizeBatchedStub preserves rows and bounds thumbnails via batched mapPartitions") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
       .select(col("doc_id"), graft.multimodal.BinaryOps.toBlob(col("text")).as("blob"))
