@@ -1528,6 +1528,15 @@ object SparkEntry {
       .select("event_id", "user_id", "ts", "anchor_id", "start_ts", "end_ts")
   }
 
+  // ---- training-data pipeline: stratified deterministic sampling --------
+  // Corpus mixing: downsample English to 40%, keep 90% of zh, 70% of the
+  // rest — membership a pure salted-hash function of the doc id.
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 40, "zh" -> 90), defaultPercent = 70)
+      .select("doc_id", "lang", "split_bucket")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1640,6 +1649,7 @@ object SparkEntry {
     "q104_ngram_vocab" -> (q104 _),
     "q105_asof_join" -> (q105 _),
     "q106_interval_join" -> (q106 _),
+    "q107_stratified_sample" -> (q107 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3473,6 +3483,15 @@ object SparkEntry {
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
         |  END AS n_chunks
         |FROM off""".stripMargin,
+    "q107_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('strat_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 100 AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, split_bucket FROM b
+        |WHERE split_bucket <
+        |  CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 90 ELSE 70 END""".stripMargin,
     "q106_interval_join" ->
       """SELECT e.event_id, e.user_id, e.ts, a.event_id AS anchor_id,
         |  a.ts AS start_ts, a.ts + INTERVAL 4 HOUR AS end_ts

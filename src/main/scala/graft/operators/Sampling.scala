@@ -21,6 +21,27 @@ object Sampling {
     graft.functions.PortableHash.hex60(
       concat(lit(s"${salt}_"), idCol.cast("string"))) % 100
 
+  /** Deterministic stratified sampling: keep `percents(stratum)` % of each
+    * stratum's rows (0 for strata not listed, `defaultPercent` otherwise),
+    * selected by the same salted hash bucket as [[deterministicSplit]] —
+    * so the sample is rerun-stable, composes with split assignment (use a
+    * different salt), and is reproducible in any engine. The standard
+    * corpus-mixing op: up/down-weight languages or sources without RNG
+    * state; one narrow filter, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       percents: Map[String, Int], defaultPercent: Int = 0,
+                       salt: String = "strat"): DataFrame = {
+    require((percents.values ++ Seq(defaultPercent)).forall(p =>
+      p >= 0 && p <= 100), "percents must be within 0..100")
+    val bucket = splitBucket(col(idCol), salt)
+    val threshold = percents.foldLeft(lit(defaultPercent)) {
+      case (acc, (stratum, pct)) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.withColumn("split_bucket", bucket)
+      .where(col("split_bucket") < threshold)
+  }
+
   /** Assign each row to a named split by hash bucket. `splits` are
     * (name, percent) in priority order, summing to ≤ 100 (a shortfall
     * leaves a NULL holdout). One narrow projection — no shuffle, no RNG

@@ -69,6 +69,29 @@ class PackingSamplingSpec extends SparkSpec {
     assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
   }
 
+  test("stratifiedSample: per-stratum rates, stable, disjoint-salt composable") {
+    val df = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0, "de" -> 50)).collect()
+    assert(out.forall(_.getString(1) == "de")) // en sampled out entirely
+    // every kept row's bucket is below its stratum threshold and is a pure
+    // function of the id
+    assert(out.forall { r =>
+      r.getLong(2) < 50 &&
+        r.getLong(2) ==
+          graft.functions.PortableHash.hex60(s"strat_${r.getLong(0)}") % 100
+    })
+    val kept = out.length
+    assert(kept > 140 && kept < 260) // ~50% of 400 de rows
+    // different salt -> statistically independent of the split assignment
+    val both = Sampling.deterministicSplit(
+      Sampling.stratifiedSample(df, "doc_id", "lang", Map("de" -> 50))
+        .drop("split_bucket"),
+      "doc_id", Seq("train" -> 50, "val" -> 50))
+    assert(both.where(col("split") === "train").count() > 0)
+  }
+
   test("deterministicSplit: shortfall leaves a NULL holdout") {
     val df = (0L until 200L).toDF("doc_id")
     val out = Sampling.deterministicSplit(df, "doc_id", Seq("sample" -> 10))
