@@ -49,7 +49,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // session hygiene OUTSIDE the timed window: drop every cache and
+      // localCheckpoint block the query left behind, so each number
+      // measures the query, not the session's history (round 4's driver
+      // bench degraded 6× from accumulated blocks squeezing the storage
+      // pool over 107 queries)
+      graft.util.SessionHygiene.releaseAll(spark)
+      name -> dt
     }
     val total = results.map(_._2).sum
     val fullJson = results.sortBy(-_._2)

@@ -1403,7 +1403,11 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .withColumn("year", (col("vec_id") % 4 + 2019).cast("int")),
       "vec_id", "year", "embedding",
-      dim = 64, simThreshold = 0.4, assignThreshold = 0.3)
+      dim = 64, simThreshold = 0.4, assignThreshold = 0.3,
+      // exact orphan nearest-neighbor so the DuckDB oracle replays stage 4
+      // verbatim; the production default (blockOrphans = true) is the
+      // LSH-blocked path, oracle-checked on its own via q99
+      blockOrphans = false)
 
   // ---- §2.11 blocked fuzzy join under Jaro–Winkler ------------------------
   // The reference's actual record-linkage string metric (recordlinkage's

@@ -23,6 +23,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the query's caches/localCheckpoints — 107 queries in one
+      // JVM otherwise accumulate blocks until the storage pool degrades
+      graft.util.SessionHygiene.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

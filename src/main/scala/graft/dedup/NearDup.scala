@@ -108,27 +108,30 @@ object NearDup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = wordShingles(df, idCol, textCol, shingleN)
-    val sig = minhashSignatures(sh, idCol, numHashes, family).cache()
-    val hCols = (0 until numHashes).map(i => col(s"h$i"))
+    val sig = minhashSignatures(sh, idCol, numHashes, family)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), family.combine(slice).as("bucket"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+    // The full signature rides along with each bucket row (bands× a few
+    // hundred bytes per doc), so the estimated Jaccard is computed INSIDE
+    // the band join — no cached signature frame held past the call (the old
+    // shape leaked its cache into the session), no join back to signatures,
+    // two fewer shuffles. At 100 TB the payload duplication is dwarfed by
+    // the shuffles it removes.
+    val buckets = sig.select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("__sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("__sig"), col("bb.band"), col("bb.bucket"))
+    val matches = aggregate(
+      zip_with(col("__sa"), col("__sb"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    val sigA = sig.select(col(idCol).as("id_a") +: hCols.zipWithIndex.map {
-      case (c, i) => c.as(s"a$i") }: _*)
-    val sigB = sig.select(col(idCol).as("id_b") +: hCols.zipWithIndex.map {
-      case (c, i) => c.as(s"b$i") }: _*)
-    val eq = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sigA, "id_a").join(sigB, "id_b")
-      .withColumn("est_jaccard", eq.cast("double") / numHashes)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.__sig").as("__sa"), col("y.__sig").as("__sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", matches.cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -180,31 +183,28 @@ object NearDup {
     // identical to the survivor-filtered form.
     def sigOf(df: DataFrame) = minhashSignatures(
       wordShingles(df, idCol, textCol, shingleN), idCol, numHashes, family)
-    def bucketsOf(sig: DataFrame, as: String) = {
+    // signatures ride the bucket rows (see minhashLshPairs): the estimate
+    // is computed inside the candidate join, so neither signature frame is
+    // cached — nothing persisted survives the call
+    def bucketsOf(df: DataFrame, idAs: String, sigAs: String) = {
       val bandStructs = (0 until bands).map { b =>
         val slice = (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}"))
         struct(lit(b).as("band"), family.combine(slice).as("bucket"))
       }
-      sig.select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bb"))
-        .select(col(as), col("bb.band"), col("bb.bucket"))
+      sigOf(df).select(col(idCol).as(idAs),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as(sigAs),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idAs), col(sigAs), col("bb.band"), col("bb.bucket"))
     }
-    val sigNew = sigOf(newBatch.select(col(idCol), col(textCol))).cache()
-    val sigHist = sigOf(history).cache()
-    val cand = bucketsOf(sigNew, "__nid")
-      .join(bucketsOf(sigHist, "__hid"), Seq("band", "bucket"))
-      .select("__nid", "__hid").distinct()
-    val hCols = (0 until numHashes).map(i => col(s"h$i"))
-    val sigA = sigNew.select(col(idCol).as("__nid") +:
-      hCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
-    val sigB = sigHist.select(col(idCol).as("__hid") +:
-      hCols.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
-    val eq = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val est = aggregate(
+      zip_with(col("__sa"), col("__sb"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
     val best = graft.operators.Dedup.keepFirst(
-      cand.join(sigA, "__nid").join(sigB, "__hid")
-        .withColumn("__est", eq.cast("double") / numHashes)
+      bucketsOf(newBatch.select(col(idCol), col(textCol)), "__nid", "__sa")
+        .join(bucketsOf(history, "__hid", "__sb"), Seq("band", "bucket"))
+        .dropDuplicates("__nid", "__hid")
+        .withColumn("__est", est)
         .where(col("__est") >= threshold),
       Seq("__nid"), Seq(col("__est").desc, col("__hid").asc))
       .select(col("__nid").as(idCol), col("__hid").as("near_match_id"),

@@ -1,7 +1,9 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Connected components on a DataFrame edge list — the primitive behind the
   * reference's boiler–generator unit assembly and EPA–EIA subplant ids
@@ -29,6 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @return (vertex "v", component) with component = min vertex id reachable.
     *
     * Routing: below `localEdgeThreshold` the edge list collects to a driver
@@ -50,7 +54,10 @@ object ConnectedComponents {
     if (nEdges <= localEdgeThreshold) runLocal(e)
     else {
       e.unpersist()
-      runStars(edges, srcCol, dstCol, maxIter = math.max(maxIter, 50))
+      // caller's maxIter is honored as-is (star rounds run 3 alternations
+      // per iteration, so even the default 25 covers ~75 contractions —
+      // far past O(log n) convergence for any realistic graph)
+      runStars(edges, srcCol, dstCol, maxIter = maxIter)
     }
   }
 
@@ -98,21 +105,33 @@ object ConnectedComponents {
     */
   def runStars(edges: DataFrame, srcCol: String, dstCol: String,
                maxIter: Int = 50): DataFrame = {
+    val spark0 = edges.sparkSession
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
-    val verts = e0.select(explode(array(col("a"), col("b"))).as("v"))
-      .distinct().localCheckpoint()
-    var e = e0.where(col("a") =!= col("b")).distinct().localCheckpoint()
-    // round signature (edge count + order-free hash sum) detects the fixed
-    // point: two extra scalar aggregations per round, no driver edge list
-    def signature(d: DataFrame): (Long, Long) = {
-      // 32-bit mask: the sum stays far from Long overflow (ANSI mode
-      // errors on it) until 2^32 edges per round, beyond this loop's reach
-      val r = d.agg(count(lit(1)), coalesce(
-        sum(xxhash64(col("a"), col("b")).bitwiseAND(lit(0xFFFFFFFFL))),
-        lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // used exactly once (final labeling join) — no checkpoint needed
+    val verts = e0.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+    val edgeSchema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    // Materialize a round AND compute its convergence signature (edge count
+    // + order-free wrapping sum of a 64-bit mix — full hash space, JVM
+    // wraparound is fine for an order-free sum) in ONE driver action:
+    // rdd.localCheckpoint() marks the blocks, the aggregate materializes
+    // them and folds the signature in the same pass. The returned RDD
+    // handle lets the superseded round's blocks be released immediately —
+    // nothing outlives the loop except the final round backing the labels.
+    def materialize(df: DataFrame): (RDD[Row], (Long, Long)) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      val sig = rdd.aggregate((0L, 0L))(
+        (acc, r) => {
+          val h = scala.util.hashing.byteswap64(
+            r.getLong(0) ^ scala.util.hashing.byteswap64(r.getLong(1)))
+          (acc._1 + 1L, acc._2 + h)
+        },
+        (x, y) => (x._1 + y._1, x._2 + y._2))
+      (rdd, sig)
     }
     // One large-star + small-star alternation. Both phases are windowed
     // per-node mins — NO joins: the groupBy-then-join-back form spawns a
@@ -142,38 +161,40 @@ object ConnectedComponents {
         .select(col("s.a").as("a"), col("s.b").as("b"))
         .where(col("a") =!= col("b")).distinct()
     }
-    var sig = signature(e)
-    // Latency/throughput switch: each round's stages are freshly planned
-    // and codegen-compiled (new expr ids every iteration — janino pays
-    // ~0.1-0.3 s per stage per round). Below ~10M edges the loop is
-    // scheduler/compile-bound, so run it interpreted; above, rounds are
-    // data-bound and whole-stage codegen earns its compile time.
-    val spark = e.sparkSession
-    val codegenKey = "spark.sql.codegen.wholeStage"
-    val prevCodegen = spark.conf.getOption(codegenKey)
-    val smallGraph = sig._1 <= 10000000L
-    if (smallGraph) spark.conf.set(codegenKey, "false")
-    try {
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIter) {
-        // two alternations per materialization: halves the driver actions
-        // (checkpoint + signature) the convergence loop pays; costs at most
-        // one extra (idempotent) alternation after the fixed point
-        val ss = round(round(e)).localCheckpoint()
-        val nextSig = signature(ss)
-        converged = nextSig == sig
-        sig = nextSig
-        e = ss
-        i += 1
-      }
-    } finally if (smallGraph) prevCodegen match {
-      case Some(v) => spark.conf.set(codegenKey, v)
-      case None => spark.conf.unset(codegenKey)
+    var (rddCur, sig) = materialize(e0.where(col("a") =!= col("b")).distinct())
+    // Latency/throughput switch, scoped to a CLONED session so concurrent
+    // queries on the caller's session never observe it: each round's stages
+    // are freshly planned and codegen-compiled (new expr ids every
+    // iteration — janino pays ~0.1-0.3 s per stage per round). Below ~10M
+    // edges the loop is scheduler/compile-bound, so run it interpreted;
+    // above, rounds are data-bound and codegen earns its compile time.
+    val loop = spark0.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions",
+      spark0.conf.get("spark.sql.shuffle.partitions"))
+    if (sig._1 <= 10000000L)
+      loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // three alternations per materialization: cuts the driver actions the
+      // convergence loop pays to a third; costs at most two idempotent
+      // alternations after the fixed point
+      val (rddNext, nextSig) = materialize(
+        round(round(round(loop.createDataFrame(rddCur, edgeSchema)))))
+      converged = nextSig == sig
+      sig = nextSig
+      rddCur.unpersist(blocking = false)
+      rddCur = rddNext
+      i += 1
     }
+    if (!converged)
+      log.warn(s"runStars: maxIter=$maxIter exhausted without signature " +
+        "convergence — returned labels may split components that one more " +
+        "round would have merged")
     // fixed point is (child, root) stars; roots + self-loop-only vertices
     // label themselves
-    verts.join(e.select(col("a").as("v"), col("b").as("c")), Seq("v"), "left")
+    val eFinal = spark0.createDataFrame(rddCur, edgeSchema)
+    verts.join(eFinal.select(col("a").as("v"), col("b").as("c")), Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("v")).as("component"))
   }
 
@@ -192,13 +213,21 @@ object ConnectedComponents {
   }
 
   private def runDistributed(sym0: DataFrame, maxIter: Int): DataFrame = {
+    val spark = sym0.sparkSession
     val sym = sym0
       .unionByName(sym0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("component", col("v"))
-      .localCheckpoint()
+    val lblSchema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("component", LongType, nullable = false)))
+    val chgSchema = lblSchema.add(StructField("__chg", BooleanType, nullable = false))
+    // same fused materialize+count trick as runStars: one action per round,
+    // superseded checkpoint blocks released as soon as the next round lands
+    var rddCur: RDD[Row] = sym.select(col("a").as("v"), col("a").as("component")).distinct().rdd
+    rddCur.localCheckpoint()
+    rddCur.count()
+    var labels = spark.createDataFrame(rddCur, lblSchema)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -216,11 +245,18 @@ object ConnectedComponents {
         .select(col("v"),
           least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"),
           (least(col("c1"), coalesce(col("c2"), col("c1"))) < col("c0")).as("__chg"))
-        .localCheckpoint()
-      changed = next.where(col("__chg")).count()
-      labels = next.drop("__chg")
+      val rddNext = next.rdd
+      rddNext.localCheckpoint()
+      changed = rddNext.aggregate(0L)(
+        (acc, r) => acc + (if (r.getBoolean(2)) 1L else 0L), _ + _)
+      rddCur.unpersist(blocking = false)
+      rddCur = rddNext
+      labels = spark.createDataFrame(rddNext, chgSchema).drop("__chg")
       i += 1
     }
+    if (changed > 0)
+      log.warn(s"runLabelProp: maxIter=$maxIter exhausted with $changed " +
+        "labels still changing — components may be under-merged")
     sym.unpersist()
     sym0.unpersist()
     labels

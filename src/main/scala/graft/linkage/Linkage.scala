@@ -110,18 +110,19 @@ object Linkage {
     * The stable `record_label` is the minimum member id of the final
     * cluster — deterministic under any partitioning.
     *
-    * `blockOrphans = true` routes step 4 through the banded LSH candidate
-    * join ([[Similarity.nearestAssignBlocked]], same plane family as step
-    * 1) — the 100 TB path, where the orphans × clustered cross join is the
-    * one remaining quadratic stage. Default `false` keeps the exact
-    * nearest-neighbor semantics (and the DuckDB-oracle replay of q97).
+    * `blockOrphans = true` (the DEFAULT — this is the 100 TB path) routes
+    * step 4 through the banded LSH candidate join
+    * ([[Similarity.nearestAssignBlocked]], same plane family as step 1);
+    * the orphans × clustered cross join never forms. Pass `false` for the
+    * exact brute-force nearest-neighbor semantics (bounded corpora /
+    * oracle replay — q97 does this explicitly).
     *
     * @return (idCol, yearCol, record_label) */
   def linkIdsCrossYear(records: DataFrame, idCol: String, yearCol: String,
                        embCol: String, dim: Int, simThreshold: Double,
                        assignThreshold: Double,
                        nBits: Int = 24, bands: Int = 4,
-                       blockOrphans: Boolean = false): DataFrame = {
+                       blockOrphans: Boolean = true): DataFrame = {
     val ids = records.select(col(idCol).cast("long").as(idCol),
       col(yearCol), col(embCol))
     // 1. blocked near-pair edges, same-year pairs vetoed
@@ -162,7 +163,14 @@ object Linkage {
       .localCheckpoint()
     val singletons = orphans.join(assigned.select(idCol), Seq(idCol), "left_anti")
       .select(col(idCol), col(idCol).cast("long").as("record_label"))
-    ids.select(col(idCol), col(yearCol))
+    // materialize the (small: ids + labels) result eagerly, then release the
+    // two intermediate checkpoints — nothing persisted outlives the call
+    // except the returned frame's own blocks (harness-released per query)
+    val out = ids.select(col(idCol), col(yearCol))
       .join(labeled.unionByName(assigned).unionByName(singletons), Seq(idCol))
+      .localCheckpoint()
+    graft.util.SessionHygiene.releaseCheckpoint(labeled)
+    graft.util.SessionHygiene.releaseCheckpoint(assigned)
+    out
   }
 }

@@ -51,6 +51,9 @@ object Sampling {
                          salt: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 100,
       "split percents must sum to <= 100")
+    require(splits.forall(_._2 >= 0),
+      "split percents must be non-negative") // a negative percent would
+    // silently produce non-monotonic cuts and steal its neighbor's range
     val bucket = splitBucket(col(idCol), salt)
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val assign = splits.zip(cuts).foldLeft(Option.empty[Column]) {

@@ -56,6 +56,20 @@ object TemporalOps {
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     val payloadCols = right.columns
       .filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    // output = left columns ++ matchedTsName ++ right payload columns: any
+    // overlap would emit ambiguous duplicate names (pandas merge_asof
+    // suffixes; we require the caller to rename instead — explicit > silent)
+    val clash = (payloadCols :+ matchedTsName).filter(c =>
+      left.columns.contains(c)) ++
+      (if (payloadCols.contains(matchedTsName)) Seq(matchedTsName) else Nil)
+    require(clash.isEmpty,
+      s"asofJoin output name collision on ${clash.distinct.mkString(", ")}: " +
+        "rename right payload columns (or pick a different matchedTsName) " +
+        "so they are disjoint from left columns")
+    val internal = Seq("__ts", "__isLeft", "__payload", "__m")
+    val internalClash = (left.columns ++ right.columns).filter(internal.contains)
+    require(internalClash.isEmpty,
+      s"asofJoin reserves ${internalClash.distinct.mkString(", ")}; rename input columns")
     val rt = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),

@@ -106,7 +106,7 @@ object TextAnalysis {
                     budget: Int, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
-    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("end_off", sum(col("n_tokens")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))

@@ -29,7 +29,8 @@ class LinkCrossYearSpec extends SparkSpec {
 
   test("linkIdsCrossYear: cluster, split duplicate years, assign orphans") {
     val got = Linkage.linkIdsCrossYear(records, "rec_id", "year", "embedding",
-        dim = dim, simThreshold = 0.95, assignThreshold = 0.7)
+        dim = dim, simThreshold = 0.95, assignThreshold = 0.7,
+        blockOrphans = false) // exact orphan semantics under test here
       .select("rec_id", "record_label")
       .as[(Long, Long)].collect().toMap
     assert(got.size == 8)
@@ -42,6 +43,27 @@ class LinkCrossYearSpec extends SparkSpec {
     assert(got(7L) == 1L,
       s"near orphan joins nearest cluster's label: $got")
     assert(got(8L) == 8L, s"far orphan stays a singleton: $got")
+  }
+
+  test("default (blockOrphans=true) orphan stage plans no cross product") {
+    // blockOrphans defaults to TRUE (the 100 TB path): orphan assignment
+    // goes through the banded LSH equi-join
+    // (Similarity.nearestAssignBlocked — the exact stage linkIdsCrossYear
+    // routes to by default; q99's PlanSpec test asserts the executed form),
+    // never an all-pairs product. Asserted here on the stage's own plan
+    // because the public result is checkpoint-backed (hygiene), which hides
+    // upstream operators from its queryExecution.
+    val clustered = records.where(col("rec_id") <= 6)
+      .withColumn("record_label", col("rec_id"))
+    val orphans = records.where(col("rec_id") > 6)
+    val plan = graft.similarity.Similarity.nearestAssignBlocked(
+        orphans, clustered, "rec_id", "embedding", "record_label",
+        dim = dim, nBits = 24, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked orphan stage contains a CartesianProduct:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked orphan stage contains a BroadcastNestedLoopJoin:\n$plan")
   }
 
   test("empty edge set: every record is its own entity") {

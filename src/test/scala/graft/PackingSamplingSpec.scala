@@ -27,7 +27,7 @@ class PackingSamplingSpec extends SparkSpec {
       for (r <- sorted) {
         val start = r.getAs[Long]("start_off")
         val end = r.getAs[Long]("end_off")
-        val n = r.getAs[Int]("n_tokens")
+        val n = r.getAs[Long]("n_tokens") // int64 like every other offset col
         assert(r.getAs[Long]("chunk_id") == start / 5)
         assert(r.getAs[Long]("chunk_pos") == start % 5)
         if (n > 0)
@@ -41,7 +41,7 @@ class PackingSamplingSpec extends SparkSpec {
     val out = TextAnalysis.packSequences(df, "doc_id", "text",
         budget = 2, nShards = 1)
       .orderBy("doc_id").collect()
-    assert(out(1).getAs[Int]("n_tokens") == 0)
+    assert(out(1).getAs[Long]("n_tokens") == 0L)
     assert(out(1).getAs[Long]("n_chunks") == 0L)
     assert(out(1).getAs[Long]("start_off") == out(1).getAs[Long]("end_off"))
     // doc 3 starts right after doc 1's 3 tokens despite the empty doc
