@@ -1541,6 +1541,76 @@ object SparkEntry {
         "doc_id", "lang", Map("en" -> 40, "zh" -> 90), defaultPercent = 70)
       .select("doc_id", "lang", "split_bucket")
 
+  // ---- §2.13 GENERAL-polygon overlay: concave L-territories × counties ---
+  // Reference: overlay/self_union on arbitrary polygons (spatial.py:118-288).
+  // Concave L-shaped supplier territories (6-vertex rings) overlay 4×4
+  // county boxes through the grid-bucketed join; the exact area comes from
+  // the native triangulate-and-clip expression (PolygonIntersectArea). The
+  // oracle replays each L as its two disjoint boxes with plain rectangle
+  // arithmetic — the general path must agree with the decomposition on
+  // every pair, including bbox-overlaps-but-notch-misses pairs (area 0).
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    // L-outline (CCW): full w×h box minus the top-right notch; equals the
+    // union of the bottom w×2 strip and the left 2×(h-2) upper strip
+    val terr = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 50) * 2.0).as("ax"),
+        ((col("s_suppkey") % 30) * 2.0).as("ay"),
+        (lit(4.0) + col("s_suppkey") % 3).as("w"),
+        (lit(4.0) + col("s_suppkey") % 2).as("h"))
+      .select(col("s_suppkey"), array(
+        pt(col("ax"), col("ay")),
+        pt(col("ax") + col("w"), col("ay")),
+        pt(col("ax") + col("w"), col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + col("h")),
+        pt(col("ax"), col("ay") + col("h"))).as("ring"))
+    val county = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") % 40) * 2.0).as("bx"),
+        ((col("c_custkey") % 24) * 2.0).as("by0"))
+      .select(col("c_custkey"), col("c_acctbal"), array(
+        pt(col("bx"), col("by0")), pt(col("bx") + 4.0, col("by0")),
+        pt(col("bx") + 4.0, col("by0") + 4.0),
+        pt(col("bx"), col("by0") + 4.0)).as("ring"))
+    // integer-grid true areas are ≥ 1, so round(·,6) lands exactly on the
+    // oracle's rectangle arithmetic; right_area is shoelace-exact 16.0
+    val ia = round(col("inter_area"), 6)
+    graft.spatial.SpatialOps.overlayPolygons(terr, county, "s_suppkey",
+        "c_custkey", Seq("c_acctbal"), cell = 8.0)
+      .select(col("s_suppkey"), col("c_custkey"), ia.as("inter_area"),
+        (ia / col("right_area")).as("area_fraction"),
+        (col("c_acctbal") * (ia / col("right_area"))).as("acctbal_alloc"))
+  }
+
+  // ---- §2.13 MultiPolygon explode + ratio split ---------------------------
+  // Reference: explode/polygonize with area-fraction rescaling
+  // (spatial.py:52-117). Each supplier's territory is a 3-part
+  // multipolygon (array of rings); part areas, the total, and the rescaled
+  // value are all within-row higher-order-function arithmetic — no shuffle.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    def box(ox: Column, oy: Column, w: Column, h: Column) = array(
+      struct(ox.as("x"), oy.as("y")),
+      struct((ox + w).as("x"), oy.as("y")),
+      struct((ox + w).as("x"), (oy + h).as("y")),
+      struct(ox.as("x"), (oy + h).as("y")))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"),
+      (col("s_suppkey") % 20).cast("double").as("ox"),
+      (col("s_suppkey") % 10).cast("double").as("oy"),
+      (lit(1) + col("s_suppkey") % 3).cast("double").as("w0"),
+      (lit(1) + col("s_suppkey") % 2).cast("double").as("h0"),
+      (lit(1) + col("s_suppkey") % 4).cast("double").as("h1"),
+      (lit(1) + col("s_suppkey") % 5).cast("double").as("h2"))
+    val multi = sup.withColumn("rings", array(
+        box(col("ox"), col("oy"), col("w0"), col("h0")),
+        box(col("ox") + 30.0, col("oy"), lit(2.0), col("h1")),
+        box(col("ox"), col("oy") + 30.0, lit(3.0), col("h2"))))
+      .select("s_suppkey", "s_acctbal", "rings")
+    graft.spatial.SpatialOps.explodeMultiPolygon(multi, "s_suppkey",
+        Seq("s_acctbal"))
+      .select(col("s_suppkey"), col("part_index"), col("ring_area"),
+        col("area_fraction"), col("s_acctbal_part").as("acctbal_part"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1654,6 +1724,8 @@ object SparkEntry {
     "q105_asof_join" -> (q105 _),
     "q106_interval_join" -> (q106 _),
     "q107_stratified_sample" -> (q107 _),
+    "q108_polygon_overlay" -> (q108 _),
+    "q109_multipolygon_split" -> (q109 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3487,6 +3559,54 @@ object SparkEntry {
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
         |  END AS n_chunks
         |FROM off""".stripMargin,
+    // L-territory ∩ county replayed by decomposing each L into its two
+    // disjoint boxes (bottom w×2 strip + left 2×(h-2) upper strip):
+    // area(L ∩ B) = area(box1 ∩ B) + area(box2 ∩ B) — plain rectangle
+    // arithmetic, independent of the triangulate-and-clip path under test.
+    "q108_polygon_overlay" ->
+      """WITH terr AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey % 50) * 2.0e0 AS ax,
+        |    (s_suppkey % 30) * 2.0e0 AS ay,
+        |    4.0e0 + (s_suppkey % 3) AS w,
+        |    4.0e0 + (s_suppkey % 2) AS h
+        |  FROM supplier),
+        |county AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    (c_custkey % 40) * 2.0e0 AS bx,
+        |    (c_custkey % 24) * 2.0e0 AS by0
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT s_suppkey, c_custkey, c_acctbal,
+        |    greatest(0.0e0, least(ax + w, bx + 4.0e0) - greatest(ax, bx)) *
+        |      greatest(0.0e0, least(ay + 2.0e0, by0 + 4.0e0) - greatest(ay, by0))
+        |    + greatest(0.0e0, least(ax + 2.0e0, bx + 4.0e0) - greatest(ax, bx)) *
+        |      greatest(0.0e0, least(ay + h, by0 + 4.0e0) - greatest(ay + 2.0e0, by0))
+        |      AS inter
+        |  FROM terr, county)
+        |SELECT s_suppkey, c_custkey, round(inter, 6) AS inter_area,
+        |  round(inter, 6) / 16.0e0 AS area_fraction,
+        |  c_acctbal * (round(inter, 6) / 16.0e0) AS acctbal_alloc
+        |FROM pairs WHERE inter > 0""".stripMargin,
+    // part areas from the box dimensions directly; fractions and rescaled
+    // values are the same IEEE divisions/multiplies the Spark side performs
+    // on its shoelace-exact integer areas
+    "q109_multipolygon_split" ->
+      """WITH m AS (
+        |  SELECT s_suppkey, s_acctbal,
+        |    CAST((1 + s_suppkey % 3) * (1 + s_suppkey % 2) AS DOUBLE) AS a0,
+        |    CAST(2 * (1 + s_suppkey % 4) AS DOUBLE) AS a1,
+        |    CAST(3 * (1 + s_suppkey % 5) AS DOUBLE) AS a2
+        |  FROM supplier),
+        |p AS (
+        |  SELECT s_suppkey, s_acctbal, 0 AS part_index, a0 AS ring_area,
+        |    a0 + a1 + a2 AS total FROM m
+        |  UNION ALL SELECT s_suppkey, s_acctbal, 1, a1, a0 + a1 + a2 FROM m
+        |  UNION ALL SELECT s_suppkey, s_acctbal, 2, a2, a0 + a1 + a2 FROM m)
+        |SELECT s_suppkey, part_index, ring_area,
+        |  ring_area / total AS area_fraction,
+        |  s_acctbal * (ring_area / total) AS acctbal_part
+        |FROM p""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftaccess.Internals
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructType}
+
+/** Pure-JVM planar geometry for simple (possibly CONCAVE) rings — the
+  * kernel behind [[PolygonIntersectArea]]. Rings are open vertex arrays,
+  * either winding order, no self-intersections (the reference's shapely
+  * polygons satisfy the same precondition).
+  */
+object RingGeom {
+
+  type Pt = (Double, Double)
+
+  /** Twice the signed area (CCW positive). */
+  def signedArea2(ring: IndexedSeq[Pt]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.length)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s
+  }
+
+  def area(ring: IndexedSeq[Pt]): Double = math.abs(signedArea2(ring)) / 2.0
+
+  private def dedupConsecutive(ring: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    if (ring.isEmpty) return ring
+    val out = scala.collection.mutable.ArrayBuffer[Pt](ring.head)
+    for (p <- ring.tail) if (p != out.last) out += p
+    if (out.length > 1 && out.head == out.last) out.remove(out.length - 1)
+    out.toIndexedSeq
+  }
+
+  /** Ear-clipping triangulation of a simple polygon (handles concave
+    * rings; collinear vertices are clipped away without emitting). Returns
+    * CCW triangles whose areas sum to the ring's area. */
+  def triangulate(ring0: IndexedSeq[Pt]): IndexedSeq[Array[Pt]] = {
+    val ring = dedupConsecutive(ring0)
+    if (ring.length < 3) return IndexedSeq.empty
+    val ccw = if (signedArea2(ring) >= 0) ring else ring.reverse
+    val idx = scala.collection.mutable.ArrayBuffer(ccw.indices: _*)
+    val tris = scala.collection.mutable.ArrayBuffer.empty[Array[Pt]]
+    def cross(a: Pt, b: Pt, c: Pt): Double =
+      (b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1)
+    // CLOSED-triangle test: a vertex on the ear's boundary blocks the ear
+    // too — a reflex vertex sitting exactly on the ear's diagonal (the
+    // notch corner of a rectilinear L) would otherwise let the ear span
+    // the notch. Vertices coincident with an ear corner are exempt
+    // (measure-zero touch, would deadlock the scan otherwise).
+    def inClosedTri(p: Pt, a: Pt, b: Pt, c: Pt): Boolean =
+      cross(a, b, p) >= 0 && cross(b, c, p) >= 0 && cross(c, a, p) >= 0
+    while (idx.length > 3) {
+      var earAt = -1
+      var k = 0
+      while (k < idx.length && earAt < 0) {
+        val ip = idx((k + idx.length - 1) % idx.length)
+        val ic = idx(k)
+        val in = idx((k + 1) % idx.length)
+        val (a, b, c) = (ccw(ip), ccw(ic), ccw(in))
+        val cr = cross(a, b, c)
+        if (cr == 0.0) earAt = k // degenerate: drop vertex, emit nothing
+        else if (cr > 0 && idx.forall { j =>
+          j == ip || j == ic || j == in || {
+            val q = ccw(j)
+            q == a || q == b || q == c || !inClosedTri(q, a, b, c)
+          }
+        }) {
+          tris += Array(a, b, c)
+          earAt = k
+        }
+        k += 1
+      }
+      if (earAt < 0) {
+        // no ear found (numerically degenerate ring) — bail out with what
+        // we have rather than loop forever; callers see a partial area
+        return tris.toIndexedSeq
+      }
+      idx.remove(earAt)
+    }
+    val t = Array(ccw(idx(0)), ccw(idx(1)), ccw(idx(2)))
+    if (cross(t(0), t(1), t(2)) != 0.0) tris += t
+    tris.toIndexedSeq
+  }
+
+  /** Sutherland–Hodgman: subject ring clipped by a CONVEX CCW clip ring. */
+  def clipByConvex(subject: IndexedSeq[Pt], clipCcw: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    var out: IndexedSeq[Pt] = subject
+    var e = 0
+    while (e < clipCcw.length && out.nonEmpty) {
+      val (ax, ay) = clipCcw(e)
+      val (bx, by) = clipCcw((e + 1) % clipCcw.length)
+      def inside(p: Pt): Boolean =
+        (bx - ax) * (p._2 - ay) - (by - ay) * (p._1 - ax) >= 0
+      def intersect(p: Pt, q: Pt): Pt = {
+        val t = ((ax - p._1) * (ay - by) - (ay - p._2) * (ax - bx)) /
+          ((q._1 - p._1) * (ay - by) - (q._2 - p._2) * (ax - bx))
+        (p._1 + t * (q._1 - p._1), p._2 + t * (q._2 - p._2))
+      }
+      val in = out
+      val next = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      var i = 0
+      while (i < in.length) {
+        val cur = in(i)
+        val prev = in((i + in.length - 1) % in.length)
+        (inside(cur), inside(prev)) match {
+          case (true, true)  => next += cur
+          case (true, false) => next += intersect(prev, cur); next += cur
+          case (false, true) => next += intersect(prev, cur)
+          case _             => ()
+        }
+        i += 1
+      }
+      out = next.toIndexedSeq
+      e += 1
+    }
+    out
+  }
+
+  /** Exact intersection area of two simple polygons, concave allowed:
+    * triangulate both, sum the convex triangle∩triangle clip areas
+    * (overlaps between summands are boundary-only — measure zero). */
+  def intersectionArea(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Double = {
+    val ta = triangulate(a)
+    if (ta.isEmpty) return 0.0
+    val tb = triangulate(b)
+    var sum = 0.0
+    for (u <- ta; v <- tb)
+      sum += area(clipByConvex(u.toIndexedSeq, v.toIndexedSeq))
+    sum
+  }
+}
+
+/** Native Catalyst expression: intersection AREA of two simple polygons —
+  * concave rings included, which is what [[ConvexClip]] (convex windows
+  * only) cannot express. This is the general-polygon core of the
+  * reference's `overlay` / `self_union` / `dissolve` surface
+  * (`/root/reference/src/pudl/analysis/spatial.py:118-288`), where county
+  * and territory shapes are concave (multi)polygons.
+  *
+  * Triangulate-and-clip: ear-clip both rings, Sutherland–Hodgman each
+  * triangle pair, sum areas — deterministic, one eval per row over columnar
+  * ArrayData, no driver state. Rings are `array<struct<x:double,y:double>>`,
+  * open, either winding order.
+  */
+case class PolygonIntersectArea(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 &&
+        fs.forall(_.dataType == DoubleType) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "polygon_intersect_area expects two array<struct<x:double,y:double>> rings")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "polygon_intersect_area"
+
+  private def readRing(a: Any): IndexedSeq[RingGeom.Pt] = {
+    val arr = a.asInstanceOf[ArrayData]
+    IndexedSeq.tabulate(arr.numElements()) { i =>
+      val s = arr.getStruct(i, 2)
+      (s.getDouble(0), s.getDouble(1))
+    }
+  }
+
+  override def nullSafeEval(aRaw: Any, bRaw: Any): Any =
+    RingGeom.intersectionArea(readRing(aRaw), readRing(bRaw))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolygonIntersectArea =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolygonIntersectArea {
+  /** Column-API entry point: area(a ∩ b) for simple, possibly concave rings. */
+  def apply(a: Column, b: Column): Column =
+    Internals.column(PolygonIntersectArea(
+      Internals.expression(a), Internals.expression(b)))
+}

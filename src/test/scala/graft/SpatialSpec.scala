@@ -75,6 +75,92 @@ class SpatialSpec extends SparkSpec {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
   }
 
+  test("RingGeom: triangulation covers concave rings exactly") {
+    import graft.plans.RingGeom
+    // L-shape (concave), CW input (winding must not matter)
+    val ell = IndexedSeq((0.0, 0.0), (0.0, 4.0), (2.0, 4.0), (2.0, 2.0),
+      (4.0, 2.0), (4.0, 0.0))
+    val tris = RingGeom.triangulate(ell)
+    assert(math.abs(tris.map(t => RingGeom.area(t.toIndexedSeq)).sum - 12.0) < 1e-9)
+    // U-shape: two reflex vertices
+    val u = IndexedSeq((0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (4.0, 4.0),
+      (4.0, 1.0), (2.0, 1.0), (2.0, 4.0), (0.0, 4.0))
+    val ut = RingGeom.triangulate(u)
+    assert(math.abs(ut.map(t => RingGeom.area(t.toIndexedSeq)).sum - 18.0) < 1e-9)
+  }
+
+  test("RingGeom.intersectionArea: concave cases incl. the notch miss") {
+    import graft.plans.RingGeom
+    val ell = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (0.0, 4.0))
+    def box(x1: Double, y1: Double, x2: Double, y2: Double) =
+      IndexedSeq((x1, y1), (x2, y1), (x2, y2), (x1, y2))
+    // a box entirely inside the notch: bbox overlaps, true area 0 — the
+    // regression that the strict-interior ear test got wrong (ears spanned
+    // the notch when the reflex corner sat exactly on the ear diagonal)
+    assert(RingGeom.intersectionArea(ell, box(2, 2, 4, 4)) < 1e-9)
+    // straddling box [1,3]²: bottom strip gives [1,3]x[1,2] (2) and the
+    // left arm gives [1,2]x[2,3] (1)
+    assert(math.abs(RingGeom.intersectionArea(ell, box(1, 1, 3, 3)) - 3.0) < 1e-9)
+    // self-intersection = own area; box through both arms
+    assert(math.abs(RingGeom.intersectionArea(ell, ell) - 12.0) < 1e-9)
+    assert(math.abs(RingGeom.intersectionArea(ell, box(0, 0, 4, 4)) - 12.0) < 1e-9)
+    // two concave shapes: L and its 180°-rotated twin interlocking
+    val ell2 = IndexedSeq((4.0, 4.0), (0.0, 4.0), (0.0, 2.0), (2.0, 2.0),
+      (2.0, 0.0), (4.0, 0.0))
+    // overlap = [0,4]² minus both notches minus... compute directly: the
+    // two Ls tile the square except both cover nothing jointly outside
+    // their strips: L1 = bottom+left strips, L2 = top+right strips;
+    // common = ([0,4]x[0,2] ∪ [0,2]x[0,4]) ∩ ([0,4]x[2,4] ∪ [2,4]x[0,4])
+    //        = [2,4]x[0,2] ∪ [0,2]x[2,4]  → area 8
+    assert(math.abs(RingGeom.intersectionArea(ell, ell2) - 8.0) < 1e-9)
+  }
+
+  test("overlayPolygons: concave L x box grid join matches decomposition") {
+    def pt(x: Double, y: Double) = (x, y)
+    def ringDf(rows: Seq[(Long, IndexedSeq[(Double, Double)])], id: String) =
+      rows.toDF(id, "__r")
+        .withColumn("ring", transform(col("__r"),
+          p => struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+        .drop("__r")
+    // three Ls at different offsets; two 3x3 counties
+    def ell(ox: Double, oy: Double) = IndexedSeq(pt(ox, oy), pt(ox + 4, oy),
+      pt(ox + 4, oy + 2), pt(ox + 2, oy + 2), pt(ox + 2, oy + 4), pt(ox, oy + 4))
+    val left = ringDf(Seq((1L, ell(0, 0)), (2L, ell(3, 1)), (3L, ell(10, 10))), "lid")
+    val right = ringDf(Seq(
+      (7L, IndexedSeq(pt(2, 2), pt(5, 2), pt(5, 5), pt(2, 5))),
+      (8L, IndexedSeq(pt(11, 9), pt(14, 9), pt(14, 12), pt(11, 12)))), "rid")
+      .withColumn("v", lit(9.0))
+    val got = SpatialOps.overlayPolygons(left, right, "lid", "rid",
+        Seq("v"), cell = 4.0)
+      .select("lid", "rid", "inter_area").as[(Long, Long, Double)]
+      .collect().map { case (l, r, a) => (l, r) -> a }.toMap
+    // L1 ∩ county7: notch miss — no pair. L2 ∩ county7: bottom strip
+    // [3,7]x[1,3] ∩ [2,5]x[2,5] = [3,5]x[2,3] (2) + left strip
+    // [3,5]x[3,5] ∩ = [3,5]x[3,5] (4) → 6. L3 ∩ county8: bottom strip
+    // [10,14]x[10,12] ∩ [11,14]x[9,12] = 3x2 (6) + left [10,12]x[12,14] ∩ = 0 → 6
+    assert(!got.contains((1L, 7L)), s"notch miss must not pair: $got")
+    assert(math.abs(got((2L, 7L)) - 6.0) < 1e-9, s"$got")
+    assert(math.abs(got((3L, 8L)) - 6.0) < 1e-9, s"$got")
+    assert(got.size == 2, s"$got")
+  }
+
+  test("explodeMultiPolygon: fractions sum to 1, values conserved") {
+    val df = Seq((1L, 100.0)).toDF("id", "v")
+      .withColumn("rings", array(
+        // 2x3 box and 1x4 box
+        expr("array(struct(0.0d AS x, 0.0d AS y), struct(2.0d AS x, 0.0d AS y), " +
+          "struct(2.0d AS x, 3.0d AS y), struct(0.0d AS x, 3.0d AS y))"),
+        expr("array(struct(10.0d AS x, 0.0d AS y), struct(11.0d AS x, 0.0d AS y), " +
+          "struct(11.0d AS x, 4.0d AS y), struct(10.0d AS x, 4.0d AS y))")))
+    val rows = SpatialOps.explodeMultiPolygon(df, "id", Seq("v"))
+      .select("part_index", "ring_area", "area_fraction", "v_part")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(6.0, 4.0))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_._4).sum - 100.0) < 1e-9)
+  }
+
   test("unionAreaByGroup: sweep equals brute-force cell counting") {
     // integer-coordinate boxes -> union area == count of covered unit cells
     val boxes = (1 to 25).map(i =>
