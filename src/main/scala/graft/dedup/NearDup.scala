@@ -255,6 +255,94 @@ object NearDup {
           .orderBy(col(idCol))) - 1).cast("int"))
       .select(col(idCol), col(clusterCol), col("sub_cluster"))
 
+  /** sklearn-style AVERAGE-linkage agglomerative labels for a small point
+    * set: repeatedly merge the closest pair of clusters (mean pairwise
+    * distance) while that distance is below `threshold`. Deterministic:
+    * ties resolve to the first (i, j) in min-member order, and final labels
+    * are numbered by each cluster's minimum point index. O(n³) on n =
+    * cluster size — clusters are tiny by construction (the reference runs
+    * sklearn per overmerged cluster for exactly this reason,
+    * `link_cross_year.py:170-240`). */
+  private[graft] def agglomerate(dist: Array[Array[Double]],
+                                 threshold: Double): Array[Int] = {
+    val n = dist.length
+    val clusters = scala.collection.mutable.ArrayBuffer
+      .tabulate(n)(i => List(i))
+    var done = n <= 1
+    while (!done && clusters.length > 1) {
+      var bi = -1; var bj = -1; var best = Double.MaxValue
+      for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
+        var s = 0.0; var c = 0
+        for (p <- clusters(i); q <- clusters(j)) { s += dist(p)(q); c += 1 }
+        val d = s / c
+        if (d < best) { best = d; bi = i; bj = j }
+      }
+      if (best >= threshold) done = true
+      else {
+        clusters(bi) = clusters(bi) ++ clusters(bj)
+        clusters.remove(bj)
+      }
+    }
+    val labels = Array.fill(n)(-1)
+    clusters.sortBy(_.min).zipWithIndex
+      .foreach { case (m, k) => m.foreach(p => labels(p) = k) }
+    labels
+  }
+
+  /** Reference-parity cluster re-split (`split_clusters`,
+    * `/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:170-240`):
+    * clusters whose members duplicate the constraint key (report year) are
+    * re-clustered by AVERAGE-linkage agglomerative clustering over cosine
+    * distance with `distanceThreshold` — sklearn semantics, including the
+    * consequence that near-identical same-year records legitimately stay
+    * together (the reference trusts distance cohesion, not the year
+    * constraint). Clusters without duplicate keys pass through unsplit.
+    *
+    * Scale: one shuffle on the cluster key; the O(n³) agglomeration runs
+    * per cluster inside `flatMapGroups` on member counts bounded by the
+    * eps-graph's component sizes. [[splitClusters]] (the windowed greedy
+    * first-fit) remains the default in [[graft.linkage.Linkage]]: it
+    * guarantees key uniqueness per sub-cluster and replays in SQL.
+    *
+    * Input rows: (cluster, id, key, emb: array<float>). Output: (id,
+    * cluster, sub_cluster). */
+  def splitClustersAgglomerative(df: DataFrame, clusterCol: String,
+                                 idCol: String, keyCol: String,
+                                 embCol: String,
+                                 distanceThreshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(clusterCol).cast("long"), col(idCol).cast("long"),
+        col(keyCol).cast("string"), col(embCol).cast("array<float>"))
+      .as[(Long, Long, String, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val dupKeys = members.groupBy(_._3).exists(_._2.length > 1)
+        if (!dupKeys) members.iterator.map(m => (m._2, cluster, 0))
+        else {
+          def cosDist(a: Array[Float], b: Array[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < a.length) {
+              dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+              nb += b(i).toDouble * b(i); i += 1
+            }
+            val den = math.sqrt(na) * math.sqrt(nb)
+            if (den == 0.0) 1.0 else 1.0 - dot / den
+          }
+          val n = members.length
+          val dist = Array.tabulate(n, n)((i, j) =>
+            if (i == j) 0.0 else cosDist(members(i)._4, members(j)._4))
+          val labels = agglomerate(dist, distanceThreshold)
+          members.iterator.zipWithIndex.map { case (m, i) =>
+            (m._2, cluster, labels(i))
+          }
+        }
+      }
+      .toDF(idCol, clusterCol, "sub_cluster")
+  }
+
   /** SimHash near-dup pairs: signatures within `maxHamming` bits. Candidate
     * generation is the classic band trick — split the 64-bit signature into
     * `bands` equal bit-bands; any pair within maxHamming < bands Hamming

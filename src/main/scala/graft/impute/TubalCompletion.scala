@@ -1,6 +1,6 @@
 package graft.impute
 
-import breeze.linalg.{svd, DenseMatrix}
+import breeze.linalg.{svd, DenseMatrix, DenseVector}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.jtransforms.fft.DoubleFFT_1D
@@ -18,11 +18,17 @@ import org.jtransforms.fft.DoubleFFT_1D
   * the complex ones duplicated — keeping 2·rank of them is exactly the
   * rank-`rank` complex truncation, and the blocks recover B and C.
   *
-  * Deviations from the reference, documented: the autoregressive penalty
-  * (whose coefficients the reference seeds with `rng.random`, making it
-  * nondeterministic) is omitted — this is the deterministic low-tubal-rank
-  * core, validated by reconstruction WMAPE in `ImputeSpec` rather than a
-  * SQL oracle (SURVEY §7 hard-part #3).
+  * The reference's autoregressive penalty (`impute_latc_tnn`,
+  * `timeseries_cleaning.py:555-647`: per-series AR coefficients refit by
+  * least squares each iteration, missing entries updated with the blend
+  * `(lowrank + λ·ar_pred)/(1+λ)`) is available behind `arLambda > 0` with
+  * per-tube lagged regression along the period axis. It is DETERMINISTIC
+  * here: the reference's `0.001·rng.random` coefficient init is fully
+  * overwritten by the pinv refit on the first penalized iteration, so a
+  * zero init reproduces the same fixpoint without the RNG. Default
+  * `arLambda = 0` keeps the plain low-tubal-rank core. Both paths are
+  * validated by reconstruction WMAPE in `ImputeSpec` rather than a SQL
+  * oracle (SURVEY §7 hard-part #3).
   *
   * Scale design mirrors `MatrixCompletion`: one group per task via
   * `flatMapGroups`; group tensors are the reference's size (≤ 8760 × ~200),
@@ -56,8 +62,11 @@ object TubalCompletion {
   }
 
   def imputeByGroup(spark: SparkSession, cells: Dataset[Cell3], rank: Int,
-                    iters: Int = 50, tol: Double = 1e-7): Dataset[ImputedCell3] = {
+                    iters: Int = 50, tol: Double = 1e-7,
+                    arLambda: Double = 0.0,
+                    arLags: Seq[Int] = Seq(1)): Dataset[ImputedCell3] = {
     import spark.implicits._
+    val lags = arLags.toArray
     cells.groupByKey(_.group).flatMapGroups { (g, it) =>
       val rows = it.toArray
       val nR = rows.iterator.map(_.row).max + 1
@@ -107,15 +116,51 @@ object TubalCompletion {
           val (b, c) = complexTruncate(fre(s), fim(s), rank)
           fre(s) = b; fim(s) = c
         }
-        // inverse DFT, re-pin observed, measure change
+        // inverse DFT → low-rank reconstruction, then per-entry update:
+        // observed entries re-pin; missing entries take the low-rank value,
+        // optionally blended with the tube's AR prediction (the reference's
+        // (lowrank + λ·ar)/(1+λ) update) when arLambda > 0
+        val maxLag = if (lags.nonEmpty) lags.max else 0
+        val useAr = arLambda > 0 && lags.nonEmpty && nS > maxLag + lags.length
         var num = 0.0; var den = 0.0
         for (i <- 0 until nR; j <- 0 until nC) {
           var s = 0
           while (s < nS) { buf(2 * s) = fre(s)(i, j); buf(2 * s + 1) = fim(s)(i, j); s += 1 }
           fft.complexInverse(buf, true)
+          // deterministic per-tube AR refit (least squares on the tube's
+          // CURRENT values; ridge 1e-9 keeps the solve well-posed)
+          var arCoef: DenseVector[Double] = null
+          if (useAr) {
+            val dL = lags.length
+            val gm = DenseMatrix.zeros[Double](dL, dL)
+            val bv = DenseVector.zeros[Double](dL)
+            var t = maxLag
+            while (t < nS) {
+              var p = 0
+              while (p < dL) {
+                val qp = x(t - lags(p))(i, j)
+                var q = 0
+                while (q < dL) { gm(p, q) += qp * x(t - lags(q))(i, j); q += 1 }
+                bv(p) += qp * x(t)(i, j)
+                p += 1
+              }
+              t += 1
+            }
+            var p = 0
+            while (p < dL) { gm(p, p) += 1e-9; p += 1 }
+            arCoef = gm \ bv
+          }
           s = 0
           while (s < nS) {
-            val v = if (obs(s)(i, j) > 0) x(s)(i, j) else buf(2 * s)
+            val lowrank = buf(2 * s)
+            val v =
+              if (obs(s)(i, j) > 0) x(s)(i, j)
+              else if (arCoef != null && s >= maxLag) {
+                var pr = 0.0
+                var k = 0
+                while (k < lags.length) { pr += arCoef(k) * x(s - lags(k))(i, j); k += 1 }
+                (lowrank + arLambda * pr) / (1.0 + arLambda)
+              } else lowrank
             val d0 = v - x(s)(i, j)
             num += d0 * d0; den += x(s)(i, j) * x(s)(i, j)
             x(s)(i, j) = v
@@ -136,7 +181,8 @@ object TubalCompletion {
   /** DataFrame adapter: (groupCol, rowCol, colCol, sliceCol, valueCol). */
   def imputeDf(df: DataFrame, groupCol: String, rowCol: String, colCol: String,
                sliceCol: String, valueCol: String, rank: Int,
-               iters: Int = 50): DataFrame = {
+               iters: Int = 50, arLambda: Double = 0.0,
+               arLags: Seq[Int] = Seq(1)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cells = df.select(
@@ -145,6 +191,7 @@ object TubalCompletion {
       col(colCol).cast("int").as("col"),
       col(sliceCol).cast("int").as("slice"),
       col(valueCol).cast("double").as("value")).as[Cell3]
-    imputeByGroup(spark, cells, rank, iters).toDF()
+    imputeByGroup(spark, cells, rank, iters, arLambda = arLambda,
+      arLags = arLags).toDF()
   }
 }

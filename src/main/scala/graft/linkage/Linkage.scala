@@ -122,7 +122,15 @@ object Linkage {
                        embCol: String, dim: Int, simThreshold: Double,
                        assignThreshold: Double,
                        nBits: Int = 24, bands: Int = 4,
-                       blockOrphans: Boolean = true): DataFrame = {
+                       blockOrphans: Boolean = true,
+                       // Some(t): reference-parity re-split — per-cluster
+                       // AVERAGE-linkage agglomerative at distance
+                       // threshold t (sklearn semantics; may keep
+                       // near-identical same-year records together).
+                       // None (default): windowed greedy first-fit, which
+                       // guarantees one record per year per sub-cluster
+                       // and replays in SQL (q97's oracle).
+                       agglomerativeSplit: Option[Double] = None): DataFrame = {
     val ids = records.select(col(idCol).cast("long").as(idCol),
       col(yearCol), col(embCol))
     // 1. blocked near-pair edges, same-year pairs vetoed
@@ -142,8 +150,12 @@ object Linkage {
     // materializes them once instead of re-running the split window per
     // occurrence. Linkage labels are ids+longs — tiny relative to the
     // embedding corpus at any scale.
-    val labeled = NearDup
-      .splitClusters(clustered, "component", idCol, yearCol)
+    val split = agglomerativeSplit match {
+      case Some(t) => NearDup.splitClustersAgglomerative(
+        clustered, "component", idCol, yearCol, embCol, t)
+      case None => NearDup.splitClusters(clustered, "component", idCol, yearCol)
+    }
+    val labeled = split
       .withColumn("record_label", min(col(idCol)).over(
         Window.partitionBy(col("component"), col("sub_cluster"))))
       .select(col(idCol), col("record_label"))

@@ -62,6 +62,37 @@ class ImputeSpec extends SparkSpec {
     assert(wmape < 0.05, s"tubal WMAPE $wmape too high")
   }
 
+  test("TubalCompletion AR penalty improves WMAPE on AR-structured tubes") {
+    import graft.impute.TubalCompletion
+    // AR(1)-structured tubes: v[i,j,s] = c_ij * 0.92^s — an exponential
+    // decay is NOT band-limited, so pure tubal truncation ripples; the
+    // autoregressive blend should recover the lag structure
+    val (nR, nC, nS) = (8, 6, 24)
+    def truthOf(i: Int, j: Int, s: Int): Double =
+      (i + 1) * (j + 1) * 0.1 * math.pow(0.92, s)
+    val cells = for {
+      i <- 0 until nR; j <- 0 until nC; s <- 0 until nS
+    } yield {
+      val missing = s >= 2 && (i * 131 + j * 37 + s * 11) % 10 == 0 // ~10%
+      TubalCompletion.Cell3("g1", i, j, s,
+        if (missing) None else Some(truthOf(i, j, s)))
+    }
+    def wmapeOf(arLambda: Double): Double = {
+      val out = TubalCompletion.imputeByGroup(spark,
+        spark.createDataset(cells), rank = 2, iters = 300, tol = 1e-9,
+        arLambda = arLambda, arLags = Seq(1))
+      val errs = out.filter(_.was_missing).collect().map { c =>
+        (math.abs(c.value - truthOf(c.row, c.col, c.slice)),
+          math.abs(truthOf(c.row, c.col, c.slice)))
+      }
+      errs.map(_._1).sum / errs.map(_._2).sum
+    }
+    val (plain, ar) = (wmapeOf(0.0), wmapeOf(4.0))
+    assert(ar <= plain + 1e-9,
+      s"AR penalty must not hurt on AR-structured data: ar=$ar plain=$plain")
+    assert(ar < 0.05, s"AR-path WMAPE $ar too high")
+  }
+
   test("imputeDf fills event-value gaps per event_type") {
     val events = Tables.load(spark, sf, "events")
       .withColumn("day", dayofyear(col("ts")))
