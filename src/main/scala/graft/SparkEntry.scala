@@ -1611,6 +1611,29 @@ object SparkEntry {
         col("area_fraction"), col("s_acctbal_part").as("acctbal_part"))
   }
 
+  // ---- §2.13 general-polygon dissolve: union area per nation -------------
+  // Reference: dissolve how='union' on concave shapes (spatial.py:173-206).
+  // The q108 L-territories (overlapping within a nation) dissolve per
+  // nation via the vertical-slab sweep; the oracle counts distinct covered
+  // unit cells of each L's two-box decomposition — the sweep must match
+  // cell for cell on the integer grid.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val terr = t(s, dir, "supplier").select(col("s_nationkey"),
+        ((col("s_suppkey") % 50) * 2.0).as("ax"),
+        ((col("s_suppkey") % 30) * 2.0).as("ay"),
+        (lit(4.0) + col("s_suppkey") % 3).as("w"),
+        (lit(4.0) + col("s_suppkey") % 2).as("h"))
+      .select(col("s_nationkey"), array(
+        pt(col("ax"), col("ay")),
+        pt(col("ax") + col("w"), col("ay")),
+        pt(col("ax") + col("w"), col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + col("h")),
+        pt(col("ax"), col("ay") + col("h"))).as("ring"))
+    graft.spatial.SpatialOps.unionAreaPolygonsByGroup(terr, "s_nationkey")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1726,6 +1749,7 @@ object SparkEntry {
     "q107_stratified_sample" -> (q107 _),
     "q108_polygon_overlay" -> (q108 _),
     "q109_multipolygon_split" -> (q109 _),
+    "q110_polygon_dissolve" -> (q110 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3607,6 +3631,31 @@ object SparkEntry {
         |  ring_area / total AS area_fraction,
         |  s_acctbal * (ring_area / total) AS acctbal_part
         |FROM p""".stripMargin,
+    // each L decomposed into its two disjoint boxes; union area on the
+    // integer grid == count of distinct covered unit cells per nation
+    "q110_polygon_dissolve" ->
+      """WITH t AS (
+        |  SELECT s_nationkey,
+        |    CAST((s_suppkey % 50) * 2 AS INT) AS ax,
+        |    CAST((s_suppkey % 30) * 2 AS INT) AS ay,
+        |    CAST(4 + (s_suppkey % 3) AS INT) AS w,
+        |    CAST(4 + (s_suppkey % 2) AS INT) AS h
+        |  FROM supplier),
+        |boxes AS (
+        |  SELECT s_nationkey, ax AS x1, ay AS y1, ax + w AS x2, ay + 2 AS y2 FROM t
+        |  UNION ALL
+        |  SELECT s_nationkey, ax, ay + 2, ax + 2, ay + h FROM t),
+        |cellsx AS (
+        |  SELECT s_nationkey, y1, y2, unnest(range(x1, x2)) AS cx FROM boxes),
+        |cellsy AS (
+        |  SELECT s_nationkey, cx, unnest(range(y1, y2)) AS cy FROM cellsx),
+        |cells AS (SELECT DISTINCT s_nationkey, cx, cy FROM cellsy),
+        |agg AS (
+        |  SELECT s_nationkey, CAST(count(*) AS DOUBLE) AS union_area
+        |  FROM cells GROUP BY 1),
+        |np AS (SELECT s_nationkey, count(*) AS n_polys FROM supplier GROUP BY 1)
+        |SELECT a.s_nationkey, a.union_area, np.n_polys
+        |FROM agg a JOIN np ON a.s_nationkey = np.s_nationkey""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -137,6 +137,71 @@ object RingGeom {
       sum += area(clipByConvex(u.toIndexedSeq, v.toIndexedSeq))
     sum
   }
+
+  /** Exact union area of simple polygons (overlaps allowed, concave
+    * allowed) by vertical-slab sweep: between consecutive event abscissae
+    * (vertex xs and pairwise edge-crossing xs) the covered y-measure is
+    * linear in x, so evaluating it at each slab's midpoint (even-odd
+    * crossings per polygon → merged intervals) and multiplying by the slab
+    * width is exact — the midpoint rule integrates linear functions
+    * without error. O(E² + slabs·E) on the group's edge count. */
+  def unionArea(polys: Seq[IndexedSeq[Pt]]): Double = {
+    val rings = polys.filter(_.length >= 3)
+    if (rings.isEmpty) return 0.0
+    val edges: Seq[(Pt, Pt)] = rings.flatMap(r =>
+      r.indices.map(i => (r(i), r((i + 1) % r.length))))
+    val events = scala.collection.mutable.TreeSet.empty[Double]
+    rings.foreach(_.foreach(p => events += p._1))
+    // pairwise proper edge crossings add breakpoints where interval
+    // endpoints exchange order (collinear overlaps contribute no new xs —
+    // their endpoints are vertices, already events)
+    for (i <- edges.indices; j <- (i + 1) until edges.length) {
+      val ((p1, p2), (q1, q2)) = (edges(i), edges(j))
+      val d1 = (p2._1 - p1._1, p2._2 - p1._2)
+      val d2 = (q2._1 - q1._1, q2._2 - q1._2)
+      val den = d1._1 * d2._2 - d1._2 * d2._1
+      if (den != 0.0) {
+        val t = ((q1._1 - p1._1) * d2._2 - (q1._2 - p1._2) * d2._1) / den
+        val u = ((q1._1 - p1._1) * d1._2 - (q1._2 - p1._2) * d1._1) / den
+        if (t > 0 && t < 1 && u > 0 && u < 1) events += p1._1 + t * d1._1
+      }
+    }
+    val xs = events.toArray
+    var area = 0.0
+    var k = 0
+    while (k < xs.length - 1) {
+      val (x0, x1) = (xs(k), xs(k + 1))
+      if (x1 > x0) {
+        val xm = (x0 + x1) / 2.0
+        // even-odd vertical-line crossings per polygon → inside intervals
+        val ivs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        rings.foreach { r =>
+          val cuts = r.indices.flatMap { i =>
+            val (a, b) = (r(i), r((i + 1) % r.length))
+            if ((a._1 <= xm) != (b._1 <= xm))
+              Some(a._2 + (xm - a._1) / (b._1 - a._1) * (b._2 - a._2))
+            else None
+          }.sorted
+          var c = 0
+          while (c + 1 < cuts.length) { ivs += ((cuts(c), cuts(c + 1))); c += 2 }
+        }
+        // merge intervals across polygons
+        val sortedIvs = ivs.sortBy(_._1)
+        var covered = 0.0
+        var curLo = Double.NaN; var curHi = Double.NaN
+        sortedIvs.foreach { case (lo, hi) =>
+          if (curHi.isNaN || lo > curHi) {
+            if (!curHi.isNaN) covered += curHi - curLo
+            curLo = lo; curHi = hi
+          } else if (hi > curHi) curHi = hi
+        }
+        if (!curHi.isNaN) covered += curHi - curLo
+        area += covered * (x1 - x0)
+      }
+      k += 1
+    }
+    area
+  }
 }
 
 /** Native Catalyst expression: intersection AREA of two simple polygons —

@@ -161,6 +161,47 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 100.0) < 1e-9)
   }
 
+  test("RingGeom.unionArea: overlapping concave polygons, slanted edges") {
+    import graft.plans.RingGeom
+    val ell = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (0.0, 4.0))
+    val ell2 = IndexedSeq((4.0, 4.0), (0.0, 4.0), (0.0, 2.0), (2.0, 2.0),
+      (2.0, 0.0), (4.0, 0.0))
+    // interlocking Ls: 12 + 12 − 8 (their intersection, proven above) = 16
+    assert(math.abs(RingGeom.unionArea(Seq(ell, ell2)) - 16.0) < 1e-9)
+    // disjoint copies add; duplicates don't double-count
+    val far = ell.map { case (x, y) => (x + 100.0, y) }
+    assert(math.abs(RingGeom.unionArea(Seq(ell, far)) - 24.0) < 1e-9)
+    assert(math.abs(RingGeom.unionArea(Seq(ell, ell)) - 12.0) < 1e-9)
+    // slanted overlap: two unit right triangles sharing half their area
+    val t1 = IndexedSeq((0.0, 0.0), (2.0, 0.0), (0.0, 2.0))
+    val t2 = IndexedSeq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0))
+    // each area 2, intersection = triangle (0,0),(2,0),(1,1) area 1 → union 3
+    assert(math.abs(RingGeom.unionArea(Seq(t1, t2)) - 3.0) < 1e-9)
+  }
+
+  test("unionAreaPolygonsByGroup matches cell counting on L-shapes") {
+    def ell(ox: Double, oy: Double) = IndexedSeq((ox, oy), (ox + 4, oy),
+      (ox + 4, oy + 2), (ox + 2, oy + 2), (ox + 2, oy + 4), (ox, oy + 4))
+    val rows = Seq((1L, ell(0, 0)), (1L, ell(1, 1)), (1L, ell(20, 20)),
+      (2L, ell(0, 0)))
+    val df = rows.toDF("g", "__r")
+      .withColumn("ring", transform(col("__r"),
+        p => struct(p.getField("_1").as("x"), p.getField("_2").as("y"))))
+      .drop("__r")
+    val got = SpatialOps.unionAreaPolygonsByGroup(df, "g")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: count covered unit cells (L = two boxes)
+    def cells(ox: Double, oy: Double): Set[(Int, Int)] = {
+      val (x, y) = (ox.toInt, oy.toInt)
+      ((for (cx <- x until x + 4; cy <- y until y + 2) yield (cx, cy)) ++
+        (for (cx <- x until x + 2; cy <- y + 2 until y + 4) yield (cx, cy))).toSet
+    }
+    val want1 = (cells(0, 0) ++ cells(1, 1) ++ cells(20, 20)).size.toDouble
+    assert(got(1L) == ((want1, 3L)), s"got $got want ($want1, 3)")
+    assert(got(2L) == ((12.0, 1L)))
+  }
+
   test("unionAreaByGroup: sweep equals brute-force cell counting") {
     // integer-coordinate boxes -> union area == count of covered unit cells
     val boxes = (1 to 25).map(i =>
