@@ -128,10 +128,29 @@ object RingGeom {
   /** Exact intersection area of two simple polygons, concave allowed:
     * triangulate both, sum the convex triangle∩triangle clip areas
     * (overlaps between summands are boundary-only — measure zero). */
-  def intersectionArea(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Double = {
-    val ta = triangulate(a)
+  def intersectionArea(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Double =
+    intersectionAreaMemo(a, b, null)
+
+  /** As [[intersectionArea]], with an optional caller-owned triangulation
+    * memo: in an overlay join each ring meets many candidates, so caching
+    * `triangulate` per distinct ring removes the dominant repeated cost
+    * (the clip stage itself is per-pair and unavoidable). */
+  def intersectionAreaMemo(a: IndexedSeq[Pt], b: IndexedSeq[Pt],
+      memo: java.util.HashMap[IndexedSeq[Pt], IndexedSeq[Array[Pt]]]): Double = {
+    def tri(r: IndexedSeq[Pt]): IndexedSeq[Array[Pt]] =
+      if (memo == null) triangulate(r)
+      else {
+        var t = memo.get(r)
+        if (t == null) {
+          if (memo.size > 8192) memo.clear() // bound task-local memory
+          t = triangulate(r)
+          memo.put(r, t)
+        }
+        t
+      }
+    val ta = tri(a)
     if (ta.isEmpty) return 0.0
-    val tb = triangulate(b)
+    val tb = tri(b)
     var sum = 0.0
     for (u <- ta; v <- tb)
       sum += area(clipByConvex(u.toIndexedSeq, v.toIndexedSeq))
@@ -241,8 +260,15 @@ case class PolygonIntersectArea(left: Expression, right: Expression)
     }
   }
 
+  // task-local triangulation memo: each expression tree is deserialized
+  // per task, so this map is single-thread-confined; in an overlay join a
+  // ring meets many candidate pairs and its ear clipping is the dominant
+  // repeated cost
+  @transient private lazy val triMemo =
+    new java.util.HashMap[IndexedSeq[RingGeom.Pt], IndexedSeq[Array[RingGeom.Pt]]]()
+
   override def nullSafeEval(aRaw: Any, bRaw: Any): Any =
-    RingGeom.intersectionArea(readRing(aRaw), readRing(bRaw))
+    RingGeom.intersectionAreaMemo(readRing(aRaw), readRing(bRaw), triMemo)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PolygonIntersectArea =
