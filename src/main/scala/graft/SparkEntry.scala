@@ -1634,6 +1634,41 @@ object SparkEntry {
     graft.spatial.SpatialOps.unionAreaPolygonsByGroup(terr, "s_nationkey")
   }
 
+  // ---- §2.13 service-territory compilation on GENERAL geometry -----------
+  // Reference: compile_geoms + territory dissolve + demand weighting
+  // (analysis/service_territory.py:65-374). Counties are concave L rings;
+  // each belongs to a utility; the utility's territory is the exact UNION
+  // of its (possibly overlapping) counties (vertical-slab sweep); county
+  // demand allocates by countyArea / territoryArea. The q91 capstone keeps
+  // the reference's precomputed-weight state-demand path; this one runs
+  // the geometry end to end.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val counties = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+        (col("c_custkey") % 25).as("utility_id"),
+        ((col("c_custkey") % 40) * 2.0).as("ax"),
+        ((col("c_custkey") % 24) * 2.0).as("ay"),
+        (lit(4.0) + col("c_custkey") % 3).as("w"),
+        (lit(4.0) + col("c_custkey") % 2).as("h"))
+      .withColumn("ring", array(
+        pt(col("ax"), col("ay")),
+        pt(col("ax") + col("w"), col("ay")),
+        pt(col("ax") + col("w"), col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + 2.0),
+        pt(col("ax") + 2.0, col("ay") + col("h")),
+        pt(col("ax"), col("ay") + col("h"))))
+    val territory = graft.spatial.SpatialOps.unionAreaPolygonsByGroup(
+        counties.select(col("utility_id"), col("ring")), "utility_id")
+      .select(col("utility_id"), col("union_area").as("territory_area"))
+    val frac = col("county_area") / col("territory_area")
+    counties
+      .withColumn("county_area", graft.spatial.SpatialOps.shoelaceArea(col("ring")))
+      .join(territory, Seq("utility_id"))
+      .select(col("utility_id"), col("c_custkey"), col("county_area"),
+        col("territory_area"), frac.as("area_fraction"),
+        (col("c_acctbal") * frac).as("demand_alloc"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1750,6 +1785,7 @@ object SparkEntry {
     "q108_polygon_overlay" -> (q108 _),
     "q109_multipolygon_split" -> (q109 _),
     "q110_polygon_dissolve" -> (q110 _),
+    "q111_territory_compile" -> (q111 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3656,6 +3692,37 @@ object SparkEntry {
         |np AS (SELECT s_nationkey, count(*) AS n_polys FROM supplier GROUP BY 1)
         |SELECT a.s_nationkey, a.union_area, np.n_polys
         |FROM agg a JOIN np ON a.s_nationkey = np.s_nationkey""".stripMargin,
+    // counties as L-shapes (area 2w+2h−4 in closed form); territory area
+    // by distinct-covered-cell counting of the two-box decompositions —
+    // the sweep union must agree, and the fractions/allocations are the
+    // same IEEE ops on both engines
+    "q111_territory_compile" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal, c_custkey % 25 AS utility_id,
+        |    CAST((c_custkey % 40) * 2 AS INT) AS ax,
+        |    CAST((c_custkey % 24) * 2 AS INT) AS ay,
+        |    CAST(4 + (c_custkey % 3) AS INT) AS w,
+        |    CAST(4 + (c_custkey % 2) AS INT) AS h
+        |  FROM customer),
+        |boxes AS (
+        |  SELECT utility_id, ax AS x1, ay AS y1, ax + w AS x2, ay + 2 AS y2 FROM c
+        |  UNION ALL
+        |  SELECT utility_id, ax, ay + 2, ax + 2, ay + h FROM c),
+        |cellsx AS (
+        |  SELECT utility_id, y1, y2, unnest(range(x1, x2)) AS cx FROM boxes),
+        |cellsy AS (
+        |  SELECT utility_id, cx, unnest(range(y1, y2)) AS cy FROM cellsx),
+        |cells AS (SELECT DISTINCT utility_id, cx, cy FROM cellsy),
+        |terr AS (
+        |  SELECT utility_id, CAST(count(*) AS DOUBLE) AS territory_area
+        |  FROM cells GROUP BY 1)
+        |SELECT c.utility_id, c.c_custkey,
+        |  CAST(2*w + 2*h - 4 AS DOUBLE) AS county_area,
+        |  t.territory_area,
+        |  CAST(2*w + 2*h - 4 AS DOUBLE) / t.territory_area AS area_fraction,
+        |  c_acctbal * (CAST(2*w + 2*h - 4 AS DOUBLE) / t.territory_area)
+        |    AS demand_alloc
+        |FROM c JOIN terr t ON c.utility_id = t.utility_id""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

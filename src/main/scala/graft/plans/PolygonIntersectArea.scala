@@ -167,23 +167,38 @@ object RingGeom {
   def unionArea(polys: Seq[IndexedSeq[Pt]]): Double = {
     val rings = polys.filter(_.length >= 3)
     if (rings.isEmpty) return 0.0
-    val edges: Seq[(Pt, Pt)] = rings.flatMap(r =>
-      r.indices.map(i => (r(i), r((i + 1) % r.length))))
+    val edges: Array[(Pt, Pt)] = rings.flatMap(r =>
+      r.indices.map(i => (r(i), r((i + 1) % r.length)))).toArray
     val events = scala.collection.mutable.TreeSet.empty[Double]
     rings.foreach(_.foreach(p => events += p._1))
     // pairwise proper edge crossings add breakpoints where interval
     // endpoints exchange order (collinear overlaps contribute no new xs —
-    // their endpoints are vertices, already events)
-    for (i <- edges.indices; j <- (i + 1) until edges.length) {
-      val ((p1, p2), (q1, q2)) = (edges(i), edges(j))
-      val d1 = (p2._1 - p1._1, p2._2 - p1._2)
-      val d2 = (q2._1 - q1._1, q2._2 - q1._2)
-      val den = d1._1 * d2._2 - d1._2 * d2._1
-      if (den != 0.0) {
-        val t = ((q1._1 - p1._1) * d2._2 - (q1._2 - p1._2) * d2._1) / den
-        val u = ((q1._1 - p1._1) * d1._2 - (q1._2 - p1._2) * d1._1) / den
-        if (t > 0 && t < 1 && u > 0 && u < 1) events += p1._1 + t * d1._1
+    // their endpoints are vertices, already events). Edges are sorted by
+    // bbox xmin so the inner scan stops at the first non-overlapping x —
+    // near-linear for spatially spread groups instead of all-pairs.
+    val sortedE = edges.sortBy(e => math.min(e._1._1, e._2._1))
+    val xmin = sortedE.map(e => math.min(e._1._1, e._2._1))
+    val xmax = sortedE.map(e => math.max(e._1._1, e._2._1))
+    val ymin = sortedE.map(e => math.min(e._1._2, e._2._2))
+    val ymax = sortedE.map(e => math.max(e._1._2, e._2._2))
+    var i = 0
+    while (i < sortedE.length) {
+      var j = i + 1
+      while (j < sortedE.length && xmin(j) <= xmax(i)) {
+        if (ymin(j) <= ymax(i) && ymin(i) <= ymax(j)) {
+          val ((p1, p2), (q1, q2)) = (sortedE(i), sortedE(j))
+          val d1 = (p2._1 - p1._1, p2._2 - p1._2)
+          val d2 = (q2._1 - q1._1, q2._2 - q1._2)
+          val den = d1._1 * d2._2 - d1._2 * d2._1
+          if (den != 0.0) {
+            val t = ((q1._1 - p1._1) * d2._2 - (q1._2 - p1._2) * d2._1) / den
+            val u = ((q1._1 - p1._1) * d1._2 - (q1._2 - p1._2) * d1._1) / den
+            if (t > 0 && t < 1 && u > 0 && u < 1) events += p1._1 + t * d1._1
+          }
+        }
+        j += 1
       }
+      i += 1
     }
     val xs = events.toArray
     var area = 0.0
