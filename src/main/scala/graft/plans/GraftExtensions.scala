@@ -52,6 +52,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "jaro_winkler expects 2 arguments")
         JaroWinkler(args(0), args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("convex_clip"),
+      info("convex_clip",
+        "convex_clip(subject, clip) - Sutherland-Hodgman intersection ring of a simple polygon with a CONVEX clip ring"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "convex_clip expects 2 arguments")
+        ConvexClip(args(0), args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("polygon_intersect_area"),
+      info("polygon_intersect_area",
+        "polygon_intersect_area(a, b) - exact intersection area of two simple (possibly concave) polygon rings"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "polygon_intersect_area expects 2 arguments")
+        PolygonIntersectArea(args(0), args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // the portable 60-bit MD5-prefix hash (graft.functions.PortableHash) as
     // a SQL function — same composed Catalyst tree as the Column form, so
     // results are bit-identical to DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT

@@ -151,10 +151,68 @@ object RingGeom {
     val ta = tri(a)
     if (ta.isEmpty) return 0.0
     val tb = tri(b)
+    if (tb.isEmpty) return 0.0
+    // allocation-free primitive kernel per triangle pair (same double ops
+    // in the same order as clipByConvex + area — results are bit-identical)
+    val bx = new Array[Double](16); val by = new Array[Double](16)
+    val tx = new Array[Double](16); val ty = new Array[Double](16)
     var sum = 0.0
-    for (u <- ta; v <- tb)
-      sum += area(clipByConvex(u.toIndexedSeq, v.toIndexedSeq))
+    var i = 0
+    while (i < ta.length) {
+      var j = 0
+      while (j < tb.length) {
+        sum += triTriClipArea(ta(i), tb(j), bx, by, tx, ty)
+        j += 1
+      }
+      i += 1
+    }
     sum
+  }
+
+  /** Sutherland–Hodgman of one CCW triangle by another on primitive
+    * buffers — the overlay join's hot kernel. Mirrors [[clipByConvex]]'s
+    * arithmetic exactly (same expressions, same order). */
+  private def triTriClipArea(subj: Array[Pt], clip: Array[Pt],
+      bx: Array[Double], by: Array[Double],
+      tx: Array[Double], ty: Array[Double]): Double = {
+    var n = 3
+    var k = 0
+    while (k < 3) { bx(k) = subj(k)._1; by(k) = subj(k)._2; k += 1 }
+    var e = 0
+    while (e < 3 && n > 0) {
+      val ax = clip(e)._1; val ay = clip(e)._2
+      val nx = clip((e + 1) % 3)
+      val bxe = nx._1; val bye = nx._2
+      var m = 0
+      var i = 0
+      while (i < n) {
+        val pi = (i + n - 1) % n
+        val px = bx(pi); val py = by(pi)
+        val cx = bx(i); val cy = by(i)
+        val insideCur = (bxe - ax) * (cy - ay) - (bye - ay) * (cx - ax) >= 0
+        val insidePrev = (bxe - ax) * (py - ay) - (bye - ay) * (px - ax) >= 0
+        if (insideCur != insidePrev) {
+          val t = ((ax - px) * (ay - bye) - (ay - py) * (ax - bxe)) /
+            ((cx - px) * (ay - bye) - (cy - py) * (ax - bxe))
+          tx(m) = px + t * (cx - px); ty(m) = py + t * (cy - py); m += 1
+        }
+        if (insideCur) { tx(m) = cx; ty(m) = cy; m += 1 }
+        i += 1
+      }
+      n = m
+      var q = 0
+      while (q < n) { bx(q) = tx(q); by(q) = ty(q); q += 1 }
+      e += 1
+    }
+    if (n < 3) return 0.0
+    var s = 0.0
+    var i2 = 0
+    while (i2 < n) {
+      val j2 = (i2 + 1) % n
+      s += bx(i2) * by(j2) - bx(j2) * by(i2)
+      i2 += 1
+    }
+    math.abs(s) / 2.0
   }
 
   /** Exact union area of simple polygons (overlaps allowed, concave

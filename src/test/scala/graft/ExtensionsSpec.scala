@@ -33,6 +33,20 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val jw = spark.sql(
         "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head().getDouble(0)
       assert(jw == 0.9611111111111111)
+      // geometry expressions: unit square ∩ offset unit square = 0.25
+      def sq(ox: Double, oy: Double) =
+        s"""array(struct(${ox}d AS x, ${oy}d AS y),
+           |  struct(${ox + 1}d AS x, ${oy}d AS y),
+           |  struct(${ox + 1}d AS x, ${oy + 1}d AS y),
+           |  struct(${ox}d AS x, ${oy + 1}d AS y))""".stripMargin
+      val ia = spark.sql(
+        s"SELECT polygon_intersect_area(${sq(0, 0)}, ${sq(0.5, 0.5)}) AS a")
+        .head().getDouble(0)
+      assert(math.abs(ia - 0.25) < 1e-12)
+      val clipped = spark.sql(
+        s"SELECT size(convex_clip(${sq(0, 0)}, ${sq(0.5, 0.5)})) AS n")
+        .head().getInt(0)
+      assert(clipped == 4)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
