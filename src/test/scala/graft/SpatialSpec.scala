@@ -202,6 +202,49 @@ class SpatialSpec extends SparkSpec {
     assert(got(2L) == ((12.0, 1L)))
   }
 
+  test("RingGeom properties on random star-shaped (concave) polygons") {
+    import graft.plans.RingGeom
+    val rnd = new scala.util.Random(1234)
+    // radial construction with angles spread over the FULL circle (evenly
+    // spaced + jitter): every angular gap stays < π, so the polygon is
+    // guaranteed simple; random radii make it concave. (Fully random
+    // sorted angles can cluster in a half-plane, where the wrap-around
+    // edge cuts across the interior — a NON-simple ring, outside
+    // RingGeom's documented precondition.)
+    def randPoly(): IndexedSeq[(Double, Double)] = {
+      val n = 5 + rnd.nextInt(8)
+      IndexedSeq.tabulate(n) { i =>
+        val a = 2 * math.Pi * (i + 0.1 + rnd.nextDouble() * 0.8) / n
+        val r = 1.0 + rnd.nextDouble() * 4.0
+        (r * math.cos(a), r * math.sin(a))
+      }
+    }
+    for (_ <- 1 to 60) {
+      val p = randPoly()
+      val area = RingGeom.area(p)
+      // triangulation is exhaustive: triangle areas sum to the ring area
+      val triSum = RingGeom.triangulate(p).map(t => RingGeom.area(t.toIndexedSeq)).sum
+      assert(math.abs(triSum - area) < 1e-9 * math.max(1.0, area),
+        s"triangulation lost area: $triSum vs $area for $p")
+      // self-intersection is identity
+      assert(math.abs(RingGeom.intersectionArea(p, p) - area) < 1e-9 * math.max(1.0, area))
+      // union of itself is itself; union with a far translate is the sum
+      assert(math.abs(RingGeom.unionArea(Seq(p, p)) - area) < 1e-9 * math.max(1.0, area))
+      val far = p.map { case (x, y) => (x + 1000.0, y) }
+      assert(math.abs(RingGeom.unionArea(Seq(p, far)) - 2 * area) < 1e-9 * math.max(1.0, area))
+      // intersection with a second random polygon is symmetric and bounded
+      val q = randPoly()
+      val iPQ = RingGeom.intersectionArea(p, q)
+      val iQP = RingGeom.intersectionArea(q, p)
+      assert(math.abs(iPQ - iQP) < 1e-9, s"asymmetric intersection: $iPQ vs $iQP")
+      assert(iPQ >= -1e-12 && iPQ <= math.min(area, RingGeom.area(q)) + 1e-9)
+      // inclusion–exclusion ties union to intersection
+      val u = RingGeom.unionArea(Seq(p, q))
+      assert(math.abs(u - (area + RingGeom.area(q) - iPQ)) < 1e-6,
+        s"inclusion-exclusion violated: union $u, areas $area + ${RingGeom.area(q)} - $iPQ")
+    }
+  }
+
   test("unionAreaByGroup: sweep equals brute-force cell counting") {
     // integer-coordinate boxes -> union area == count of covered unit cells
     val boxes = (1 to 25).map(i =>
