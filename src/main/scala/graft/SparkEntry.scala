@@ -694,7 +694,12 @@ object SparkEntry {
     emb.select(col("vec_id").as("v"))
       .join(cc, Seq("v"), "left")
       .withColumn("cluster", coalesce(col("component"), col("v")))
-      .select("v", "cluster")
+      // exact sklearn DBSCAN(min_samples=2) parity: with min_samples=2
+      // every point with a neighbor is core, so clusters ARE the eps-graph
+      // components and isolated points are noise → label −1
+      // (cluster_records_dbscan, link_cross_year.py:150)
+      .withColumn("dbscan_label", coalesce(col("component"), lit(-1L)))
+      .select("v", "cluster", "dbscan_label")
   }
 
   // ---- §2.8 global sort + limit (top-k driver pattern) -------------------
@@ -2414,7 +2419,8 @@ object SparkEntry {
         |  UNION
         |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
         |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v)
-        |SELECT e.vec_id AS v, coalesce(cc.component, e.vec_id) AS cluster
+        |SELECT e.vec_id AS v, coalesce(cc.component, e.vec_id) AS cluster,
+        |  coalesce(cc.component, -1) AS dbscan_label
         |FROM e LEFT JOIN cc ON e.vec_id = cc.v""".stripMargin,
     "q59_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
