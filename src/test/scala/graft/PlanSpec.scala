@@ -100,6 +100,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q108 general-polygon overlay is an equi-join on grid cells") {
+    val p = plan("q108_polygon_overlay")
+    // candidate pairs meet on the (cx, cy) cell key; the exact
+    // triangulate-and-clip area runs only inside candidates
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q111 territory compile: group union is one shuffle, join no cross") {
+    val p = plan("q111_territory_compile")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // per-utility union runs in mapGroups after a single hash exchange
+    assert(p.contains("MapGroups") || p.contains("mapGroups"), p)
+  }
+
   test("q104 vocab top-k is TakeOrdered, not a full sort") {
     val p = plan("q104_ngram_vocab")
     assert(p.contains("TakeOrderedAndProject"), p)
