@@ -1674,6 +1674,55 @@ object SparkEntry {
         (col("c_acctbal") * frac).as("demand_alloc"))
   }
 
+  // ---- §2.13 self_union with ratio split ---------------------------------
+  // Reference: self_union(gdf, ratios) (spatial.py:118-172) — overlay a
+  // layer with ITSELF: overlapping polygons split into atomic pieces, each
+  // piece owned by every source polygon covering it, values prorated by
+  // pieceArea / ownerArea. Composed from the implemented primitives
+  // (overlayPolygons self-join for the shared pieces, shoelace totals for
+  // the exclusive remainders). The fixture pairs L-territories so overlaps
+  // are pairwise-only (the reference's common case); the oracle replays
+  // every piece with two-box rectangle arithmetic.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    def ringOf(ox: Column, oy: Column) = array(
+      pt(ox, oy), pt(ox + 5.0, oy), pt(ox + 5.0, oy + 2.0),
+      pt(ox + 2.0, oy + 2.0), pt(ox + 2.0, oy + 5.0), pt(ox, oy + 5.0))
+    val geo = t(s, dir, "supplier").select(col("s_suppkey").as("pid"),
+        col("s_acctbal"),
+        (col("s_suppkey") / 2).cast("long").as("pr"),
+        (col("s_suppkey") % 2).cast("long").as("side"))
+      .select(col("pid"), col("s_acctbal"),
+        ((col("pr") % 30) * 12.0 + col("side") * (lit(1.0) + col("pr") % 3)).as("ox"),
+        ((col("pr") % 20) * 10.0 + col("side") * (col("pr") % 3)).as("oy"))
+      .withColumn("ring", ringOf(col("ox"), col("oy")))
+    val polysA = geo.select(col("pid").as("pid_a"), col("ring"))
+    val polysB = geo.select(col("pid").as("pid_b"), col("ring"))
+    val shared = graft.spatial.SpatialOps.overlayPolygons(polysA, polysB,
+        "pid_a", "pid_b", Seq.empty, cell = 16.0)
+      .where(col("pid_a") < col("pid_b"))
+      .select(col("pid_a"), col("pid_b"),
+        round(col("inter_area"), 6).as("piece_area"))
+    // every L has area 5·2 + 2·3 = 16 (shoelace-exact)
+    val ownArea = lit(16.0)
+    val sharedRows = shared
+      .select(col("pid_a").as("pid"), col("pid_b").as("piece_partner"),
+        col("piece_area"))
+      .unionByName(shared.select(col("pid_b").as("pid"),
+        col("pid_a").as("piece_partner"), col("piece_area")))
+    val sharedTotal = sharedRows.groupBy(col("pid"))
+      .agg(sum(col("piece_area")).as("__shared"))
+    val exclusive = geo.select(col("pid"))
+      .join(sharedTotal, Seq("pid"), "left")
+      .select(col("pid"), lit(-1L).as("piece_partner"),
+        (ownArea - coalesce(col("__shared"), lit(0.0))).as("piece_area"))
+    exclusive.unionByName(sharedRows)
+      .join(geo.select(col("pid"), col("s_acctbal")), Seq("pid"))
+      .select(col("pid"), col("piece_partner"), col("piece_area"),
+        (col("piece_area") / ownArea).as("area_fraction"),
+        (col("s_acctbal") * (col("piece_area") / ownArea)).as("acctbal_part"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1791,6 +1840,7 @@ object SparkEntry {
     "q109_multipolygon_split" -> (q109 _),
     "q110_polygon_dissolve" -> (q110 _),
     "q111_territory_compile" -> (q111 _),
+    "q112_self_union_ratio" -> (q112 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3729,6 +3779,49 @@ object SparkEntry {
         |  c_acctbal * (CAST(2*w + 2*h - 4 AS DOUBLE) / t.territory_area)
         |    AS demand_alloc
         |FROM c JOIN terr t ON c.utility_id = t.utility_id""".stripMargin,
+    // self-overlay replay: each L is its two disjoint boxes; a pair's
+    // shared piece is the sum of the 2×2 box-pair rectangle intersections;
+    // the exclusive remainder is 16 − Σ shared
+    "q112_self_union_ratio" ->
+      """WITH p AS (
+        |  SELECT s_suppkey AS pid, s_acctbal,
+        |    CAST(floor(s_suppkey / 2) AS BIGINT) AS pr,
+        |    s_suppkey % 2 AS side
+        |  FROM supplier),
+        |geo AS (
+        |  SELECT pid, s_acctbal,
+        |    (pr % 30) * 12.0e0 + side * (1.0e0 + (pr % 3)) AS ox,
+        |    (pr % 20) * 10.0e0 + side * (pr % 3) AS oy
+        |  FROM p),
+        |boxes AS (
+        |  SELECT pid, ox AS x1, oy AS y1, ox + 5 AS x2, oy + 2 AS y2 FROM geo
+        |  UNION ALL
+        |  SELECT pid, ox, oy + 2, ox + 2, oy + 5 FROM geo),
+        |inter AS (
+        |  SELECT a.pid AS pid_a, b.pid AS pid_b,
+        |    sum(greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1)) *
+        |        greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1)))
+        |      AS piece_area
+        |  FROM boxes a JOIN boxes b ON a.pid < b.pid
+        |  GROUP BY 1, 2
+        |  HAVING piece_area > 0),
+        |shared_rows AS (
+        |  SELECT pid_a AS pid, pid_b AS piece_partner,
+        |    round(piece_area, 6) AS piece_area FROM inter
+        |  UNION ALL
+        |  SELECT pid_b, pid_a, round(piece_area, 6) FROM inter),
+        |shared_tot AS (
+        |  SELECT pid, sum(piece_area) AS sh FROM shared_rows GROUP BY 1),
+        |pieces AS (
+        |  SELECT g.pid, CAST(-1 AS BIGINT) AS piece_partner,
+        |    16.0e0 - coalesce(t.sh, 0) AS piece_area
+        |  FROM geo g LEFT JOIN shared_tot t ON g.pid = t.pid
+        |  UNION ALL
+        |  SELECT pid, piece_partner, piece_area FROM shared_rows)
+        |SELECT x.pid, x.piece_partner, x.piece_area,
+        |  x.piece_area / 16.0e0 AS area_fraction,
+        |  g.s_acctbal * (x.piece_area / 16.0e0) AS acctbal_part
+        |FROM pieces x JOIN geo g ON x.pid = g.pid""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
