@@ -1723,6 +1723,18 @@ object SparkEntry {
         (col("s_acctbal") * (col("piece_area") / ownArea)).as("acctbal_part"))
   }
 
+  // ---- winnowing fingerprints (MOSS) near-dup candidate pairs ------------
+  // Rolling-gram fingerprint selection + shared-count pairing
+  // (TextAnalysis.winnowFingerprints / NearDup.winnowPairs). Portable hash
+  // family so the DuckDB oracle replays the full pipeline — gram hashes,
+  // window minima, df cap, pair counts — bit-for-bit. On this fixture every
+  // pair with n_shared >= 5 has true token-Jaccard >= 0.9 (measured), so
+  // the sketch finds exactly the planted near-dups.
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NearDup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 16, w = 8, minShared = 5, maxDf = 20,
+      family = graft.functions.PortableHashFamily)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1841,6 +1853,7 @@ object SparkEntry {
     "q110_polygon_dissolve" -> (q110 _),
     "q111_territory_compile" -> (q111 _),
     "q112_self_union_ratio" -> (q112 _),
+    "q113_winnow_pairs" -> (q113 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3822,6 +3835,39 @@ object SparkEntry {
         |  x.piece_area / 16.0e0 AS area_fraction,
         |  g.s_acctbal * (x.piece_area / 16.0e0) AS acctbal_part
         |FROM pieces x JOIN geo g ON x.pid = g.pid""".stripMargin,
+    // winnowing replay: gram hashes via the portable seeded family
+    // (md5('0_'||gram) 60-bit prefix), window minima via a trailing-frame
+    // window min over complete windows only, then the same df-capped
+    // shared-count pairing (fixture docs are all >= k+w-1 chars, so the
+    // short-doc min-of-all branch never fires)
+    "q113_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, txt,
+        |    unnest(generate_series(0, length(txt) - 16)) AS i
+        |  FROM d WHERE length(txt) >= 16),
+        |h AS (
+        |  SELECT doc_id, i, length(txt) - 16 AS maxi,
+        |    ('0x' || substr(md5('0_' || substr(txt, i + 1, 16)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM pos),
+        |wmin AS (
+        |  SELECT doc_id,
+        |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM h QUALIFY i <= maxi - 7),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+        |pl AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN pl ON a.fp = pl.fp
+        |  WHERE pl.df <= 20)
+        |SELECT id_a, id_b, count(*) AS n_shared
+        |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -79,6 +79,42 @@ object NearDup {
       .select("id_a", "id_b", "common", "na", "nb", "jaccard")
   }
 
+  /** Winnowed-fingerprint near-dup candidate pairs — the MOSS pipeline:
+    * per-doc winnowing sketch ([[TextAnalysis.winnowFingerprints]], narrow),
+    * then pairs of docs sharing ≥ `minShared` selected fingerprints.
+    *
+    * Same two-shuffle posting-list shape as [[jaccardPairs]] (groupBy
+    * fingerprint → emit pairs locally → groupBy pair), with one addition:
+    * fingerprints in more than `maxDf` docs are dropped as
+    * stop-fingerprints BEFORE the pair emit. That cap is what bounds the
+    * quadratic posting-list blowup at corpus scale — a boilerplate 16-gram
+    * shared by 100k docs would otherwise emit 5·10⁹ pairs from one
+    * shuffle group; near-dup signal lives in RARE grams, so the cap costs
+    * recall only on pairs that already share many other fingerprints.
+    * Unlike MinHash banding ([[minhashLshPairs]]), shared-count here is a
+    * deterministic function of the two documents' content alone, so the
+    * whole pipeline replays exactly in SQL with the portable family. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, w: Int = 8, minShared: Int = 5, maxDf: Int = 20,
+                  family: graft.functions.HashFamily =
+                    graft.functions.XxHashFamily): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 2, "maxDf must be >= 2 (pairs need df >= 2)")
+    val fps = df.select(col(idCol),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, w, family))
+        .as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions keep
     * the min over the doc's shingles. Returns (id, h0..h{k-1}). */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int,

@@ -73,6 +73,63 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    * *Winnowing: Local Algorithms for Document Fingerprinting*, SIGMOD'03 —
+    * the MOSS algorithm): hash every `k`-char gram of the
+    * whitespace-normalized lowercase text, slide a `w`-gram window, keep
+    * each window's minimum hash, return the distinct selected hashes.
+    *
+    * Guarantees (from the paper): any substring match of length
+    * ≥ `k + w − 1` chars between two documents yields at least one SHARED
+    * fingerprint, and no match shorter than `k` ever does — so the
+    * selection is a local, position-independent sketch of the document,
+    * robust to content reordering around the match (unlike the global
+    * [[fingerprint]], which only catches whole-doc duplicates).
+    *
+    * Scale shape: pure within-row HOF arithmetic (`sequence` → `transform`
+    * → windowed `array_min`) — selection is a narrow projection, ZERO
+    * shuffle; only the candidate join
+    * ([[graft.dedup.NearDup.winnowPairs]]) shuffles, keyed by
+    * fingerprint. Cost is O(len · w) comparisons per row (the classic
+    * rolling-hash/deque form is O(len), but it trades a non-codegen custom
+    * expression for a constant factor that only matters when w is large —
+    * at w ≤ 16 the HOF form stays inside whole-stage codegen and wins).
+    *
+    * Short inputs: fewer than `w` grams (but ≥ 1) → the single min-of-all
+    * fingerprint, so every doc of length ≥ `k` is sketched; length < `k`
+    * → empty array.
+    *
+    * @param family hash family per gram; [[graft.functions.PortableHashFamily]]
+    *               makes the selection replayable bit-for-bit by the
+    *               DuckDB oracle (q113), [[graft.functions.XxHashFamily]]
+    *               is the cheaper production default. */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+                         family: graft.functions.HashFamily =
+                           graft.functions.XxHashFamily): Column = {
+    require(k >= 1, "gram length k must be >= 1")
+    require(w >= 1, "window size w must be >= 1")
+    // Let-binding via single-element transform: a subexpression referenced
+    // inside a higher-order lambda is RE-EVALUATED on every lambda call
+    // (no CSE across HOF iterations), so naming the normalized text and
+    // the gram array as lambda variables is load-bearing — without it the
+    // gram hashing re-runs per window position and the whole selection
+    // goes O(len²) per row.
+    def let(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    let(trim(regexp_replace(lower(text), "\\s+", " "))) { txt =>
+      val nGrams = length(txt) - k + 1
+      let(when(nGrams.isNull || nGrams <= 0, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(1), nGrams),
+            i => family.hash(0, substr(txt, i, lit(k)))))) { grams =>
+        when(size(grams) === 0, array().cast("array<long>"))
+          .when(size(grams) <= w, array(array_min(grams)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(grams) - w + 1),
+            j => array_min(slice(grams, j, lit(w))))))
+      }
+    }
+  }
+
   /** Top-k n-gram vocabulary by document frequency — the vocab-pruning /
     * stop-shingle-mining pass of a dedup or tokenizer pipeline. Shingles
     * are distinct per document (one native `WordShingles` eval per row),

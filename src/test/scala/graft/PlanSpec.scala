@@ -123,4 +123,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), "map-side combine missing")
   }
+
+  test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
+    val p = plan("q113_winnow_pairs")
+    // the winnowing sketch itself is within-row (narrow); only the
+    // posting-list groupBy and the pair-count groupBy shuffle
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pairs must come from posting lists, not a self-join: " + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
 }

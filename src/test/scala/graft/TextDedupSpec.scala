@@ -138,4 +138,77 @@ class TextDedupSpec extends SparkSpec {
     rows.filter(_.getAs[String]("status") == "near_dup")
       .foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.35))
   }
+
+  /** Driver-side reference winnowing (independent of the Column form):
+    * same normalization, portable seeded hash, complete-window minima,
+    * min-of-all for short docs. */
+  private def refWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    val txt = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val n = txt.length - k + 1
+    if (n <= 0) Set.empty
+    else {
+      val grams = (0 until n).map(i =>
+        graft.functions.PortableHash.seeded(0, txt.substring(i, i + k)))
+      if (n <= w) Set(grams.min)
+      else (0 to n - w).map(j => grams.slice(j, j + w).min).toSet
+    }
+  }
+
+  test("winnowFingerprints matches a driver-side reference on varied inputs") {
+    val k = 8; val w = 4
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick  BROWN fox\tjumps over the lazy dog",  // normalization
+      "short", "", "   ", "exactly8", "nine char",       // short-doc branches
+      "abababababababababab",                            // repeating grams
+      (1 to 60).map(i => s"tok$i").mkString(" "))
+    val got = texts.toDF("t")
+      .select(TextAnalysis.winnowFingerprints($"t", k, w,
+        graft.functions.PortableHashFamily).as("fps"))
+      .as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, fps) =>
+      assert(fps.toSet == refWinnow(t, k, w), s"mismatch on '$t'")
+      // selection never invents hashes: every fingerprint is a gram hash
+      val txt = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val all = (0 until (txt.length - k + 1).max(0)).map(i =>
+        graft.functions.PortableHash.seeded(0, txt.substring(i, i + k))).toSet
+      assert(fps.toSet.subsetOf(all))
+    }
+  }
+
+  test("winnowing detection guarantee: shared run >= k+w-1 shares a fingerprint") {
+    val k = 8; val w = 4
+    // common substring of exactly k+w-1 = 11 chars, embedded in unrelated text
+    val common = "abcdefghijk"
+    val a = s"zzzz $common qqqq"
+    val b = s"wwww $common pppp"
+    val c = "totally unrelated content with no shared gram at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+      .select($"id", TextAnalysis.winnowFingerprints($"t", k, w).as("fps"))
+    val m = df.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L).toSet.intersect(m(2L).toSet).nonEmpty,
+      "docs sharing an 11-char run must share a fingerprint")
+    assert(m(1L).toSet.intersect(m(3L).toSet).isEmpty)
+  }
+
+  test("winnowPairs finds fixture near-dups and the df cap drops boilerplate") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = NearDup.winnowPairs(docs, "doc_id", "text",
+      k = 16, w = 8, minShared = 5, maxDf = 20)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "fixture corpus has planted near-dups")
+    // every reported pair is a true near-dup by exact token jaccard >= 0.5
+    // (token-level, not 3-gram: winnowing detects local character runs,
+    // which survive word reordering that destroys 3-word shingles)
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 1, 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    // df cap: a boilerplate gram in every doc produces no pair explosion
+    val boiler = (1L to 30L).map(i => (i, s"SHARED BOILERPLATE HEADER LINE unique tail $i"))
+      .toDF("doc_id", "text")
+    val bp = NearDup.winnowPairs(boiler, "doc_id", "text",
+      k = 16, w = 8, minShared = 1, maxDf = 10)
+    assert(bp.count() == 0,
+      "grams common to >maxDf docs must be dropped before pairing")
+  }
 }
