@@ -1735,6 +1735,19 @@ object SparkEntry {
       k = 16, w = 8, minShared = 5, maxDf = 20,
       family = graft.functions.PortableHashFamily)
 
+  // ---- Z-order layout key (write-time clustering for data skipping) ------
+  // Morton interleave of two bucketed dimensions as plain long arithmetic
+  // (operators.Layout.zorderValue) — the key behind `clusterByZOrder`,
+  // which range-partitions writes so multi-dimensional predicates prune
+  // files at 100 TB. Every bit position is a plan-time constant, so the
+  // oracle replays the interleave with the same mask-and-shift sum.
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.zorderValue(
+        Seq(pmod(col("l_partkey"), lit(1024)),
+          pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zval"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1854,6 +1867,7 @@ object SparkEntry {
     "q111_territory_compile" -> (q111 _),
     "q112_self_union_ratio" -> (q112 _),
     "q113_winnow_pairs" -> (q113 _),
+    "q114_zorder_key" -> (q114 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3868,6 +3882,15 @@ object SparkEntry {
         |  WHERE pl.df <= 20)
         |SELECT id_a, id_b, count(*) AS n_shared
         |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    // Morton interleave replay: bit i of dim d lands at i*2+d; the masked
+    // bit (x & 1<<i) carries 2^i, so the remaining factor is 2^(i*(n-1)+d)
+    "q114_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |      ((l_partkey % 1024) & (1::BIGINT << i)) * (1::BIGINT << i)
+        |    + ((l_suppkey % 1024) & (1::BIGINT << i)) * (1::BIGINT << (i + 1))
+        |  )) AS BIGINT) AS zval
+        |FROM lineitem""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

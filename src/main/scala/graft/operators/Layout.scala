@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for write-time clustering — the 100 TB lever the
+  * fixtures can't show directly: at scale, query cost is dominated by how
+  * much data the scan can SKIP, and skipping is a property of the layout
+  * chosen when the data was written (file/row-group min-max stats only
+  * prune when each file covers a small range of the filter columns).
+  *
+  * Z-ORDER clustering maps multiple bucketed dimensions onto one
+  * space-filling-curve key and range-partitions + sorts by it, so every
+  * file covers a small HYPER-RECTANGLE of the dimension space and a
+  * multi-dimensional box predicate prunes to the few files whose
+  * rectangles intersect it — where sorting by a single column gives
+  * perfect pruning on that column and none on the others. (Same idea as
+  * the layout clustering in Delta/Iceberg `OPTIMIZE ZORDER BY`, built here
+  * from public bit-interleaving arithmetic.)
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of `cols` as a single long.
+    *
+    * Each column is masked to its low `bits` bits (callers bucket/scale
+    * first — e.g. `pmod(hash, 1024)` or a range-rank); bit `i` of
+    * dimension `d` lands at position `i * nDims + d` of the result. All
+    * shift amounts are PLAN-TIME constants, so the whole key is a static
+    * sum of `bits × nDims` mask-and-multiply terms — plain codegen'd
+    * long arithmetic, no HOFs, no UDF: the masked bit `v & (1<<i)`
+    * already carries weight `2^i`, so multiplying by
+    * `2^(i*(n-1) + d)` lands it at `2^(i*n + d)`.
+    *
+    * @param bits per-dimension bit width; `bits * cols.size` ≤ 62 keeps
+    *             the key positive in a signed long on every engine. */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "z-order needs at least 2 dimensions (1 dim = plain sort)")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits*dims must fit a positive signed long, got $bits*$n")
+    val terms = for {
+      (c, d) <- cols.zipWithIndex
+      v = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      i <- 0 until bits
+    } yield v.bitwiseAND(lit(1L << i)) * lit(1L << (i * (n - 1) + d))
+    terms.reduce(_ + _)
+  }
+
+  /** Cluster a frame for writing: range-partition on the z-key (each
+    * output file covers a contiguous z-range = a small set of dimension
+    * rectangles) and sort within partitions (row-group stats tighten the
+    * same way). `numPartitions` sizes output files; the z-key column is
+    * kept (`zCol`) so writers can also use it as a sort/bucket key.
+    *
+    * The range partitioner samples the z-distribution, so partition
+    * BOUNDARIES are data-dependent (not oracle-replayed); the z-key
+    * itself is exact deterministic arithmetic (q114). */
+  def clusterByZOrder(df: DataFrame, dims: Seq[Column], bits: Int,
+                      numPartitions: Int, zCol: String = "zval"): DataFrame =
+    df.withColumn(zCol, zorderValue(dims, bits))
+      .repartitionByRange(numPartitions, col(zCol))
+      .sortWithinPartitions(zCol)
+}
