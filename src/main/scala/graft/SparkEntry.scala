@@ -1748,6 +1748,19 @@ object SparkEntry {
         Seq(pmod(col("l_partkey"), lit(1024)),
           pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zval"))
 
+  // ---- KMV distinct-count sketch (mergeable approx COUNT DISTINCT) -------
+  // k=256 sketches beside the exact counts: l_partkey (distinct ≫ k →
+  // estimator path) and l_suppkey (distinct < k → the sketch IS the exact
+  // count). The portable hash family lets the oracle replay hash values,
+  // the k-th minimum and the (k−1)·2⁶⁰/h_k estimate bit-for-bit.
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.KmvSketch(col("l_partkey"), 256).as("est_parts"),
+        graft.functions.KmvSketch(col("l_suppkey"), 256).as("est_supps"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1868,6 +1881,7 @@ object SparkEntry {
     "q112_self_union_ratio" -> (q112 _),
     "q113_winnow_pairs" -> (q113 _),
     "q114_zorder_key" -> (q114 _),
+    "q115_kmv_distinct" -> (q115 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3891,6 +3905,43 @@ object SparkEntry {
         |    + ((l_suppkey % 1024) & (1::BIGINT << i)) * (1::BIGINT << (i + 1))
         |  )) AS BIGINT) AS zval
         |FROM lineitem""".stripMargin,
+    // KMV replay: distinct portable hashes per group, rank ascending; the
+    // sketch holds ranks <= k, the estimate is (k-1)*2^60/h_k once full,
+    // or the exact below-k distinct count
+    "q115_kmv_distinct" ->
+      """WITH hp AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |rp AS (SELECT g, hv,
+        |         row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |       FROM hp),
+        |sp AS (SELECT g, count(*) FILTER (WHERE rn <= 256) AS n,
+        |         max(hv) FILTER (WHERE rn = 256) AS kth
+        |       FROM rp GROUP BY g),
+        |hs AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    ('0x' || substr(md5(l_suppkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |rs AS (SELECT g, hv,
+        |         row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |       FROM hs),
+        |ss AS (SELECT g, count(*) FILTER (WHERE rn <= 256) AS n,
+        |         max(hv) FILTER (WHERE rn = 256) AS kth
+        |       FROM rs GROUP BY g),
+        |ex AS (SELECT l_returnflag AS g,
+        |         count(DISTINCT l_partkey) AS exact_parts,
+        |         count(DISTINCT l_suppkey) AS exact_supps
+        |       FROM lineitem GROUP BY g)
+        |SELECT ex.g AS l_returnflag,
+        |  CASE WHEN sp.n < 256 THEN CAST(sp.n AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 / CAST(sp.kth AS DOUBLE)
+        |  END AS est_parts,
+        |  CASE WHEN ss.n < 256 THEN CAST(ss.n AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 / CAST(ss.kth AS DOUBLE)
+        |  END AS est_supps,
+        |  ex.exact_parts, ex.exact_supps
+        |FROM ex JOIN sp ON ex.g = sp.g JOIN ss ON ex.g = ss.g""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+  * *Counting distinct elements in a data stream*, RANDOM'02) as a typed
+  * `Aggregator` — the mergeable sketch family behind distributed
+  * COUNT(DISTINCT) estimation.
+  *
+  * State is the k smallest DISTINCT portable hashes seen — O(k) longs per
+  * group, maintained sorted; `merge` is union-then-truncate, so partial
+  * aggregation composes exactly (map-side combine does most of the work
+  * and the shuffle carries ≤ k longs per group per mapper, vs the full
+  * value set an exact distinct shuffles). Estimator: with h_k the k-th
+  * smallest hash on a 2⁶⁰ scale, D ≈ (k−1)·2⁶⁰/h_k; below k distinct
+  * hashes the sketch IS the exact distinct count.
+  *
+  * Spark's `approx_count_distinct` (HyperLogLog++) is the cheaper
+  * production default; this sketch is (a) mergeable state you can PERSIST
+  * per partition/file and re-combine later (HLL buffers aren't exposed),
+  * and (b) built on the portable MD5-prefix hash, so the DuckDB oracle
+  * replays hash values, k-th minimum and the estimate bit-for-bit (q115)
+  * — the same portable-twin pattern as the MinHash/LSH family.
+  *
+  * Determinism: the result depends only on the SET of input values —
+  * insertion order, partitioning and merge order cannot change the k
+  * smallest distinct hashes.
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
+  require(k >= 2, "k must be >= 2")
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, h)
+    if (pos >= 0) b                           // already present
+    else {
+      val ins = -pos - 1
+      if (b.length < k) {                     // growing phase: insert
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      } else if (ins >= k) b                  // ≥ current k-th min: ignore
+      else {                                  // displace the largest
+        val out = new Array[Long](k)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** Merge-sort union of two sorted distinct arrays, truncated to k. */
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    if (x.isEmpty) return y
+    if (y.isEmpty) return x
+    val out = new Array[Long](math.min(k, x.length + y.length))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < x.length || j < y.length)) {
+      val takeX = j >= y.length || (i < x.length && x(i) <= y(j))
+      val v = if (takeX) x(i) else y(j)
+      if (takeX) i += 1 else j += 1
+      if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  override def finish(b: Array[Long]): Double =
+    if (b.length < k) b.length.toDouble
+    else (k - 1).toDouble * KmvSketch.Two60 / b(k - 1).toDouble
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object KmvSketch {
+  /** 2⁶⁰ as an exact double — the portable hash's value range. */
+  val Two60: Double = 1152921504606846976.0
+
+  /** Column form: KMV distinct-count estimate of `c` with sketch size `k`,
+    * hashing with the portable family (DuckDB-replayable). */
+  def apply(c: Column, k: Int): Column = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    agg(PortableHash.hex60(c))
+  }
+}

@@ -60,4 +60,20 @@ object Layout {
     df.withColumn(zCol, zorderValue(dims, bits))
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
+
+  /** Per-file min/max/count manifest of a written dataset — the skipping
+    * index the layout exists for. One scan + one hash aggregation on the
+    * file path; readers intersect a predicate's box with the manifest and
+    * read only matching files (the external-manifest form of what parquet
+    * row-group stats do inside a file, usable from ANY engine and cheap to
+    * keep in a small side table at 100 TB: one row per file).
+    *
+    * Read the dataset back with exactly the columns to index;
+    * `spark.read.parquet(path)` + this = manifest maintenance after a
+    * compaction/cluster job. */
+  def statsManifest(df: DataFrame, statCols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k distinct values the sketch IS the exact count") {
+    val df = (1 to 1000).map(i => (i % 7, i % 50)).toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(KmvSketch($"v", 256).as("est"),
+        countDistinct($"v").as("exact"))
+      .as[(Int, Double, Long)].collect()
+    assert(got.length == 7)
+    got.foreach { case (g, est, exact) =>
+      assert(est == exact.toDouble, s"group $g: $est vs $exact")
+    }
+  }
+
+  test("estimate is partitioning-invariant (mergeable state)") {
+    val base = (1 to 20000).map(i => ((i * 37) % 3, i)).toDF("g", "v")
+    val a = base.repartition(1).groupBy($"g")
+      .agg(KmvSketch($"v", 128).as("est")).as[(Int, Double)].collect().toMap
+    val b = base.repartition(17, $"v").groupBy($"g")
+      .agg(KmvSketch($"v", 128).as("est")).as[(Int, Double)].collect().toMap
+    assert(a == b, s"partitioning changed the sketch: $a vs $b")
+  }
+
+  test("estimator accuracy on the fixture: within 20% at k=256") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val got = li.groupBy($"l_returnflag")
+      .agg(KmvSketch($"l_partkey", 256).as("est"),
+        countDistinct($"l_partkey").as("exact"))
+      .as[(String, Double, Long)].collect()
+    got.foreach { case (g, est, exact) =>
+      if (exact >= 256) {
+        val rel = math.abs(est - exact) / exact.toDouble
+        assert(rel <= 0.20, s"flag $g: est $est vs exact $exact (rel $rel)")
+      } else assert(est == exact.toDouble)
+    }
+  }
+}

@@ -67,4 +67,49 @@ class LayoutSpec extends SparkSpec {
     assert(touched(zed, $"x" < 8) <= 4)
     assert(touched(xSorted, $"x" < 8) <= 2)
   }
+
+  test("statsManifest on a z-clustered write prunes files end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_manifest")
+    val zPath = dir.resolve("z").toString
+    val sPath = dir.resolve("s").toString
+    try {
+      val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+        .toDF("x", "y")
+      Layout.clusterByZOrder(grid, Seq($"x", $"y"), bits = 6,
+        numPartitions = 8).write.parquet(zPath)
+      grid.repartitionByRange(8, $"x").sortWithinPartitions("x")
+        .write.parquet(sPath)
+      def filesForBox(path: String): (Long, Long) = {
+        val m = Layout.statsManifest(
+          spark.read.parquet(path).select($"x", $"y"), Seq("x", "y"))
+        val total = m.count()
+        val hit = m.where(col("min_y") <= 7 && col("max_y") >= 0 &&
+          col("min_x") <= 7 && col("max_x") >= 0).count()
+        (hit, total)
+      }
+      val (zHit, zTotal) = filesForBox(zPath)
+      val (sHit, sTotal) = filesForBox(sPath)
+      assert(zTotal == 8 && sTotal == 8, s"$zTotal/$sTotal files")
+      // the box x<8 && y<8 intersects exactly one 16x16-aligned z-block
+      // rectangle per overlapping file; the x-sorted layout prunes on x
+      // but every surviving file spans ALL y, so this assertion flips as
+      // soon as the predicate moves to a y-only box below
+      assert(zHit <= 2, s"z-manifest should isolate the corner: $zHit")
+      val yOnlyZ = Layout.statsManifest(
+        spark.read.parquet(zPath).select($"x", $"y"), Seq("x", "y"))
+        .where(col("min_y") <= 7 && col("max_y") >= 0).count()
+      val yOnlyS = Layout.statsManifest(
+        spark.read.parquet(sPath).select($"x", $"y"), Seq("x", "y"))
+        .where(col("min_y") <= 7 && col("max_y") >= 0).count()
+      assert(yOnlyZ <= 4, s"z-layout bounds y per file: $yOnlyZ")
+      assert(yOnlyS == 8, s"x-sort leaves y unbounded per file: $yOnlyS")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
 }
