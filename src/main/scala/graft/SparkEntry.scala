@@ -1761,6 +1761,22 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"))
 
+  // ---- KMV two-level rollup: persisted sketches re-combine exactly ------
+  // Sketch l_partkey per (flag, order-year) — the "one sketch per
+  // partition/day" persistable form — then merge the materialized states
+  // per flag. The ORACLE is the single-pass global formula: KMV
+  // union-truncate is lossless (every global k-minimum hash is inside its
+  // part's k-minimum set), so the two-level estimate must equal the
+  // one-pass estimate bit-for-bit — the mergeability proof, oracle-graded.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val states = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+      .agg(graft.functions.KmvSketch.state(col("l_partkey"), 256).as("sk"))
+    states.groupBy(col("l_returnflag"))
+      .agg(graft.functions.KmvSketch.merged(col("sk"), 256).as("est_parts"),
+        count(lit(1)).as("n_sketches"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1882,6 +1898,7 @@ object SparkEntry {
     "q113_winnow_pairs" -> (q113 _),
     "q114_zorder_key" -> (q114 _),
     "q115_kmv_distinct" -> (q115 _),
+    "q116_kmv_two_level" -> (q116 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3942,6 +3959,28 @@ object SparkEntry {
         |  END AS est_supps,
         |  ex.exact_parts, ex.exact_supps
         |FROM ex JOIN sp ON ex.g = sp.g JOIN ss ON ex.g = ss.g""".stripMargin,
+    // two-level rollup replays as the ONE-PASS formula (union-truncate is
+    // lossless), plus the per-(flag, year) sketch count
+    "q116_kmv_two_level" ->
+      """WITH hp AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |rp AS (SELECT g, hv,
+        |         row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |       FROM hp),
+        |sp AS (SELECT g, count(*) FILTER (WHERE rn <= 256) AS n,
+        |         max(hv) FILTER (WHERE rn = 256) AS kth
+        |       FROM rp GROUP BY g),
+        |ns AS (SELECT l_returnflag AS g,
+        |         count(DISTINCT year(l_shipdate)) AS n_sketches
+        |       FROM lineitem GROUP BY g)
+        |SELECT ns.g AS l_returnflag,
+        |  CASE WHEN sp.n < 256 THEN CAST(sp.n AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 / CAST(sp.kth AS DOUBLE)
+        |  END AS est_parts,
+        |  ns.n_sketches
+        |FROM ns JOIN sp ON ns.g = sp.g""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

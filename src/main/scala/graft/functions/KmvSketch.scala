@@ -78,6 +78,39 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** [[KmvAgg]] with the raw sketch (sorted k-minimum hash array) as the
+  * OUTPUT — the persistable form: write one row per (group, partition/
+  * file/day), re-combine later with [[KmvMergeAgg]] without rescanning
+  * the data. Union-truncate is lossless for the estimator: every global
+  * top-k-minimum hash is inside its part's top-k, so the merged sketch
+  * equals the sketch of the union (proved exactly by the q116 oracle,
+  * which replays the two-level rollup with the single-pass formula). */
+class KmvStateOut(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new KmvAgg(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge previously materialized sketches (array<bigint> rows) and finish
+  * to the distinct-count estimate. */
+class KmvMergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Double] {
+  private val inner = new KmvAgg(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], s: Array[Long]): Array[Long] =
+    inner.merge(b, if (s == null) Array.empty else s)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+  override def finish(b: Array[Long]): Double =
+    if (b.length < k) b.length.toDouble
+    else (k - 1).toDouble * KmvSketch.Two60 / b(k - 1).toDouble
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 object KmvSketch {
   /** 2⁶⁰ as an exact double — the portable hash's value range. */
   val Two60: Double = 1152921504606846976.0
@@ -87,5 +120,19 @@ object KmvSketch {
   def apply(c: Column, k: Int): Column = {
     val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
     agg(PortableHash.hex60(c))
+  }
+
+  /** The raw sketch (sorted array of the k minimum distinct hashes) — the
+    * persistable state form; feed rows of these to [[merged]] later. */
+  def state(c: Column, k: Int): Column = {
+    val agg = udaf(new KmvStateOut(k), Encoders.scalaLong)
+    agg(PortableHash.hex60(c))
+  }
+
+  /** Distinct-count estimate from materialized [[state]] sketches. */
+  def merged(sketch: Column, k: Int): Column = {
+    val agg = udaf(new KmvMergeAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    agg(sketch)
   }
 }

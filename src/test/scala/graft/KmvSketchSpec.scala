@@ -27,6 +27,26 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == b, s"partitioning changed the sketch: $a vs $b")
   }
 
+  test("persisted sketches re-combine to exactly the single-pass estimate") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val onePass = li.groupBy($"l_returnflag")
+      .agg(KmvSketch($"l_partkey", 64).as("est"))
+      .as[(String, Double)].collect().toMap
+    // materialize one sketch per (flag, year) — the persistable rollup
+    // shape — then merge the states without touching lineitem again
+    val states = li.groupBy($"l_returnflag", year($"l_shipdate").as("yr"))
+      .agg(KmvSketch.state($"l_partkey", 64).as("sk"))
+      .cache()
+    try {
+      assert(states.count() > 7, "need multiple sketches per flag")
+      val twoLevel = states.groupBy($"l_returnflag")
+        .agg(KmvSketch.merged($"sk", 64).as("est"))
+        .as[(String, Double)].collect().toMap
+      assert(twoLevel == onePass,
+        s"merge must be lossless: $twoLevel vs $onePass")
+    } finally { states.unpersist() }
+  }
+
   test("estimator accuracy on the fixture: within 20% at k=256") {
     val li = Tables.load(spark, sf, "lineitem")
     val got = li.groupBy($"l_returnflag")
