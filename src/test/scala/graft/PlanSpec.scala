@@ -124,6 +124,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "map-side combine missing")
   }
 
+  test("q114 z-order key is a narrow projection — no shuffle at all") {
+    val p = plan("q114_zorder_key")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q115/q116 KMV sketches aggregate map-side (partial before exchange)") {
+    // the shuffle must carry <= k-long sketch buffers per group per
+    // mapper, not raw rows: partial_kmvagg runs BEFORE the exchange
+    val p5 = plan("q115_kmv_distinct")
+    assert(p5.contains("ObjectHashAggregate"), p5)
+    assert(p5.toLowerCase.contains("partial_kmvagg"), p5)
+    val p6 = plan("q116_kmv_two_level")
+    assert(p6.toLowerCase.contains("partial_kmvstateout"), p6)
+    assert(p6.toLowerCase.contains("partial_kmvmergeagg"), p6)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the

@@ -184,4 +184,27 @@ class StreamingSpec extends SparkSpec {
         s"diff=${streamed.diff(batchPairs) ++ batchPairs.diff(streamed)}")
     assert(batchPairs.nonEmpty)
   }
+
+  test("KMV sketch aggregates a stream to exactly the batch estimate") {
+    import spark.implicits._
+    // the mergeable-state property is what makes the sketch streamable:
+    // each micro-batch folds into the same O(k) buffer, so the streaming
+    // distinct-count estimate over all batches must equal the batch run
+    val batchEvents = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val q = EventStreams.runToMemory(spark, staged.schema, dir,
+      df => df.groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch(col("user_id"), 64).as("est_users")),
+      "kmv_out", org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(60000)
+    val streamed = spark.table("kmv_out")
+      .as[(String, Double)].collect().toMap
+    val batch = batchEvents.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch(col("user_id"), 64).as("est_users"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.nonEmpty)
+  }
 }
