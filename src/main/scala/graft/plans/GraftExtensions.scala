@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Multiply, Substring}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 /** Catalyst integration point: registers graft's native expressions in the
@@ -81,6 +81,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Substring(Md5(Cast(Cast(args(0), StringType), BinaryType)),
             Literal(1), Literal(15)),
           Literal(16), Literal(10)), LongType)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    // Morton/Z-order key (operators.Layout.zorderValue) as SQL — the same
+    // static mask-and-multiply sum as the Column form (plain codegen'd
+    // long arithmetic), for clustered writes from the SQL front door
+    ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(d1, d2, ..., bits) - Morton/Z-order interleave of the" +
+          " low `bits` bits of each dimension as a BIGINT (bits*dims <= 62)"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "zorder_key expects >= 2 dims + bits")
+        val bits = args.last match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType)   => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "zorder_key: bits must be an integer literal")
+        }
+        val dims = args.init
+        val n = dims.size
+        require(bits >= 1 && bits * n <= 62,
+          s"zorder_key: bits*dims must fit a positive long, got $bits*$n")
+        val terms = for {
+          (c, d) <- dims.zipWithIndex
+          masked = BitwiseAnd(Cast(c, LongType), Literal((1L << bits) - 1))
+          i <- 0 until bits
+        } yield Multiply(BitwiseAnd(masked, Literal(1L << i)),
+          Literal(1L << (i * (n - 1) + d))): Expression
+        terms.reduce((a, b) => Add(a, b))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

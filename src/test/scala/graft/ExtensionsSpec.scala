@@ -47,6 +47,16 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         s"SELECT size(convex_clip(${sq(0, 0)}, ${sq(0.5, 0.5)})) AS n")
         .head().getInt(0)
       assert(clipped == 4)
+      // zorder_key: same interleave as the Column form / driver reference
+      val zs = spark.sql(
+        "SELECT zorder_key(3, 5, 4) AS z, zorder_key(0, 0, 4) AS z0, " +
+          "zorder_key(1, 2, 3, 2) AS z3").head()
+      def refZ(dims: Seq[Long], bits: Int): Long =
+        (for (i <- 0 until bits; (v, d) <- dims.zipWithIndex)
+          yield ((v >> i) & 1L) << (i * dims.size + d)).sum
+      assert(zs.getLong(0) == refZ(Seq(3L, 5L), 4))
+      assert(zs.getLong(1) == 0L)
+      assert(zs.getLong(2) == refZ(Seq(1L, 2L, 3L), 2))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
