@@ -168,4 +168,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing detection guarantee holds on random text pairs") {
+    // SIGMOD'03 theorem: docs sharing a run of >= k+w-1 chars share a
+    // fingerprint; docs with no common k-gram share none
+    val k = 6; val w = 3
+    val word = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val pairGen = for {
+      a <- Gen.listOfN(6, word); b <- Gen.listOfN(6, word); shared <- word
+    } yield (a.mkString(" "), b.mkString(" "), shared)
+    forAll(pairGen, 15) { case (ta, tb, shared) =>
+      // plant an 8-char run (> k+w-1 = 8 after normalization) in both
+      val da = s"$ta $shared"
+      val db = s"$shared $tb"
+      val rows = Seq((1L, da), (2L, db)).toDF("id", "t")
+        .select($"id", graft.text.TextAnalysis
+          .winnowFingerprints($"t", k, w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(rows(1L).toSet.intersect(rows(2L).toSet).nonEmpty,
+        s"no shared fingerprint for planted run '$shared': '$da' / '$db'")
+      // disjoint alphabets can never share a k-gram, hence no fingerprint
+      val ua = da.map(c => if (c == ' ') ' ' else ('a' + (c - 'a') % 13).toChar)
+      val ub = db.map(c => if (c == ' ') ' ' else ('n' + (c - 'a') % 13).toChar)
+      val dis = Seq((1L, ua), (2L, ub)).toDF("id", "t")
+        .select($"id", graft.text.TextAnalysis
+          .winnowFingerprints($"t", k, w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(dis(1L).toSet.intersect(dis(2L).toSet).isEmpty)
+    }
+  }
+
+  test("zorderValue is a bijection on random in-range points") {
+    val ptGen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))
+    forAll(ptGen, 5) { pts =>
+      val d = pts.distinct
+      val zs = d.toDF("x", "y")
+        .select(graft.operators.Layout.zorderValue(Seq($"x", $"y"), 8).as("z"),
+          $"x", $"y")
+        .as[(Long, Long, Long)].collect()
+      assert(zs.map(_._1).distinct.length == d.length, "collision")
+      // decode inverts: bit i*2+d of z is bit i of dim d
+      zs.foreach { case (z, x, y) =>
+        val dx = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val dy = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        assert(dx == x && dy == y, s"decode($z) != ($x, $y)")
+      }
+    }
+  }
 }
