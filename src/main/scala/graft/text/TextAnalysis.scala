@@ -108,14 +108,10 @@ object TextAnalysis {
                            graft.functions.XxHashFamily): Column = {
     require(k >= 1, "gram length k must be >= 1")
     require(w >= 1, "window size w must be >= 1")
-    // Let-binding via single-element transform: a subexpression referenced
-    // inside a higher-order lambda is RE-EVALUATED on every lambda call
-    // (no CSE across HOF iterations), so naming the normalized text and
-    // the gram array as lambda variables is load-bearing — without it the
-    // gram hashing re-runs per window position and the whole selection
-    // goes O(len²) per row.
-    def let(value: Column)(body: Column => Column): Column =
-      element_at(transform(array(value), body), 1)
+    // The let-binding is load-bearing: without it the gram hashing
+    // re-runs per window position and the selection goes O(len²) per row
+    // (see Hof.let).
+    import graft.functions.Hof.let
     let(trim(regexp_replace(lower(text), "\\s+", " "))) { txt =>
       val nGrams = length(txt) - k + 1
       let(when(nGrams.isNull || nGrams <= 0, array().cast("array<long>"))
