@@ -1777,6 +1777,17 @@ object SparkEntry {
         count(lit(1)).as("n_sketches"))
   }
 
+  // ---- SCD2 validity intervals (warehouse dimension-history build) -------
+  // The interval form of the changelog family: q11's change rows closed
+  // into [effective_from, effective_to) with version numbers and a
+  // current flag — one hash exchange, both windows share the clustering.
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.scd2Intervals(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        tsCol = "ts", tracked = Seq("event_type"))
+      .select("user_id", "event_id", "event_type", "effective_from",
+        "effective_to", "version", "is_current")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1899,6 +1910,7 @@ object SparkEntry {
     "q114_zorder_key" -> (q114 _),
     "q115_kmv_distinct" -> (q115 _),
     "q116_kmv_two_level" -> (q116 _),
+    "q117_scd2_intervals" -> (q117 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3981,6 +3993,25 @@ object SparkEntry {
         |  END AS est_parts,
         |  ns.n_sketches
         |FROM ns JOIN sp ON ns.g = sp.g""".stripMargin,
+    // q11's changelog closed into [from, to) intervals with version
+    // numbers — the lead/row_number run over the CHANGE rows only
+    "q117_scd2_intervals" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, ts, event_type FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+        |SELECT user_id, event_id, event_type,
+        |  ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS effective_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS INT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM chg""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -174,4 +174,33 @@ object TemporalOps {
     df.withColumn("__keep", isFirst || anyChanged)
       .where(col("__keep")).drop("__keep")
   }
+
+  /** SCD2 validity intervals: compress a per-key history to its change
+    * rows ([[changelog]]) and close each with the NEXT change's
+    * timestamp — `fromName` inclusive, `toName` exclusive, NULL while
+    * current. The standard warehouse dimension-history build (the
+    * interval form of the reference's best-snapshot/apply-diffs family):
+    * joining facts back is then `fact.ts >= from AND (to IS NULL OR
+    * fact.ts < to)` — or [[asofJoin]] on the change rows directly.
+    *
+    * Both windows (the change detection and the closing `lead`) share
+    * the same (keys, order) clustering, so the plan pays ONE hash
+    * exchange; the second window adds only a sort over already-clustered
+    * rows. At 100 TB the output is the compressed history — one row per
+    * change, not per snapshot.
+    *
+    * @param order  total order within key (include a tiebreaker column —
+    *               interval semantics need an unambiguous sequence)
+    * @param tsCol  the column whose values become the interval bounds */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                    tsCol: String, tracked: Seq[String],
+                    fromName: String = "effective_from",
+                    toName: String = "effective_to"): DataFrame = {
+    val chg = changelog(df, keys, order, tracked)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    chg.withColumn(fromName, col(tsCol))
+      .withColumn(toName, lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col(toName).isNull)
+  }
 }

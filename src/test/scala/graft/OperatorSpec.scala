@@ -86,6 +86,23 @@ class OperatorSpec extends SparkSpec {
     assert(out.select("seq").as[Int].collect().sorted.toSeq == Seq(1, 3, 5))
   }
 
+  test("TemporalOps.scd2Intervals tiles each key with one current row") {
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        (2, 1, "x"))
+      .toDF("k", "seq", "state")
+    val out = TemporalOps.scd2Intervals(df, Seq("k"), Seq(col("seq")),
+        "seq", Seq("state"))
+      .orderBy("k", "version")
+      .select("k", "state", "effective_from", "effective_to", "version",
+        "is_current")
+      .as[(Int, String, Int, Option[Int], Int, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", 1, Some(3), 1, false),
+      (1, "b", 3, Some(5), 2, false),
+      (1, "a", 5, None, 3, true),
+      (2, "x", 1, None, 1, true)))
+  }
+
   test("TemporalOps.dateMerge joins at year grain") {
     val fine = Seq((1, java.sql.Timestamp.valueOf("2020-05-01 00:00:00"), 10.0))
       .toDF("k", "d", "v")

@@ -140,6 +140,12 @@ class PlanSpec extends SparkSpec {
     assert(p6.toLowerCase.contains("partial_kmvmergeagg"), p6)
   }
 
+  test("q117 SCD2 intervals: both windows share ONE exchange and sort") {
+    val p = plan("q117_scd2_intervals")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
