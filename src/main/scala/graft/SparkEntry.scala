@@ -3734,12 +3734,13 @@ object SparkEntry {
         |  FROM documents),
         |off AS (
         |  SELECT doc_id, shard, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |         AS BIGINT) AS end_off
         |  FROM toks)
         |SELECT doc_id, n_tokens, shard, end_off,
-        |  end_off - n_tokens AS start_off,
+        |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
         |  CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
-        |  (end_off - n_tokens) % 512 AS chunk_pos,
+        |  CAST((end_off - n_tokens) % 512 AS BIGINT) AS chunk_pos,
         |  CASE WHEN n_tokens = 0 THEN 0
         |       ELSE CAST(floor((end_off - 1) / 512.0) AS BIGINT)
         |            - CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) + 1
