@@ -1788,6 +1788,47 @@ object SparkEntry {
       .select("user_id", "event_id", "event_type", "effective_from",
         "effective_to", "version", "is_current")
 
+  // ---- WKB / GeoParquet geometry bridge ----------------------------------
+  // The reference moves geometry as GeoParquet WKB (io_managers.py:395-397,
+  // spatial.py:15-50); graft's kit works on open array<struct<x,y>> rings.
+  // This query drives the bijection both ways at the BYTE level: encode the
+  // q108 L-territory as a WKB Polygon and an L+box MultiPolygon, emit the
+  // hex (the oracle rebuilds the same bytes arithmetically — IEEE754 bit
+  // patterns of the integer-grid coords), then DECODE the bytes back and
+  // report shoelace areas from the decoded rings — so a hex match proves
+  // the writer and an area match proves the reader.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val terr = t(s, dir, "supplier").select(col("s_suppkey"),
+      ((col("s_suppkey") % 50) * 2.0).as("ax"),
+      ((col("s_suppkey") % 30) * 2.0).as("ay"),
+      (lit(4.0) + col("s_suppkey") % 3).as("w"),
+      (lit(4.0) + col("s_suppkey") % 2).as("h"))
+    val (ax, ay, w, h) = (col("ax"), col("ay"), col("w"), col("h"))
+    val lring = array(
+      pt(ax, ay), pt(ax + w, ay), pt(ax + w, ay + 2.0), pt(ax + 2.0, ay + 2.0),
+      pt(ax + 2.0, ay + h), pt(ax, ay + h))
+    val box = array(
+      pt(ax + 200.0, ay), pt(ax + 202.0, ay), pt(ax + 202.0, ay + 2.0),
+      pt(ax + 200.0, ay + 2.0))
+    val ring1 = element_at(element_at(col("dec.polys"), 1), 1)
+    terr
+      .withColumn("wkb", graft.plans.WkbFromPolygons(array(array(lring))))
+      .withColumn("mp_wkb",
+        graft.plans.WkbFromPolygons(array(array(lring), array(box))))
+      .withColumn("dec", graft.plans.WkbToPolygons(col("wkb")))
+      .withColumn("mdec", graft.plans.WkbToPolygons(col("mp_wkb")))
+      .select(col("s_suppkey"),
+        lower(hex(col("wkb"))).as("wkb_hex"),
+        col("dec.wkb_type").as("wkb_type"),
+        size(ring1).as("n_pts"),
+        graft.spatial.SpatialOps.shoelaceArea(ring1).as("area"),
+        lower(hex(col("mp_wkb"))).as("mp_hex"),
+        aggregate(col("mdec.polys"), lit(0.0), (acc, p) =>
+          acc + graft.spatial.SpatialOps.shoelaceArea(element_at(p, 1)))
+          .as("mp_area"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1911,6 +1952,7 @@ object SparkEntry {
     "q115_kmv_distinct" -> (q115 _),
     "q116_kmv_two_level" -> (q116 _),
     "q117_scd2_intervals" -> (q117 _),
+    "q118_wkb_bridge" -> (q118 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4013,6 +4055,54 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    AS is_current
         |FROM chg""".stripMargin,
+    // WKB replayed at the BYTE level: the oracle rebuilds the exact
+    // little-endian WKB hex arithmetically — IEEE754 bit pattern of each
+    // (non-negative, integer-valued) coordinate via floor(log2) + mantissa
+    // scaling, bytes reversed into little-endian hex. Areas come from the
+    // closed-form L/box arithmetic, independent of the decoder under test.
+    "q118_wkb_bridge" ->
+      """WITH terr AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey % 50) * 2.0 AS ax, (s_suppkey % 30) * 2.0 AS ay,
+        |    4.0 + (s_suppkey % 3) AS w, 4.0 + (s_suppkey % 2) AS h
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT s_suppkey, i.range AS i,
+        |    [[ax,ay],[ax+w,ay],[ax+w,ay+2],[ax+2,ay+2],[ax+2,ay+h],[ax,ay+h],
+        |     [ax,ay],
+        |     [ax+200,ay],[ax+202,ay],[ax+202,ay+2],[ax+200,ay+2],[ax+200,ay]]
+        |      [CAST(i.range + 1 AS INT)] AS p
+        |  FROM terr, range(12) i),
+        |coords AS (
+        |  SELECT s_suppkey, i*2 + j.range AS ord,
+        |    CASE WHEN j.range = 0 THEN p[1] ELSE p[2] END AS v
+        |  FROM pts, range(2) j),
+        |hx AS (
+        |  SELECT s_suppkey, ord,
+        |    CASE WHEN v = 0 THEN '0000000000000000'
+        |         ELSE list_reduce(list_transform(range(0,8), bi -> printf('%02x',
+        |           (((CAST(floor(log2(v)) AS BIGINT) + 1023) * 4503599627370496
+        |             + CAST(v / pow(2.0, CAST(floor(log2(v)) AS BIGINT))
+        |                    * 4503599627370496 AS BIGINT)
+        |             - 4503599627370496) >> CAST(8*bi AS INT)) & 255)),
+        |           (a, c) -> a || c)
+        |    END AS h
+        |  FROM coords),
+        |ringhex AS (
+        |  SELECT s_suppkey,
+        |    string_agg(CASE WHEN ord < 14 THEN h END, '' ORDER BY ord) AS lhex,
+        |    string_agg(CASE WHEN ord >= 14 THEN h END, '' ORDER BY ord) AS bhex
+        |  FROM hx GROUP BY s_suppkey)
+        |SELECT t.s_suppkey,
+        |  '010300000001000000' || '07000000' || r.lhex AS wkb_hex,
+        |  3 AS wkb_type,
+        |  6 AS n_pts,
+        |  2*t.w + 2*t.h - 4.0 AS area,
+        |  '010600000002000000' ||
+        |    '010300000001000000' || '07000000' || r.lhex ||
+        |    '010300000001000000' || '05000000' || r.bhex AS mp_hex,
+        |  2*t.w + 2*t.h AS mp_area
+        |FROM terr t JOIN ringhex r ON r.s_suppkey = t.s_suppkey""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Multiply, Substring}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType}
 
 /** Catalyst integration point: registers graft's native expressions in the
   * session FunctionRegistry so they are first-class SQL functions —
@@ -109,6 +109,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } yield Multiply(BitwiseAnd(masked, Literal(1L << i)),
           Literal(1L << (i * (n - 1) + d))): Expression
         terms.reduce((a, b) => Add(a, b))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("wkb_from_polygons"),
+      info("wkb_from_polygons",
+        "wkb_from_polygons(polys[, force_multi]) - little-endian WKB" +
+          " Polygon/MultiPolygon bytes from polygons x open rings x vertices"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "wkb_from_polygons expects 1 or 2 arguments")
+        val force = if (args.length < 2) false else args(1) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"wkb_from_polygons: force_multi must be a boolean literal, got $other")
+        }
+        WkbFromPolygons(args(0), force)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("wkb_to_polygons"),
+      info("wkb_to_polygons",
+        "wkb_to_polygons(bin) - decode WKB Polygon/MultiPolygon bytes to" +
+          " struct<wkb_type, polys: polygons x open rings x vertices>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "wkb_to_polygons expects 1 argument")
+        WkbToPolygons(args(0))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

@@ -57,6 +57,18 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(zs.getLong(0) == refZ(Seq(3L, 5L), 4))
       assert(zs.getLong(1) == 0L)
       assert(zs.getLong(2) == refZ(Seq(1L, 2L, 3L), 2))
+      // WKB bridge: writer emits canonical LE bytes, reader round-trips;
+      // force_multi upgrades a single polygon to MultiPolygon (type 6)
+      val wkb = spark.sql(
+        """SELECT lower(hex(wkb_from_polygons(p))) AS h,
+          |  wkb_to_polygons(wkb_from_polygons(p, true)).wkb_type AS t
+          |FROM (SELECT array(array(array(
+          |  named_struct('x', 0.0d, 'y', 0.0d),
+          |  named_struct('x', 4.0d, 'y', 0.0d),
+          |  named_struct('x', 4.0d, 'y', 4.0d),
+          |  named_struct('x', 0.0d, 'y', 4.0d)))) AS p)""".stripMargin).head()
+      assert(wkb.getString(0).startsWith("010300000001000000" + "05000000"))
+      assert(wkb.getInt(1) == 6)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
