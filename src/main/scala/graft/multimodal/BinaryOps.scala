@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * (schema, batched per-partition processing, deterministic partitioning)
   * are real. IMAGES decode for real — `javax.imageio` is part of the JDK
   * ([[decodeImages]]/[[resizeImages]]: PNG/JPEG/BMP/GIF, no external
-  * libs); audio/video codec calls remain STUBBED (`decodeImageStub` keeps
-  * the cheap hash-derived variant for plumbing tests) — swap in
-  * JavaCV-style decoders without touching the plumbing.
+  * libs) — and so does AUDIO — `javax.sound.sampled` (WAV/AIFF/AU,
+  * [[decodeAudio]]). VIDEO codec calls remain STUBBED (the JDK has no
+  * video codec; `decodeImageStub` keeps the cheap hash-derived variant for
+  * plumbing tests) — swap in JavaCV-style decoders without touching the
+  * plumbing.
   */
 object BinaryOps {
 
@@ -138,6 +140,87 @@ object BinaryOps {
               case None =>
                 ResizedRow(r.id, 0, 0, r.blob.length.toLong, Array.empty)
             }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  case class DecodedAudio(id: Long, sample_rate: java.lang.Double,
+                          channels: java.lang.Integer,
+                          sample_bits: java.lang.Integer,
+                          n_frames: java.lang.Long,
+                          duration_sec: java.lang.Double,
+                          mean_abs: java.lang.Double,
+                          rms: java.lang.Double)
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` ships in the
+    * JDK (WAV, AIFF, AU containers; PCM and log-PCM encodings), the audio
+    * analogue of [[decodeImages]]: binary in → (sample rate, channels,
+    * bit depth, frame count, duration, mean |amplitude|, RMS) per row,
+    * decoded inside `mapPartitions` with one clip in memory at a time.
+    * Non-PCM encodings (A-law/µ-law) are converted to signed 16-bit PCM
+    * through the JDK's own conversion chain before measuring; amplitudes
+    * are normalized to [-1, 1]. Bytes that are not decodable audio yield
+    * null metadata (the corrupt-input lane). Video remains stubbed — the
+    * JDK genuinely has no video codec. */
+  def decodeAudio(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            import javax.sound.sampled.{AudioFormat, AudioSystem}
+            val raw = AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(r.blob)))
+            val src = raw.getFormat
+            val pcm =
+              if (src.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+                  src.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) raw
+              else AudioSystem.getAudioInputStream(
+                new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                  src.getSampleRate, 16, src.getChannels,
+                  2 * src.getChannels, src.getSampleRate, false), raw)
+            val fmt = pcm.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val bytesPer = bits / 8
+            val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+            val big = fmt.isBigEndian
+            val full = (1L << (bits - 1)).toDouble
+            val buf = new Array[Byte](fmt.getFrameSize * 4096)
+            var sumAbs = 0.0; var sumSq = 0.0; var n = 0L
+            var read = pcm.read(buf)
+            while (read > 0) {
+              var off = 0
+              while (off + bytesPer <= read) {
+                var v = 0L
+                var k = 0
+                while (k < bytesPer) {
+                  val b = buf(off + (if (big) k else bytesPer - 1 - k)) & 0xffL
+                  v = (v << 8) | b
+                  k += 1
+                }
+                // sign-extend (or recenter unsigned) to [-full, full)
+                val s = if (unsigned) v - full
+                  else if (v >= full) v - 2 * full else v.toDouble
+                val a = s / full
+                sumAbs += math.abs(a); sumSq += a * a; n += 1
+                off += bytesPer
+              }
+              read = pcm.read(buf)
+            }
+            pcm.close()
+            val frames = n / math.max(1, fmt.getChannels)
+            DecodedAudio(r.id, src.getSampleRate.toDouble, src.getChannels,
+              src.getSampleSizeInBits, frames,
+              frames / src.getSampleRate.toDouble,
+              if (n > 0) sumAbs / n else 0.0,
+              if (n > 0) math.sqrt(sumSq / n) else 0.0)
+          } catch { case _: Exception =>
+            DecodedAudio(r.id, null, null, null, null, null, null, null)
           }
         }
       }

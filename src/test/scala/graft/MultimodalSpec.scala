@@ -84,4 +84,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out.where(length(col("thumb")) > 16).count() == 0)
     assert(out.where(col("n_bytes") <= 0).count() == 0)
   }
+
+  /** Synthesized sine clip written through the JDK's own encoder. */
+  private def sineBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
+                        rate: Float, channels: Int, amp: Double,
+                        frames: Int, bigEndian: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, 2 * channels, rate, bigEndian)
+    val pcm = new Array[Byte](frames * 2 * channels)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until frames; _ <- 0 until channels)
+      bb.putShort(math.round(
+        amp * 32767.0 * math.sin(2 * math.Pi * i / 100.0)).toShort)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads real WAV/AIFF bytes; corrupt blobs yield null metadata") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val rows = Seq(
+      (1L, sineBytes(Type.WAVE, 44100f, 1, 0.5, 44100, bigEndian = false)),
+      (2L, sineBytes(Type.AIFF, 8000f, 2, 0.25, 4000, bigEndian = true)),
+      (3L, "not audio at all".getBytes("UTF-8")))
+    val out = BinaryOps.decodeAudio(rows.toDF("id", "blob"), "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // columns: id, sample_rate, channels, sample_bits, n_frames,
+    //          duration_sec, mean_abs, rms
+    val w = out(1L)
+    assert(w.getDouble(1) == 44100.0 && w.getInt(2) == 1 && w.getInt(3) == 16)
+    assert(w.getLong(4) == 44100L && math.abs(w.getDouble(5) - 1.0) < 1e-9)
+    // mean |A sin| = 2A/pi; rms = A/sqrt(2) (100-sample periods divide evenly)
+    assert(math.abs(w.getDouble(6) - 2 * 0.5 / math.Pi) < 1e-3)
+    assert(math.abs(w.getDouble(7) - 0.5 / math.sqrt(2.0)) < 1e-3)
+    val a = out(2L)
+    assert(a.getDouble(1) == 8000.0 && a.getInt(2) == 2)
+    assert(a.getLong(4) == 4000L && math.abs(a.getDouble(5) - 0.5) < 1e-9)
+    assert(math.abs(a.getDouble(6) - 2 * 0.25 / math.Pi) < 1e-3)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(6)) // corrupt lane
+  }
+
+  test("decodeAudio converts non-PCM (u-law AU) through the JDK chain") {
+    import javax.sound.sampled._
+    // synthesize PCM16 then re-encode as 8-bit u-law in an AU container
+    val pcmBytes = sineBytes(AudioFileFormat.Type.AU, 8000f, 1, 0.5, 8000,
+      bigEndian = true)
+    val pcmStream = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes))
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1,
+      8000f, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, pcmStream)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.AU, bos)
+    val out = BinaryOps.decodeAudio(
+      Seq((1L, bos.toByteArray)).toDF("id", "blob"), "id", "blob").head()
+    assert(out.getDouble(1) == 8000.0 && out.getInt(2) == 1 && out.getInt(3) == 8)
+    // u-law is log-compressed 8-bit: loose tolerance on the sine stats
+    assert(math.abs(out.getDouble(6) - 2 * 0.5 / math.Pi) < 0.01)
+  }
 }
