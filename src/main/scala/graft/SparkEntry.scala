@@ -1756,8 +1756,10 @@ object SparkEntry {
   private def q115(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
       .agg(
-        graft.functions.KmvSketch(col("l_partkey"), 256).as("est_parts"),
-        graft.functions.KmvSketch(col("l_suppkey"), 256).as("est_supps"),
+        graft.functions.KmvSketch(col("l_partkey"), 256,
+          graft.functions.PortableHashFamily).as("est_parts"),
+        graft.functions.KmvSketch(col("l_suppkey"), 256,
+          graft.functions.PortableHashFamily).as("est_supps"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"))
 
@@ -1771,9 +1773,11 @@ object SparkEntry {
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val states = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
-      .agg(graft.functions.KmvSketch.state(col("l_partkey"), 256).as("sk"))
+      .agg(graft.functions.KmvSketch.state(col("l_partkey"), 256,
+        graft.functions.PortableHashFamily).as("sk"))
     states.groupBy(col("l_returnflag"))
-      .agg(graft.functions.KmvSketch.merged(col("sk"), 256).as("est_parts"),
+      .agg(graft.functions.KmvSketch.merged(col("sk"), 256,
+        graft.functions.PortableHashFamily).as("est_parts"),
         count(lit(1)).as("n_sketches"))
   }
 

@@ -28,6 +28,10 @@ sealed trait HashFamily {
     * instead of once per member. */
   def base(c: Column): Column
   def derive(seed: Int, base: Column): Column
+  /** Non-negative uniform hash on [0, [[kmvScale]]) — the order-statistic
+    * value KMV ranks; the estimator needs the scale to normalize h_k. */
+  def kmvValue(c: Column): Column
+  def kmvScale: Double
 }
 
 object XxHashFamily extends HashFamily {
@@ -36,6 +40,10 @@ object XxHashFamily extends HashFamily {
   def bits: Int = 64
   def base(c: Column): Column = c
   def derive(seed: Int, base: Column): Column = hash(seed, base)
+  /** Sign bit masked off (abs() would overflow on Long.MinValue). */
+  def kmvValue(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(Long.MaxValue))
+  def kmvScale: Double = 9.223372036854776e18 // 2^63
 }
 
 object PortableHashFamily extends HashFamily {
@@ -60,4 +68,8 @@ object PortableHashFamily extends HashFamily {
     val b = PortableHash.hex60(s"b_$seed") % P
     (lit(a) * base + lit(b)) % P
   }
+
+  /** The raw 60-bit MD5 prefix — DuckDB replays it bit-for-bit. */
+  def kmvValue(c: Column): Column = PortableHash.hex60(c)
+  def kmvScale: Double = 1152921504606846976.0 // 2^60
 }

@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions.udaf
   * Spark's `approx_count_distinct` (HyperLogLog++) is the cheaper
   * production default; this sketch is (a) mergeable state you can PERSIST
   * per partition/file and re-combine later (HLL buffers aren't exposed),
-  * and (b) built on the portable MD5-prefix hash, so the DuckDB oracle
-  * replays hash values, k-th minimum and the estimate bit-for-bit (q115)
-  * — the same portable-twin pattern as the MinHash/LSH family.
+  * and (b) family-parameterized like MinHash/winnow: xxhash64 by default
+  * (codegen, no MD5 cost), or the portable MD5-prefix family so the
+  * DuckDB oracle replays hash values, k-th minimum and the estimate
+  * bit-for-bit (q115) — the same portable-twin pattern as the LSH family.
   *
   * Determinism: the result depends only on the SET of input values —
   * insertion order, partitioning and merge order cannot change the k
   * smallest distinct hashes.
   */
-class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
+class KmvAgg(k: Int, scale: Double = KmvSketch.Two60)
+    extends Aggregator[Long, Array[Long], Double] {
   require(k >= 2, "k must be >= 2")
 
   override def zero: Array[Long] = Array.empty
@@ -72,7 +74,7 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
 
   override def finish(b: Array[Long]): Double =
     if (b.length < k) b.length.toDouble
-    else (k - 1).toDouble * KmvSketch.Two60 / b(k - 1).toDouble
+    else (k - 1).toDouble * scale / b(k - 1).toDouble
 
   override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -98,15 +100,16 @@ class KmvStateOut(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
 /** Merge previously materialized sketches (array<bigint> rows) and finish
   * to the distinct-count estimate. */
-class KmvMergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Double] {
-  private val inner = new KmvAgg(k)
+class KmvMergeAgg(k: Int, scale: Double = KmvSketch.Two60)
+    extends Aggregator[Array[Long], Array[Long], Double] {
+  private val inner = new KmvAgg(k, scale)
   override def zero: Array[Long] = inner.zero
   override def reduce(b: Array[Long], s: Array[Long]): Array[Long] =
     inner.merge(b, if (s == null) Array.empty else s)
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
   override def finish(b: Array[Long]): Double =
     if (b.length < k) b.length.toDouble
-    else (k - 1).toDouble * KmvSketch.Two60 / b(k - 1).toDouble
+    else (k - 1).toDouble * scale / b(k - 1).toDouble
   override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
@@ -115,23 +118,31 @@ object KmvSketch {
   /** 2⁶⁰ as an exact double — the portable hash's value range. */
   val Two60: Double = 1152921504606846976.0
 
-  /** Column form: KMV distinct-count estimate of `c` with sketch size `k`,
-    * hashing with the portable family (DuckDB-replayable). */
-  def apply(c: Column, k: Int): Column = {
-    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
-    agg(PortableHash.hex60(c))
+  /** Column form: KMV distinct-count estimate of `c` with sketch size `k`.
+    * Like MinHash/winnow, the hash family is a parameter: xxhash64
+    * (codegen, cheapest) is the production default; pass
+    * [[PortableHashFamily]] for the DuckDB-replayable twin (q115). The
+    * estimate's accuracy is family-independent (both are uniform on their
+    * scale); only the portable one is oracle-checkable bit-for-bit. */
+  def apply(c: Column, k: Int,
+            family: HashFamily = XxHashFamily): Column = {
+    val agg = udaf(new KmvAgg(k, family.kmvScale), Encoders.scalaLong)
+    agg(family.kmvValue(c))
   }
 
   /** The raw sketch (sorted array of the k minimum distinct hashes) — the
-    * persistable state form; feed rows of these to [[merged]] later. */
-  def state(c: Column, k: Int): Column = {
+    * persistable state form; feed rows of these to [[merged]] later, WITH
+    * THE SAME FAMILY (sketches from different families don't mix). */
+  def state(c: Column, k: Int,
+            family: HashFamily = XxHashFamily): Column = {
     val agg = udaf(new KmvStateOut(k), Encoders.scalaLong)
-    agg(PortableHash.hex60(c))
+    agg(family.kmvValue(c))
   }
 
   /** Distinct-count estimate from materialized [[state]] sketches. */
-  def merged(sketch: Column, k: Int): Column = {
-    val agg = udaf(new KmvMergeAgg(k),
+  def merged(sketch: Column, k: Int,
+             family: HashFamily = XxHashFamily): Column = {
+    val agg = udaf(new KmvMergeAgg(k, family.kmvScale),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
     agg(sketch)
   }

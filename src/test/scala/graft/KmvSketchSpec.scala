@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.KmvSketch
+import graft.functions.{KmvSketch, PortableHashFamily, XxHashFamily}
 
 class KmvSketchSpec extends SparkSpec {
   import spark.implicits._
@@ -45,6 +45,32 @@ class KmvSketchSpec extends SparkSpec {
       assert(twoLevel == onePass,
         s"merge must be lossless: $twoLevel vs $onePass")
     } finally { states.unpersist() }
+  }
+
+  test("hash family is a parameter: exact regime identical, estimates close") {
+    // below k distinct: both families ARE the exact count — identical
+    val small = (1 to 2000).map(i => (i % 5, i % 40)).toDF("g", "v")
+    val both = small.groupBy($"g")
+      .agg(KmvSketch($"v", 256, XxHashFamily).as("xx"),
+        KmvSketch($"v", 256, PortableHashFamily).as("md"),
+        countDistinct($"v").as("exact"))
+      .as[(Int, Double, Double, Long)].collect()
+    both.foreach { case (g, xx, md, exact) =>
+      assert(xx == exact.toDouble && md == exact.toDouble, s"group $g")
+    }
+    // above k: independent families, each within estimator tolerance
+    val li = Tables.load(spark, sf, "lineitem")
+    val est = li.groupBy($"l_returnflag")
+      .agg(KmvSketch($"l_partkey", 256, XxHashFamily).as("xx"),
+        KmvSketch($"l_partkey", 256, PortableHashFamily).as("md"),
+        countDistinct($"l_partkey").as("exact"))
+      .as[(String, Double, Double, Long)].collect()
+    est.foreach { case (g, xx, md, exact) =>
+      if (exact >= 256) {
+        assert(math.abs(xx - exact) / exact <= 0.20, s"$g xx: $xx vs $exact")
+        assert(math.abs(md - exact) / exact <= 0.20, s"$g md: $md vs $exact")
+      } else assert(xx == exact.toDouble && md == exact.toDouble)
+    }
   }
 
   test("estimator accuracy on the fixture: within 20% at k=256") {
