@@ -1833,6 +1833,26 @@ object SparkEntry {
           .as("mp_area"))
   }
 
+  // ---- §2.11 reference-parity cluster re-split (average linkage) ---------
+  // splitClustersAgglomerative is the sklearn-semantics form of
+  // split_clusters (link_cross_year.py:170-240): overmerged clusters
+  // re-cluster by AVERAGE-linkage agglomeration over cosine distance.
+  // Fixture: 3-member clusters (vec_id DIV 3) whose year key always
+  // duplicates (m0/m2 share parity), so every full cluster agglomerates;
+  // the merge ORDER for n=3 has a closed form the oracle replays with CASE
+  // logic over the three pairwise distances — including the deterministic
+  // first-pair tie rule and the mean-linkage second merge. Where greedy
+  // first-fit would force same-year members apart, average linkage may
+  // keep them together (sub [0,0,0]) — the documented disagreement, now
+  // oracle-graded on the parity path.
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NearDup.splitClustersAgglomerative(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("vec_id DIV 3").as("cluster"),
+        (col("vec_id") % 2 + 2019).cast("int").as("year"),
+        col("embedding")),
+      "cluster", "vec_id", "year", "embedding", distanceThreshold = 1.0)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1957,6 +1977,7 @@ object SparkEntry {
     "q116_kmv_two_level" -> (q116 _),
     "q117_scd2_intervals" -> (q117 _),
     "q118_wkb_bridge" -> (q118 _),
+    "q119_agglomerative_split" -> (q119 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4107,6 +4128,49 @@ object SparkEntry {
         |    '010300000001000000' || '05000000' || r.bhex AS mp_hex,
         |  2*t.w + 2*t.h AS mp_area
         |FROM terr t JOIN ringhex r ON r.s_suppkey = t.s_suppkey""".stripMargin,
+    // Average-linkage agglomerative replay for 3-member clusters: the merge
+    // order is closed-form — first merge = first pair (in (0,1),(0,2),(1,2)
+    // scan order) attaining the strict minimum below the threshold; second
+    // merge iff the MEAN distance from the merged pair to the remaining
+    // member is below it; final labels numbered by each cluster's minimum
+    // member index. Distances replay the engine's double accumulation over
+    // the float embeddings (q95 pattern). Sub-3 tail clusters have no
+    // duplicate year key and pass through as sub 0.
+    "q119_agglomerative_split" ->
+      """WITH m AS (
+        |  SELECT vec_id, vec_id // 3 AS cluster, vec_id % 3 AS idx, embedding
+        |  FROM embeddings),
+        |pd AS (
+        |  SELECT a.cluster, a.idx AS i, b.idx AS j,
+        |    1 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS d
+        |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.idx < b.idx),
+        |w AS (
+        |  SELECT cluster,
+        |    max(CASE WHEN i = 0 AND j = 1 THEN d END) AS d01,
+        |    max(CASE WHEN i = 0 AND j = 2 THEN d END) AS d02,
+        |    max(CASE WHEN i = 1 AND j = 2 THEN d END) AS d12
+        |  FROM pd GROUP BY cluster),
+        |lab AS (
+        |  SELECT cluster,
+        |    CASE
+        |      WHEN d12 IS NULL OR d02 IS NULL THEN NULL
+        |      WHEN least(d01, d02, d12) >= 1.0 THEN [0, 1, 2]
+        |      WHEN d01 <= d02 AND d01 <= d12 THEN
+        |        CASE WHEN (d02 + d12) / 2 < 1.0 THEN [0,0,0] ELSE [0,0,1] END
+        |      WHEN d02 <= d12 THEN
+        |        CASE WHEN (d01 + d12) / 2 < 1.0 THEN [0,0,0] ELSE [0,1,0] END
+        |      ELSE
+        |        CASE WHEN (d01 + d02) / 2 < 1.0 THEN [0,0,0] ELSE [0,1,1] END
+        |    END AS labs
+        |  FROM w)
+        |SELECT m.vec_id, m.cluster,
+        |  coalesce(l.labs[CAST(m.idx + 1 AS INT)], 0) AS sub_cluster
+        |FROM m LEFT JOIN lab l ON l.cluster = m.cluster""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
