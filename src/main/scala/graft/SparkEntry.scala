@@ -1853,6 +1853,21 @@ object SparkEntry {
         col("embedding")),
       "cluster", "vec_id", "year", "embedding", distanceThreshold = 1.0)
 
+  // ---- §2.7 multi_index_stack (regex-driven melt), oracle-graded ---------
+  // meltRegex builds the stack projection at PLAN TIME from the column
+  // names matching the pattern; capture groups become key columns
+  // (helpers.py:88-164). The oracle replays the same melt as a UNION ALL
+  // of typed projections — one branch per matched column.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice").cast("double").as("balance_2020_q1"),
+      (col("o_totalprice").cast("double") * 2.0).as("balance_2020_q2"),
+      (col("o_totalprice").cast("double") * 3.0).as("balance_2021_q1"),
+      col("o_custkey").cast("double").as("count_2021_q2"))
+    operators.Reshape.meltRegex(wide, Seq("o_orderkey"),
+      "^([a-z]+)_(\\d{4})_(q\\d)$", Seq("metric", "year", "quarter"), "value")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1978,6 +1993,7 @@ object SparkEntry {
     "q117_scd2_intervals" -> (q117 _),
     "q118_wkb_bridge" -> (q118 _),
     "q119_agglomerative_split" -> (q119 _),
+    "q120_multi_index_stack" -> (q120 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4171,6 +4187,18 @@ object SparkEntry {
         |SELECT m.vec_id, m.cluster,
         |  coalesce(l.labs[CAST(m.idx + 1 AS INT)], 0) AS sub_cluster
         |FROM m LEFT JOIN lab l ON l.cluster = m.cluster""".stripMargin,
+    "q120_multi_index_stack" ->
+      """SELECT o_orderkey, 'balance' AS metric, '2020' AS year,
+        |  'q1' AS quarter, o_totalprice AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'balance', '2020', 'q2', o_totalprice * 2.0
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'balance', '2021', 'q1', o_totalprice * 3.0
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'count', '2021', 'q2', CAST(o_custkey AS DOUBLE)
+        |FROM orders""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
