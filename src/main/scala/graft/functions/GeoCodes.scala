@@ -140,6 +140,76 @@ object GeoCodes {
     out.drop("__tz_dim", "__tz_name")
   }
 
+  /** Coarse public 1°-cell lat/lng→IANA grid over the continental US —
+    * the stand-in for the reference's `timezonefinder` polygon index
+    * (`eia.py:80-121`), generated from public-knowledge boundary bands:
+    * base meridians at −87.5 / −102.5 / −115.5 (cell centers), refined
+    * where the legal boundary departs visibly from the meridian at 1°
+    * scale (Arizona → America/Phoenix, lower Michigan → America/Detroit,
+    * eastern Indiana → America/Indiana/Indianapolis, the Florida
+    * panhandle → Central, northern Idaho → Pacific). Still an
+    * approximation near the wiggly boundaries — documented deviation,
+    * but it answers from LOCATION like the reference, not from the
+    * state's single representative zone.
+    *
+    * Cells are (floor(lat), floor(lon)) over lat 24..49, lon −125..−67 —
+    * ~1.5k rows, broadcast-joined: the fact side never shuffles. */
+  lazy val usTzGrid: Seq[(Int, Int, String)] =
+    for {
+      glat <- 24 to 48
+      glon <- -125 to -67
+    } yield {
+      val (clat, clon) = (glat + 0.5, glon + 0.5)
+      val tz =
+        if (clat >= 31.5 && clat < 37 && clon >= -114.5 && clon < -109.5)
+          "America/Phoenix"
+        else if (clat >= 41.5 && clat < 46.5 && clon >= -86.5 && clon < -82.5)
+          "America/Detroit"
+        else if (clat >= 38.5 && clat < 41.5 && clon >= -86.5 && clon < -84.5)
+          "America/Indiana/Indianapolis"
+        else if (clat >= 29.5 && clat < 31.5 && clon >= -87.5 && clon < -85.5)
+          "America/Chicago" // Florida panhandle
+        else if (clat >= 45.5 && clon >= -117.5 && clon < -114.5)
+          "America/Los_Angeles" // northern Idaho
+        else if (clat >= 36.5 && clat < 42 && clon >= -120.5 && clon < -114)
+          "America/Los_Angeles" // Nevada reaches east to the -114 meridian
+        else if (clon >= -87.5) "America/New_York"
+        else if (clon >= -102.5) "America/Chicago"
+        else if (clon >= -115.5) "America/Denver"
+        else "America/Los_Angeles"
+      (glat, glon, tz)
+    }
+
+  /** The grid as a broadcastable dim: (glat, glon, grid_tz). */
+  def usTzGridDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    usTzGrid.toDF("glat", "glon", "grid_tz")
+  }
+
+  /** `find_timezone` with the reference's PRIORITY ORDER: location first
+    * (the grid standing in for timezonefinder), then the state dim
+    * approximation, then the nautical `Etc/GMT∓n` fallback — the
+    * reference only consults the state map when lng/lat fail
+    * (`eia.py:105-119`). One broadcast join per dim; the fact side stays
+    * a single codegen'd stage. */
+  def findTimezoneGrid(df: DataFrame, nameCol: String, latCol: String,
+                       lonCol: String, dim: DataFrame, grid: DataFrame,
+                       outCol: String = "timezone",
+                       fixes: Map[String, String] = Map.empty): DataFrame = {
+    val dimSel = dim.select(col("state_name").as("__tz_name"),
+      col("tz").as("__tz_dim"))
+    val gridSel = grid.select(col("glat").as("__glat"),
+      col("glon").as("__glon"), col("grid_tz").as("__tz_grid"))
+    df.withColumn("__tz_name", cleanName(col(nameCol), fixes))
+      .withColumn("__glat", floor(col(latCol)).cast("int"))
+      .withColumn("__glon", floor(col(lonCol)).cast("int"))
+      .join(broadcast(gridSel), Seq("__glat", "__glon"), "left")
+      .join(broadcast(dimSel), Seq("__tz_name"), "left")
+      .withColumn(outCol, coalesce(col("__tz_grid"), col("__tz_dim"),
+        when(col(lonCol).isNotNull, etcGmt(col(lonCol)))))
+      .drop("__tz_grid", "__tz_dim", "__tz_name", "__glat", "__glon")
+  }
+
   /** Longitude → "Etc/GMT∓n" (nautical time zone, ±0.5h boundary at
     * round-half-even like both engines' `round`). */
   def etcGmt(lon: Column): Column = {

@@ -75,4 +75,40 @@ class GeoCodesSpec extends SparkSpec {
       Map("untied states" -> "united states"))).head().getString(0)
     assert(got == "united states")
   }
+
+  test("tz grid answers from LOCATION, beating both state dim and fallback") {
+    val dim = GeoCodes.stateDim(spark)
+    val grid = GeoCodes.usTzGridDim(spark)
+    val rows = Seq(
+      // Pensacola FL: state dim says New_York, nautical says Etc/GMT+6 —
+      // the grid knows the panhandle is Central
+      (1L, "florida", 30.42, -87.22),
+      // Las Vegas NV with NO usable state: nautical would say Etc/GMT+8
+      (2L, "atlantis", 36.17, -115.14),
+      // Phoenix AZ: no-DST zone invisible to both other paths
+      (3L, "atlantis", 33.45, -112.07),
+      // Detroit MI: grid refines to America/Detroit
+      (4L, "atlantis", 42.33, -83.05),
+      // missing lat/lng: the state dim fallback answers
+      (5L, "hawaii", Double.NaN, Double.NaN),
+      // open ocean, no state: nautical fallback answers
+      (6L, "atlantis", 30.0, -40.0))
+      .toDF("id", "state", "lat", "lon")
+      .withColumn("lat", when(isnan($"lat"), lit(null)).otherwise($"lat"))
+      .withColumn("lon", when(isnan($"lon"), lit(null)).otherwise($"lon"))
+    val out = GeoCodes.findTimezoneGrid(rows, "state", "lat", "lon", dim, grid)
+      .orderBy("id").select("timezone").as[String].collect().toSeq
+    assert(out == Seq("America/Chicago", "America/Los_Angeles",
+      "America/Phoenix", "America/Detroit", "Pacific/Honolulu", "Etc/GMT+3"))
+  }
+
+  test("tz grid covers the continental box exactly once per cell") {
+    val g = GeoCodes.usTzGrid
+    assert(g.size == 25 * 59)
+    assert(g.map(c => (c._1, c._2)).distinct.size == g.size)
+    val zones = g.map(_._3).toSet
+    assert(zones == Set("America/New_York", "America/Chicago",
+      "America/Denver", "America/Los_Angeles", "America/Phoenix",
+      "America/Detroit", "America/Indiana/Indianapolis"))
+  }
 }
