@@ -4000,7 +4000,13 @@ object SparkEntry {
         |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
         |  FROM h QUALIFY i <= maxi - 7),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wmin
+        |  UNION
+        |  -- short-document branch: fewer grams than the window (the engine
+        |  -- emits ONE min-of-all fingerprint so near-dup short docs still
+        |  -- collide); without this the replay silently dropped such docs
+        |  SELECT doc_id, min(hv) AS fp FROM h WHERE maxi < 7 GROUP BY doc_id),
         |pl AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

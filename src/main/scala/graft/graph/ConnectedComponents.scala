@@ -44,7 +44,8 @@ object ConnectedComponents {
     * exchanges. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxIter: Int = 25,
-          localEdgeThreshold: Long = 5000000L): DataFrame = {
+          localEdgeThreshold: Long = 5000000L,
+          strict: Boolean = false): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
@@ -57,7 +58,7 @@ object ConnectedComponents {
       // caller's maxIter is honored as-is (star rounds run 3 alternations
       // per iteration, so even the default 25 covers ~75 contractions —
       // far past O(log n) convergence for any realistic graph)
-      runStars(edges, srcCol, dstCol, maxIter = maxIter)
+      runStars(edges, srcCol, dstCol, maxIter = maxIter, strict = strict)
     }
   }
 
@@ -104,7 +105,7 @@ object ConnectedComponents {
     * graphs (OperatorSpec).
     */
   def runStars(edges: DataFrame, srcCol: String, dstCol: String,
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50, strict: Boolean = false): DataFrame = {
     val spark0 = edges.sparkSession
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -187,10 +188,15 @@ object ConnectedComponents {
       rddCur = rddNext
       i += 1
     }
-    if (!converged)
-      log.warn(s"runStars: maxIter=$maxIter exhausted without signature " +
+    if (!converged) {
+      // downstream linkage treats components as EXACT identity — a caller
+      // that needs that guarantee opts into fail-fast instead of a warning
+      val msg = s"runStars: maxIter=$maxIter exhausted without signature " +
         "convergence — returned labels may split components that one more " +
-        "round would have merged")
+        "round would have merged"
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
     // fixed point is (child, root) stars; roots + self-loop-only vertices
     // label themselves
     val eFinal = spark0.createDataFrame(rddCur, edgeSchema)
@@ -203,16 +209,17 @@ object ConnectedComponents {
     * diameter; prefer for known-small-diameter graphs (crosswalks, star
     * schemas). Takes the raw edge list like [[runStars]]. */
   def runLabelProp(edges: DataFrame, srcCol: String, dstCol: String,
-                   maxIter: Int = 25): DataFrame = {
+                   maxIter: Int = 25, strict: Boolean = false): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .cache()
-    runDistributed(e, maxIter)
+    runDistributed(e, maxIter, strict)
   }
 
-  private def runDistributed(sym0: DataFrame, maxIter: Int): DataFrame = {
+  private def runDistributed(sym0: DataFrame, maxIter: Int,
+                             strict: Boolean = false): DataFrame = {
     val spark = sym0.sparkSession
     val sym = sym0
       .unionByName(sym0.select(col("b").as("a"), col("a").as("b")))
@@ -254,9 +261,12 @@ object ConnectedComponents {
       labels = spark.createDataFrame(rddNext, chgSchema).drop("__chg")
       i += 1
     }
-    if (changed > 0)
-      log.warn(s"runLabelProp: maxIter=$maxIter exhausted with $changed " +
-        "labels still changing — components may be under-merged")
+    if (changed > 0) {
+      val msg = s"runLabelProp: maxIter=$maxIter exhausted with $changed " +
+        "labels still changing — components may be under-merged"
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
     sym.unpersist()
     sym0.unpersist()
     labels

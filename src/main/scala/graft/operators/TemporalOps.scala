@@ -196,6 +196,13 @@ object TemporalOps {
                     tsCol: String, tracked: Seq[String],
                     fromName: String = "effective_from",
                     toName: String = "effective_to"): DataFrame = {
+    // same explicit-beats-silent rule as asofJoin: the four output columns
+    // would otherwise silently overwrite same-named input columns
+    val clash = df.columns.toSet
+      .intersect(Set(fromName, toName, "version", "is_current"))
+    require(clash.isEmpty,
+      s"scd2Intervals: input already has output column(s) ${clash.mkString(", ")} — " +
+        "rename them or pass different fromName/toName")
     val chg = changelog(df, keys, order, tracked)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     chg.withColumn(fromName, col(tsCol))
