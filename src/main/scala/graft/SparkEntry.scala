@@ -1868,6 +1868,63 @@ object SparkEntry {
       "^([a-z]+)_(\\d{4})_(q\\d)$", Seq("metric", "year", "quarter"), "value")
   }
 
+  // ---- training-data pipeline: Gopher-style repetition/quality stats -----
+  // Word count, mean word length, dup-word/dup-2gram occurrence fractions,
+  // top-2gram concentration, symbol ratio, and the composite pass flag in
+  // exact integer arithmetic (arXiv:2112.11446 §A1.1). Thresholds chosen
+  // against the corpus distribution (dup-2gram p50 0.056 / p90 0.13) so
+  // the fixture exercises both outcomes.
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherStats(t(s, dir, "documents"), "doc_id", "text")
+
+  // ---- training-data pipeline: PII scan + redaction ----------------------
+  // Deterministic PII injection from the doc id (so every class has known
+  // planted counts, including zero), then the per-class counts + typed
+  // placeholder rewrite. Pure per-row regex, zero shuffle.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val injected = t(s, dir, "documents").select(id, concat(col("text"),
+      when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" ssn 123-45-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call 202-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" from 10.0."),
+        (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"))).otherwise(lit(""))).as("text"))
+    TextAnalysis.piiScan(injected, "text").drop("text")
+  }
+
+  // ---- training-data pipeline: corpus-level line dedup (C4 pass) ---------
+  // Documents are re-lined into 4-word chunks (the corpus has no newlines;
+  // both engines build identical lines), then every occurrence of any line
+  // with corpus frequency >= 3 is dropped and the text reassembled in
+  // order. At sf0.01 the pass removes 183 boilerplate-line occurrences.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0), ceil(size(ws) / lit(4.0)).cast("int") - 1),
+        i => array_join(slice(ws, i * lit(4) + 1, lit(4)), " ")), "\n")
+        .as("text"))
+    graft.dedup.NearDup.dedupCorpusLines(lined, "doc_id", "text", "\n",
+      minDf = 3)
+  }
+
+  // ---- training-data pipeline: temperature-weighted domain resampling ----
+  // A skewed 4-domain fixture (8:4:2:2 per 16 ids) flattened with
+  // alpha = 0.5 at a 50% token budget — rare domains keep a higher
+  // fraction, membership a pure salted-hash function of the doc id.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 16
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(m < 8, "big").when(m < 12, "mid").when(m < 14, "small")
+        .otherwise("rare").as("domain"))
+    graft.operators.Sampling.temperatureResample(d, "doc_id", "domain",
+        alpha = 0.5, budgetFrac = 0.5)
+      .select("doc_id", "domain", "n_domain", "keep_p", "u")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -1994,6 +2051,10 @@ object SparkEntry {
     "q118_wkb_bridge" -> (q118 _),
     "q119_agglomerative_split" -> (q119 _),
     "q120_multi_index_stack" -> (q120 _),
+    "q121_gopher_quality" -> (q121 _),
+    "q122_pii_redact" -> (q122 _),
+    "q123_line_dedup" -> (q123 _),
+    "q124_temperature_sample" -> (q124 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4205,6 +4266,124 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'count', '2021', 'q2', CAST(o_custkey AS DOUBLE)
         |FROM orders""".stripMargin,
+    "q121_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]'))
+        |      AS BIGINT) AS n_symbols,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, 1 AS n, unnest(ws) AS unit FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) FROM w),
+        |c AS (SELECT doc_id, n, unit, count(*) AS c FROM u GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN n = 1 THEN length(unit) * c ELSE 0 END)
+        |      AS BIGINT) AS word_chars,
+        |    CAST(sum(CASE WHEN n = 1 AND c > 1 THEN c ELSE 0 END)
+        |      AS BIGINT) AS dup_word_occ,
+        |    CAST(sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS n_grams,
+        |    CAST(max(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS top_gram_c,
+        |    CAST(sum(CASE WHEN n = 2 AND c > 1 THEN c ELSE 0 END)
+        |      AS BIGINT) AS dup_gram_occ
+        |  FROM c GROUP BY 1)
+        |SELECT a.doc_id, w.n_chars, w.n_symbols, a.n_words,
+        |  a.word_chars / a.n_words AS mean_word_len,
+        |  a.dup_word_occ / a.n_words AS frac_dup_words,
+        |  CASE WHEN a.n_grams = 0 THEN 0.0
+        |       ELSE a.top_gram_c / a.n_grams END AS top_2gram_frac,
+        |  CASE WHEN a.n_grams = 0 THEN 0.0
+        |       ELSE a.dup_gram_occ / a.n_grams END AS frac_dup_2grams,
+        |  w.n_symbols / w.n_chars AS symbol_ratio,
+        |  (a.n_words >= 25 AND a.n_words <= 1000
+        |    AND a.word_chars >= a.n_words * 3
+        |    AND a.word_chars <= a.n_words * 10
+        |    AND a.top_gram_c * 10 <= a.n_grams
+        |    AND a.dup_gram_occ * 100 <= a.n_grams * 8) AS passes_gopher
+        |FROM a JOIN w USING (doc_id)""".stripMargin,
+    "q122_pii_redact" ->
+      """WITH i AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR
+        |      || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 202-555-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.'
+        |      || (doc_id % 256)::VARCHAR || '.'
+        |      || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+        |      AS BIGINT) AS n_ssns,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |  FROM i)
+        |SELECT doc_id, n_emails, n_ssns, n_phones, n_ips,
+        |  (n_emails > 0 OR n_ssns > 0 OR n_phones > 0 OR n_ips > 0)
+        |    AS has_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted
+        |FROM n""".stripMargin,
+    "q123_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT))) AS idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(ws) / 4.0)
+        |        AS BIGINT)),
+        |      i -> array_to_string(ws[i*4+1 : i*4+4], ' '))) AS line
+        |  FROM w),
+        |c AS (SELECT line, count(*) AS df FROM l GROUP BY 1),
+        |f AS (SELECT l.doc_id, l.idx, l.line, c.df
+        |  FROM l JOIN c USING (line))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(CASE WHEN df < 3 THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN df < 3 THEN line END,
+        |    chr(10) ORDER BY idx), '') AS cleaned_text
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "q124_temperature_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 8 THEN 'big'
+        |         WHEN doc_id % 16 < 12 THEN 'mid'
+        |         WHEN doc_id % 16 < 14 THEN 'small'
+        |         ELSE 'rare' END AS domain
+        |  FROM documents),
+        |s AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_domain,
+        |    CAST(round(pow(count(*), 0.5) * 1e6) AS BIGINT) AS score
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_domain) AS BIGINT) AS nn,
+        |    CAST(sum(score) AS BIGINT) AS ss FROM s),
+        |p AS (
+        |  SELECT domain, n_domain,
+        |    least(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE) * nn * score
+        |      / (ss * n_domain)) AS keep_p
+        |  FROM s, t),
+        |j AS (
+        |  SELECT d.doc_id, d.domain, p.n_domain, p.keep_p,
+        |    ('0x' || substr(md5('temp_' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM d JOIN p USING (domain))
+        |SELECT doc_id, domain, n_domain, keep_p, u FROM j
+        |WHERE u < keep_p""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -38,6 +38,47 @@ object NearDup {
         col("group_size"), col("is_dup"))
   }
 
+  /** Corpus-level line deduplication (the C4 / RefinedWeb boilerplate
+    * pass: Raffel et al. arXiv:1910.10683 §2.2 "we discarded … any line
+    * that occurred more than N times", Penedo et al. arXiv:2306.01116):
+    * split each document on `sep`, count every line's occurrences across
+    * the WHOLE corpus, drop every occurrence of any line whose corpus
+    * frequency reaches `minDf` (navigation chrome, cookie banners, boiler-
+    * plate headers), and reassemble the surviving lines in their original
+    * order. Documents whose lines are all boilerplate survive with an
+    * empty `cleaned_text` (`n_kept = 0`) so a downstream length filter
+    * makes the drop decision explicitly.
+    *
+    * Scale shape — three shuffles, all keyed and linear: (1) hash agg on
+    * the line for corpus frequencies (map-side partials absorb the heavy
+    * lines), (2) the lines→counts equi-join lands co-partitioned with the
+    * agg output, (3) one regroup on the doc id rebuilds the text via a
+    * null-skipping `collect_list` (kept lines only — no second pass, no
+    * join back to the input; per-row scalars ride the explode). History
+    * never needs re-reading: the frequency side can be a persisted
+    * manifest in incremental runs. */
+  def dedupCorpusLines(df: DataFrame, idCol: String, textCol: String,
+                       sep: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val counts = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__df"))
+    val keep = col("__df") < minDf
+    lines.join(counts, Seq("__line"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(keep, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep,
+              struct(col("__idx"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as("cleaned_text"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
     * The threshold test uses integer arithmetic (no float boundary):
     * common * den >= num * (na + nb - common) for threshold = num/den.

@@ -42,6 +42,52 @@ object Sampling {
       .where(col("split_bucket") < threshold)
   }
 
+  /** Temperature-weighted domain resampling — the corpus-mixing pass that
+    * rebalances a skewed multi-domain corpus toward the flattened mixture
+    * `w_d ∝ n_d^alpha` (alpha < 1 upweights rare domains; the "sampling
+    * temperature" of multilingual/multi-source pretraining, e.g. Conneau &
+    * Lample, arXiv:1901.07291 §3.1). One pass: per-domain counts (tiny
+    * agg), a 1-row totals cross join, per-domain keep probability
+    * `p_d = min(1, budgetFrac · N · w_d / n_d)` broadcast back onto the
+    * corpus, and a deterministic per-row uniform from the salted portable
+    * hash — so membership is a pure function of the id (rerun-stable,
+    * backfill-stable, replayable by any engine), never an RNG state.
+    *
+    * Exactness: the domain weight is carried as `round(n_d^alpha · 1e6)`
+    * (a long), so the cross-domain sum is exact integer addition — immune
+    * to float summation order — and `p_d` is one fixed sequence of double
+    * ops on identical integers, reproduced bit-for-bit by the SQL replay.
+    * Fixture-scale counts keep `score·N` far inside long range; at true
+    * corpus scale swap the 1e6 scale for a wider one or aggregate scores
+    * as DECIMAL.
+    *
+    * Output: the kept rows with `n_domain`, `keep_p`, and the uniform `u`
+    * (u < keep_p). Scale shape: two tiny aggs + one broadcast join + a
+    * narrow filter — no shuffle of the corpus itself. */
+  def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
+                          alpha: Double, budgetFrac: Double,
+                          salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac must be in (0, 1]")
+    val stats = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+      .withColumn("__score",
+        round(pow(col("n_domain"), alpha) * 1e6).cast("long"))
+    val totals = stats.agg(sum(col("n_domain")).as("__N"),
+      sum(col("__score")).as("__S"))
+    val probs = stats.crossJoin(broadcast(totals))
+      .withColumn("keep_p", least(lit(1.0),
+        lit(budgetFrac) * col("__N") * col("__score") /
+          (col("__S") * col("n_domain"))))
+      .select(col(domainCol), col("n_domain"), col("keep_p"))
+    val u = graft.functions.PortableHash.hex60(
+      concat(lit(s"${salt}_"), col(idCol).cast("string"))) /
+      lit(1152921504606846976.0) // 2^60
+    df.join(broadcast(probs), Seq(domainCol))
+      .withColumn("u", u)
+      .where(col("u") < col("keep_p"))
+  }
+
   /** Assign each row to a named split by hash bucket. `splits` are
     * (name, percent) in priority order, summing to ≤ 100 (a shortfall
     * leaves a NULL holdout). One narrow projection — no shuffle, no RNG

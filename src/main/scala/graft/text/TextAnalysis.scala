@@ -126,6 +126,124 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition/quality statistics (Rae et al.,
+    * *Scaling Language Models: … Gopher*, arXiv:2112.11446 §A1.1 — the
+    * standard pretraining quality-filter family): per-document word count,
+    * mean word length, duplicate-word and duplicate-2-gram occurrence
+    * fractions, top-2-gram concentration, symbol ratio, and a composite
+    * `passes_gopher` flag evaluated in EXACT integer arithmetic (so any
+    * engine reproduces the boolean bit-for-bit; the ratio columns are
+    * divisions of identical integers, which IEEE doubles reproduce exactly).
+    *
+    * Scale shape: the within-doc counting is the linear explode → two-level
+    * hash aggregation (unit = tagged 1-gram/2-gram, map-side partials on
+    * (doc, unit), then one regroup on doc) — NOT an O(len²) per-row HOF
+    * scan, so arbitrarily long documents cost O(len). Per-row scalars
+    * (char/symbol counts) ride the explode and come back via `first`,
+    * avoiding a join back to the input. Words are split on single spaces
+    * (the corpus contract; use a normalizer upstream for raw text).
+    */
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Two load-bearing shapes here. (1) The let-binding: `split`
+    // referenced inside the gram-building lambdas would otherwise
+    // re-split the text on every iteration (no CSE across HOF calls —
+    // see Hof.let). (2) The per-doc scalars (char/symbol counts) are
+    // EMBEDDED in the generator's input structs rather than selected
+    // alongside the explode: Catalyst places sibling projections of a
+    // generator ABOVE the Generate node, so a scalar next to the explode
+    // is re-evaluated once per EXPLODED row — measured 25× on this
+    // operator (the symbol-count regex went from once per doc to once
+    // per word, 0.4 s → 11 s at sf0.1).
+    val tagged = graft.functions.Hof.let(struct(
+        split(col(textCol), " ").as("ws"),
+        length(col(textCol)).cast("long").as("nc"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[^a-z0-9\\s]"),
+          lit(0))).cast("long").as("nsym"))) { s =>
+      val ws = s.getField("ws")
+      val nc = s.getField("nc")
+      val nsym = s.getField("nsym")
+      val grams = when(size(ws) <= 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      concat(
+        transform(ws, w => struct(lit(1).as("n"), w.as("unit"),
+          nc.as("nc"), nsym.as("nsym"))),
+        transform(grams, g => struct(lit(2).as("n"), g.as("unit"),
+          nc.as("nc"), nsym.as("nsym"))))
+    }
+    val units = df.select(col(idCol), explode(tagged).as("__u"))
+      .select(col(idCol), col("__u.nc").as("__n_chars"),
+        col("__u.nsym").as("__n_symbols"),
+        col("__u.n").as("__n"), col("__u.unit").as("__unit"))
+    val perUnit = units
+      .groupBy(col(idCol), col("__n"), col("__unit"))
+      .agg(count(lit(1)).as("__c"), first(col("__n_chars")).as("__n_chars"),
+        first(col("__n_symbols")).as("__n_symbols"))
+    val one = col("__n") === 1
+    val two = col("__n") === 2
+    val agg = perUnit.groupBy(col(idCol)).agg(
+      first(col("__n_chars")).as("n_chars"),
+      first(col("__n_symbols")).as("n_symbols"),
+      sum(when(one, col("__c")).otherwise(0L)).as("n_words"),
+      sum(when(one, length(col("__unit")) * col("__c")).otherwise(0L))
+        .as("__word_chars"),
+      sum(when(one && col("__c") > 1, col("__c")).otherwise(0L))
+        .as("__dup_word_occ"),
+      sum(when(two, col("__c")).otherwise(0L)).as("__n_grams"),
+      max(when(two, col("__c")).otherwise(0L)).as("__top_gram_c"),
+      sum(when(two && col("__c") > 1, col("__c")).otherwise(0L))
+        .as("__dup_gram_occ"))
+    val ng = col("__n_grams")
+    agg.select(col(idCol), col("n_chars"), col("n_symbols"), col("n_words"),
+      (col("__word_chars") / col("n_words")).as("mean_word_len"),
+      (col("__dup_word_occ") / col("n_words")).as("frac_dup_words"),
+      when(ng === 0, lit(0.0)).otherwise(col("__top_gram_c") / ng)
+        .as("top_2gram_frac"),
+      when(ng === 0, lit(0.0)).otherwise(col("__dup_gram_occ") / ng)
+        .as("frac_dup_2grams"),
+      (col("n_symbols") / col("n_chars")).as("symbol_ratio"),
+      // exact integer forms of: 25 <= n_words <= 1000, 3 <= mean_word_len
+      // <= 10, top_2gram_frac <= 0.10, frac_dup_2grams <= 0.08
+      (col("n_words") >= 25 && col("n_words") <= 1000 &&
+        col("__word_chars") >= col("n_words") * 3 &&
+        col("__word_chars") <= col("n_words") * 10 &&
+        col("__top_gram_c") * 10 <= ng &&
+        col("__dup_gram_occ") * 100 <= ng * 8).as("passes_gopher"))
+  }
+
+  /** PII regex patterns (email, US SSN, US phone, IPv4) — deliberately in
+    * the common syntax subset of Java regex and RE2 so redaction is
+    * replayable by any engine. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII scan + redaction — the pre-training privacy pass: count each PII
+    * class and rewrite the text with typed placeholders. Pure per-row
+    * regex expressions (codegen'd, zero shuffle); patterns applied in
+    * [[piiPatterns]] order, most-specific first (SSN before the looser
+    * phone shape). Adds `n_emails/n_ssns/n_phones/n_ips`, `has_pii`, and
+    * `<redactedCol>`. */
+  def piiScan(df: DataFrame, textCol: String,
+              redactedCol: String = "redacted"): DataFrame = {
+    val c = col(textCol)
+    val counts = piiPatterns.map { case (re, _) =>
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    }
+    val names = piiPatterns.map { case (_, tag) =>
+      "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase + "s"
+    }
+    val redacted = piiPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+    df.select((df.columns.map(col) ++
+      counts.zip(names).map { case (e, n) => e.as(n) } :+
+      counts.map(_ > 0L).reduce(_ || _).as("has_pii") :+
+      redacted.as(redactedCol)): _*)
+  }
+
   /** Top-k n-gram vocabulary by document frequency — the vocab-pruning /
     * stop-shingle-mining pass of a dedup or tokenizer pipeline. Shingles
     * are distinct per document (one native `WordShingles` eval per row),

@@ -92,6 +92,36 @@ class PackingSamplingSpec extends SparkSpec {
     assert(both.where(col("split") === "train").count() > 0)
   }
 
+  test("temperatureResample flattens a skewed domain mix deterministically") {
+    // 800 'big' + 400 'mid' + 100 'rare'
+    val df = (0L until 1300L).toDF("doc_id")
+      .withColumn("domain", when(col("doc_id") < 800, "big")
+        .when(col("doc_id") < 1200, "mid").otherwise("rare"))
+    val out = Sampling.temperatureResample(df, "doc_id", "domain",
+      alpha = 0.5, budgetFrac = 0.5)
+    val p = out.groupBy("domain").agg(
+        org.apache.spark.sql.functions.first("keep_p").as("p"),
+        count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // alpha < 1 upweights rare domains: keep probabilities ordered, and
+    // the rarest clamps at 1.0 (kept whole) while the others stay < 1
+    assert(p("rare")._1 == 1.0 && p("mid")._1 > p("big")._1 &&
+      p("mid")._1 < 1.0)
+    // kept counts near n_d * p_d (hash-uniform, not exact)
+    assert(math.abs(p("big")._2 - 800 * p("big")._1) < 80)
+    // every surviving row satisfies u < keep_p, and reruns are identical
+    assert(out.where(col("u") >= col("keep_p")).count() == 0)
+    val again = Sampling.temperatureResample(df, "doc_id", "domain",
+      alpha = 0.5, budgetFrac = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // alpha = 1 keeps the natural mixture: every domain gets the same p
+    val nat = Sampling.temperatureResample(df, "doc_id", "domain",
+      alpha = 1.0, budgetFrac = 0.5)
+      .select("keep_p").distinct().collect()
+    assert(nat.length == 1)
+  }
+
   test("deterministicSplit: shortfall leaves a NULL holdout") {
     val df = (0L until 200L).toDF("doc_id")
     val out = Sampling.deterministicSplit(df, "doc_id", Seq("sample" -> 10))

@@ -211,4 +211,55 @@ class TextDedupSpec extends SparkSpec {
     assert(bp.count() == 0,
       "grams common to >maxDf docs must be dropped before pairing")
   }
+
+  test("gopherStats: hand-computed repetition metrics on a tiny doc") {
+    // words [a, a, a, bb]; grams [a a, a a, a bb]
+    val df = Seq((1L, "a a a bb")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherStats(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Double]("mean_word_len") == 5.0 / 4) // chars a+a+a+bb = 5
+    assert(r.getAs[Double]("frac_dup_words") == 3.0 / 4) // 'a' occurs 3x
+    assert(r.getAs[Double]("top_2gram_frac") == 2.0 / 3) // 'a a' twice of 3
+    assert(r.getAs[Double]("frac_dup_2grams") == 2.0 / 3)
+    assert(!r.getAs[Boolean]("passes_gopher")) // too short, too repetitive
+    // a clean long doc passes
+    val ok = (1 to 40).map(i => s"word$i").mkString(" ")
+    val r2 = TextAnalysis.gopherStats(
+      Seq((2L, ok)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(r2.getAs[Boolean]("passes_gopher"))
+  }
+
+  test("piiScan counts and redacts each class without cross-matching") {
+    val df = Seq(
+      (1L, "mail a.b@x.org and c@y.io ssn 123-45-6789 tel 202-555-0147 ip 10.0.3.9"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(df, "text").orderBy("doc_id").collect()
+    val r = out(0)
+    assert(r.getAs[Long]("n_emails") == 2 && r.getAs[Long]("n_ssns") == 1 &&
+      r.getAs[Long]("n_phones") == 1 && r.getAs[Long]("n_ips") == 1)
+    assert(r.getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL> ssn <SSN> tel <PHONE> ip <IP>")
+    assert(!out(1).getAs[Boolean]("has_pii") &&
+      out(1).getAs[String]("redacted") == "nothing sensitive here")
+  }
+
+  test("dedupCorpusLines drops corpus-frequent lines, keeps order") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"$boiler\nreal content one\nmore text"),
+      (2L, s"other words\n$boiler"),
+      (3L, s"$boiler\nlast doc body"),
+      (4L, boiler)).toDF("doc_id", "text")
+    val out = NearDup.dedupCorpusLines(df, "doc_id", "text", "\n", minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("cleaned_text") == "real content one\nmore text")
+    assert(out(0).getAs[Long]("n_lines") == 3 && out(0).getAs[Long]("n_kept") == 2)
+    assert(out(1).getAs[String]("cleaned_text") == "other words")
+    // the all-boilerplate doc survives as an explicit empty row
+    assert(out(3).getAs[Long]("n_kept") == 0 &&
+      out(3).getAs[String]("cleaned_text") == "")
+    // below the threshold nothing is dropped
+    val loose = NearDup.dedupCorpusLines(df, "doc_id", "text", "\n", minDf = 5)
+    assert(loose.where(col("n_kept") =!= col("n_lines")).count() == 0)
+  }
 }
