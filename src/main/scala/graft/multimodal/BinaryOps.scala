@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * are real. IMAGES decode for real — `javax.imageio` is part of the JDK
   * ([[decodeImages]]/[[resizeImages]]: PNG/JPEG/BMP/GIF, no external
   * libs) — and so does AUDIO — `javax.sound.sampled` (WAV/AIFF/AU,
-  * [[decodeAudio]]). VIDEO codec calls remain STUBBED (the JDK has no
-  * video codec; `decodeImageStub` keeps the cheap hash-derived variant for
-  * plumbing tests) — swap in JavaCV-style decoders without touching the
-  * plumbing.
+  * [[decodeAudio]]) — and MJPEG VIDEO — the AVI container is a plain RIFF
+  * chunk tree and its Motion-JPEG frames are standalone JPEGs
+  * ([[decodeVideoFrames]]). Inter-frame video codecs (H.264 …) have no
+  * JDK decoder and stay out of scope (`decodeImageStub` keeps the cheap
+  * hash-derived variant for plumbing tests) — swap in JavaCV-style
+  * decoders without touching the plumbing.
   */
 object BinaryOps {
 
@@ -225,6 +227,112 @@ object BinaryOps {
         }
       }
       .toDF()
+  }
+
+  case class DecodedFrame(id: Long, frame_idx: java.lang.Integer,
+                          width: java.lang.Integer, height: java.lang.Integer,
+                          avg_luma: java.lang.Double,
+                          n_frames: java.lang.Long, fps: java.lang.Double)
+
+  /** REAL video frame sampling for MJPEG AVI — the one video container a
+    * pure JDK can decode end to end: AVI is a RIFF chunk tree (a 30-year-
+    * old public format: 'RIFF'/'AVI ' header, an 'hdrl' LIST whose 'avih'
+    * chunk carries µs-per-frame and the declared frame count, and a 'movi'
+    * LIST whose '..dc'/'..db' chunks are the frames), and in the
+    * Motion-JPEG flavor each frame chunk is a standalone JPEG that
+    * `javax.imageio` decodes. The parser below walks the chunk tree with
+    * plain little-endian arithmetic — no codec library — so the
+    * "video: stub" row of the capability matrix flips to real for MJPEG;
+    * inter-frame codecs (H.264 etc.) genuinely need an external decoder
+    * and stay out of scope.
+    *
+    * Emits one row per SAMPLED frame (`frame_idx % everyK == 0` — frame
+    * sampling is the training-pipeline contract; decoding every frame of
+    * every clip is the classic 100 TB budget mistake) with dimensions and
+    * mean luma, plus the container's declared frame count and fps on each
+    * row. Undecodable bytes yield a single null-metadata row (the
+    * corrupt-input lane, same contract as [[decodeImages]]). One clip in
+    * memory at a time inside `mapPartitions`; partitioning preserved. */
+  def decodeVideoFrames(df: DataFrame, idCol: String, blobCol: String,
+                        everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it =>
+        it.flatMap { r => decodeOneAvi(r.id, r.blob, everyK) }
+      }
+      .toDF()
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk one AVI blob; returns sampled-frame rows or the null row. */
+  private def decodeOneAvi(id: Long, b: Array[Byte],
+                           everyK: Int): Seq[DecodedFrame] = {
+    try {
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+        fourcc(b, 8) == "AVI ")
+      var usPerFrame = 0L
+      var declaredFrames = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // (offset, size) of each frame chunk, in stream order
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val ckId = fourcc(b, off)
+          val ckSz = le32(b, off + 4).toInt
+          val data = off + 8
+          if (ckId == "LIST" && ckSz >= 4) {
+            walk(data + 4, data + ckSz) // skip the 4-byte list type
+          } else if (ckId == "avih" && ckSz >= 20) {
+            usPerFrame = le32(b, data)
+            declaredFrames = le32(b, data + 16)
+          } else if (ckId.substring(2) == "dc" ||
+                     ckId.substring(2) == "db") {
+            if (ckSz > 0) frames += ((data, ckSz))
+          }
+          off = data + ckSz + (ckSz & 1) // chunks pad to even
+        }
+      }
+      walk(12, b.length)
+      require(frames.nonEmpty, "no frame chunks")
+      val fps: java.lang.Double =
+        if (usPerFrame > 0) 1e6 / usPerFrame else null
+      frames.zipWithIndex.collect {
+        case ((off, sz), idx) if idx % everyK == 0 =>
+          val img = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, sz)))
+          img match {
+            case Some(im) =>
+              var sum = 0.0
+              var y = 0
+              while (y < im.getHeight) {
+                var x = 0
+                while (x < im.getWidth) {
+                  val rgb = im.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(id, idx, im.getWidth, im.getHeight,
+                sum / (im.getWidth.toLong * im.getHeight),
+                declaredFrames, fps)
+            case None =>
+              DecodedFrame(id, idx, null, null, null, declaredFrames, fps)
+          }
+      }.toSeq
+    } catch { case _: Exception =>
+      Seq(DecodedFrame(id, null, null, null, null, null, null))
+    }
   }
 
   /** Batched per-partition media transform — the Scala twin of the

@@ -147,4 +147,59 @@ class MultimodalSpec extends SparkSpec {
     // u-law is log-compressed 8-bit: loose tolerance on the sine stats
     assert(math.abs(out.getDouble(6) - 2 * 0.5 / math.Pi) < 0.01)
   }
+
+  /** Minimal MJPEG AVI writer: RIFF('AVI ' LIST('hdrl' avih) LIST('movi'
+    * 00dc-chunks)). Enough structure for any RIFF-walking reader; frames
+    * are standalone JPEGs. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], fps: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ data)
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) // dwMicroSecPerFrame .. dwTotalFrames @ offset 16
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeVideoFrames samples MJPEG AVI frames; corrupt blobs yield null") {
+    // clip 1: 6 frames dark->bright; clip 2: 2 white frames; clip 3: junk
+    val ramp = (0 until 6).map(i => jpegBytes(32, 24, 0x010101 * (i * 40)))
+    val avi1 = mjpegAvi(ramp, fps = 25)
+    val avi2 = mjpegAvi(Seq.fill(2)(jpegBytes(16, 8, 0xffffff)), fps = 10)
+    val df = Seq((1L, avi1), (2L, avi2),
+      (3L, "definitely not a riff".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = BinaryOps.decodeVideoFrames(df, "id", "blob", everyK = 2)
+      .collect().map(r => (r.getLong(0), r.get(1)) -> r).toMap
+    // clip 1: frames 0,2,4 sampled of 6; container meta on every row
+    val c1 = (0 until 6 by 2).map(i => out((1L, i)))
+    assert(c1.forall(r => r.getInt(2) == 32 && r.getInt(3) == 24))
+    assert(c1.forall(r => r.getLong(5) == 6L &&
+      math.abs(r.getDouble(6) - 25.0) < 1e-9))
+    // luma increases along the brightness ramp
+    val lumas = c1.map(_.getDouble(4))
+    assert(lumas == lumas.sorted && lumas.distinct.length == lumas.length)
+    // clip 2: only frame 0 sampled (everyK=2 of 2 frames), white luma
+    assert(!out.contains((2L, 1)) &&
+      math.abs(out((2L, 0)).getDouble(4) - 255.0) < 2.0) // jpeg lossy
+    // corrupt lane: one all-null row
+    val bad = out((3L, null))
+    assert(bad.isNullAt(2) && bad.isNullAt(4) && bad.isNullAt(5))
+  }
 }
