@@ -1925,6 +1925,17 @@ object SparkEntry {
       .select("doc_id", "domain", "n_domain", "keep_p", "u")
   }
 
+  // ---- similarity: SQ8-quantized ANN (compressed-corpus scale path) ------
+  // Corpus embeddings ride as per-dimension affine int8 codes (4× fewer
+  // bytes at the scoring join); queries stay raw (asymmetric/ADC). Codes
+  // and dequantization are exact integer arithmetic on identically derived
+  // doubles, so DuckDB replays the whole compressed ranking bit-for-bit.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.sq8TopK(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2055,6 +2066,7 @@ object SparkEntry {
     "q122_pii_redact" -> (q122 _),
     "q123_line_dedup" -> (q123 _),
     "q124_temperature_sample" -> (q124 _),
+    "q125_sq8_ann" -> (q125 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4384,6 +4396,39 @@ object SparkEntry {
         |  FROM d JOIN p USING (domain))
         |SELECT doc_id, domain, n_domain, keep_p, u FROM j
         |WHERE u < keep_p""".stripMargin,
+    "q125_sq8_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (
+        |  SELECT d, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               unnest(range(1, len(embedding) + 1)) AS d FROM e)
+        |  GROUP BY 1),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |  FROM dims),
+        |c AS (
+        |  SELECT vec_id AS c_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |           ELSE mns[i]
+        |             + round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+        |                 / (mxs[i] - mns[i]))
+        |               * (mxs[i] - mns[i]) / 255.0 END) AS xhat
+        |  FROM e, st),
+        |q AS (SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    round(list_sum(list_transform(list_zip(qe, xhat),
+        |        p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(xhat, x -> x * x)))), 4)
+        |      AS cosine
+        |  FROM q, c WHERE q_id <> c_id)
+        |SELECT q_id, rk, c_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

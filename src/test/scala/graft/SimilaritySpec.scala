@@ -37,6 +37,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@5 = $recall")
   }
 
+  test("sq8 quantization: codes bounded, round-trip error bounded, high recall") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val stats = Similarity.sq8Stats(emb, "embedding")
+    val coded = Similarity.sq8Quantize(emb, "vec_id", "embedding", stats)
+    // every code is an int8 bucket
+    assert(coded.where(exists(col("code"),
+      c => c < 0 || c > 255)).count() == 0)
+    // dequantization error per dim is at most half a bucket width
+    val bad = coded.withColumn("__err",
+      expr("""aggregate(sequence(1, size(embedding)), cast(0.0 as double), (acc, i) ->
+        greatest(acc, abs(cast(element_at(embedding, i) as double)
+          - (element_at(__mns, i) + element_at(code, i)
+             * (element_at(__mxs, i) - element_at(__mns, i)) / 255.0))
+          - (element_at(__mxs, i) - element_at(__mns, i)) / 510.0))"""))
+      .where(col("__err") > 1e-9)
+    assert(bad.count() == 0, "per-dim error must be <= half a bucket")
+    // compressed ranking stays close to the exact one
+    val q = emb.where($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall")
+  }
+
   test("zero-norm embeddings rank last (cosine NaN guarded to -1)") {
     val orphans = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val clustered = Seq(
