@@ -1936,6 +1936,34 @@ object SparkEntry {
       idCol = "vec_id", embCol = "embedding", k = 5)
   }
 
+  // ---- training-data pipeline: bigram-LM perplexity quality filter -------
+  // CCNet-style scoring with a corpus-trained add-k bigram LM; per-term
+  // logs are integer-rounded to 1e-9 before the per-doc sum, so the
+  // result is summation-order-proof. Threshold chosen against the corpus
+  // distribution (avg_logp p25..p75 spans -3.42..-3.38 at sf0.01) for a
+  // pass/fail mix at both scales.
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityScore(t(s, dir, "documents"), "doc_id", "text",
+      addK = 0.5, passThreshold = -3.41)
+
+  // ---- training-data pipeline: length-bucketed batch layout audit --------
+  // Both batching policies (arrival order vs length-bucketed) over the
+  // same sharded corpus, with per-batch padding waste — the measured
+  // layout win of bucketed batching. Pure integer window arithmetic.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val len = size(split(col("text"), " "))
+    val naive = operators.Layout.batchByLength(d, "doc_id", len,
+        batchSize = 16, nShards = 8, byLength = false)
+      .withColumn("policy", lit("naive"))
+    val bucketed = operators.Layout.batchByLength(d, "doc_id", len,
+        batchSize = 16, nShards = 8, byLength = true)
+      .withColumn("policy", lit("bucketed"))
+    naive.unionByName(bucketed)
+      .select("policy", "shard", "batch_id", "n_docs", "max_len",
+        "sum_len", "padding")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2067,6 +2095,8 @@ object SparkEntry {
     "q123_line_dedup" -> (q123 _),
     "q124_temperature_sample" -> (q124 _),
     "q125_sq8_ann" -> (q125 _),
+    "q126_perplexity_filter" -> (q126 _),
+    "q127_batch_layout" -> (q127 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4429,6 +4459,57 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY cosine DESC, c_id ASC) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q126_perplexity_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |allw AS (SELECT unnest(ws) AS w1 FROM w),
+        |uni AS (SELECT w1, count(*) AS c1 FROM allw GROUP BY 1),
+        |v AS (SELECT count(*) AS V FROM uni),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM w),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CAST(round(ln(
+        |      (c12 + CAST(0.5 AS DOUBLE)) / (c1 + CAST(0.5 AS DOUBLE) * V))
+        |      * 1e9) AS BIGINT) AS t
+        |  FROM g JOIN bi USING (w1, w2) JOIN uni USING (w1), v),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    (CAST(sum(t) AS BIGINT) / 1e9) / count(*) AS avg_logp
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_grams, avg_logp,
+        |  avg_logp > -3.41 AS ppl_ok
+        |FROM a""".stripMargin,
+    "q127_batch_layout" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |n AS (
+        |  SELECT shard, len, CAST(floor((row_number() OVER (
+        |    PARTITION BY shard ORDER BY doc_id) - 1) / 16.0) AS BIGINT)
+        |    AS batch_id
+        |  FROM d),
+        |b AS (
+        |  SELECT shard, len, CAST(floor((row_number() OVER (
+        |    PARTITION BY shard ORDER BY len, doc_id) - 1) / 16.0) AS BIGINT)
+        |    AS batch_id
+        |  FROM d),
+        |na AS (
+        |  SELECT 'naive' AS policy, shard, batch_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, max(len) AS max_len,
+        |    CAST(sum(len) AS BIGINT) AS sum_len
+        |  FROM n GROUP BY 2, 3),
+        |ba AS (
+        |  SELECT 'bucketed' AS policy, shard, batch_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs, max(len) AS max_len,
+        |    CAST(sum(len) AS BIGINT) AS sum_len
+        |  FROM b GROUP BY 2, 3)
+        |SELECT policy, shard, batch_id, n_docs, max_len, sum_len,
+        |  max_len * n_docs - sum_len AS padding
+        |FROM (SELECT * FROM na UNION ALL SELECT * FROM ba)""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

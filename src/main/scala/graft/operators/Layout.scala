@@ -61,6 +61,45 @@ object Layout {
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
 
+  /** Length-bucketed batch assignment — the padding-minimization layout
+    * every sequence-model data loader applies (bucketed batching: group
+    * similar-length sequences so each fixed-size batch pads to its own
+    * max, not the global one). Documents are sharded by id (batching is
+    * sequential only WITHIN a shard, so shards assign independently — the
+    * same parallelism contract as
+    * [[graft.text.TextAnalysis.packSequences]]; no global window, no
+    * single-partition bottleneck), ordered inside the shard either by id
+    * (`byLength = false`, the naive arrival-order baseline) or by
+    * (length, id), and cut into `batchSize`-row batches.
+    *
+    * Returns per-batch stats: size, max/sum length, and `padding` =
+    * `max_len · n_docs − sum_len` — the wasted token slots the batch pays
+    * when padded to its max. Pure integer window arithmetic, replayable
+    * by any engine; comparing the two orderings on the same corpus
+    * quantifies the layout win (the spec shows >5× padding reduction on
+    * the fixture corpus). */
+  def batchByLength(df: DataFrame, idCol: String, lenCol: Column,
+                    batchSize: Int, nShards: Int,
+                    byLength: Boolean): DataFrame = {
+    require(batchSize >= 1 && nShards >= 1,
+      "batchSize and nShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(
+        (if (byLength) Seq(col("len").asc) else Seq.empty) :+
+          col(idCol).asc: _*)
+    df.select(col(idCol), lenCol.cast("long").as("len"),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / lit(batchSize.toDouble)))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("padding",
+        col("max_len") * col("n_docs") - col("sum_len"))
+  }
+
   /** Per-file min/max/count manifest of a written dataset — the skipping
     * index the layout exists for. One scan + one hash aggregation on the
     * file path; readers intersect a predicate's box with the manifest and

@@ -244,6 +244,57 @@ object TextAnalysis {
       redacted.as(redactedCol)): _*)
   }
 
+  /** N-gram LM perplexity scoring — the CCNet-family quality signal
+    * (Wenzek et al., *CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data*, arXiv:1911.00359 §4.3 scores documents with an
+    * LM and filters on perplexity; here the LM is a corpus-trained bigram
+    * model with add-k smoothing rather than an external KenLM, so the
+    * whole pass is self-contained and replayable): per document, the mean
+    * log-probability of its word bigrams under
+    * `P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)`.
+    *
+    * Exactness across engines: each bigram's log term is rounded to 1e-9
+    * and carried as a LONG, so the per-document sum is exact integer
+    * addition — immune to float summation order across partitions — and
+    * the mean is one fixed division sequence. (The `ln` inputs are
+    * identical doubles on both engines; per-term rounding absorbs any
+    * final-bit drift.)
+    *
+    * Scale shape: unigram/bigram count tables are hash aggs with map-side
+    * partials; scoring joins the gram stream to both tables on their keys
+    * (the LM "model" is a table, not driver state — at 100 TB the counts
+    * can persist as a reusable artifact); one regroup on the doc id.
+    * Documents with fewer than 2 words have no bigrams and drop out. */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+                      addK: Double = 0.5,
+                      passThreshold: Double = -7.0): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__w1"))
+    val uni = words.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).as("__V"))
+    val grams = df.select(col(idCol), explode(
+        graft.functions.Hof.let(split(col(textCol), " ")) { ws =>
+          when(size(ws) <= 1,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => struct(element_at(ws, i).as("w1"),
+                element_at(ws, i + 1).as("w2"))))
+        }).as("__g"))
+      .select(col(idCol), col("__g.w1").as("__w1"), col("__g.w2").as("__w2"))
+    val bi = grams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    grams.join(bi, Seq("__w1", "__w2"))
+      .join(uni, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__term", round(log(
+        (col("__c12") + addK) / (col("__c1") + lit(addK) * col("__V"))) * 1e9)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        ((sum(col("__term")) / 1e9) / count(lit(1))).as("avg_logp"))
+      .withColumn("ppl_ok", col("avg_logp") > passThreshold)
+  }
+
   /** Top-k n-gram vocabulary by document frequency — the vocab-pruning /
     * stop-shingle-mining pass of a dedup or tokenizer pipeline. Shingles
     * are distinct per document (one native `WordShingles` eval per row),

@@ -68,6 +68,29 @@ class LayoutSpec extends SparkSpec {
     assert(touched(xSorted, $"x" < 8) <= 2)
   }
 
+  test("batchByLength: bucketed batching slashes padding vs arrival order") {
+    val docs = Tables.load(spark, sf, "documents")
+    val len = size(split(col("text"), " "))
+    def totalPadding(byLength: Boolean): Long =
+      Layout.batchByLength(docs, "doc_id", len, batchSize = 16, nShards = 4,
+          byLength = byLength)
+        .agg(sum("padding")).head().getLong(0)
+    val naive = totalPadding(byLength = false)
+    val bucketed = totalPadding(byLength = true)
+    assert(bucketed * 5 < naive,
+      s"bucketed=$bucketed naive=$naive — expected >5x padding reduction")
+    // every doc lands in exactly one batch under either policy
+    val n = Layout.batchByLength(docs, "doc_id", len, 16, 4, byLength = true)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(n == docs.count())
+    // batches are full except at most one tail batch per shard
+    val partial = Layout.batchByLength(docs, "doc_id", len, 16, 4,
+        byLength = true)
+      .where(col("n_docs") < 16).groupBy("shard").count()
+      .where(col("count") > 1)
+    assert(partial.count() == 0)
+  }
+
   test("statsManifest on a z-clustered write prunes files end to end") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_manifest")
     val zPath = dir.resolve("z").toString

@@ -243,6 +243,19 @@ class TextDedupSpec extends SparkSpec {
       out(1).getAs[String]("redacted") == "nothing sensitive here")
   }
 
+  test("perplexityScore: hand-computed bigram LM with add-k smoothing") {
+    // uni: a:3 b:2 c:1 (V=3); bi: (a,b):2 (a,c):1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScore(df, "doc_id", "text", addK = 0.5)
+      .orderBy("doc_id").collect()
+    // P(b|a) = (2+.5)/(3+1.5) = 5/9; P(c|a) = (1+.5)/(3+1.5) = 1/3
+    assert(math.abs(out(0).getAs[Double]("avg_logp") - math.log(5.0 / 9)) < 1e-6)
+    assert(math.abs(out(2).getAs[Double]("avg_logp") - math.log(1.0 / 3)) < 1e-6)
+    assert(out.forall(_.getAs[Long]("n_grams") == 1L))
+    // common bigrams score higher than rare ones
+    assert(out(0).getAs[Double]("avg_logp") > out(2).getAs[Double]("avg_logp"))
+  }
+
   test("dedupCorpusLines drops corpus-frequent lines, keeps order") {
     val boiler = "subscribe to our newsletter"
     val df = Seq(
