@@ -1964,6 +1964,41 @@ object SparkEntry {
         "sum_len", "padding")
   }
 
+  // ---- training-data pipeline: benchmark decontamination -----------------
+  // Every 37th doc plays the held-out eval benchmark; the rest is the
+  // training corpus. A train doc is contaminated when it shares any word
+  // 4-gram with the eval set (GPT-3 appendix-C style n-gram overlap;
+  // n = 4 gives a discriminating mix on this fixture — 2.7% flagged at
+  // sf0.01, 33% at sf0.1 — where 3-grams saturate and 5-grams vanish).
+  // Eval grams are a broadcast dim; the corpus is never shuffled by gram.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.NearDup.decontaminate(
+      docs.where(col("doc_id") % 37 =!= 0),
+      docs.where(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 4)
+  }
+
+  // ---- training-data pipeline: leakage-safe split ------------------------
+  // Split assignment keyed on the near-dup cluster canonical (3-gram
+  // Jaccard >= 1/4, same edge semantics as q69), so no near-duplicate pair
+  // ever straddles train/test. Singletons hash exactly like q103's plain
+  // split on the same salt.
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(t(s, dir, "documents"),
+      "doc_id", "text",
+      splits = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+  // ---- training-data pipeline: SemDeDup semantic dedup -------------------
+  // Clustered embedding dedup (arXiv:2303.09540): integer-grid Lloyd's
+  // (k=8 lowest-id seeds, one update round) bounds the pair search to
+  // within-cluster, then same-cluster cosine >= 0.4 (the q95 near-dup
+  // threshold) drops the higher id. The whole iteration trace is exact
+  // integer arithmetic, replayed bit-for-bit by the oracle.
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2097,6 +2132,9 @@ object SparkEntry {
     "q125_sq8_ann" -> (q125 _),
     "q126_perplexity_filter" -> (q126 _),
     "q127_batch_layout" -> (q127 _),
+    "q128_decontaminate" -> (q128 _),
+    "q129_leakage_split" -> (q129 _),
+    "q130_semdedup" -> (q130 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4510,6 +4548,109 @@ object SparkEntry {
         |SELECT policy, shard, batch_id, n_docs, max_len, sum_len,
         |  max_len * n_docs - sum_len AS padding
         |FROM (SELECT * FROM na UNION ALL SELECT * FROM ba)""".stripMargin,
+    "q128_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' || wl[i+3] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 2)) t(i)
+        |  WHERE len(wl) >= 4),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_eval_hits
+        |  FROM sh s JOIN ev ON s.shingle = ev.shingle
+        |  WHERE s.doc_id % 37 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  coalesce(h.n_eval_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 37 <> 0""".stripMargin,
+    "q129_leakage_split" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+        |  WHERE len(wl) >= 3),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE common * 4 >= 1 * (ca.n_sh + cb.n_sh - common)),
+        |sym AS (SELECT src AS a, dst AS b FROM ed
+        |        UNION SELECT dst AS a, src AS b FROM ed),
+        |reach(v, c) AS (
+        |  SELECT a AS v, a AS c FROM sym
+        |  UNION
+        |  SELECT sym.a AS v, reach.c FROM sym JOIN reach ON sym.b = reach.v),
+        |cc AS (SELECT v, min(c) AS component FROM reach GROUP BY v),
+        |canon AS (
+        |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.v),
+        |bkt AS (
+        |  SELECT doc_id, canonical_id,
+        |    ('0x' || substr(md5('split_' || canonical_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 100 AS split_bucket
+        |  FROM canon)
+        |SELECT doc_id, canonical_id, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM bkt""".stripMargin,
+    "q130_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, qe, cl FROM (
+        |    SELECT q.vec_id, q.qe, c.j AS cl,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qe, c.ce),
+        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
+        |    FROM q CROSS JOIN c0 c) s WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cl AS j, array_agg(s ORDER BY d) AS ce FROM (
+        |    SELECT cl, i AS d,
+        |      CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+        |    FROM a1, unnest(range(1, 65)) t(i)
+        |    GROUP BY cl, i) sub
+        |  GROUP BY cl),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT q.vec_id, c.j AS cl,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qe, c.ce),
+        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
+        |    FROM q CROSS JOIN c1 c) s WHERE rk = 1),
+        |dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND b.vec_id < a.vec_id
+        |  JOIN q ea ON ea.vec_id = a.vec_id
+        |  JOIN q eb ON eb.vec_id = b.vec_id
+        |  WHERE round(
+        |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding,
+        |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding,
+        |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) >= 0.4)
+        |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
+        |  (dup.vec_id IS NOT NULL) AS is_dup
+        |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

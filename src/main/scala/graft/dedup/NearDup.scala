@@ -79,6 +79,41 @@ object NearDup {
           sep).as("cleaned_text"))
   }
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word `n`-gram with the held-out evaluation corpus — the
+    * standard pre-training hygiene pass (n-gram overlap decontamination as
+    * published for GPT-3, appendix C of arXiv:2005.14165, and the Dolma /
+    * FineWeb pipelines; canonical n is 8-13 on web text, smaller on short
+    * fixtures).
+    *
+    * Output: one row per training doc — `(id, n_eval_hits, contaminated)`
+    * where `n_eval_hits` counts the doc's DISTINCT shingles that occur
+    * anywhere in the eval corpus (per-doc shingle dedup is local inside
+    * `WordShingles`, so a gram repeated in one doc counts once).
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus (MBs of
+    * distinct grams), so the eval side is collapsed to a distinct-gram dim
+    * and BROADCAST — the corpus shingles are never shuffled by gram, and
+    * the per-doc hit count is a partial-agg-friendly null-skipping count
+    * grouped on the doc id. The final left join restores docs too short to
+    * shingle (< n words) with a zero count; its probe side carries ids
+    * only and both sides hash on the id, so no wide data moves twice. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(graft.plans.WordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val hits = wordShingles(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_eval_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_eval_hits", coalesce(col("n_eval_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_eval_hits") >= 1)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
     * The threshold test uses integer arithmetic (no float boundary):
     * common * den >= num * (na + nb - common) for threshold = num/den.

@@ -111,4 +111,51 @@ object Sampling {
     }.get
     df.withColumn("split_bucket", bucket).withColumn("split", assign)
   }
+
+  /** Leakage-safe train/val/test split: assign splits per NEAR-DUP CLUSTER,
+    * not per document. A per-id split leaks whenever two near-duplicates
+    * straddle the train/test cut — the eval set then contains
+    * slightly-mutated training rows and metrics are inflated (the
+    * motivation for fuzzy-dedup-before-split in every published pretraining
+    * pipeline; near-dup membership comes from the same n-gram Jaccard
+    * machinery as [[graft.dedup.NearDup.jaccardPairs]]).
+    *
+    * Composition: Jaccard pair edges → connected components
+    * ([[graft.graph.ConnectedComponents.run]], star-contraction at scale) →
+    * canonical id per doc → the SAME salted-hash bucket as
+    * [[deterministicSplit]], keyed on the CANONICAL id, so every member of
+    * a near-dup cluster lands in the same split and singleton docs (the
+    * overwhelming majority) hash exactly as they would under the plain
+    * split. Pure function of corpus content — rerun- and backfill-stable.
+    *
+    * Output: (id, canonical_id, split_bucket, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Int)], n: Int = 3,
+                       thresholdNum: Int = 1, thresholdDen: Int = 4,
+                       salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100,
+      "split percents must sum to <= 100")
+    require(splits.forall(_._2 >= 0), "split percents must be non-negative")
+    val pairs = graft.dedup.NearDup.jaccardPairs(
+      df, idCol, textCol, n, thresholdNum, thresholdDen)
+    val cc = graft.graph.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      "src", "dst")
+    val bucket = splitBucket(col("canonical_id"), salt)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        Some(acc match {
+          case None => when(bucket < hi, lit(name))
+          case Some(c) => c.when(bucket < hi, lit(name))
+        })
+    }.get
+    df.select(col(idCol))
+      .join(cc, col(idCol) === cc("v"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
+      .withColumn("split_bucket", bucket)
+      .withColumn("split", assign)
+      .select(col(idCol), col("canonical_id"), col("split_bucket"),
+        col("split"))
+  }
 }

@@ -578,4 +578,88 @@ object Similarity {
       .where(col("rk") <= k)
       .select("q_id", "rk", "c_id", "cosine")
   }
+
+  /** SemDeDup — semantic deduplication via clustered embeddings (Abbas et
+    * al., arXiv:2303.09540): k-means the corpus embeddings, then search for
+    * near-duplicates ONLY within each cluster, dropping every member that
+    * has a same-cluster neighbor with cosine ≥ `tau` and a smaller id. The
+    * cluster step is what makes semantic dedup tractable — pair volume is
+    * Σ|cluster|², not n², and `k` is the knob that bounds it at corpus
+    * scale (raise k until the largest cluster's pair count fits a task).
+    *
+    * Engine-portable Lloyd's: embeddings are quantized to integer grids
+    * (`round(e · quantScale)` as long), so every distance is EXACT integer
+    * arithmetic and every centroid update is an exact integer sum with one
+    * floor-division — no float summation-order drift anywhere, which is
+    * what lets a SQL engine replay the entire iteration trace bit-for-bit
+    * (same trick as the portable IVF router, see [[ivfTopKSeeded]]; the
+    * final cosine check reuses the q42/q95 rounded-double formula).
+    * Init = the `k` lowest-id vectors (distributed TopK, k-row collect);
+    * per-iteration state is k×dim longs on the driver — broadcast-sized at
+    * any corpus scale, the standard Lloyd's-on-Spark shape. Assignment
+    * ties break toward the lowest centroid index; centroids that lose all
+    * members drop out (both replayed identically in SQL).
+    *
+    * Output: (id, cluster, is_dup). `iters` centroid updates run, with a
+    * final assignment after the last update. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
+               iters: Int, tau: Double, quantScale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val q = df.select(col(idCol), col(embCol), expr(
+      s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * $quantScale)" +
+        " AS BIGINT))").as("__qe"))
+
+    def assignCol(cents: Seq[(Int, Array[Long])]): Column = {
+      val scored = cents.map { case (j, ce) =>
+        val d = aggregate(
+          zip_with(col("__qe"), typedLit(ce.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }
+
+    // Init: k lowest ids via distributed TopK; k rows collected (bounded
+    // driver state by contract, like ivfTopK's sample).
+    var centroids: Seq[(Int, Array[Long])] = q
+      .select(col(idCol), col("__qe")).sort(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
+
+    for (_ <- 0 until iters) {
+      // One narrow assignment + one (cluster, dim) agg per iteration; the
+      // k×dim partial sums collapse map-side before the k-row collect.
+      centroids = q.withColumn("__cl", assignCol(centroids))
+        .select(col("__cl"), posexplode(col("__qe")).as(Seq("__d", "__v")))
+        .groupBy(col("__cl"), col("__d"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__cl"))
+        .agg(sort_array(collect_list(
+          struct(col("__d"), col("__s"), col("__n")))).as("dims"))
+        .collect()
+        .map { r =>
+          val dims = r.getSeq[org.apache.spark.sql.Row](1)
+          (r.getInt(0), dims.map(d =>
+            math.floor(d.getLong(1).toDouble / d.getLong(2)).toLong).toArray)
+        }.sortBy(_._1).toSeq
+    }
+
+    val fin = q.withColumn("cluster", assignCol(centroids))
+      .withColumn("__n2", sqrt(dotFast(col(embCol), col(embCol))))
+    val left = fin.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col("__n2").as("__na"), col("cluster"))
+    val right = fin.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      col("__n2").as("__nb"), col("cluster"))
+    val dups = left.join(right, Seq("cluster"))
+      .where(col("id_b") < col("id_a"))
+      .withColumn("__cos", round(safeCosine(
+        dotFast(col("__ea"), col("__eb")), col("__na") * col("__nb")), 4))
+      .where(col("__cos") >= tau)
+      .select(col("id_a")).distinct()
+      .withColumn("__dup", lit(true))
+    fin.select(col(idCol), col("cluster").cast("long").as("cluster"))
+      .join(dups, col(idCol) === col("id_a"), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .select(col(idCol), col("cluster"), col("is_dup"))
+  }
 }
