@@ -1999,6 +1999,25 @@ object SparkEntry {
     graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
       "vec_id", "embedding", k = 8, iters = 1, tau = 0.4)
 
+  // ---- layout: Bloom-filter file-skipping manifest + probe ---------------
+  // The predicate class min/max stats can't prune: point lookups on a
+  // high-cardinality key interleaved across files. Per-shard Bloom bits
+  // (portable seeded hashes, m=1024, k=3) + a count-match probe; each
+  // probe's true shard always qualifies (no false negatives), extra rows
+  // are the measured false-positive cost of the filter's saturation.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bits = operators.Layout.bloomBits(docs,
+      pmod(col("doc_id"), lit(8L)).as("file"), col("doc_id"),
+      mBits = 1024, kHashes = 3)
+    val probes = docs.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("probe_id"))
+    operators.Layout.bloomProbe(bits, probes, "probe_id",
+        mBits = 1024, kHashes = 3)
+      .withColumn("is_true_shard", pmod(col("probe_id"), lit(8L)) === col("file"))
+      .select(col("probe_id"), col("file").as("shard"), col("is_true_shard"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2135,6 +2154,7 @@ object SparkEntry {
     "q128_decontaminate" -> (q128 _),
     "q129_leakage_split" -> (q129 _),
     "q130_semdedup" -> (q130 _),
+    "q131_bloom_manifest" -> (q131 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4651,6 +4671,27 @@ object SparkEntry {
         |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
         |  (dup.vec_id IS NOT NULL) AS is_dup
         |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id""".stripMargin,
+    "q131_bloom_manifest" ->
+      """WITH bits AS (
+        |  SELECT DISTINCT doc_id % 8 AS shard,
+        |    ('0x' || substr(md5(i::VARCHAR || '_' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 1024 AS bit
+        |  FROM documents, unnest(range(0, 3)) t(i)),
+        |ppos AS (
+        |  SELECT DISTINCT doc_id AS probe_id,
+        |    ('0x' || substr(md5(i::VARCHAR || '_' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 1024 AS bit
+        |  FROM documents, unnest(range(0, 3)) t(i)
+        |  WHERE doc_id % 101 = 0),
+        |np AS (SELECT probe_id, count(*) AS n FROM ppos GROUP BY 1),
+        |cand AS (
+        |  SELECT p.probe_id, b.shard, count(*) AS hits
+        |  FROM ppos p JOIN bits b ON p.bit = b.bit
+        |  GROUP BY 1, 2)
+        |SELECT c.probe_id, c.shard,
+        |  (c.probe_id % 8 = c.shard) AS is_true_shard
+        |FROM cand c JOIN np ON np.probe_id = c.probe_id
+        |WHERE c.hits = np.n""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -115,4 +115,71 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         statCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** The `kHashes` Bloom bit positions of one key: seeded portable hashes
+    * mod `mBits` (hex60(s"${i}_$key") % m for i < k), as an array column.
+    * The portable family makes the whole filter a pure function of the key
+    * string — any engine (and the DuckDB oracle) rebuilds identical
+    * filters. */
+  def bloomPositions(key: Column, mBits: Int, kHashes: Int): Column =
+    array((0 until kHashes).map(i =>
+      pmod(graft.functions.PortableHash.seeded(i, key), lit(mBits.toLong))): _*)
+
+  /** Per-file Bloom-filter bits of a key column: DISTINCT (file, bit)
+    * rows — the join-friendly form of the filter. Complements
+    * [[statsManifest]] for the predicate class min/max CANNOT prune:
+    * point lookups on high-cardinality keys whose values interleave
+    * across files (every file's [min, max] spans the probe, yet almost
+    * no file actually contains it). Parquet row-group bloom filters do
+    * this inside a file; this is the external, engine-portable manifest
+    * of the same idea — one row per set bit, ≤ `mBits` rows per file.
+    *
+    * `fileCol` is the file/shard identity — `input_file_name()` after a
+    * real write, or any synthetic shard expression when auditing a
+    * layout before writing it. */
+  def bloomBits(df: DataFrame, fileCol: Column, keyCol: Column,
+                mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1, "need mBits >= 2, kHashes >= 1")
+    df.select(fileCol.as("file"),
+        explode(bloomPositions(keyCol.cast("string"), mBits, kHashes))
+          .as("bit"))
+      .distinct()
+  }
+
+  /** Aggregated persistable form: one manifest row per file with the set
+    * bits as a sorted array (plus fill stats — `n_bits_set / mBits` is
+    * the saturation that drives the false-positive rate). */
+  def bloomManifest(df: DataFrame, fileCol: Column, keyCol: Column,
+                    mBits: Int, kHashes: Int): DataFrame =
+    bloomBits(df, fileCol, keyCol, mBits, kHashes)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_bits_set"),
+        sort_array(collect_list(col("bit"))).as("bits"))
+
+  /** Probe the bit manifest: for each probe key, the files that MAY
+    * contain it — a file qualifies iff ALL `kHashes` of the key's bit
+    * positions are set in that file's filter (count-match on the
+    * bit-position equi-join; no false negatives by construction, false
+    * positives bounded by filter saturation).
+    *
+    * Scale shape: the probe set is a handful of point-lookup keys and the
+    * manifest is one row per (file, set bit) — both sides are tiny next
+    * to the data they prune, the join is a broadcast of the probe
+    * positions, and the scan that follows reads ONLY the candidate files.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, probeCol: String,
+                 mBits: Int, kHashes: Int): DataFrame = {
+    val ppos = probes
+      .select(col(probeCol),
+        explode(bloomPositions(col(probeCol).cast("string"), mBits, kHashes))
+          .as("bit"))
+      .distinct()
+    val npos = ppos.groupBy(col(probeCol)).agg(count(lit(1)).as("__np"))
+    ppos.join(bits, Seq("bit"))
+      .groupBy(col(probeCol), col("file"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(npos, Seq(probeCol))
+      .where(col("__hits") === col("__np"))
+      .select(col(probeCol), col("file"))
+  }
 }

@@ -135,4 +135,34 @@ class LayoutSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("bloom manifest: no false negatives, prunes what min/max cannot") {
+    import spark.implicits._
+    // keys interleave across shards (id % 4), so every shard's [min, max]
+    // spans every probe — min/max stats prune NOTHING here
+    val df = (0L until 400L).toDF("id")
+    val shard = pmod(col("id"), lit(4L))
+    val bits = Layout.bloomBits(df, shard.as("file"), col("id"),
+      mBits = 4096, kHashes = 3)
+    val probes = Seq(7L, 123L, 202L).toDF("probe_id")
+    val cand = Layout.bloomProbe(bits, probes, "probe_id",
+        mBits = 4096, kHashes = 3)
+      .as[(Long, Long)].collect().toSet
+    // the true shard of every probe qualifies (no false negatives)
+    assert(Seq(7L, 123L, 202L).forall(p => cand.contains((p, p % 4))))
+    // 400 keys x 3 hashes in 4096 bits: ~7% fill, fp ~ 0.04% — the
+    // candidate set is (nearly always exactly) the true shards, i.e. the
+    // filter prunes 3 of 4 shards per probe where min/max prunes none
+    assert(cand.size <= 4)
+    // a key that was never inserted is (at this fill) filtered everywhere
+    val absent = Layout.bloomProbe(bits, Seq(999999L).toDF("probe_id"),
+      "probe_id", mBits = 4096, kHashes = 3).count()
+    assert(absent == 0)
+    // aggregated manifest form agrees with the bit rows
+    val m = Layout.bloomManifest(df, shard.as("file"), col("id"),
+      mBits = 4096, kHashes = 3).collect()
+    assert(m.length == 4)
+    assert(m.forall(r => r.getLong(1) == r.getSeq[Long](2).size &&
+      r.getSeq[Long](2) == r.getSeq[Long](2).sorted))
+  }
 }
