@@ -2018,6 +2018,24 @@ object SparkEntry {
       .select(col("probe_id"), col("file").as("shard"), col("is_true_shard"))
   }
 
+  // ---- training-data pipeline: fixed-size per-stratum corpus cap ---------
+  // Exactly min(30, |lang|) docs per language by bottom-k salted hash —
+  // the absolute-budget companion to q107's fixed-rate stratified sample.
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", cap = 30)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
+  // ---- training-data pipeline: span-level repeated-substring dedup -------
+  // Positional 16-gram frequency re-expression of suffix-array substring
+  // dedup (arXiv:2107.06499): maximal spans whose every 16-gram occurs in
+  // >= 2 docs. Portable family for the oracle replay; xxhash64 default.
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NearDup.repeatedSpans(t(s, dir, "documents"),
+      "doc_id", "text", k = 16, minDf = 2,
+      family = graft.functions.PortableHashFamily)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2155,6 +2173,8 @@ object SparkEntry {
     "q129_leakage_split" -> (q129 _),
     "q130_semdedup" -> (q130 _),
     "q131_bloom_manifest" -> (q131 _),
+    "q132_stratum_cap" -> (q132 _),
+    "q133_repeated_spans" -> (q133 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4692,6 +4712,15 @@ object SparkEntry {
         |  (c.probe_id % 8 = c.shard) AS is_true_shard
         |FROM cand c JOIN np ON np.probe_id = c.probe_id
         |WHERE c.hits = np.n""".stripMargin,
+    "q132_stratum_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('cap_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        ASC, doc_id ASC) AS INTEGER) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM r
+        |WHERE sample_rank <= 30""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -114,6 +114,58 @@ object NearDup {
       .withColumn("contaminated", col("n_eval_hits") >= 1)
   }
 
+  /** Span-level repeated-substring detection — the SPAN analogue of
+    * document near-dup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499: removing repeated
+    * substrings beats removing whole near-dup documents): find the maximal
+    * character spans of each document whose every `k`-gram also occurs in
+    * at least `minDf − 1` OTHER documents. The published pipeline builds a
+    * corpus-wide suffix array; the distributed re-expression is positional
+    * k-gram frequency — every char position emits its k-gram hash, a
+    * global distinct-doc frequency marks "duplicated" positions, and
+    * consecutive marked positions coalesce into maximal spans with the
+    * standard gaps-and-islands window (`pos − row_number`), entirely
+    * per-doc.
+    *
+    * Output: one row per span — (id, span_start, span_end, span_len,
+    * n_grams), 1-based inclusive char offsets.
+    *
+    * Scale shape: O(total chars) gram rows (the same budget as tokenizing),
+    * ONE shuffle on the gram hash for the frequency count (map-side
+    * partials; the count rides back on the SAME hash partitioning), one
+    * window per doc. Grams travel as 64-bit hashes, never strings —
+    * `family` picks xxhash64 (production) or the portable MD5 family (the
+    * q133 oracle replay; the usual 2-4× oracle tax, SCALE.md). A df cap is
+    * unnecessary: frequency only gates a boolean mark, so hot boilerplate
+    * grams cost one counter, not a pair blowup. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, minDf: Int = 2,
+                    family: graft.functions.HashFamily =
+                      graft.functions.XxHashFamily): DataFrame = {
+    require(k >= 2 && minDf >= 2, "need k >= 2 and minDf >= 2")
+    val g = df
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1L),
+          (length(col(textCol)) - lit(k - 1)).cast("long"))).as("pos"),
+        col(textCol))
+      .select(col(idCol), col("pos"),
+        family.hash(0, expr(s"substring($textCol, pos, $k)")).as("__gh"))
+    val freq = g.groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+    val marked = g.join(freq, Seq("__gh")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .drop("__grp")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
     * The threshold test uses integer arithmetic (no float boundary):
     * common * den >= num * (na + nb - common) for threshold = num/den.

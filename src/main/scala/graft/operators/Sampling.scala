@@ -112,6 +112,33 @@ object Sampling {
     df.withColumn("split_bucket", bucket).withColumn("split", assign)
   }
 
+  /** Fixed-SIZE deterministic sample per stratum: keep exactly
+    * `min(cap, |stratum|)` rows of each stratum — "2M docs per language"
+    * style corpus caps, where [[stratifiedSample]]'s fixed RATE can't hit
+    * an absolute budget. Selection order is the salted portable hash of
+    * the id (ties by id), so membership is a pure function of the corpus —
+    * rerun-stable, engine-replayable, and ADDING data only ever swaps the
+    * marginal members (each stratum keeps the cap-lowest hashes; this is
+    * bottom-k sampling, the fixed-size analogue of a hash-threshold
+    * filter).
+    *
+    * Scale: one hash-partitioned window per stratum. Rank truncation
+    * composes with partial TopK: Spark pushes a per-partition
+    * rank-cap under the window when the filter bounds rank
+    * (WindowGroupLimit), so a billion-row stratum flows cap rows per
+    * input partition into the sort, not the stratum. Output adds
+    * `sample_rank` (1-based) for downstream reproducibility audits. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                    cap: Int, salt: String = "cap"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val h = graft.functions.PortableHash.hex60(
+      concat(lit(s"${salt}_"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= cap)
+  }
+
   /** Leakage-safe train/val/test split: assign splits per NEAR-DUP CLUSTER,
     * not per document. A per-id split leaks whenever two near-duplicates
     * straddle the train/test cut — the eval set then contains
