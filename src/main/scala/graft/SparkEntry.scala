@@ -4721,6 +4721,29 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
+    / Repeated-span replay: positional 16-gram portable hashes, global
+    / distinct-doc frequency >= 2 marks positions, gaps-and-islands
+    / (pos - row_number) coalesces runs into maximal spans.
+    "q133_repeated_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1::BIGINT, length(text) - 15)) AS pos
+        |  FROM documents WHERE length(text) >= 16),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5('0_' || substr(text, pos::INTEGER, 16)), 1, 15))::BIGINT
+        |      AS gh
+        |  FROM pos),
+        |freq AS (
+        |  SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (SELECT doc_id, pos FROM h JOIN freq USING (gh)),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM marked)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
+        |  max(pos) - min(pos) + 16 AS span_len, count(*) AS n_grams
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
