@@ -4721,9 +4721,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, sample_rank FROM r
         |WHERE sample_rank <= 30""".stripMargin,
-    / Repeated-span replay: positional 16-gram portable hashes, global
-    / distinct-doc frequency >= 2 marks positions, gaps-and-islands
-    / (pos - row_number) coalesces runs into maximal spans.
+    // Repeated-span replay: positional 16-gram portable hashes, global
+    // distinct-doc frequency >= 2 marks positions, gaps-and-islands
+    // (pos - row_number) coalesces runs into maximal spans.
     "q133_repeated_spans" ->
       """WITH pos AS (
         |  SELECT doc_id, text,

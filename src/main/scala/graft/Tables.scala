@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table registry: canonical load path for the driver-generated
   * TPC-H-ish tables (TESTDATA.md). Mirrors the reference's front door
@@ -17,14 +17,21 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Load one table. `events.ts` is nanosecond-precision in parquet; Spark
-    * reads it as long (nanosAsLong) — convert to a microsecond timestamp the
-    * same way DuckDB does (truncating division), so oracle comparisons agree.
+  /** Load one table. `events.ts` arrives in two parquet encodings depending
+    * on the writer: nanosecond int64 (Spark reads it as long via nanosAsLong)
+    * or microsecond `isAdjustedToUTC=false` (Spark reads TIMESTAMP_NTZ).
+    * Normalize both to TIMESTAMP (LTZ): the session timezone is pinned UTC
+    * (GraftSession), so the NTZ→LTZ cast preserves the instant, and the
+    * nanos path truncates to µs the same way DuckDB does — oracle
+    * comparisons agree either way. Downstream operators (watermarks,
+    * `unix_micros`) require TIMESTAMP, never NTZ.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

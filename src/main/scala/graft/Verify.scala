@@ -15,12 +15,14 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release the query's caches/localCheckpoints — 107 queries in one
@@ -42,6 +44,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every query the run SHOULD have produced — the local
+    // comparator (tools/check_oracle.py) errors on any name with no output
+    // dir, so a crashing query can never silently vanish from the grade
+    // (round 6 lost 4 queries this way and nobody noticed for a round).
+    val manifest = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED to produce output: " +
+          failed.sorted.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -33,6 +33,14 @@ def main(sf_dir, out_dir):
     import glob, os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    # Every registered query must have produced an output dir — a crash in
+    # Verify must turn the check red here, not silently shrink the grade.
+    mpath = f"{out_dir}/queries.json"
+    if os.path.exists(mpath):
+        expected = json.load(open(mpath))
+        for missing in sorted(set(expected) - set(names)):
+            n_fail += 1
+            print(f"FAIL  {missing}: NO OUTPUT (query crashed in Verify)")
     for name in names:
         got_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
