@@ -1992,12 +1992,14 @@ object SparkEntry {
   // ---- training-data pipeline: SemDeDup semantic dedup -------------------
   // Clustered embedding dedup (arXiv:2303.09540): integer-grid Lloyd's
   // (k=8 lowest-id seeds, one update round) bounds the pair search to
-  // within-cluster, then same-cluster cosine >= 0.4 (the q95 near-dup
-  // threshold) drops the higher id. The whole iteration trace is exact
-  // integer arithmetic, replayed bit-for-bit by the oracle.
+  // within-cluster; candidates additionally agree on >=1 band of the q95
+  // portable sign-bit signature (a (cluster, band, bits) equi-join — no
+  // unbanded self-join anywhere), then cosine >= 0.4 drops the higher id.
+  // Iteration trace AND banding are replayed bit-for-bit by the oracle.
   private def q130(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4)
+      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4,
+      bandedDim = Some(64))
 
   // ---- layout: Bloom-filter file-skipping manifest + probe ---------------
   // The predicate class min/max stats can't prune: point lookups on a
@@ -4652,6 +4654,21 @@ object SparkEntry {
         |    list_transform(embedding,
         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qe
         |  FROM embeddings),
+        |signs AS (
+        |  SELECT i, list_transform(range(0, 64), d ->
+        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+        |           % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+        |  FROM range(0, 24) t(i)),
+        |proj AS (
+        |  SELECT e.vec_id, s.i,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+        |  FROM embeddings e CROSS JOIN signs s),
+        |sbits AS (
+        |  SELECT vec_id, i // 6 AS band,
+        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+        |  FROM proj GROUP BY 1, 2),
         |c0 AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
         |  FROM q ORDER BY vec_id LIMIT 8),
@@ -4676,11 +4693,18 @@ object SparkEntry {
         |        list_sum(list_transform(list_zip(q.qe, c.ce),
         |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
         |    FROM q CROSS JOIN c1 c) s WHERE rk = 1),
+        |cand AS (
+        |  SELECT DISTINCT xa.vec_id AS id_a, xb.vec_id AS id_b
+        |  FROM sbits xa JOIN sbits xb
+        |    ON xa.band = xb.band AND xa.bits = xb.bits
+        |      AND xb.vec_id < xa.vec_id
+        |  JOIN a2 ca ON ca.vec_id = xa.vec_id
+        |  JOIN a2 cb ON cb.vec_id = xb.vec_id AND cb.cl = ca.cl),
         |dup AS (
-        |  SELECT DISTINCT a.vec_id
-        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND b.vec_id < a.vec_id
-        |  JOIN q ea ON ea.vec_id = a.vec_id
-        |  JOIN q eb ON eb.vec_id = b.vec_id
+        |  SELECT DISTINCT c.id_a AS vec_id
+        |  FROM cand c
+        |  JOIN q ea ON ea.vec_id = c.id_a
+        |  JOIN q eb ON eb.vec_id = c.id_b
         |  WHERE round(
         |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))

@@ -30,9 +30,16 @@ object Tables {
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType) {
+      // the NTZ→LTZ cast preserves the instant ONLY under a UTC session;
+      // on a session not built via GraftSession.tune it would silently
+      // shift every timestamp by the local offset — fail loudly instead
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ and session timezone is '$tz' — " +
+          "Tables.load requires a UTC session (build via GraftSession.tune)")
       df.withColumn("ts", col("ts").cast("timestamp"))
-    else df
+    } else df
   }
 
   /** Register every fixture table as a temp view (the `spark.sql` front door —

@@ -17,17 +17,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // release the query's caches/localCheckpoints — 107 queries in one
-      // JVM otherwise accumulate blocks until the storage pool degrades
-      graft.util.SessionHygiene.releaseAll(spark)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -41,15 +33,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Manifest of every query the run SHOULD produce, written BEFORE the
+    // loop: even a hard JVM death mid-run (OOM, SIGKILL) leaves the
+    // comparator enough to red-out every query that has no output — the
+    // silent-shrink failure the manifest exists to prevent.
+    val manifest = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += name
+        // a stale dir from a previous run would otherwise grade green for
+        // a query that just crashed — guarantee its absence so the
+        // manifest check fires
+        rmTree(new java.io.File(s"$outDir/$name"))
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // release the query's caches/localCheckpoints — 107 queries in one
+      // JVM otherwise accumulate blocks until the storage pool degrades
+      graft.util.SessionHygiene.releaseAll(spark)
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of every query the run SHOULD have produced — the local
-    // comparator (tools/check_oracle.py) errors on any name with no output
-    // dir, so a crashing query can never silently vanish from the grade
-    // (round 6 lost 4 queries this way and nobody noticed for a round).
-    val manifest = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
-    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     if (failed.nonEmpty) {
       System.err.println(
         s"[verify] ${failed.size} queries FAILED to produce output: " +

@@ -601,9 +601,23 @@ object Similarity {
     * members drop out (both replayed identically in SQL).
     *
     * Output: (id, cluster, is_dup). `iters` centroid updates run, with a
-    * final assignment after the last update. */
+    * final assignment after the last update.
+    *
+    * Candidate generation inside a cluster has two forms. With
+    * `bandedDim = Some(dim)` (the production path) pairs must ALSO agree
+    * on ≥1 band of the same portable sign-bit signature that powers
+    * [[cosineNearDupPairs]], so the per-cluster search is a
+    * (cluster, band, bits) equi-join — candidate volume per doc is
+    * ~ bands × |cluster| / 2^(nBits/bands), never |cluster|²/2. That is
+    * the piece the SemDeDup paper leaves to faiss: at 100 TB a cluster is
+    * still millions of rows (k is bounded by the plan-time `array_min`
+    * arity), and an unbanded within-cluster self-join is a quadratic
+    * blowup. With `bandedDim = None` the exact all-pairs form runs — the
+    * oracle/verification twin, only for bounded inputs. */
   def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
-               iters: Int, tau: Double, quantScale: Int = 1000): DataFrame = {
+               iters: Int, tau: Double, quantScale: Int = 1000,
+               bandedDim: Option[Int] = None, nBits: Int = 24,
+               bands: Int = 4): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val q = df.select(col(idCol), col(embCol), expr(
       s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * $quantScale)" +
@@ -646,14 +660,38 @@ object Similarity {
 
     val fin = q.withColumn("cluster", assignCol(centroids))
       .withColumn("__n2", sqrt(dotFast(col(embCol), col(embCol))))
-    val left = fin.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
-      col("__n2").as("__na"), col("cluster"))
-    val right = fin.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
-      col("__n2").as("__nb"), col("cluster"))
-    val dups = left.join(right, Seq("cluster"))
-      .where(col("id_b") < col("id_a"))
-      .withColumn("__cos", round(safeCosine(
-        dotFast(col("__ea"), col("__eb")), col("__na") * col("__nb")), 4))
+    val dups = (bandedDim match {
+      case Some(dim) =>
+        // production path: candidates agree on cluster AND ≥1 signature
+        // band — the same (band, bits) blocking as cosineNearDupPairs,
+        // narrowed by the cluster key, so no unbanded self-join exists
+        val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
+        val buckets = fin.select(col(idCol), col("cluster"),
+            explode(array(bandStructs: _*)).as("bb"))
+          .select(col(idCol), col("cluster"), col("bb.band"), col("bb.bits"))
+        val cand = buckets.as("x")
+          .join(buckets.as("y"), Seq("cluster", "band", "bits"))
+          .where(col(s"y.$idCol") < col(s"x.$idCol"))
+          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          .distinct()
+        val ea = fin.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+          col("__n2").as("__na"))
+        val eb = fin.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+          col("__n2").as("__nb"))
+        cand.join(ea, "id_a").join(eb, "id_b")
+          .withColumn("__cos", round(safeCosine(
+            dotFast(col("__ea"), col("__eb")), col("__na") * col("__nb")), 4))
+      case None =>
+        // exact all-pairs twin: bounded inputs only (oracle verification)
+        val left = fin.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+          col("__n2").as("__na"), col("cluster"))
+        val right = fin.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+          col("__n2").as("__nb"), col("cluster"))
+        left.join(right, Seq("cluster"))
+          .where(col("id_b") < col("id_a"))
+          .withColumn("__cos", round(safeCosine(
+            dotFast(col("__ea"), col("__eb")), col("__na") * col("__nb")), 4))
+    })
       .where(col("__cos") >= tau)
       .select(col("id_a")).distinct()
       .withColumn("__dup", lit(true))

@@ -94,6 +94,26 @@ class PipelineHygieneSpec extends SparkSpec {
     assert(cl(11L) == cl(12L) && cl(20L) == cl(21L) && cl(11L) != cl(20L))
   }
 
+  test("semDedup banded production path matches the exact all-pairs twin") {
+    // same fixture as the flag test: near-identical pairs project to the
+    // same sign bits on every plane (no projection sits within 0.01 of a
+    // hyperplane), so banding keeps every true pair and output is equal
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (11L, v(1.0, 0.0, 0.1, 0.0)),
+      (12L, v(1.0, 0.01, 0.1, 0.0)),
+      (13L, v(0.0, 0.0, 1.0, 0.2)),
+      (20L, v(-1.0, 0.5, -1.0, 0.0)),
+      (21L, v(-1.0, 0.5, -1.0, 0.01))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.semDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, tau = 0.95).orderBy("vec_id").collect()
+    val banded = Similarity.semDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, tau = 0.95, bandedDim = Some(4))
+      .orderBy("vec_id").collect()
+    assert(banded.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
   test("semDedup emits one row per vector even when clusters empty out") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     // k = 4 seeds on 4 points that collapse into 2 real clusters: some

@@ -146,6 +146,32 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q132 stratum cap: rank truncation runs map-side (WindowGroupLimit Partial)") {
+    // capPerStratum relies on Spark pushing a per-partition rank cap
+    // below the exchange: each mapper forwards <= cap rows per stratum,
+    // so a billion-row stratum never flows through one sorter. Verified
+    // on Spark 4.1.2 (round 8); this assertion locks the guarantee.
+    val p = plan("q132_stratum_cap")
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "map-side WindowGroupLimit missing — stratum cap would sort whole strata on one task:\n" + p)
+  }
+
+  test("q130 semDedup candidates meet on (cluster, band, bits) — no unbanded self-join") {
+    val p = plan("q130_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joins.exists(_.contains("bits")),
+      "banded sign-bit blocking missing from the candidate join:\n" + p)
+    // any join keyed on the cluster must also carry the signature bits —
+    // a cluster-only self-join is the O(|cluster|^2) scale-killer
+    assert(!joins.exists(l => l.contains("cluster") && !l.contains("bits")),
+      "unbanded within-cluster self-join found:\n" + joins.mkString("\n"))
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
