@@ -130,14 +130,18 @@ object NearDup {
     * Output: one row per span — (id, span_start, span_end, span_len,
     * n_grams), 1-based inclusive char offsets.
     *
-    * Scale shape: O(total chars) gram rows (the same budget as tokenizing),
-    * ONE shuffle on the gram hash for the frequency count (map-side
-    * partials; the count rides back on the SAME hash partitioning), one
-    * window per doc. Grams travel as 64-bit hashes, never strings —
-    * `family` picks xxhash64 (production) or the portable MD5 family (the
-    * q133 oracle replay; the usual 2-4× oracle tax, SCALE.md). A df cap is
-    * unnecessary: frequency only gates a boolean mark, so hot boilerplate
-    * grams cost one counter, not a pair blowup. */
+    * Scale shape: O(total chars) gram rows (the same budget as
+    * tokenizing), computed ONCE and shuffled ONCE on the gram hash: the
+    * distinct-doc frequency is a window count over the gram-hash
+    * partitioning (first-occurrence flags summed across the partition),
+    * not a groupBy + join-back — the join form re-exploded and re-hashed
+    * every gram a second time for the probe side, a full extra pass over
+    * the corpus' characters at 100 TB. Then one window per doc. Grams
+    * travel as 64-bit hashes, never strings — `family` picks xxhash64
+    * (production) or the portable MD5 family (the q133 oracle replay; the
+    * usual 2-4× oracle tax, SCALE.md). A df cap is unnecessary: frequency
+    * only gates a boolean mark, so hot boilerplate grams cost one counter,
+    * not a pair blowup. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, minDf: Int = 2,
                     family: graft.functions.HashFamily =
@@ -151,10 +155,20 @@ object NearDup {
         col(textCol))
       .select(col(idCol), col("pos"),
         family.hash(0, expr(s"substring($textCol, pos, $k)")).as("__gh"))
-    val freq = g.groupBy(col("__gh"))
-      .agg(countDistinct(col(idCol)).as("__df"))
+    // distinct docs per gram without leaving the gram-hash partitioning:
+    // rows of one gram sort by (id, pos), the first row of each id raises
+    // a flag, and the unbounded sum of flags is the document frequency —
+    // both windows ride ONE Exchange hashpartitioning(__gh)
+    val wgOrd = Window.partitionBy(col("__gh"))
+      .orderBy(col(idCol), col("pos"))
+    val wgAll = Window.partitionBy(col("__gh"))
+    val marked = g
+      .withColumn("__nd", when(lag(col(idCol), 1).over(wgOrd).isNull
+        .or(lag(col(idCol), 1).over(wgOrd) =!= col(idCol)), 1L)
+        .otherwise(0L))
+      .withColumn("__df", sum(col("__nd")).over(wgAll))
       .where(col("__df") >= minDf)
-    val marked = g.join(freq, Seq("__gh")).select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
       .withColumn("__grp", col("pos") - row_number().over(w))

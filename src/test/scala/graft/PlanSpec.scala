@@ -146,6 +146,16 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q133 repeated spans: gram frame computed once — two shuffles, no join") {
+    // the distinct-doc frequency gate is a window count riding the SAME
+    // gram-hash exchange as the first-occurrence flags; a groupBy +
+    // join-back here would re-explode and re-hash every gram (a second
+    // full pass over the corpus' characters at 100 TB)
+    val p = plan("q133_repeated_spans")
+    assert(!p.contains("Join"), "frequency gate regressed to a join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("q132 stratum cap: rank truncation runs map-side (WindowGroupLimit Partial)") {
     // capPerStratum relies on Spark pushing a per-partition rank cap
     // below the exchange: each mapper forwards <= cap rows per stratum,
