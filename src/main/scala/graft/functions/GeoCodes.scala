@@ -140,47 +140,108 @@ object GeoCodes {
     out.drop("__tz_dim", "__tz_name")
   }
 
-  /** Coarse public 1°-cell lat/lng→IANA grid over the continental US —
-    * the stand-in for the reference's `timezonefinder` polygon index
-    * (`eia.py:80-121`), generated from public-knowledge boundary bands:
-    * base meridians at −87.5 / −102.5 / −115.5 (cell centers), refined
-    * where the legal boundary departs visibly from the meridian at 1°
-    * scale (Arizona → America/Phoenix, lower Michigan → America/Detroit,
-    * eastern Indiana → America/Indiana/Indianapolis, the Florida
-    * panhandle → Central, northern Idaho → Pacific). Still an
-    * approximation near the wiggly boundaries — documented deviation,
-    * but it answers from LOCATION like the reference, not from the
-    * state's single representative zone.
-    *
-    * Cells are (floor(lat), floor(lon)) over lat 24..49, lon −125..−67 —
-    * ~1.5k rows, broadcast-joined: the fact side never shuffles. */
+  /** Point rule for the continental-US IANA zone at (lat, lon) — the
+    * stand-in for the reference's `timezonefinder` polygon index
+    * (`eia.py:80-121`), built from public boundary geography (the legal
+    * zone boundaries follow state and county lines; see the standard
+    * US DOT / Wikipedia "Time in the United States" maps): latitude-banded
+    * boundary meridians for the Eastern/Central and Central/Mountain
+    * lines (the Kentucky and Tennessee east/west splits, the Alabama–
+    * Georgia line, the Florida panhandle, the Illinois–Indiana line with
+    * the NW-Indiana Central pocket, the Dakotas/Nebraska/Kansas Mountain
+    * staircase, El Paso + Hudspeth), plus the named islands a
+    * state-level lookup can never answer: America/Phoenix (no-DST
+    * Arizona) with the Navajo-Nation Denver carve-out, America/Boise
+    * (southern Idaho + SE-Oregon Malheur), America/Menominee (the
+    * western-UP Central counties), America/Detroit, and
+    * America/Indiana/Indianapolis. Residual error is bounded by the
+    * distance the legal line wanders from these rules (county-scale,
+    * ≲0.2°) — vs whole states under the dim lookup and 1-3° under the
+    * old meridian bands (which put most of Alabama in Eastern time).
+    * Sub-county micro-zones (the America/Indiana, America/North_Dakota
+    * and America/Kentucky families) collapse onto their offset family's
+    * major zone — documented deviation from timezonefinder's exact
+    * strings. */
+  def usTzPoint(lat: Double, lon: Double): String = {
+    // Arizona: no-DST Phoenix; the Navajo Nation (NE) observes DST →
+    // Denver. West edge is the Colorado River (≈ −114.55, swinging to
+    // −114.65 below Yuma's latitude).
+    val azWest = if (lat < 33.0) -114.65 else -114.55
+    if (lon >= azWest && lon < -109.05 && lat >= 31.3 && lat < 37.0)
+      return if (lat > 35.2 && lon > -110.75) "America/Denver"
+             else "America/Phoenix"
+    // Michigan's western-UP Central counties (Gogebic/Iron/Dickinson/
+    // Menominee) are their own IANA zone
+    if ((lat >= 46.0 && lat < 46.9 && lon >= -90.45 && lon < -88.2) ||
+        (lat >= 45.05 && lat < 46.0 && lon >= -88.2 && lon < -87.3))
+      return "America/Menominee"
+    // America/Boise: Mountain-time southern Idaho (panhandle is Pacific,
+    // boundary ≈ the Salmon River at 45.55°) + SE-Oregon Malheur county
+    if ((lat >= 42.0 && lat < 45.55 && lon >= -117.05 && lon < -113.0) ||
+        (lat >= 42.0 && lat < 45.0 && lon >= -113.0 && lon < -111.05) ||
+        (lat >= 42.0 && lat < 44.3 && lon >= -118.25 && lon < -117.05))
+      return "America/Boise"
+    // Pacific/Mountain line: WA/OR/N-Idaho above 45.55; NE Oregon;
+    // Nevada reaching east to −114.05; the Colorado River south of 35
+    val pacific =
+      (lat >= 45.55 && lon < -115.6) ||
+      (lat >= 44.3 && lat < 45.55 && lon < -117.05) ||
+      (lat >= 42.0 && lat < 44.3 && lon < -118.25) ||
+      (lat >= 35.0 && lat < 42.0 && lon < -114.05) ||
+      (lat >= 33.0 && lat < 35.0 && lon < -114.55) ||
+      (lat < 33.0 && lon < -114.65)
+    if (pacific) return "America/Los_Angeles"
+    // Central/Mountain staircase (west of the meridian → Denver):
+    // MT/ND line, Missouri-river ND, western SD/NE, 4 western-KS
+    // counties, NM/TX line, El Paso + Hudspeth
+    val cmB =
+      if (lat >= 47.6) -104.05
+      else if (lat >= 45.94) -101.55
+      else if (lat >= 40.0) -101.0
+      else if (lat >= 37.0) -101.5
+      else if (lat >= 32.1) -103.05
+      else if (lat >= 30.4) -104.85
+      else -106.7
+    if (lon < cmB) return "America/Denver"
+    // NW-Indiana Central pocket (Lake/Porter/LaPorte-west … Jasper),
+    // east of the Illinois line but on Chicago time
+    if (lat >= 40.75 && lat < 41.76 && lon >= -87.53 && lon < -86.82)
+      return "America/Chicago"
+    // Eastern/Central line, latitude-banded: UP edge, Lake Michigan
+    // midline, IL/IN line, the KY and TN splits, AL/GA, FL panhandle
+    val ceB =
+      if (lat >= 45.8) -90.45
+      else if (lat >= 41.76) -87.0
+      else if (lat >= 38.35) -87.53
+      else if (lat >= 36.65) -85.8
+      else if (lat >= 35.8) -85.25
+      else if (lat >= 35.0) -85.45
+      else if (lat >= 33.0) -85.6
+      else if (lat >= 31.0) -85.07
+      else if (lat >= 29.5) -85.1
+      else -87.5
+    if (lon < ceB) return "America/Chicago"
+    // Eastern family — pick the IANA name by region
+    if ((lat >= 41.7 && lat < 46.1 && lon >= -87.0 && lon < -82.3) ||
+        (lat >= 45.8 && lat < 48.3 && lon >= -90.45 && lon < -83.4))
+      "America/Detroit"
+    else if (lat >= 38.35 && lat < 41.76 && lon >= -87.53 && lon < -84.82)
+      "America/Indiana/Indianapolis"
+    else "America/New_York"
+  }
+
+  /** [[usTzPoint]] sampled on 0.25° cells over lat 24..49, lon −125..−67
+    * (cell key = floor(4·coord), value = the rule at the cell center) —
+    * 23.2k rows, broadcast-joined: the fact side never shuffles, and the
+    * lookup is exact wherever a cell does not straddle a boundary. */
   lazy val usTzGrid: Seq[(Int, Int, String)] =
     for {
-      glat <- 24 to 48
-      glon <- -125 to -67
-    } yield {
-      val (clat, clon) = (glat + 0.5, glon + 0.5)
-      val tz =
-        if (clat >= 31.5 && clat < 37 && clon >= -114.5 && clon < -109.5)
-          "America/Phoenix"
-        else if (clat >= 41.5 && clat < 46.5 && clon >= -86.5 && clon < -82.5)
-          "America/Detroit"
-        else if (clat >= 38.5 && clat < 41.5 && clon >= -86.5 && clon < -84.5)
-          "America/Indiana/Indianapolis"
-        else if (clat >= 29.5 && clat < 31.5 && clon >= -87.5 && clon < -85.5)
-          "America/Chicago" // Florida panhandle
-        else if (clat >= 45.5 && clon >= -117.5 && clon < -114.5)
-          "America/Los_Angeles" // northern Idaho
-        else if (clat >= 36.5 && clat < 42 && clon >= -120.5 && clon < -114)
-          "America/Los_Angeles" // Nevada reaches east to the -114 meridian
-        else if (clon >= -87.5) "America/New_York"
-        else if (clon >= -102.5) "America/Chicago"
-        else if (clon >= -115.5) "America/Denver"
-        else "America/Los_Angeles"
-      (glat, glon, tz)
-    }
+      qlat <- (24 * 4) until (49 * 4)
+      qlon <- (-125 * 4) until (-67 * 4)
+    } yield (qlat, qlon, usTzPoint(qlat / 4.0 + 0.125, qlon / 4.0 + 0.125))
 
-  /** The grid as a broadcastable dim: (glat, glon, grid_tz). */
+  /** The grid as a broadcastable dim: (glat, glon, grid_tz) keyed on
+    * quarter-degree cell indices (floor(4·lat), floor(4·lon)). */
   def usTzGridDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
     usTzGrid.toDF("glat", "glon", "grid_tz")
@@ -201,8 +262,8 @@ object GeoCodes {
     val gridSel = grid.select(col("glat").as("__glat"),
       col("glon").as("__glon"), col("grid_tz").as("__tz_grid"))
     df.withColumn("__tz_name", cleanName(col(nameCol), fixes))
-      .withColumn("__glat", floor(col(latCol)).cast("int"))
-      .withColumn("__glon", floor(col(lonCol)).cast("int"))
+      .withColumn("__glat", floor(col(latCol) * 4).cast("int"))
+      .withColumn("__glon", floor(col(lonCol) * 4).cast("int"))
       .join(broadcast(gridSel), Seq("__glat", "__glon"), "left")
       .join(broadcast(dimSel), Seq("__tz_name"), "left")
       .withColumn(outCol, coalesce(col("__tz_grid"), col("__tz_dim"),

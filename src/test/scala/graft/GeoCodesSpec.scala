@@ -104,11 +104,76 @@ class GeoCodesSpec extends SparkSpec {
 
   test("tz grid covers the continental box exactly once per cell") {
     val g = GeoCodes.usTzGrid
-    assert(g.size == 25 * 59)
+    assert(g.size == (25 * 4) * (58 * 4))
     assert(g.map(c => (c._1, c._2)).distinct.size == g.size)
     val zones = g.map(_._3).toSet
     assert(zones == Set("America/New_York", "America/Chicago",
       "America/Denver", "America/Los_Angeles", "America/Phoenix",
-      "America/Detroit", "America/Indiana/Indianapolis"))
+      "America/Detroit", "America/Indiana/Indianapolis",
+      "America/Boise", "America/Menominee"))
+  }
+
+  test("usTzPoint resolves boundary-straddling city pairs like the polygons") {
+    import GeoCodes.usTzPoint
+    // each pair sits on opposite sides of a legal boundary that a
+    // state-level lookup or a 1-degree meridian band gets wrong
+    val cases = Seq(
+      // Tennessee east/west split
+      ((36.16, -86.78), "America/Chicago"),      // Nashville
+      ((35.96, -83.92), "America/New_York"),     // Knoxville
+      ((35.05, -85.31), "America/New_York"),     // Chattanooga
+      // Kentucky split: Louisville Eastern, Bowling Green Central
+      ((38.25, -85.76), "America/New_York"),
+      ((36.99, -86.44), "America/Chicago"),
+      // Alabama is Central even east of the -87.5 meridian band
+      ((33.52, -86.80), "America/Chicago"),      // Birmingham
+      ((32.46, -84.99), "America/New_York"),     // Columbus GA
+      ((34.26, -85.16), "America/New_York"),     // Rome GA (NW corner)
+      // Florida panhandle west of the Apalachicola
+      ((30.16, -85.66), "America/Chicago"),      // Panama City
+      ((30.44, -84.28), "America/New_York"),     // Tallahassee
+      // Indiana: NW pocket Central, rest Eastern (own zone)
+      ((41.60, -87.35), "America/Chicago"),      // Gary
+      ((41.68, -86.25), "America/Indiana/Indianapolis"), // South Bend
+      ((39.77, -86.16), "America/Indiana/Indianapolis"), // Indianapolis
+      ((37.97, -87.57), "America/Chicago"),      // Evansville (SW pocket)
+      // Michigan: Detroit zone + western-UP Menominee zone
+      ((42.96, -85.67), "America/Detroit"),      // Grand Rapids
+      ((45.82, -88.06), "America/Menominee"),    // Iron Mountain
+      ((46.50, -84.35), "America/Detroit"),      // Sault Ste Marie
+      // Dakotas / Nebraska / Kansas Mountain staircase
+      ((44.08, -103.23), "America/Denver"),      // Rapid City
+      ((44.37, -100.35), "America/Chicago"),     // Pierre
+      ((46.88, -102.79), "America/Denver"),      // Dickinson ND
+      ((48.15, -103.62), "America/Chicago"),     // Williston ND (NW Central)
+      ((41.87, -103.66), "America/Denver"),      // Scottsbluff NE
+      ((41.12, -100.77), "America/Chicago"),     // North Platte NE
+      ((39.35, -101.71), "America/Denver"),      // Goodland KS
+      ((39.40, -101.05), "America/Chicago"),     // Colby KS
+      // Texas: El Paso Mountain, panhandle Central
+      ((31.76, -106.49), "America/Denver"),
+      ((35.20, -101.83), "America/Chicago"),     // Amarillo
+      // Idaho/Oregon: Boise zone, Pacific panhandle, Malheur county
+      ((43.62, -116.20), "America/Boise"),       // Boise
+      ((47.68, -116.78), "America/Los_Angeles"), // Coeur d'Alene
+      ((44.03, -116.96), "America/Boise"),       // Ontario OR (Malheur)
+      ((43.59, -119.05), "America/Los_Angeles"), // Burns OR
+      ((43.49, -112.03), "America/Boise"),       // Idaho Falls
+      // Mountain/Pacific odds and ends
+      ((36.17, -115.14), "America/Los_Angeles"), // Las Vegas
+      ((37.10, -113.58), "America/Denver"),      // St George UT
+      ((40.76, -111.89), "America/Denver"),      // Salt Lake City
+      ((46.87, -113.99), "America/Denver"),      // Missoula MT
+      // Arizona: Phoenix no-DST vs Navajo Nation DST
+      ((33.45, -112.07), "America/Phoenix"),
+      ((36.91, -111.46), "America/Phoenix"),     // Page AZ
+      ((35.68, -109.35), "America/Denver"),      // Navajo Nation (Ganado)
+      ((32.69, -114.62), "America/Phoenix"),     // Yuma (west of -114.55)
+      ((34.85, -114.61), "America/Los_Angeles")) // Needles CA
+    val misses = cases.collect {
+      case ((la, lo), want) if usTzPoint(la, lo) != want =>
+        s"($la,$lo): got ${usTzPoint(la, lo)}, want $want"
+    }
+    assert(misses.isEmpty, misses.mkString("\n"))
   }
 }
