@@ -1275,22 +1275,37 @@ object SparkEntry {
 
   // ---- §2.9 heuristic address parsing ------------------------------------
   // Reference: parse_address (/root/reference/src/pudl/helpers.py:2660-2701);
-  // regex-heuristic stand-in for the usaddress CRF (documented deviation).
-  // Addresses synthesized deterministically; 1/7 are malformed (no zip) and
-  // must yield all-NULL parts.
+  // regex-heuristic stand-in for the usaddress CRF tag set (documented
+  // deviation). Addresses synthesized deterministically over 7 shapes:
+  // bare PO box (unparseable → CRF failure contract: raw addr as street),
+  // located PO box (street NULL, city/state/zip parse), pre-directional,
+  // post-directional, comma'd suite, apartment + zip+4, and plain.
   private def q90(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "customer")
-      .withColumn("addr_raw",
-        when(col("c_custkey") % 7 === 0,
-          concat(lit("PO Box "), (col("c_custkey") % 1000).cast("string")))
-          .otherwise(concat(
-            (col("c_custkey") % 900 + 1).cast("string"), lit(" "),
-            element_at(array(lit("Main St"), lit("Oak Ave"), lit("Elm Dr")),
-              (col("c_custkey") % 3 + 1).cast("int")),
-            lit(", Springfield, "),
-            element_at(array(lit("IL"), lit("CA"), lit("TX"), lit("NY")),
-              (col("c_custkey") % 4 + 1).cast("int")),
-            lit(" "), lpad((col("c_custkey") % 100000).cast("string"), 5, "0"))))
+    val num = (col("c_custkey") % 900 + 1).cast("string")
+    val stname = element_at(array(lit("Main St"), lit("Oak Ave"), lit("Elm Dr")),
+      (col("c_custkey") % 3 + 1).cast("int"))
+    val st2 = element_at(array(lit("IL"), lit("CA"), lit("TX"), lit("NY")),
+      (col("c_custkey") % 4 + 1).cast("int"))
+    val zip5 = lpad((col("c_custkey") % 100000).cast("string"), 5, "0")
+    val boxn = (col("c_custkey") % 1000).cast("string")
+    val m7 = col("c_custkey") % 7
+    val base = t(s, dir, "customer").withColumn("addr_raw",
+      when(m7 === 0, concat(lit("PO Box "), boxn))
+        .when(m7 === 1, concat(lit("PO Box "), boxn, lit(", Springfield, "),
+          st2, lit(" "), zip5))
+        .when(m7 === 2, concat(num, lit(" N "), stname,
+          lit(", Springfield, "), st2, lit(" "), zip5))
+        .when(m7 === 3, concat(num, lit(" "), stname, lit(" NW"),
+          lit(", Springfield, "), st2, lit(" "), zip5))
+        .when(m7 === 4, concat(num, lit(" "), stname, lit(", Ste "),
+          (col("c_custkey") % 50 + 1).cast("string"),
+          lit(", Springfield, "), st2, lit(" "), zip5))
+        .when(m7 === 5, concat(num, lit(" "), stname, lit(" Apt "),
+          (col("c_custkey") % 20 + 1).cast("string"),
+          lit(", Springfield, "), st2, lit(" "), zip5, lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(concat(num, lit(" "), stname,
+          lit(", Springfield, "), st2, lit(" "), zip5)))
     Cleaning.parseAddress(col("addr_raw"))
       .foldLeft(base) { case (acc, (name, expr)) => acc.withColumn(name, expr) }
       .select("c_custkey", "addr_raw", "addr_number", "addr_street",
@@ -3457,34 +3472,53 @@ object SparkEntry {
         |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
         |FROM parts""".stripMargin,
     "q90_parse_address" ->
-      """WITH base AS (
+      """WITH parts AS (
         |  SELECT c_custkey,
-        |    CASE WHEN c_custkey % 7 = 0
-        |      THEN 'PO Box ' || CAST(c_custkey % 1000 AS VARCHAR)
-        |      ELSE CAST(c_custkey % 900 + 1 AS VARCHAR) || ' ' ||
-        |        (['Main St', 'Oak Ave', 'Elm Dr'])[c_custkey % 3 + 1] ||
-        |        ', Springfield, ' ||
-        |        (['IL', 'CA', 'TX', 'NY'])[c_custkey % 4 + 1] || ' ' ||
-        |        lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+        |    CAST(c_custkey % 900 + 1 AS VARCHAR) AS num,
+        |    (['Main St', 'Oak Ave', 'Elm Dr'])[c_custkey % 3 + 1] AS stname,
+        |    (['IL', 'CA', 'TX', 'NY'])[c_custkey % 4 + 1] AS st,
+        |    lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip5,
+        |    CAST(c_custkey % 1000 AS VARCHAR) AS boxn,
+        |    CAST(c_custkey % 50 + 1 AS VARCHAR) AS ste,
+        |    CAST(c_custkey % 20 + 1 AS VARCHAR) AS apt,
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS zip4,
+        |    c_custkey % 7 AS m7
+        |  FROM customer),
+        |base AS (
+        |  SELECT c_custkey,
+        |    CASE m7
+        |      WHEN 0 THEN 'PO Box ' || boxn
+        |      WHEN 1 THEN 'PO Box ' || boxn || ', Springfield, ' || st || ' ' || zip5
+        |      WHEN 2 THEN num || ' N ' || stname || ', Springfield, ' || st || ' ' || zip5
+        |      WHEN 3 THEN num || ' ' || stname || ' NW, Springfield, ' || st || ' ' || zip5
+        |      WHEN 4 THEN num || ' ' || stname || ', Ste ' || ste || ', Springfield, ' || st || ' ' || zip5
+        |      WHEN 5 THEN num || ' ' || stname || ' Apt ' || apt || ', Springfield, ' || st || ' ' || zip5 || '-' || zip4
+        |      ELSE num || ' ' || stname || ', Springfield, ' || st || ' ' || zip5
         |    END AS addr_raw
-        |  FROM customer)
+        |  FROM parts),
+        |ex AS (
+        |  SELECT c_custkey, addr_raw,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 1), '') AS g1,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 2), '') AS g2,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 3), '') AS g3,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 4), '') AS g4,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 5), '') AS g5,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 6), '') AS g6,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 7), '') AS g7,
+        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 8), '') AS g8,
+        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 2), '') AS b2,
+        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 3), '') AS b3,
+        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 4), '') AS b4
+        |  FROM base)
         |SELECT c_custkey, addr_raw,
-        |  nullif(regexp_extract(addr_raw,
-        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 1), '')
-        |    AS addr_number,
-        |  nullif(regexp_extract(addr_raw,
-        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 2), '')
-        |    AS addr_street,
-        |  nullif(regexp_extract(addr_raw,
-        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 3), '')
-        |    AS addr_city,
-        |  nullif(regexp_extract(addr_raw,
-        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 4), '')
-        |    AS addr_state,
-        |  nullif(regexp_extract(addr_raw,
-        |    '^\s*(\d+)\s+([^,]+?)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5})\s*$', 5), '')
-        |    AS addr_zip
-        |FROM base""".stripMargin,
+        |  g1 AS addr_number,
+        |  CASE WHEN g1 IS NOT NULL THEN trim(concat_ws(' ', g2, g3, g4, g5))
+        |       WHEN b4 IS NOT NULL THEN NULL
+        |       ELSE addr_raw END AS addr_street,
+        |  coalesce(g6, b2) AS addr_city,
+        |  coalesce(g7, b3) AS addr_state,
+        |  coalesce(g8, b4) AS addr_zip
+        |FROM ex""".stripMargin,
     "q91_territory_demand" ->
       """WITH county AS (
         |  SELECT c_custkey, c_nationkey,

@@ -153,16 +153,56 @@ object Cleaning {
   /** Heuristic US address parse — `parse_address`
     * (`/root/reference/src/pudl/helpers.py:2660-2701`). The reference uses
     * the probabilistic usaddress CRF; this is the documented regex-heuristic
-    * stand-in (SURVEY §2.9): "NUMBER STREET, CITY, ST ZIP" shapes split
-    * into typed parts, NULL where a part is absent. Pure expressions. */
+    * stand-in (SURVEY §2.9) covering the CRF tag set's common shapes:
+    *
+    *   - `AddressNumber [PreDirectional] StreetName+PostType
+    *     [PostDirectional] [, OccupancyType OccupancyId], City, ST ZIP[+4]`
+    *     — the street column concatenates pre-directional, name,
+    *     post-directional and occupancy in the reference's `street_parts`
+    *     order (helpers.py:2680-2691); the address number is additionally
+    *     split out as its own column.
+    *   - `PO Box N, City, ST ZIP` — the reference's street_parts exclude
+    *     the USPSBoxType/USPSBoxID tags, so street is NULL while
+    *     city/state/zip still parse.
+    *   - anything else mirrors the CRF failure contract
+    *     (helpers.py:2698-2700): `(addr, None, None, None)` — the raw
+    *     string lands in the street column, the typed parts stay NULL.
+    *
+    * Pure expressions; both regexes are RE2-compatible so the DuckDB oracle
+    * runs the identical patterns. */
+  val streetAddrPattern: String = {
+    val dir = "(?:NE|NW|SE|SW|N|S|E|W)"
+    val occ = "(?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)"
+    "^\\s*(\\d+)\\s+" +                       // 1: address number
+      s"(?:($dir)\\s+)?" +                    // 2: pre-directional
+      "([^,]+?)" +                            // 3: street name + post type
+      s"(?:\\s+($dir))?" +                    // 4: post-directional
+      s"(?:\\s*,?\\s+($occ\\.?\\s*[A-Za-z0-9-]+))?" + // 5: occupancy
+      "\\s*,\\s*([^,]+?)" +                   // 6: city
+      "\\s*,\\s*([A-Z]{2})" +                 // 7: state
+      "\\s+(\\d{5}(?:-\\d{4})?)\\s*$"         // 8: zip or zip+4
+  }
+  val poBoxPattern: String =
+    "^\\s*[Pp]\\.?[Oo]\\.?\\s*Box\\s+(\\d+)\\s*,\\s*([^,]+?)\\s*,\\s*([A-Z]{2})\\s+(\\d{5}(?:-\\d{4})?)\\s*$"
+
   def parseAddress(c: Column): Seq[(String, Column)] = {
-    val pat = "^\\s*(\\d+)\\s+([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*([A-Z]{2})\\s+(\\d{5})\\s*$"
-    def part(i: Int): Column = {
+    def g(pat: String, i: Int): Column = {
       val v = regexp_extract(c, pat, i)
       when(v =!= "", v)
     }
-    Seq("addr_number" -> part(1), "addr_street" -> part(2),
-      "addr_city" -> part(3), "addr_state" -> part(4), "addr_zip" -> part(5))
+    val num = g(streetAddrPattern, 1)
+    val street = trim(concat_ws(" ",
+      g(streetAddrPattern, 2), g(streetAddrPattern, 3),
+      g(streetAddrPattern, 4), g(streetAddrPattern, 5)))
+    val boxZip = g(poBoxPattern, 4)
+    Seq(
+      "addr_number" -> num,
+      "addr_street" -> when(num.isNotNull, street)
+        .when(boxZip.isNotNull, lit(null))
+        .otherwise(c),
+      "addr_city" -> coalesce(g(streetAddrPattern, 6), g(poBoxPattern, 2)),
+      "addr_state" -> coalesce(g(streetAddrPattern, 7), g(poBoxPattern, 3)),
+      "addr_zip" -> coalesce(g(streetAddrPattern, 8), boxZip))
   }
 
   /** Code-table driven recode: fix known-bad codes, NULL ignored codes,

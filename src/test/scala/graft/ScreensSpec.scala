@@ -125,4 +125,40 @@ class ScreensSpec extends SparkSpec {
     // 30 -> 1930 (out of range) -> null
     assert(out == Seq(Some(2005), Some(1995), Some(1995), None, None))
   }
+
+  test("parseAddress covers the usaddress tag-set shapes") {
+    // (raw, number, street, city, state, zip) — street concatenates
+    // pre-dir / name+type / post-dir / occupancy in the reference's
+    // street_parts order; PO Box with location drops the box from street
+    // (reference street_parts exclude USPSBox*); unparseable mirrors the
+    // CRF failure contract: raw string as street, typed parts NULL.
+    val cases = Seq(
+      ("123 Main St, Springfield, IL 62704",
+        Some("123"), Some("Main St"), Some("Springfield"), Some("IL"), Some("62704")),
+      ("45 N Oak Ave, Denver, CO 80202",
+        Some("45"), Some("N Oak Ave"), Some("Denver"), Some("CO"), Some("80202")),
+      ("9 Elm Dr NW, Austin, TX 73301",
+        Some("9"), Some("Elm Dr NW"), Some("Austin"), Some("TX"), Some("73301")),
+      ("77 Oak Ave, Ste 210, Boston, MA 02108",
+        Some("77"), Some("Oak Ave Ste 210"), Some("Boston"), Some("MA"), Some("02108")),
+      ("8 Main St Apt 4B, Salem, OR 97301-1234",
+        Some("8"), Some("Main St Apt 4B"), Some("Salem"), Some("OR"), Some("97301-1234")),
+      ("500 W Pine Rd # 12, Mesa, AZ 85201",
+        Some("500"), Some("W Pine Rd # 12"), Some("Mesa"), Some("AZ"), Some("85201")),
+      ("PO Box 873, Helena, MT 59601",
+        None, None, Some("Helena"), Some("MT"), Some("59601")),
+      ("P.O. Box 12, Reno, NV 89501",
+        None, None, Some("Reno"), Some("NV"), Some("89501")),
+      ("PO Box 99",
+        None, Some("PO Box 99"), None, None, None),
+      ("not an address",
+        None, Some("not an address"), None, None, None))
+    val df = cases.map(_._1).toDF("a")
+    val out = Cleaning.parseAddress($"a")
+      .foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, e) }
+      .select("addr_number", "addr_street", "addr_city", "addr_state", "addr_zip")
+      .as[(Option[String], Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == cases.map(c => (c._2, c._3, c._4, c._5, c._6)))
+  }
 }
