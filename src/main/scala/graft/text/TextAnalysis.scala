@@ -144,71 +144,78 @@ object TextAnalysis {
     * (the corpus contract; use a normalizer upstream for raw text).
     */
   def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Two load-bearing shapes here. (1) The let-binding: `split`
-    // referenced inside the gram-building lambdas would otherwise
-    // re-split the text on every iteration (no CSE across HOF calls —
-    // see Hof.let). (2) The per-doc scalars (char/symbol counts) are
-    // EMBEDDED in the generator's input structs rather than selected
-    // alongside the explode: Catalyst places sibling projections of a
-    // generator ABOVE the Generate node, so a scalar next to the explode
-    // is re-evaluated once per EXPLODED row — measured 25× on this
-    // operator (the symbol-count regex went from once per doc to once
-    // per word, 0.4 s → 11 s at sf0.1).
-    val tagged = graft.functions.Hof.let(struct(
+    // ZERO-shuffle form: every statistic — including the duplicate-unit
+    // occurrence counts the Gopher repetition filters need — is a per-row
+    // fold, so a 100 TB scoring pass is a pure map with no exploded gram
+    // frame and no exchange. Duplicate counting rides `array_sort`: equal
+    // units are adjacent in the sorted array, so one linear `aggregate`
+    // scan yields total-occurrences-in-runs≥2 (the dup-occurrence sum)
+    // and the max run length (the top-gram count). The let-binding is
+    // load-bearing: a computed array referenced inside HOF lambdas would
+    // otherwise be re-evaluated per iteration (no CSE across HOF calls —
+    // see Hof.let).
+    def runFold(sorted: Column, trackMax: Boolean): Column =
+      aggregate(
+        sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("dup"), lit(0L).as("mx"), lit(0L).as("chars")),
+        (acc, u) => {
+          val run = when(u === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(u.as("prev"), run.as("run"),
+            (acc.getField("dup") + when(run === 2, lit(2L))
+              .when(run > 2, lit(1L)).otherwise(lit(0L))).as("dup"),
+            (if (trackMax) greatest(acc.getField("mx"), run)
+             else lit(0L)).as("mx"),
+            (acc.getField("chars") + length(u).cast("long")).as("chars"))
+        })
+    val stats = graft.functions.Hof.let(struct(
         split(col(textCol), " ").as("ws"),
         length(col(textCol)).cast("long").as("nc"),
         size(regexp_extract_all(lower(col(textCol)), lit("[^a-z0-9\\s]"),
           lit(0))).cast("long").as("nsym"))) { s =>
       val ws = s.getField("ws")
-      val nc = s.getField("nc")
-      val nsym = s.getField("nsym")
       val grams = when(size(ws) <= 1, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(ws) - 1),
           i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      concat(
-        transform(ws, w => struct(lit(1).as("n"), w.as("unit"),
-          nc.as("nc"), nsym.as("nsym"))),
-        transform(grams, g => struct(lit(2).as("n"), g.as("unit"),
-          nc.as("nc"), nsym.as("nsym"))))
+      // inner let: reading two fields off a fold would otherwise run the
+      // whole fold twice (no CSE inside the outer lambda body)
+      graft.functions.Hof.let(struct(
+          runFold(array_sort(ws), trackMax = false).as("wf"),
+          runFold(array_sort(grams), trackMax = true).as("gf"),
+          // arithmetic, not size(grams): counting via the array would
+          // re-run the gram-building transform a second time
+          greatest(size(ws) - 1, lit(0)).cast("long").as("n_grams"))) { f =>
+        struct(s.getField("nc").as("n_chars"),
+          s.getField("nsym").as("n_symbols"),
+          size(ws).cast("long").as("n_words"),
+          f.getField("n_grams").as("n_grams"),
+          f.getField("wf").getField("chars").as("word_chars"),
+          f.getField("wf").getField("dup").as("dup_word_occ"),
+          f.getField("gf").getField("dup").as("dup_gram_occ"),
+          f.getField("gf").getField("mx").as("top_gram_c"))
+      }
     }
-    val units = df.select(col(idCol), explode(tagged).as("__u"))
-      .select(col(idCol), col("__u.nc").as("__n_chars"),
-        col("__u.nsym").as("__n_symbols"),
-        col("__u.n").as("__n"), col("__u.unit").as("__unit"))
-    val perUnit = units
-      .groupBy(col(idCol), col("__n"), col("__unit"))
-      .agg(count(lit(1)).as("__c"), first(col("__n_chars")).as("__n_chars"),
-        first(col("__n_symbols")).as("__n_symbols"))
-    val one = col("__n") === 1
-    val two = col("__n") === 2
-    val agg = perUnit.groupBy(col(idCol)).agg(
-      first(col("__n_chars")).as("n_chars"),
-      first(col("__n_symbols")).as("n_symbols"),
-      sum(when(one, col("__c")).otherwise(0L)).as("n_words"),
-      sum(when(one, length(col("__unit")) * col("__c")).otherwise(0L))
-        .as("__word_chars"),
-      sum(when(one && col("__c") > 1, col("__c")).otherwise(0L))
-        .as("__dup_word_occ"),
-      sum(when(two, col("__c")).otherwise(0L)).as("__n_grams"),
-      max(when(two, col("__c")).otherwise(0L)).as("__top_gram_c"),
-      sum(when(two && col("__c") > 1, col("__c")).otherwise(0L))
-        .as("__dup_gram_occ"))
-    val ng = col("__n_grams")
-    agg.select(col(idCol), col("n_chars"), col("n_symbols"), col("n_words"),
-      (col("__word_chars") / col("n_words")).as("mean_word_len"),
-      (col("__dup_word_occ") / col("n_words")).as("frac_dup_words"),
-      when(ng === 0, lit(0.0)).otherwise(col("__top_gram_c") / ng)
-        .as("top_2gram_frac"),
-      when(ng === 0, lit(0.0)).otherwise(col("__dup_gram_occ") / ng)
-        .as("frac_dup_2grams"),
-      (col("n_symbols") / col("n_chars")).as("symbol_ratio"),
+    val g = col("__g")
+    val ng = g.getField("n_grams")
+    val nw = g.getField("n_words")
+    val wordChars = g.getField("word_chars")
+    val topGram = g.getField("top_gram_c")
+    val dupGram = g.getField("dup_gram_occ")
+    df.select(col(idCol), stats.as("__g")).select(col(idCol),
+      g.getField("n_chars").as("n_chars"),
+      g.getField("n_symbols").as("n_symbols"),
+      nw.as("n_words"),
+      (wordChars / nw).as("mean_word_len"),
+      (g.getField("dup_word_occ") / nw).as("frac_dup_words"),
+      when(ng === 0, lit(0.0)).otherwise(topGram / ng).as("top_2gram_frac"),
+      when(ng === 0, lit(0.0)).otherwise(dupGram / ng).as("frac_dup_2grams"),
+      (g.getField("n_symbols") / g.getField("n_chars")).as("symbol_ratio"),
       // exact integer forms of: 25 <= n_words <= 1000, 3 <= mean_word_len
       // <= 10, top_2gram_frac <= 0.10, frac_dup_2grams <= 0.08
-      (col("n_words") >= 25 && col("n_words") <= 1000 &&
-        col("__word_chars") >= col("n_words") * 3 &&
-        col("__word_chars") <= col("n_words") * 10 &&
-        col("__top_gram_c") * 10 <= ng &&
-        col("__dup_gram_occ") * 100 <= ng * 8).as("passes_gopher"))
+      (nw >= 25 && nw <= 1000 &&
+        wordChars >= nw * 3 && wordChars <= nw * 10 &&
+        topGram * 10 <= ng && dupGram * 100 <= ng * 8).as("passes_gopher"))
   }
 
   /** PII regex patterns (email, US SSN, US phone, IPv4) — deliberately in

@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q121 gopher stats are a pure per-row fold — no shuffle, no explode") {
+    // dup-occurrence counts ride array_sort + one linear aggregate per
+    // row; a 100 TB scoring pass must be a map, not an exploded gram
+    // frame with exchanges
+    val p = plan("q121_gopher_quality")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q115/q116 KMV sketches aggregate map-side (partial before exchange)") {
     // the shuffle must carry <= k-long sketch buffers per group per
     // mapper, not raw rows: partial_kmvagg runs BEFORE the exchange
