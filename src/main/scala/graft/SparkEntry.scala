@@ -2053,6 +2053,28 @@ object SparkEntry {
       "doc_id", "text", k = 16, minDf = 2,
       family = graft.functions.PortableHashFamily)
 
+  // ---- training-data pipeline: sliding-window chunking -------------------
+  // RAG / long-context segmentation: 64-token windows advancing by 48 so
+  // consecutive chunks share 16 tokens; every token covered, final window
+  // may be short, empty docs still yield one chunk. Pure map — one
+  // generator, zero shuffles (plan-asserted).
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 64, overlap = 16)
+
+  // ---- training-data pipeline: budget-capped quality selection -----------
+  // "Best docs until 40k tokens": rank by (quality desc, id), keep while
+  // the preceding cumulative token count is under budget. Bucketed exact
+  // form — only the single boundary score-bucket is window-ranked; the
+  // oracle replays the equivalent naive global window.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    graft.operators.Sampling.budgetSelect(base, "doc_id", "n_tokens",
+      "score", budget = 40000L)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2192,6 +2214,8 @@ object SparkEntry {
     "q131_bloom_manifest" -> (q131 _),
     "q132_stratum_cap" -> (q132 _),
     "q133_repeated_spans" -> (q133 _),
+    "q134_chunk_windows" -> (q134 _),
+    "q135_budget_select" -> (q135 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4802,6 +4826,45 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
         |  max(pos) - min(pos) + 16 AS span_len, count(*) AS n_grams
         |FROM grp GROUP BY doc_id, g""".stripMargin,
+    // Sliding-window chunk replay: window i of 64 tokens starts at token
+    // i*48 (16-token overlap), i in [0, max(1, ceil((n-16)/48))).
+    "q134_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    greatest(1, (len(ws) - 16 + 47) // 48) AS n_chunks
+        |  FROM w),
+        |u AS (
+        |  SELECT doc_id, ws, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_id, i * 48 AS token_start,
+        |  CAST(len(list_slice(ws, (i*48+1)::INTEGER, (i*48+64)::INTEGER))
+        |    AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(ws, (i*48+1)::INTEGER,
+        |    (i*48+64)::INTEGER), ' ') AS chunk_text
+        |FROM u""".stripMargin,
+    // Budget-select replay: the NAIVE global-order window (the bucketed
+    // Spark path is provably identical — floor buckets refine the order).
+    "q135_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    least(1.0, CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |        AS DOUBLE) / 100.0) *
+        |      (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]'))
+        |        AS DOUBLE) / len(text)) AS score
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, score, cum_before < 40000 AS selected
+        |FROM o""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -185,4 +185,67 @@ object Sampling {
       .select(col(idCol), col("canonical_id"), col("split_bucket"),
         col("split"))
   }
+
+  /** Quality-ranked selection under a global token budget — "take the best
+    * documents until N tokens": rank the corpus by (score desc, id asc)
+    * and keep every document whose preceding cumulative token count is
+    * still below `budget` (so the straddler that crosses the line is
+    * kept and the budget is met or minimally exceeded). Determinism: the
+    * order is total, so the selected set is a pure function of the corpus.
+    *
+    * Scale shape — the naive form (one global-order window) collapses the
+    * corpus into a single partition. Instead, exact three-step:
+    *   1. coarse score buckets `floor(score·nBuckets)` → per-bucket token
+    *      sums (tiny agg, ≤ nBuckets+1 rows collected — bounded driver
+    *      state, same pattern as the IVF centroid collect);
+    *   2. the driver walks buckets best-first to find the single cutoff
+    *      bucket where the budget line falls;
+    *   3. docs in better buckets are kept by a narrow filter (no
+    *      shuffle); ONLY the cutoff bucket — 1/nBuckets of the corpus in
+    *      expectation — is exactly ranked by a window to place the line.
+    * Because floor is monotone, bucket order refines to the global order,
+    * so the result is IDENTICAL to the naive global window (the SQL
+    * oracle replays the naive form).
+    *
+    * `scoreCol` must be in [0, 1] (e.g. [[graft.text.TextAnalysis
+    * .qualityScore]]). Output: all rows with a `selected` flag. */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                   scoreCol: String, budget: Long,
+                   nBuckets: Int = 1000): DataFrame = {
+    require(budget >= 0 && nBuckets >= 1, "need budget >= 0, nBuckets >= 1")
+    val bucket = floor(col(scoreCol) * nBuckets).cast("long")
+    val base = df.withColumn("__bucket", bucket)
+    val totals = base.groupBy(col("__bucket"))
+      .agg(sum(col(tokenCol)).cast("long").as("__toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // best bucket first
+    var before = 0L
+    var cutoff = Long.MinValue // all buckets better than this are full-kept
+    var cutoffBefore = 0L
+    val it = totals.iterator
+    while (cutoff == Long.MinValue && it.hasNext) {
+      val (b, toks) = it.next()
+      if (before + toks >= budget) { cutoff = b; cutoffBefore = before }
+      before += toks
+    }
+    if (cutoff == Long.MinValue)
+      base.withColumn("selected", lit(true)).drop("__bucket")
+    else {
+      val boundary = base.where(col("__bucket") === cutoff)
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("__bucket"))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val boundaryMarked = boundary
+        .withColumn("__cum_before",
+          coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+        .withColumn("selected",
+          col("__cum_before") + cutoffBefore < budget)
+        .drop("__cum_before")
+      base.where(col("__bucket") =!= cutoff)
+        .withColumn("selected", col("__bucket") > cutoff)
+        .unionByName(boundaryMarked)
+        .drop("__bucket")
+    }
+  }
 }

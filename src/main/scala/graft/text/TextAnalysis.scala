@@ -345,4 +345,42 @@ object TextAnalysis {
         .otherwise(floor((col("end_off") - 1) / lit(budget.toDouble))
           - col("chunk_id") + 1))
   }
+
+  /** Sliding-window document chunking with overlap — the RAG / long-context
+    * segmentation layout (the inverse direction of [[packSequences]]):
+    * each document's space-separated tokens are cut into windows of
+    * `chunkSize` tokens advancing by `chunkSize - overlap`, so consecutive
+    * chunks share `overlap` tokens and every token is covered. Window `i`
+    * starts at token `i*stride` for `0 <= i < max(1, ceil((n - overlap) /
+    * stride))`; the final window may be short; an empty document still
+    * yields exactly one (empty) chunk so no document silently disappears.
+    *
+    * Per-row arithmetic + ONE generator whose per-chunk payload rides
+    * inside the generated structs (scalars selected NEXT to an explode
+    * re-evaluate per exploded row — the q121 Catalyst lesson): chunking a
+    * 100 TB corpus is a pure map, zero shuffles, no driver state.
+    * `token_start` is the 0-based token offset, so chunks carry stable
+    * provenance for de-overlapping at read time. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val chunks = graft.functions.Hof.let(split(col(textCol), " ")) { ws =>
+      val n = size(ws).cast("long")
+      val nChunks = greatest(lit(1L),
+        floor((n - overlap + (stride - 1)) / lit(stride.toDouble)).cast("long"))
+      transform(sequence(lit(0L), nChunks - 1), i =>
+        struct(i.as("chunk_id"),
+          (i * stride).as("token_start"),
+          slice(ws, (i * lit(stride) + 1).cast("int"),
+            lit(chunkSize)).as("toks")))
+    }
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol),
+        col("__c.chunk_id").as("chunk_id"),
+        col("__c.token_start").as("token_start"),
+        size(col("__c.toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c.toks")).as("chunk_text"))
+  }
 }

@@ -129,4 +129,53 @@ class PackingSamplingSpec extends SparkSpec {
     val sampled = out.where(col("split") === "sample").count()
     assert(nulls + sampled == 200L && sampled > 0 && nulls > 0)
   }
+
+  test("chunkDocuments: coverage, overlap, offsets, and the empty-doc chunk") {
+    val df = docs(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, ""))                                       // empty doc
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      chunkSize = 5, overlap = 2).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: stride 3, n=10 -> ceil(8/3)=3 chunks at offsets 0,3,6
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(_.getAs[Long]("token_start")).toSeq == Seq(0L, 3L, 6L))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(5L, 5L, 4L))
+    // consecutive chunks share exactly `overlap` tokens; all tokens covered
+    d1.sliding(2).foreach {
+      case Array(a, b) =>
+        val at = a.getAs[String]("chunk_text").split(" ")
+        val bt = b.getAs[String]("chunk_text").split(" ")
+        assert(at.takeRight(2).sameElements(bt.take(2)))
+      case _ =>
+    }
+    // doc 2: one short chunk; doc 3: exactly one empty chunk, not zero rows
+    assert(byDoc(2L).map(_.getAs[String]("chunk_text")).toSeq == Seq("a b c"))
+    assert(byDoc(3L).length == 1 &&
+      byDoc(3L).head.getAs[String]("chunk_text") == "")
+  }
+
+  test("budgetSelect matches the naive global-order rule for every budget") {
+    // skewed token counts + clustered scores so several docs share a
+    // bucket and the cutoff lands mid-bucket
+    val rows = (0L until 120L).map { i =>
+      (i, (i % 13 + 1), (i % 9).toDouble / 10.0 + (i % 4).toDouble / 1000.0)
+    }
+    val df = rows.toDF("doc_id", "n_tokens", "score")
+    val naive = rows.sortBy { case (id, _, s) => (-s, id) }
+    for (budget <- Seq(0L, 1L, 50L, 200L, 421L, 10000L)) {
+      var cum = 0L
+      val expect = naive.flatMap { case (id, n, _) =>
+        val sel = cum < budget; cum += n
+        if (sel) Some(id) else None
+      }.toSet
+      val got = Sampling.budgetSelect(df, "doc_id", "n_tokens", "score",
+          budget, nBuckets = 10)
+        .where(col("selected")).select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"budget=$budget")
+    }
+  }
 }

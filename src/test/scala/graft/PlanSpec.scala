@@ -129,6 +129,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q134 chunking is one generator, zero shuffles") {
+    val p = plan("q134_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q135 budget select never builds a single-partition global window") {
+    // the naive form would be `Window [...] ORDER BY score` over ONE
+    // partition — the bucketed exact path must only ever window the
+    // boundary bucket under a hash exchange
+    val p = plan("q135_budget_select")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q121 gopher stats are a pure per-row fold — no shuffle, no explode") {
     // dup-occurrence counts ride array_sort + one linear aggregate per
     // row; a 100 TB scoring pass must be a map, not an exploded gram
