@@ -2075,6 +2075,57 @@ object SparkEntry {
       "score", budget = 40000L)
   }
 
+  // ---- training-data pipeline: URL canonicalization + eTLD+1 ------------
+  // Web-corpus identity: URL-level dedup / domain mixing must key on the
+  // CANONICAL url (else cosmetic variants count separately). Synthesized
+  // URLs exercise scheme case, default ports, www prefixes, empty paths,
+  // queries, fragments, multi-label public suffixes and a malformed lane.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val host = element_at(array(lit("Example.COM"),
+      lit("news.example.co.uk"), lit("www.Data.example.org"),
+      lit("blog.example.com"), lit("cdn.example.net")), (d % 5 + 1).cast("int"))
+    val scheme = when(d % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val port = when(d % 3 === 0,
+      when(d % 2 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit(""))
+    val path = when(d % 4 === 0, lit(""))
+      .otherwise(concat(lit("/Page/"), (d % 50).cast("string")))
+    val query = when(d % 7 === 0,
+      concat(lit("?id="), (d % 9).cast("string"))).otherwise(lit(""))
+    val frag = when(d % 6 === 0,
+      concat(lit("#Sec"), (d % 4).cast("string"))).otherwise(lit(""))
+    val base = t(s, dir, "documents").select(d,
+      when(d % 11 === 0, lit("not a url"))
+        .otherwise(concat(scheme, lit("://"), host, port, path, query, frag))
+        .as("url_raw"))
+    base.select(d, col("url_raw"),
+      TextAnalysis.canonicalizeUrl(col("url_raw")).as("url_canonical"),
+      TextAnalysis.urlHost(col("url_raw")).as("host"))
+      .withColumn("registered_domain",
+        TextAnalysis.registeredDomain(col("host")))
+  }
+
+  // ---- training-data pipeline: HTML strip + entity decode ----------------
+  // First pass of every web-corpus text pipeline: tags -> spaces (word
+  // boundaries survive <br>), common entities decode with &amp; LAST,
+  // whitespace collapses. Deterministic HTML wrapping + entity injection
+  // around the fixture text so planted tag/entity counts are known.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val html = concat(
+      lit("<html><body class=\"c\"><p>"), col("text"),
+      when(d % 3 === 0, lit(" &amp; more &lt;raw&gt;")).otherwise(lit("")),
+      when(d % 4 === 0, lit("<br/>line&nbsp;two")).otherwise(lit("")),
+      lit("</p></body></html>"))
+    t(s, dir, "documents").select(d, html.as("html"))
+      .select(d,
+        size(regexp_extract_all(col("html"), lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"),
+        size(regexp_extract_all(col("html"),
+          lit("&[a-z]+;|&#[0-9]+;"), lit(0))).cast("long").as("n_entities"),
+        TextAnalysis.stripHtml(col("html")).as("clean_text"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2216,6 +2267,8 @@ object SparkEntry {
     "q133_repeated_spans" -> (q133 _),
     "q134_chunk_windows" -> (q134 _),
     "q135_budget_select" -> (q135 _),
+    "q136_url_canonical" -> (q136 _),
+    "q137_html_strip" -> (q137 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4865,6 +4918,85 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, score, cum_before < 40000 AS selected
         |FROM o""".stripMargin,
+    // URL canonicalization replay: same extract regex, default-port strip,
+    // www strip, fragment drop, empty-path slash; eTLD+1 via last-2/last-3
+    // labels against the multi-label suffix list.
+    "q136_url_canonical" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+        |    ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |      || '://' ||
+        |      (['Example.COM','news.example.co.uk','www.Data.example.org',
+        |        'blog.example.com','cdn.example.net'])[doc_id % 5 + 1] ||
+        |      (CASE WHEN doc_id % 3 = 0 THEN
+        |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |        ELSE '' END) ||
+        |      (CASE WHEN doc_id % 4 = 0 THEN ''
+        |        ELSE '/Page/' || CAST(doc_id % 50 AS VARCHAR) END) ||
+        |      (CASE WHEN doc_id % 7 = 0 THEN '?id=' ||
+        |        CAST(doc_id % 9 AS VARCHAR) ELSE '' END) ||
+        |      (CASE WHEN doc_id % 6 = 0 THEN '#Sec' ||
+        |        CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+        |    END AS url_raw
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, url_raw,
+        |    lower(regexp_extract(url_raw,
+        |      '^\s*([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^#]*)(#.*)?$', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url_raw,
+        |      '^\s*([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^#]*)(#.*)?$', 2))
+        |      AS auth,
+        |    regexp_extract(url_raw,
+        |      '^\s*([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^#]*)(#.*)?$', 3)
+        |      AS rest
+        |  FROM base),
+        |h AS (
+        |  SELECT doc_id, url_raw, scheme, rest,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |           ELSE auth END, '^www\.', '') AS host_c,
+        |    CASE WHEN auth <> '' THEN regexp_replace(
+        |      regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') END AS host
+        |  FROM ex)
+        |SELECT doc_id, url_raw,
+        |  CASE WHEN scheme <> '' THEN scheme || '://' || host_c ||
+        |    (CASE WHEN rest = '' THEN '/' ELSE rest END) END AS url_canonical,
+        |  host,
+        |  CASE WHEN host IS NOT NULL THEN (
+        |    CASE WHEN len(ls) <= 2 THEN host
+        |         WHEN (ls[-2] || '.' || ls[-1]) IN
+        |             ('co.uk','ac.uk','com.au','co.jp','com.br','co.in')
+        |             AND len(ls) >= 3
+        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |         ELSE ls[-2] || '.' || ls[-1] END) END AS registered_domain
+        |FROM (SELECT *, string_split(host, '.') AS ls FROM h)""".stripMargin,
+    // HTML strip replay: tags -> spaces, entities decode with &amp; LAST,
+    // whitespace collapse. DuckDB regexp_replace needs the 'g' flag
+    // (Spark replaces all matches by default).
+    "q137_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body class="c"><p>' || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' &amp; more &lt;raw&gt;'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '<br/>line&nbsp;two'
+        |      ELSE '' END) ||
+        |    '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(html, '&[a-z]+;|&#[0-9]+;')) AS BIGINT)
+        |    AS n_entities,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM h""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -346,6 +346,77 @@ object TextAnalysis {
           - col("chunk_id") + 1))
   }
 
+  /** URL canonicalization — the web-corpus identity op (URL-level dedup,
+    * domain mixing, provenance keys all hash the CANONICAL form, else the
+    * same page counts once per cosmetic variant): lowercase scheme and
+    * authority (path/query stay case-sensitive per RFC 3986), strip the
+    * fragment, strip the scheme's default port (:80 http / :443 https),
+    * strip a leading `www.`, and give an empty path a trailing `/`. Pure
+    * expressions (one extract regex + arithmetic), zero shuffle,
+    * RE2-compatible so the oracle replays it. Non-URL input → NULL. */
+  val urlPattern = "^\\s*([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^#]*)(#.*)?$"
+  def canonicalizeUrl(c: Column): Column =
+    graft.functions.Hof.let(struct(
+        lower(regexp_extract(c, urlPattern, 1)).as("scheme"),
+        lower(regexp_extract(c, urlPattern, 2)).as("auth"),
+        regexp_extract(c, urlPattern, 3).as("rest"))) { u =>
+      val scheme = u.getField("scheme")
+      val auth0 = u.getField("auth")
+      val noPort = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+        .otherwise(auth0)
+      val host = regexp_replace(noPort, "^www\\.", "")
+      val rest = u.getField("rest")
+      when(scheme =!= "",
+        concat(scheme, lit("://"), host,
+          when(rest === "", lit("/")).otherwise(rest)))
+    }
+
+  /** Canonical host of a URL (the `host` piece of [[canonicalizeUrl]]). */
+  def urlHost(c: Column): Column =
+    graft.functions.Hof.let(
+        lower(regexp_extract(c, urlPattern, 2))) { auth =>
+      when(auth =!= "",
+        regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", ""))
+    }
+
+  /** Multi-label public suffixes the last-two-labels rule gets wrong —
+    * a small deterministic stand-in for the Public Suffix List (the full
+    * PSL is a data file an engine deployment would broadcast the same
+    * way). */
+  val multiLabelSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+
+  /** Registered domain (eTLD+1) of a host: last two labels, or last THREE
+    * when the last two are a listed multi-label public suffix. The
+    * domain-mixing / per-domain-cap grouping key. Pure expressions. */
+  def registeredDomain(host: Column): Column =
+    // explicit null guard: the concat_ws fallback would otherwise turn a
+    // NULL host into "" (concat_ws skips nulls in both engines)
+    when(host.isNotNull,
+      graft.functions.Hof.let(split(host, "\\.")) { ls =>
+        val n = size(ls)
+        val lastTwo = concat_ws(".", element_at(ls, -2), element_at(ls, -1))
+        when(n <= 2, host)
+          .when(lastTwo.isin(multiLabelSuffixes: _*) && n >= 3,
+            concat_ws(".", element_at(ls, -3), lastTwo))
+          .otherwise(lastTwo)
+      })
+
+  /** HTML strip + entity decode + whitespace collapse — the first pass of
+    * every web-corpus text pipeline. Tags (`<...>`) become spaces (so
+    * `a<br>b` keeps its word boundary), the common named/numeric entities
+    * decode LITERALLY with `&amp;` LAST (decoding it first would
+    * double-decode `&amp;lt;`), and runs of whitespace collapse to one
+    * space. Pure per-row expressions, zero shuffle, engine-replayable. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Sliding-window document chunking with overlap — the RAG / long-context
     * segmentation layout (the inverse direction of [[packSequences]]):
     * each document's space-separated tokens are cut into windows of

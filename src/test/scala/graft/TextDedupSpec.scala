@@ -275,4 +275,42 @@ class TextDedupSpec extends SparkSpec {
     val loose = NearDup.dedupCorpusLines(df, "doc_id", "text", "\n", minDf = 5)
     assert(loose.where(col("n_kept") =!= col("n_lines")).count() == 0)
   }
+
+  test("canonicalizeUrl: scheme/host case, ports, www, fragment, empty path") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/A/b?Q=1#frag" -> "http://example.com/A/b?Q=1",
+      "https://www.Site.org:443" -> "https://site.org/",
+      "https://host.net:8443/x" -> "https://host.net:8443/x", // non-default port kept
+      "http://a.b.co.uk?q=2" -> "http://a.b.co.uk?q=2",
+      "ftp://Files.example.com/pub" -> "ftp://files.example.com/pub",
+      "not a url" -> null)
+    val df = cases.map(_._1).toDF("u")
+    val got = df.select(TextAnalysis.canonicalizeUrl($"u").as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(got == cases.map(c => Option(c._2)))
+  }
+
+  test("registeredDomain applies the multi-label suffix list") {
+    val cases = Seq(
+      "news.example.co.uk" -> "example.co.uk",
+      "a.b.c.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "localhost" -> "localhost",
+      "cdn.example.net" -> "example.net")
+    val df = cases.map(_._1).toDF("h")
+    val got = df.select(TextAnalysis.registeredDomain($"h").as("d"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("stripHtml: tags to word boundaries, entity order, collapse") {
+    val df = Seq(
+      "<p>a<br>b</p>",                       // tag keeps word boundary
+      "x &amp;lt; y",                        // &amp; decodes LAST: no double-decode
+      "&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "  <div>   spaced   </div>  ").toDF("h")
+    val got = df.select(TextAnalysis.stripHtml($"h").as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a b", "x &lt; y", "<tag> \"q\" 's' end", "spaced"))
+  }
 }
