@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** Column form: 60-bit MD5-prefix hash of the string column. */
+  /** Column form: 60-bit MD5-prefix hash of the string column — the
+    * native [[graft.plans.Md5Prefix60]] expression (bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)::long`, pinned by a
+    * PropertySpec equivalence test, without the hex/substring/conv
+    * allocations per call). */
   def hex60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.plans.Md5Prefix60(c.cast("string"))
 
   /** Seeded family: h_i(x) = hex60(s"${i}_$x") — the seed is mixed into the
     * hashed bytes, so families are independent and the SQL twin is a plain

@@ -69,18 +69,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PolygonIntersectArea(args(0), args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // the portable 60-bit MD5-prefix hash (graft.functions.PortableHash) as
-    // a SQL function — same composed Catalyst tree as the Column form, so
-    // results are bit-identical to DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT
+    // a SQL function — the same native Md5Prefix60 expression as the
+    // Column form, bit-identical to DuckDB's
+    // ('0x'||substr(md5(x),1,15))::BIGINT
     ext.injectFunction((
       FunctionIdentifier("hex60"),
       info("hex60",
         "hex60(x) - portable 60-bit hash: first 15 hex digits of md5(x) as a BIGINT"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "hex60 expects 1 argument")
-        Cast(Conv(
-          Substring(Md5(Cast(Cast(args(0), StringType), BinaryType)),
-            Literal(1), Literal(15)),
-          Literal(16), Literal(10)), LongType)
+        Md5Prefix60(Cast(args(0), StringType))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // Morton/Z-order key (operators.Layout.zorderValue) as SQL — the same
     // static mask-and-multiply sum as the Column form (plain codegen'd

@@ -216,4 +216,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Md5Prefix60 is bit-identical to the conv(substring(md5)) chain") {
+    // the native expression must keep the ORACLE CONTRACT: identical to
+    // the declarative chain (and hence DuckDB's hex-prefix cast) on any
+    // string, including empty, unicode and separator-heavy inputs
+    val strGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('_', ' ', 'é', '中',
+        '\t'))).map(_.mkString),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(v => s"${v}_salt"))
+    forAll(Gen.listOfN(50, strGen), 4) { ss =>
+      val df = ss.toDF("s")
+      val got = df.select(
+          graft.plans.Md5Prefix60(col("s")).as("fast"),
+          conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    }
+    // driver twin: direct equality on a few fixed values
+    Seq("", "a", "42_salt", "héllo 中文").foreach { s =>
+      val cluster = spark.range(1)
+        .select(graft.plans.Md5Prefix60(lit(s)).as("h")).head().getLong(0)
+      assert(cluster == graft.functions.PortableHash.hex60(s), s)
+    }
+  }
 }
