@@ -2126,6 +2126,37 @@ object SparkEntry {
         TextAnalysis.stripHtml(col("html")).as("clean_text"))
   }
 
+  // ---- training-data pipeline: BM25 retrieval ----------------------------
+  // Okapi BM25 (Lucene idf form) for a fixed 3-term query over documents,
+  // top-50. Corpus explodes to tokens but is filtered to the broadcast
+  // term set before any shuffle; top-k is distributed TakeOrdered.
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 50)
+
+  // ---- training-data pipeline: weighted sample w/o replacement -----------
+  // Efraimidis–Spirakis exponential keys, 20 docs per language, weight =
+  // chars (longer docs proportionally likelier). Deterministic portable-
+  // hash uniforms; same WindowGroupLimit map-side cap shape as q132.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      greatest(col("n_chars"), lit(1L)).as("w"))
+    graft.operators.Sampling.weightedSample(base, "doc_id", "lang", "w",
+      k = 20)
+  }
+
+  // ---- training-data pipeline: pooled embedding centroids ----------------
+  // Exact element-wise mean embedding per label (chunk->doc pooling /
+  // class centroids): integer-quantized sums so the result is partition-
+  // order-independent. Output exploded to (label, dim, value) scalars.
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.pooledCentroids(
+      t(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label").cast("long").as("label"), col("n_members"),
+        posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("label"), col("n_members"), col("dim").cast("long").as("dim"),
+        col("value"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2269,6 +2300,9 @@ object SparkEntry {
     "q135_budget_select" -> (q135 _),
     "q136_url_canonical" -> (q136 _),
     "q137_html_strip" -> (q137 _),
+    "q138_bm25_topk" -> (q138 _),
+    "q139_weighted_sample" -> (q139 _),
+    "q140_embed_pool" -> (q140 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4997,6 +5031,75 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean_text
         |FROM h""".stripMargin,
+    // BM25: idf/length normalization replayed term-by-term; (1.2 + 1) is
+    // COMPUTED (not the literal 2.2) so both engines round the double sum
+    // identically.
+    "q138_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tok, max(dl) AS dl,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE tok IN ('spark', 'window', 'merge')
+        |  GROUP BY doc_id, tok),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |      AS sumdl
+        |  FROM documents),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY tok),
+        |s AS (
+        |  SELECT f.doc_id,
+        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1))
+        |      / (tf + 1.2 * (1 - 0.75
+        |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM f JOIN d USING (tok) CROSS JOIN stats
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id, score, n_terms_hit,
+        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |FROM s ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // Efraimidis–Spirakis keys: u from the portable hash in (0,1),
+    // rank by round(ln(u)/w, 8) per stratum.
+    "q139_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+        |    ((('0x' || substr(md5('wsamp_' || doc_id::VARCHAR), 1, 15))
+        |        ::BIGINT % 4503599627370496) + 0.5) / 4503599627370496.0
+        |      AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, w, round(ln(u) / w, 8) AS sample_key
+        |  FROM b)
+        |SELECT doc_id, lang, w, sample_key,
+        |  CAST(rk AS INTEGER) AS sample_rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_key DESC, doc_id ASC) AS rk
+        |  FROM k) WHERE rk <= 20""".stripMargin,
+    // Exact integer-quantized mean embedding per label, exploded to
+    // (label, dim, value); two IEEE divisions in fixed order.
+    "q140_embed_pool" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label, dim)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  max(n) OVER (PARTITION BY label) AS n_members,
+        |  dim, CAST(s AS DOUBLE) / n / 1000000 AS value
+        |FROM a""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

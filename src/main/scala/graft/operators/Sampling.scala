@@ -248,4 +248,42 @@ object Sampling {
         .drop("__bucket")
     }
   }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * exponential-keys scheme of Efraimidis & Spirakis (*Weighted random
+    * sampling with a reservoir*, IPL 97(5), 2006): draw u_i ~ U(0,1) per
+    * row, rank by key u_i^(1/w_i), keep the stratum's top k. Inclusion
+    * probability is proportional to weight at every prefix, which is the
+    * mixing primitive "sample k docs per language, longer docs
+    * proportionally more often" needs.
+    *
+    * Determinism + portability: u_i is NOT an RNG draw — it is the salted
+    * portable hash mapped into (0,1) as `(h mod 2^52 + 0.5) / 2^52`
+    * (exact double: 52-bit mantissa, never 0 or 1), so membership is a
+    * pure function of (salt, id) and the SQL twin replays it. Ranking
+    * uses `ln(u)/w` — the log of the ES key, same total order (ln is
+    * monotone; both negative-domain divisions by w > 0 preserve it) —
+    * rounded to 8 decimals with (id asc) tiebreak so the two engines'
+    * last-ulp `ln` differences cannot reorder ranks.
+    *
+    * Scale: identical shape to [[capPerStratum]] — one hash-partitioned
+    * window per stratum, and the `rank <= k` filter gets Spark's
+    * WindowGroupLimit partial rank-cap below the exchange, so each mapper
+    * forwards at most k rows per stratum. Output adds (sample_key,
+    * sample_rank). */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "wsamp"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = graft.functions.PortableHash.hex60(
+      concat(lit(s"${salt}_"), col(idCol).cast("string")))
+    val u = (pmod(h, lit(4503599627370496L)).cast("double") + 0.5) /
+      4503599627370496.0
+    val key = round(log(u) / col(weightCol).cast("double"), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
+    df.withColumn("sample_key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -700,4 +700,37 @@ object Similarity {
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .select(col(idCol), col("cluster"), col("is_dup"))
   }
+
+  /** Element-wise mean embedding per group — the pooling primitive behind
+    * "late chunking" (chunk embeddings → one document vector), class
+    * centroids, and per-domain embedding profiles. The naive
+    * `avg(e_d) over group` is ORDER-DEPENDENT on floats (partial sums
+    * combine in shuffle arrival order, so reruns drift in the last ulp);
+    * here each value is quantized to an integer grid
+    * (`round(e·quantScale)` as long — the same portable trick as
+    * [[semDedup]]'s Lloyd's state), summed EXACTLY as longs, and divided
+    * once at the end: `(Σq / n) / quantScale` — two IEEE divisions in a
+    * fixed order, bit-identical on any engine and any partitioning.
+    *
+    * Scale: one posexplode (dim× row growth, map-side) into one
+    * (group, dim) partial-aggregated shuffle, then a per-group collapse to
+    * the sorted centroid array — state per group is dim longs. No
+    * collects, no windows. Output: (group, n_members, centroid). */
+  def pooledCentroids(df: DataFrame, groupCol: String, embCol: String,
+                      quantScale: Int = 1000000): DataFrame = {
+    require(quantScale >= 1, "quantScale must be >= 1")
+    val qe = expr(s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * " +
+      s"$quantScale) AS BIGINT))")
+    df.select(col(groupCol), posexplode(qe).as(Seq("__d", "__q")))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_members"),
+        array_sort(collect_list(struct(col("__d"), col("__s"), col("__n"))))
+          .as("__dims"))
+      .select(col(groupCol), col("n_members"),
+        transform(col("__dims"), s =>
+          s.getField("__s").cast("double") / s.getField("__n") / quantScale)
+          .as("centroid"))
+  }
 }

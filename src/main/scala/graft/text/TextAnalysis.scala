@@ -454,4 +454,65 @@ object TextAnalysis {
         size(col("__c.toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__c.toks")).as("chunk_text"))
   }
+
+  /** Okapi BM25 top-k retrieval for a fixed bag of query terms (Robertson
+    * & Zaragoza, *The Probabilistic Relevance Framework: BM25 and Beyond*,
+    * FnTIR 2009, eq. 3.15; idf in the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * always-positive form). The retrieval primitive the corpus side of a
+    * RAG pipeline needs next to the ANN family (q42/q85).
+    *
+    * Scale shape: the corpus explodes to tokens but is filtered to the
+    * broadcast query-term set BEFORE any shuffle, so only matching
+    * (doc, term) rows — |q| per doc at most — reach the tf aggregation;
+    * doc length rides the explode so no join back to the corpus is needed.
+    * Corpus stats (N, Σdl) are one scan-agg cross-joined as a 1-row
+    * broadcast; per-term df is a ≤|q|-row broadcast. The final top-k is
+    * `orderBy(...).limit(k)` — Spark's distributed TakeOrderedAndProject,
+    * never a single-partition global window.
+    *
+    * Determinism: tf/df/dl/N are integers; avgdl and every score is one
+    * fixed sequence of double ops on those integers, rounded to 4 at the
+    * end with (score desc, id asc) tiebreak — replayable by the SQL twin. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = queryTerms.distinct.map(_.toLowerCase)
+    val toks = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("__dl"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .where(col("__tok").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("__tok"))
+      .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+    val stats = df.agg(count(lit(1)).as("__n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("__sumdl"))
+    // per-term df: tf has one row per (doc, term), so a count per term is
+    // df(t). NOT a window over the term partition — |q| window partitions
+    // would each hold every matching doc on one task at scale. Both dfreq
+    // and the scoring branch consume the same tf shuffle (ReuseExchange:
+    // the corpus explode feeds the exchange once; plan-asserted). The
+    // always-true guard on (__dl, __tf) pins those columns into this
+    // branch's aggregate so column pruning cannot narrow its exchange
+    // into a second, non-reusable corpus pass.
+    val dfreq = tf.where(col("__dl") >= 0L && col("__tf") >= 1L)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__n"))
+      .withColumn("__s", col("__idf") * (col("__tf") * (k1 + 1)) /
+        (col("__tf") + lit(k1) * (lit(1.0) - b +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored.select(col(idCol), col("score"), col("n_terms_hit"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol).asc)).cast("long").as("rank"))
+  }
 }

@@ -178,4 +178,91 @@ class PackingSamplingSpec extends SparkSpec {
       assert(got == expect, s"budget=$budget")
     }
   }
+
+  test("weightedSample matches driver-side ES ranking and is partition-stable") {
+    val rows = (0L until 90L).map(i => (i, s"s${(i % 3)}", (i % 11) + 1L))
+    val df = rows.toDF("doc_id", "stratum", "w")
+    // driver-side twin of the exponential-keys ranking
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map { case (id, st, w) =>
+        val h = graft.functions.PortableHash.hex60(s"wsamp_$id")
+        val u = ((h % 4503599627370496L).toDouble + 0.5) / 4503599627370496.0
+        val key = BigDecimal(math.log(u) / w)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (st, id, key)
+      }.sortBy { case (_, id, key) => (-key, id) }.take(5)
+    }.map(t => (t._1, t._2)).toSet
+    val out = Sampling.weightedSample(df, "doc_id", "stratum", "w", k = 5)
+    val got = out.select("stratum", "doc_id").as[(String, Long)]
+      .collect().toSet
+    assert(got == expect)
+    // pure function of (salt, id): invariant under partitioning
+    val got13 = Sampling.weightedSample(df.repartition(13), "doc_id",
+        "stratum", "w", k = 5)
+      .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+    assert(got13 == got)
+    // every stratum returns exactly k (fixture strata have >= k rows)
+    val perStratum = out.groupBy("stratum").count().as[(String, Long)]
+      .collect().toMap
+    assert(perStratum.values.forall(_ == 5L))
+  }
+
+  test("weightedSample prefers heavy rows in aggregate") {
+    // one stratum, two weight classes: weight-20 rows should dominate the
+    // selected set vs weight-1 rows (ES inclusion ∝ weight at every prefix)
+    val rows = (0L until 200L).map(i =>
+      (i, "s", if (i < 100) 20L else 1L))
+    val sel = Sampling.weightedSample(rows.toDF("doc_id", "stratum", "w"),
+        "doc_id", "stratum", "w", k = 40)
+      .select("doc_id").as[Long].collect()
+    val heavy = sel.count(_ < 100)
+    assert(heavy > 30, s"heavy=$heavy of ${sel.length}")
+  }
+
+  test("bm25TopK matches a driver-side reference implementation") {
+    val rows = Seq(
+      (1L, "spark window merge spark"),
+      (2L, "window window window agg join"),
+      (3L, "merge"),
+      (4L, "scan filter agg join group sort"),
+      (5L, "spark spark spark spark spark spark spark spark"),
+      (6L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "merge")
+    val (k1, b) = (1.2, 0.75)
+    // reference BM25 on the driver, same tokenizer
+    val toks = rows.map { case (id, t) =>
+      (id, t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    }
+    val n = rows.length
+    val avgdl = toks.map(_._2.length).sum.toDouble / n
+    val dfreq = terms.map(t =>
+      t -> toks.count(_._2.contains(t))).toMap
+    val expect = toks.flatMap { case (id, ws) =>
+      val dl = ws.length
+      val perTerm = terms.flatMap { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0 || dfreq(t) == 0) None
+        else {
+          val idf = math.log(1 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          Some(idf * (tf * (k1 + 1)) /
+            (tf + k1 * (1 - b + b * dl / avgdl)))
+        }
+      }
+      if (perTerm.isEmpty) None
+      else Some((id, BigDecimal(perTerm.sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        perTerm.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k = 10)
+      .orderBy(desc("score"), col("doc_id"))
+      .select("doc_id", "score", "n_terms_hit", "rank")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(got.length == expect.length) // doc 4 and 6 match no terms
+    got.zip(expect).zipWithIndex.foreach {
+      case (((gid, gs, gh, grk), (eid, es, eh)), i) =>
+        assert(gid == eid && gs == es && gh == eh && grk == i + 1,
+          s"row $i: got=($gid,$gs,$gh,$grk) exp=($eid,$es,$eh)")
+    }
+  }
 }

@@ -205,6 +205,40 @@ class PlanSpec extends SparkSpec {
       "unbanded within-cluster self-join found:\n" + joins.mkString("\n"))
   }
 
+  test("q139 weighted sample: rank truncation runs map-side (WindowGroupLimit Partial)") {
+    // same guarantee as q132: each mapper forwards <= k rows per stratum
+    // into the exchange, so a billion-row stratum never sorts on one task
+    val p = plan("q139_weighted_sample")
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "map-side WindowGroupLimit missing from weightedSample:\n" + p)
+  }
+
+  test("q138 BM25: top-k is TakeOrdered; tf exchange is reused, not recomputed") {
+    val df = SparkEntry.queries("q138_bm25_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // distributed top-k, never a global sort or single-partition window
+    // over the full scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the (doc, term) tf shuffle feeds BOTH the df-per-term aggregate and
+    // the scoring branch: one corpus explode, one exchange, reused — a
+    // second corpus pass here is the q133-class double-scan bug. AQE
+    // performs the reuse at runtime (identical canonicalized stages), so
+    // assert on the FINAL adaptive plan after execution.
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedQueryStage") || fp.contains("ReusedExchange"),
+      "tf exchange not reused — corpus explode would run twice:\n" + fp)
+  }
+
+  test("q140 embed pooling: two hash exchanges, map-side partial sums") {
+    val p = plan("q140_embed_pool")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), "map-side combine missing:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the

@@ -119,4 +119,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"seeded IVF recall@5 = $recall")
   }
+
+  test("pooledCentroids: exact quantized means, bit-stable under repartition") {
+    val emb = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(2.0f, 3.0f, 4.0f)),
+      (0, Array(0.5f, -1.0f, 0.0f)),
+      (1, Array(-1.25f, 0.0f, 8.0f)),
+      (1, Array(1.25f, 0.0f, -8.0f))).toDF("label", "embedding")
+    val out = Similarity.pooledCentroids(emb, "label", "embedding")
+      .orderBy("label")
+      .select("label", "n_members", "centroid")
+      .as[(Int, Long, Seq[Double])].collect()
+    // driver twin: exact integer sums, two IEEE divisions in fixed order
+    def mean(vs: Seq[Double]): Double =
+      (vs.map(v => math.round(v * 1000000.0)).sum.toDouble / vs.length) /
+        1000000
+    assert(out(0) == ((0, 3L, Seq(mean(Seq(1.0, 2.0, 0.5)),
+      mean(Seq(2.0, 3.0, -1.0)), mean(Seq(3.0, 4.0, 0.0))))))
+    assert(out(1) == ((1, 2L, Seq(0.0, 0.0, 0.0))))
+    // partition-order invariance is the operator's whole point: the
+    // integer sums commute, so 13-way repartition is BIT-identical
+    val out13 = Similarity.pooledCentroids(emb.repartition(13), "label",
+        "embedding")
+      .orderBy("label").select("label", "n_members", "centroid")
+      .as[(Int, Long, Seq[Double])].collect()
+    assert(out13.toSeq == out.toSeq)
+  }
 }
