@@ -2157,6 +2157,45 @@ object SparkEntry {
       .select(col("label"), col("n_members"), col("dim").cast("long").as("dim"),
         col("value"))
 
+  // ---- CDC: apply a changelog to a base snapshot (MERGE/upsert) ----------
+  // lineitem rows play the change stream against the orders snapshot:
+  // l_linenumber is the per-key sequence, every 5th supplier's change is
+  // a delete, negative keys exercise the insert lane (never in base).
+  // Last change per key wins; upserts replace payload wholesale.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // -k-1 keeps the insert lane strictly negative (l_orderkey starts at
+    // 0, so plain -k would collide key 0 with itself)
+    val ch = t(s, dir, "lineitem").select(
+      when(col("l_partkey") % 13 === 0, -col("l_orderkey") - 1)
+        .otherwise(col("l_orderkey")).as("o_orderkey"),
+      col("l_linenumber").cast("long").as("seq"),
+      when(col("l_suppkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("l_extendedprice").as("o_totalprice"),
+      col("l_returnflag").as("o_orderstatus"))
+    // l_linenumber repeats within an order in this fixture, so the order
+    // is totalized over the carried columns — rows still tied after all
+    // four keys are identical in every output-relevant field
+    TemporalOps.applyChangelog(base, ch, keys = Seq("o_orderkey"),
+      order = Seq(col("seq").desc, col("op").asc,
+        col("o_totalprice").desc, col("o_orderstatus").desc),
+      opCol = "op", dataCols = Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  // ---- SCD2 time-travel: snapshot at an instant --------------------------
+  // The q117 dimension history read back "as of" mid-January: one narrow
+  // interval filter over the compressed history (row-group prunable at
+  // scale), no shuffle beyond the history build itself.
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.snapshotAt(
+      TemporalOps.scd2Intervals(t(s, dir, "events"),
+        keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")),
+        tsCol = "ts", tracked = Seq("event_type")),
+      at = lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("user_id", "event_id", "event_type", "effective_from",
+        "effective_to", "version")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2303,6 +2342,8 @@ object SparkEntry {
     "q138_bm25_topk" -> (q138 _),
     "q139_weighted_sample" -> (q139 _),
     "q140_embed_pool" -> (q140 _),
+    "q141_apply_changelog" -> (q141 _),
+    "q142_snapshot_at" -> (q142 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5100,6 +5141,52 @@ object SparkEntry {
         |  max(n) OVER (PARTITION BY label) AS n_members,
         |  dim, CAST(s AS DOUBLE) / n / 1000000 AS value
         |FROM a""".stripMargin,
+    // CDC apply: last change per key wins (row_number over seq desc),
+    // upserts replace payload, deletes drop, unmatched base passes through.
+    "q141_apply_changelog" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN l_partkey % 13 = 0 THEN -l_orderkey - 1
+        |              ELSE l_orderkey END AS o_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS seq,
+        |    CASE WHEN l_suppkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    l_extendedprice AS p, l_returnflag AS st
+        |  FROM lineitem),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op ASC, p DESC, st DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |j AS (
+        |  SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey, l.op,
+        |    CASE WHEN l.op IS NOT NULL THEN l.p
+        |         ELSE b.o_totalprice END AS o_totalprice,
+        |    CASE WHEN l.op IS NOT NULL THEN l.st
+        |         ELSE b.o_orderstatus END AS o_orderstatus
+        |  FROM orders b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM j
+        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
+    // Time travel: the q117 history filtered to intervals containing the
+    // instant (from <= at < to, NULL to = current).
+    "q142_snapshot_at" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, ts, event_type FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+        |hist AS (
+        |  SELECT user_id, event_id, event_type,
+        |    ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS INT) AS version
+        |  FROM chg)
+        |SELECT * FROM hist
+        |WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (effective_to IS NULL
+        |       OR TIMESTAMP '2024-01-15 00:00:00' < effective_to)""".stripMargin,
     "q107_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

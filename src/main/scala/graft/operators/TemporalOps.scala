@@ -210,4 +210,51 @@ object TemporalOps {
       .withColumn("version", row_number().over(w))
       .withColumn("is_current", col(toName).isNull)
   }
+
+  /** Apply a CDC changelog to a base snapshot — the inverse of
+    * [[changelog]] and the batch form of warehouse MERGE/upsert: the
+    * LAST change per key (by `order`, descending semantics supplied by
+    * the caller) wins; an upsert (`op != deleteOp`) replaces the key's
+    * data columns wholesale (including explicit nulls — this is
+    * op-driven replacement, NOT coalesce), a delete drops the key, and
+    * keys with no change pass through. Changes for unseen keys insert.
+    *
+    * Scale shape: one window dedup over the changes (same
+    * WindowGroupLimit map-side rank-1 cap as every keepFirst) + one
+    * key-partitioned full-outer join — both sides shuffle once on the
+    * key, AQE handles skewed hot keys. No collects, no broadcasts of
+    * the data. At 100 TB this is the nightly "apply the day's CDC tail
+    * to the snapshot" pass: cost is one co-partitioned merge, not a
+    * rewrite of history.
+    *
+    * @param order  total order over a key's changes, LATEST FIRST
+    *               (e.g. `Seq(col("seq").desc)`) — must be total or
+    *               last-wins is ambiguous
+    * @param opCol  change-operation column in `changes`
+    * @param dataCols  payload columns present in both frames
+    * @param deleteOp  `opCol` value that deletes the key */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                     order: Seq[Column], opCol: String,
+                     dataCols: Seq[String],
+                     deleteOp: String = "D"): DataFrame = {
+    val latest = graft.operators.Dedup.keepFirst(changes, keys, order)
+      .select(keys.map(col) ++ (col(opCol).as("__op") +:
+        dataCols.map(c => col(c).as(s"__chg_$c"))): _*)
+    base.select(keys.map(col) ++ dataCols.map(col): _*)
+      .join(latest, keys, "full_outer")
+      .where(col("__op").isNull || col("__op") =!= deleteOp)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("__op").isNotNull, col(s"__chg_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Time-travel read over an SCD2 history ([[scd2Intervals]] output):
+    * the rows valid at instant `at` — `from <= at < to`, open `to`
+    * (NULL) meaning current. A narrow filter: at 100 TB this rides
+    * min/max row-group pruning on the interval columns, never a shuffle. */
+  def snapshotAt(hist: DataFrame, at: Column,
+                 fromCol: String = "effective_from",
+                 toCol: String = "effective_to"): DataFrame =
+    hist.where(col(fromCol) <= at &&
+      (col(toCol).isNull || at < col(toCol)))
 }

@@ -103,6 +103,42 @@ class OperatorSpec extends SparkSpec {
       (2, "x", 1, None, 1, true)))
   }
 
+  test("TemporalOps.applyChangelog: upsert replaces, delete drops, insert adds") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      // key 1: two updates — the later (seq 2) must win, with its null
+      (1L, 1L, "U", "a1", Some(11.0)),
+      (1L, 2L, "U", "a2", None),
+      // key 2: update then delete — delete wins
+      (2L, 1L, "U", "b1", Some(21.0)),
+      (2L, 2L, "D", "xx", Some(0.0)),
+      // key 4: insert (not in base), delete-then-insert order respected
+      (4L, 1L, "D", "xx", Some(0.0)),
+      (4L, 2L, "U", "d", Some(40.0)))
+      .toDF("k", "seq", "op", "s", "v")
+    val out = TemporalOps.applyChangelog(base, changes, Seq("k"),
+        Seq(col("seq").desc), "op", Seq("s", "v"))
+      .orderBy("k")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, "a2", None),      // last update wins, explicit null kept
+      (3L, "c", Some(30.0)), // untouched base row passes through
+      (4L, "d", Some(40.0))))// insert lane
+  }
+
+  test("TemporalOps.snapshotAt returns the rows valid at the instant") {
+    val df = Seq((1, 1, "a"), (1, 3, "b"), (1, 5, "a"), (2, 2, "x"))
+      .toDF("k", "seq", "state")
+    val hist = TemporalOps.scd2Intervals(df, Seq("k"), Seq(col("seq")),
+      "seq", Seq("state"))
+    def at(t: Int) = TemporalOps.snapshotAt(hist, lit(t))
+      .select("k", "state").as[(Int, String)].collect().toSet
+    assert(at(1) == Set((1, "a")))          // before key 2 exists
+    assert(at(4) == Set((1, "b"), (2, "x")))
+    assert(at(9) == Set((1, "a"), (2, "x"))) // open intervals = current
+  }
+
   test("TemporalOps.dateMerge joins at year grain") {
     val fine = Seq((1, java.sql.Timestamp.valueOf("2020-05-01 00:00:00"), 10.0))
       .toDF("k", "d", "v")

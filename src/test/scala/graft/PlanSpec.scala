@@ -239,6 +239,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("q141 CDC apply: map-side rank cap on changes, co-partitioned merge") {
+    val p = plan("q141_apply_changelog")
+    // the latest-change dedup must forward <= 1 row per key per mapper
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "map-side WindowGroupLimit missing from the changes dedup:\n" + p)
+    // one co-partitioned merge — never a broadcast of the data or a cross
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
