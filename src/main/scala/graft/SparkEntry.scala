@@ -2196,6 +2196,13 @@ object SparkEntry {
       .select("user_id", "event_id", "event_type", "effective_from",
         "effective_to", "version")
 
+  // ---- training-data pipeline: BPE merge-table training ------------------
+  // Sennrich subword BPE on the word-frequency dictionary: 5 merge rounds,
+  // each = one pair-count aggregate over the checkpointed vocab frame +
+  // a 1-row TakeOrdered collect. The corpus is scanned exactly once.
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergeTable(t(s, dir, "documents"), "text", merges = 5)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2344,6 +2351,7 @@ object SparkEntry {
     "q140_embed_pool" -> (q140 _),
     "q141_apply_changelog" -> (q141 _),
     "q142_snapshot_at" -> (q142 _),
+    "q143_bpe_merges" -> (q143 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5165,6 +5173,41 @@ object SparkEntry {
         |  FROM orders b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey)
         |SELECT o_orderkey, o_totalprice, o_orderstatus FROM j
         |WHERE op IS NULL OR op <> 'D'""".stripMargin,
+    // BPE replay: 5 unrolled merge rounds over the word-frequency dict;
+    // pair counts at every adjacent position, (count desc, l, r) tiebreak,
+    // greedy-leftmost merge as a list_reduce fold over singleton lists.
+    "q143_bpe_merges" -> {
+      val step = (i: Int) => {
+        val j = i - 1
+        s"""p$i AS (
+           |  SELECT s[t.i] AS l, s[t.i+1] AS r, sum(f) AS c
+           |  FROM v$j, unnest(range(1, len(s))) t(i)
+           |  WHERE len(s) > 1
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |v$i AS (
+           |  SELECT w, f,
+           |    list_reduce(list_transform(s, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[len(acc)] = b$i.l AND x[1] = b$i.r
+           |                       THEN acc[1:len(acc)-1] || [b$i.l || b$i.r]
+           |                       ELSE acc || x END) AS s
+           |  FROM v$j, b$i)""".stripMargin
+      }
+      ("""WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+        |    list_transform(range(1, len(w)+1), i -> w[i:i]) || ['</w>'] AS s
+        |  FROM toks WHERE len(w) > 0 GROUP BY w),
+        |""".stripMargin
+        + (1 to 5).map(step).mkString(",\n") + "\nSELECT * FROM (\n"
+        + (1 to 5).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, l AS "left", r AS "right",
+             |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        + "\n) ORDER BY step")
+    },
     // Time travel: the q117 history filtered to intervals containing the
     // instant (from <= at < to, NULL to = current).
     "q142_snapshot_at" ->

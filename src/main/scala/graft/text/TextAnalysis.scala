@@ -515,4 +515,74 @@ object TextAnalysis {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col(idCol).asc)).cast("long").as("rank"))
   }
+
+  /** BPE merge-table training (Sennrich, Haddow & Birch, *Neural Machine
+    * Translation of Rare Words with Subword Units*, ACL 2016 §3.2): start
+    * from per-word character symbols + an end-of-word marker, and `merges`
+    * times (a) count adjacent symbol pairs weighted by word frequency,
+    * (b) merge the globally most frequent pair everywhere (greedy
+    * leftmost within a word, the reference algorithm's semantics).
+    * Returns the merge table — (step, left, right, merged, pair_count) —
+    * the artifact a subword tokenizer is built from.
+    *
+    * Scale shape — the published algorithm trains on the word-frequency
+    * DICTIONARY, not the corpus, and so does this: the corpus is touched
+    * exactly ONCE (token explode → word-count aggregate, the same shuffle
+    * q104 pays), localCheckpointed as the vocab frame; every merge round
+    * then runs on that frame — one pair explode + partial-aggregated
+    * count shuffle + a distributed TakeOrdered(1) whose single winning
+    * row is collected. Driver state is `merges` rows; the vocab stays
+    * distributed (at web scale the dictionary is millions of types — far
+    * smaller than the corpus, far bigger than a driver).
+    *
+    * Determinism: integer pair counts, ties broken (count desc, left asc,
+    * right asc); pair occurrences are counted at every adjacent position
+    * (overlapping, e.g. "aaa" holds (a,a) twice), exactly like the
+    * reference `get_stats`; the greedy-leftmost merge is a left fold. */
+  def bpeMergeTable(df: DataFrame, textCol: String,
+                    merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, "need 1 <= merges <= 64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0 = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__f"))
+      .withColumn("__sym", concat(
+        expr("transform(sequence(1, length(__w)), i -> substr(__w, i, 1))"),
+        array(lit("</w>"))))
+      .localCheckpoint() // ONE corpus pass; merge rounds re-read this
+    var vocab = vocab0
+    val table = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val n = size(col("__sym"))
+      val best = vocab
+        .where(n > 1)
+        .select(col("__f"), explode(zip_with(
+          slice(col("__sym"), lit(1), n - 1),
+          slice(col("__sym"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l"), col("__p.r"))
+        .agg(sum(col("__f")).as("__c"))
+        .orderBy(col("__c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        table += ((step.toLong, l, r, l + r, c))
+        // greedy-leftmost merge as a left fold: a just-formed `l+r` can
+        // never re-match `l` in the same round (the concatenation is a
+        // strictly longer string than l)
+        vocab = vocab.withColumn("__sym", aggregate(col("__sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+      }
+    }
+    graft.util.SessionHygiene.releaseCheckpoint(vocab0)
+    table.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
 }

@@ -265,4 +265,21 @@ class PackingSamplingSpec extends SparkSpec {
           s"row $i: got=($gid,$gs,$gh,$grk) exp=($eid,$es,$eh)")
     }
   }
+
+  test("bpeMergeTable: hand-computed merges, overlap counting, greedy-leftmost") {
+    // vocab: aaa ×3, aab ×2, ba ×1
+    // symbols: [a,a,a,</w>]×3  [a,a,b,</w>]×2  [b,a,</w>]×1
+    // step 1 pair counts: (a,a): 2·3 + 1·2 = 8 (overlapping positions!),
+    //   (a,</w>): 3+1=4, (a,b): 2, (b,</w>): 2, (b,a): 1 → merge (a,a)
+    // greedy-leftmost on aaa: [aa, a, </w>] (NOT [a, aa, </w>])
+    // step 2 vocab: [aa,a,</w>]×3 [aa,b,</w>]×2 [b,a,</w>]×1
+    //   (aa,a):3, (a,</w>):3+1=4, (aa,b):2, (b,</w>):2, (b,a):1 → (a,</w>)
+    val df = Seq("aaa aab ba aaa aab", "aaa").toDF("text")
+    val out = TextAnalysis.bpeMergeTable(df, "text", merges = 2)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "a", "aa", 8L),
+      (2L, "a", "</w>", "a</w>", 4L)))
+  }
 }
