@@ -2203,6 +2203,18 @@ object SparkEntry {
   private def q143(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMergeTable(t(s, dir, "documents"), "text", merges = 5)
 
+  // ---- training-data pipeline: BPE subword encoding ----------------------
+  // The q143 merge table (trained on this corpus, collected as 5 plan-time
+  // literal pairs) replayed over every document: pure per-row map, zero
+  // shuffles in the encode pass.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.bpeMergeTable(t(s, dir, "documents"), "text",
+        merges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2352,6 +2364,7 @@ object SparkEntry {
     "q141_apply_changelog" -> (q141 _),
     "q142_snapshot_at" -> (q142 _),
     "q143_bpe_merges" -> (q143 _),
+    "q144_bpe_encode" -> (q144 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5207,6 +5220,59 @@ object SparkEntry {
              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
+    },
+    // BPE encode: the q143 training chain re-derived, then the five
+    // merges replayed over every document's words (nested list_reduce
+    // folds), scalar outputs (counts + prefix).
+    "q144_bpe_encode" -> {
+      val step = (i: Int) => {
+        val j = i - 1
+        s"""p$i AS (
+           |  SELECT s[t.i] AS l, s[t.i+1] AS r, sum(f) AS c
+           |  FROM v$j, unnest(range(1, len(s))) t(i)
+           |  WHERE len(s) > 1
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |v$i AS (
+           |  SELECT w, f,
+           |    list_reduce(list_transform(s, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[len(acc)] = b$i.l AND x[1] = b$i.r
+           |                       THEN acc[1:len(acc)-1] || [b$i.l || b$i.r]
+           |                       ELSE acc || x END) AS s
+           |  FROM v$j, b$i)""".stripMargin
+      }
+      val astep = (i: Int) => {
+        val j = i - 1
+        s"""e$i AS (
+           |  SELECT doc_id, list_transform(ws, s ->
+           |    list_reduce(list_transform(s, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[len(acc)] = b$i.l AND x[1] = b$i.r
+           |                       THEN acc[1:len(acc)-1] || [b$i.l || b$i.r]
+           |                       ELSE acc || x END)) AS ws
+           |  FROM e$j, b$i)""".stripMargin
+      }
+      ("""WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+        |    list_transform(range(1, len(w)+1), i -> w[i:i]) || ['</w>'] AS s
+        |  FROM toks WHERE len(w) > 0 GROUP BY w),
+        |""".stripMargin
+        + (1 to 5).map(step).mkString(",\n") + ",\n"
+        + """e0 AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0),
+        |    w -> list_transform(range(1, len(w)+1), i -> w[i:i]) || ['</w>']) AS ws
+        |  FROM documents),
+        |""".stripMargin
+        + (1 to 5).map(astep).mkString(",\n") + "\n"
+        + """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(ws, s -> len(s))), 0)
+        |    AS BIGINT) AS n_subwords,
+        |  array_to_string(flatten(ws)[1:8], ' ') AS encoded_prefix
+        |FROM e5""".stripMargin)
     },
     // Time travel: the q117 history filtered to intervals containing the
     // instant (from <= at < to, NULL to = current).

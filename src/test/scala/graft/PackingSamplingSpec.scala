@@ -282,4 +282,19 @@ class PackingSamplingSpec extends SparkSpec {
       (1L, "a", "a", "aa", 8L),
       (2L, "a", "</w>", "a</w>", 4L)))
   }
+
+  test("bpeEncode applies merges in order, greedy-leftmost, scalar outputs") {
+    val df = Seq((1L, "aaa ba"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    // merges learned elsewhere: (a,a) then (aa,a) then (b,a)
+    val out = TextAnalysis.bpeEncode(df, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "a"), ("b", "a")), prefixLen = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // aaa -> [a,a,a,</w>] -> [aa,a,</w>] -> [aaa,</w>]; ba -> [ba,</w>]
+    // ab  -> [a,b,</w>] (no merge applies: (a,a) no, (aa,a) no, (b,a) no)
+    assert(out == Seq(
+      (1L, 2L, 4L, "aaa </w> ba </w>"),
+      (2L, 0L, 0L, ""),
+      (3L, 1L, 3L, "a b </w>")))
+  }
 }

@@ -252,6 +252,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q144 BPE encode plan is a pure per-row map — zero shuffles") {
+    // training runs eagerly (bounded 5-row collect); the RETURNED encode
+    // plan must be a narrow projection with the merges as literals
+    val p = plan("q144_bpe_encode")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
