@@ -2215,6 +2215,25 @@ object SparkEntry {
     TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges)
   }
 
+  // ---- training-data pipeline: count-min sketch frequency estimates -----
+  // 4×32 portable-hash CMS over the corpus words; the 15 exact-top words
+  // get sketch estimates next to their true counts (estimate >= exact
+  // always — CMS can only over-count; width 32 vs ~30 word types makes
+  // 2 of 15 collide so both lanes are exercised). Sketch shuffle is
+  // bounded at depth×width rows per mapper regardless of corpus size.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val (depth, width) = (4, 32)
+    val words = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    val sk = graft.functions.CountMin.sketch(words, "word", depth, width)
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("word").asc).limit(15)
+    graft.functions.CountMin.estimate(sk, top, "word", depth, width)
+      .withColumn("overestimated", col("cms_estimate") > col("exact_count"))
+      .select("word", "exact_count", "cms_estimate", "overestimated")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2365,6 +2384,7 @@ object SparkEntry {
     "q142_snapshot_at" -> (q142 _),
     "q143_bpe_merges" -> (q143 _),
     "q144_bpe_encode" -> (q144 _),
+    "q145_cms_estimate" -> (q145 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5221,6 +5241,36 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // CMS replay: the portable seeded hashes rebuild the same 4x32
+    // counter matrix; estimates are the row-wise minimum.
+    "q145_cms_estimate" ->
+      """WITH words AS (
+        |  SELECT tok AS word FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |sk AS (
+        |  SELECT i.range AS row,
+        |    ('0x' || substr(md5('cms' || i.range || '_' || word), 1, 15))
+        |      ::BIGINT % 32 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM words, range(4) i GROUP BY 1, 2),
+        |top AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM words
+        |  GROUP BY word ORDER BY exact_count DESC, word ASC LIMIT 15),
+        |tb AS (
+        |  SELECT t.word, t.exact_count, i.range AS row,
+        |    ('0x' || substr(md5('cms' || i.range || '_' || t.word), 1, 15))
+        |      ::BIGINT % 32 AS bucket
+        |  FROM top t, range(4) i),
+        |est AS (
+        |  SELECT word, exact_count,
+        |    CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_estimate
+        |  FROM tb LEFT JOIN sk s USING (row, bucket)
+        |  GROUP BY 1, 2)
+        |SELECT word, exact_count, cms_estimate,
+        |  cms_estimate > exact_count AS overestimated
+        |FROM est""".stripMargin,
     // BPE encode: the q143 training chain re-derived, then the five
     // merges replayed over every document's words (nested list_reduce
     // folds), scalar outputs (counts + prefix).

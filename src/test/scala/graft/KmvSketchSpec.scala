@@ -86,4 +86,30 @@ class KmvSketchSpec extends SparkSpec {
       } else assert(est == exact.toDouble)
     }
   }
+
+  test("CountMin never under-estimates; wide sketch is exact; partition-stable") {
+    import graft.functions.CountMin
+    // 40 skewed keys: key i appears i+1 times
+    val rows = (0 until 40).flatMap(i => Seq.fill(i + 1)(s"k$i"))
+    val df = rows.toDF("key")
+    val keys = rows.distinct.toDF("key")
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    def estimates(depth: Int, width: Int, parts: Int): Map[String, Long] = {
+      val sk = CountMin.sketch(df.repartition(parts), "key", depth, width)
+      CountMin.estimate(sk, keys, "key", depth, width)
+        .as[(String, Long)].collect().toMap
+    }
+    // narrow sketch: collisions happen but NEVER an under-estimate
+    val narrow = estimates(4, 8, 3)
+    exact.foreach { case (k, n) =>
+      assert(narrow(k) >= n, s"$k under-estimated: ${narrow(k)} < $n")
+    }
+    assert(exact.exists { case (k, n) => narrow(k) > n },
+      "8-wide sketch over 40 keys should collide somewhere")
+    // wide sketch: 4 independent rows over 2048 buckets -> exact here
+    val wide = estimates(4, 2048, 3)
+    exact.foreach { case (k, n) => assert(wide(k) == n) }
+    // counters commute: partitioning can't change any estimate
+    assert(estimates(4, 8, 13) == narrow)
+  }
 }
