@@ -2234,6 +2234,13 @@ object SparkEntry {
       .select("word", "exact_count", "cms_estimate", "overestimated")
   }
 
+  // ---- analytics: ordered-step funnel ------------------------------------
+  // view -> click -> purchase within 72h of the first view, greedy-
+  // earliest chain per user; one exchange, three stacked windows.
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    operators.WindowOps.funnel(t(s, dir, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), within = "72 hours")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2385,6 +2392,7 @@ object SparkEntry {
     "q143_bpe_merges" -> (q143 _),
     "q144_bpe_encode" -> (q144 _),
     "q145_cms_estimate" -> (q145 _),
+    "q146_funnel" -> (q146 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5241,6 +5249,32 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // Funnel replay: per-user chained conditional minima (step i > step
+    // i-1, all within 72h of step 1), joined step by step.
+    "q146_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS step1_ts
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND e.ts > s1.step1_ts
+        |             AND e.ts <= s1.step1_ts + INTERVAL 72 HOUR
+        |        THEN e.ts END) AS step2_ts
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND e.ts > s2.step2_ts
+        |             AND e.ts <= s1.step1_ts + INTERVAL 72 HOUR
+        |        THEN e.ts END) AS step3_ts
+        |  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  GROUP BY 1)
+        |SELECT user_id, step1_ts, step2_ts, step3_ts,
+        |  CAST((CASE WHEN step1_ts IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN step2_ts IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN step3_ts IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS steps_completed
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin,
     // CMS replay: the portable seeded hashes rebuild the same 4x32
     // counter matrix; estimates are the row-wise minimum.
     "q145_cms_estimate" ->

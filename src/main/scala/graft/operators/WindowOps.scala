@@ -151,4 +151,44 @@ object WindowOps {
         abs(dPrev) > threshold && abs(dNext) > threshold &&
         (dPrev * dNext < 0))
   }
+
+  /** Ordered-step funnel: per key, the earliest chain of `steps` event
+    * types where each step happens STRICTLY after the previous one and
+    * every step lands within `within` of step 1 — the product-analytics
+    * conversion primitive (signup → activate → purchase), greedy-earliest
+    * semantics so the result is a pure function of the data (step i's
+    * timestamp is the minimum eligible instant given steps 1..i−1).
+    * Tied timestamps intentionally do NOT chain (strict `>`), keeping
+    * every step value a well-defined min.
+    *
+    * Scale shape: ONE hash exchange on the key. Each step is a per-key
+    * window minimum whose condition references the previous step's
+    * column, so Catalyst stacks the k Window operators over the SAME
+    * partitioning (no re-shuffle — the q117 shared-clustering shape),
+    * and the final per-key collapse reuses that partitioning too
+    * (plan-asserted: exactly one exchange).
+    *
+    * Output: one row per key — step{i}_ts for each step +
+    * `steps_completed`. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String], within: String): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val w = Window.partitionBy(col(keyCol))
+    val names = steps.indices.map(i => s"step${i + 1}_ts")
+    var cur = df.select(col(keyCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s &&
+          col(tsCol) > col(names(i - 1)) &&
+          col(tsCol) <= col(names.head) + expr(s"INTERVAL $within")
+      cur = cur.withColumn(names(i), min(when(cond, col(tsCol))).over(w))
+    }
+    val agg = names.map(n => min(col(n)).as(n))
+    cur.groupBy(col(keyCol))
+      .agg(agg.head, agg.tail: _*)
+      .withColumn("steps_completed",
+        names.map(n => when(col(n).isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("long"))
+  }
 }

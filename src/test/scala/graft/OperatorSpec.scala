@@ -285,6 +285,34 @@ class OperatorSpec extends SparkSpec {
     assert(out(1).isNullAt(1)) // 1/2 = 0.5 <= 0.7
   }
 
+  test("WindowOps.funnel: chain order, window expiry, tied-ts no-chain") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "C"),
+      // user 2: C before B -> stops after A, B (C never strictly after B)
+      (2L, ts(1), "A"), (2L, ts(3), "B"), (2L, ts(2), "C"),
+      // user 3: B outside the 3-minute window of A
+      (3L, ts(1), "A"), (3L, ts(10), "B"), (3L, ts(11), "C"),
+      // user 4: B tied with A must NOT chain (strict >)
+      (4L, ts(1), "A"), (4L, ts(1), "B"),
+      // user 5: never starts
+      (5L, ts(2), "B"), (5L, ts(3), "C"))
+      .toDF("user_id", "ts", "event_type")
+    val out = operators.WindowOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), within = "3 minutes")
+      .orderBy("user_id")
+      .select("user_id", "steps_completed")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 0L)))
+    // greedy-earliest: user 1's step timestamps are the minima
+    val r1 = operators.WindowOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), within = "3 minutes")
+      .where(col("user_id") === 1L).collect()(0)
+    assert(r1.getTimestamp(1) == ts(1) && r1.getTimestamp(2) == ts(2) &&
+      r1.getTimestamp(3) == ts(3))
+  }
+
   test("WindowOps.runLengths encodes runs with null-safe boundaries") {
     val df = Seq((1, 1, true), (1, 2, true), (1, 3, false), (1, 4, true))
       .toDF("k", "seq", "f")

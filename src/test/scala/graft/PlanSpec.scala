@@ -260,6 +260,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q146 funnel: all step windows + final collapse share ONE exchange") {
+    val p = plan("q146_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 3, p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
