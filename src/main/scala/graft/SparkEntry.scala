@@ -12,6 +12,7 @@ import graft.text.TextAnalysis
 import graft.operators.{Allocation, Dedup, Harvest, Reshape, TemporalOps, WindowOps}
 import graft.graph.{CalcForest, ConnectedComponents}
 import graft.linkage.Linkage
+import graft.checks.Profile
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2241,6 +2242,17 @@ object SparkEntry {
     operators.WindowOps.funnel(t(s, dir, "events"), "user_id", "ts",
       "event_type", Seq("view", "click", "purchase"), within = "72 hours")
 
+  // ---- checks: single-pass table profile ---------------------------------
+  // One scan + one aggregate profiles five orders columns: nulls, KMV
+  // distinct estimates (portable family -> oracle-replayable; the double
+  // column is excluded because double->string renderings differ across
+  // engines), typed min/max. Never a multi-count(distinct) Expand.
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    Profile.profileTable(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority"),
+      k = 256, family = graft.functions.PortableHashFamily)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2393,6 +2405,7 @@ object SparkEntry {
     "q144_bpe_encode" -> (q144 _),
     "q145_cms_estimate" -> (q145 _),
     "q146_funnel" -> (q146 _),
+    "q147_profile" -> (q147 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5248,6 +5261,37 @@ object SparkEntry {
              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
+    },
+    // Profile replay: per column, null counts + the q115 KMV estimate
+    // formula + typed min/max, one UNION ALL branch per column.
+    "q147_profile" -> {
+      val kmv = (c: String) =>
+        s"""h_$c AS (
+           |  SELECT DISTINCT ('0x' || substr(md5($c::VARCHAR), 1, 15))::BIGINT AS hv
+           |  FROM orders WHERE $c IS NOT NULL),
+           |r_$c AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h_$c),
+           |s_$c AS (SELECT count(*) FILTER (WHERE rn <= 256) AS n,
+           |           max(hv) FILTER (WHERE rn = 256) AS kth FROM r_$c)""".stripMargin
+      val branch = (c: String, num: Boolean) =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM orders) AS n_nulls,
+           |  (SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+           |     ELSE 255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
+           |   FROM s_$c) AS n_distinct_est,
+           |  ${if (num) s"(SELECT CAST(min($c) AS DOUBLE) FROM orders)"
+              else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |  ${if (num) s"(SELECT CAST(max($c) AS DOUBLE) FROM orders)"
+              else "CAST(NULL AS DOUBLE)"} AS max_num,
+           |  ${if (num) "CAST(NULL AS VARCHAR)"
+              else s"(SELECT CAST(min($c) AS VARCHAR) FROM orders)"} AS min_str,
+           |  ${if (num) "CAST(NULL AS VARCHAR)"
+              else s"(SELECT CAST(max($c) AS VARCHAR) FROM orders)"} AS max_str""".stripMargin
+      val cols = Seq("o_orderkey" -> true, "o_custkey" -> true,
+        "o_orderstatus" -> false, "o_orderdate" -> false,
+        "o_orderpriority" -> false)
+      ("WITH " + cols.map(c => kmv(c._1)).mkString(",\n") + "\n"
+        + cols.map(c => branch(c._1, c._2)).mkString("\nUNION ALL\n"))
     },
     // Funnel replay: per-user chained conditional minima (step i > step
     // i-1, all within 72h of step 1), joined step by step.

@@ -40,9 +40,13 @@ object XxHashFamily extends HashFamily {
   def bits: Int = 64
   def base(c: Column): Column = c
   def derive(seed: Int, base: Column): Column = hash(seed, base)
-  /** Sign bit masked off (abs() would overflow on Long.MinValue). */
+  /** Sign bit masked off (abs() would overflow on Long.MinValue). NULL in
+    * → NULL out (xxhash64 alone hashes NULL to the seed, which would
+    * smuggle a phantom distinct value into every sketch over a nullable
+    * column — the portable family's md5 is already NULL-propagating). */
   def kmvValue(c: Column): Column =
-    xxhash64(c).bitwiseAND(lit(Long.MaxValue))
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(c).bitwiseAND(lit(Long.MaxValue)))
   def kmvScale: Double = 9.223372036854776e18 // 2^63
 }
 

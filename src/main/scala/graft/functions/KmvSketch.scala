@@ -30,12 +30,16 @@ import org.apache.spark.sql.functions.udaf
   * smallest distinct hashes.
   */
 class KmvAgg(k: Int, scale: Double = KmvSketch.Two60)
-    extends Aggregator[Long, Array[Long], Double] {
+    extends Aggregator[java.lang.Long, Array[Long], Double] {
   require(k >= 2, "k must be >= 2")
 
   override def zero: Array[Long] = Array.empty
 
-  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+  override def reduce(b: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    // NULL input (null value, or a NULL-propagating hash of one) adds
+    // nothing — a sketch over a nullable column must not count a phantom
+    if (boxed == null) return b
+    val h = boxed.longValue()
     val pos = java.util.Arrays.binarySearch(b, h)
     if (pos >= 0) b                           // already present
     else {
@@ -87,10 +91,12 @@ class KmvAgg(k: Int, scale: Double = KmvSketch.Two60)
   * top-k-minimum hash is inside its part's top-k, so the merged sketch
   * equals the sketch of the union (proved exactly by the q116 oracle,
   * which replays the two-level rollup with the single-pass formula). */
-class KmvStateOut(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+class KmvStateOut(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   private val inner = new KmvAgg(k)
   override def zero: Array[Long] = inner.zero
-  override def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+  override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] =
+    inner.reduce(b, h)
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
   override def finish(b: Array[Long]): Array[Long] = b
   override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
@@ -126,7 +132,7 @@ object KmvSketch {
     * scale); only the portable one is oracle-checkable bit-for-bit. */
   def apply(c: Column, k: Int,
             family: HashFamily = XxHashFamily): Column = {
-    val agg = udaf(new KmvAgg(k, family.kmvScale), Encoders.scalaLong)
+    val agg = udaf(new KmvAgg(k, family.kmvScale), Encoders.LONG)
     agg(family.kmvValue(c))
   }
 
@@ -135,7 +141,7 @@ object KmvSketch {
     * THE SAME FAMILY (sketches from different families don't mix). */
   def state(c: Column, k: Int,
             family: HashFamily = XxHashFamily): Column = {
-    val agg = udaf(new KmvStateOut(k), Encoders.scalaLong)
+    val agg = udaf(new KmvStateOut(k), Encoders.LONG)
     agg(family.kmvValue(c))
   }
 

@@ -266,6 +266,15 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 3, p)
   }
 
+  test("q147 profile: one scan, one aggregate, never an Expand") {
+    val p = plan("q147_profile")
+    // multi-count(distinct) would compile to Expand (row × #distinct-aggs
+    // blowup); the KMV-based profile must not
+    assert(!p.contains("Expand"), p)
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ObjectHashAggregate"), p) // KMV imperative agg
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the

@@ -71,4 +71,23 @@ class SchemaChecksSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.schema("id").dataType == LongType)
   }
+
+  test("Profile.profileTable: nulls, exact small distincts, typed min/max") {
+    import graft.checks.Profile
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("a")),
+      (None, Some("x")), (Some(5L), Some("b")))
+      .toDF("num", "str")
+    val out = Profile.profileTable(df, Seq("num", "str"))
+      .orderBy("column").collect()
+    val num = out(0); val str = out(1)
+    assert(num.getString(0) == "num" && num.getLong(1) == 5 &&
+      num.getLong(2) == 1)        // one null
+    assert(num.getDouble(3) == 3.0) // {1,2,5} — exact below sketch size
+    assert(num.getDouble(4) == 1.0 && num.getDouble(5) == 5.0)
+    assert(num.isNullAt(6) && num.isNullAt(7)) // numeric: no string lane
+    assert(str.getLong(2) == 1 && str.getDouble(3) == 3.0) // {x,a,b}
+    assert(str.isNullAt(4) && str.isNullAt(5))
+    assert(str.getString(6) == "a" && str.getString(7) == "x")
+  }
 }
