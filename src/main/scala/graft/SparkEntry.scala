@@ -2253,6 +2253,24 @@ object SparkEntry {
         "o_orderpriority"),
       k = 256, family = graft.functions.PortableHashFamily)
 
+  // ---- graph: integer-quantized PageRank ---------------------------------
+  // Customer–supplier bipartite graph from distinct (custkey, suppkey)
+  // trade pairs, both directions; 3 exact-integer rank iterations, top-20.
+  // Every update is integer DIV, so the full trace replays in SQL.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.graph.PageRank.run(edges, iters = 3)
+      .orderBy(col("rank").desc, col("node").asc).limit(20)
+      .withColumn("node_type",
+        when(col("node") >= 1000000L, lit("supplier")).otherwise(lit("customer")))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2406,6 +2424,7 @@ object SparkEntry {
     "q145_cms_estimate" -> (q145 _),
     "q146_funnel" -> (q146 _),
     "q147_profile" -> (q147 _),
+    "q148_pagerank" -> (q148 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5261,6 +5280,37 @@ object SparkEntry {
              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
+    },
+    // PageRank replay: 3 unrolled integer-DIV iterations over the
+    // bipartite trade graph; 150000 = (1-d)*scale with d = 85/100.
+    "q148_pagerank" -> {
+      val it = (i: Int) => {
+        val j = i - 1
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum(r.rank // e.deg) AS inc
+           |  FROM e JOIN r$j r ON r.node = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.node,
+           |    150000 + (85 * coalesce(c.inc, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+      }
+      ("""WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e0 AS (
+        |  SELECT cust AS src, supp AS dst FROM pairs
+        |  UNION ALL SELECT supp, cust FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM e0
+        |          UNION SELECT DISTINCT dst FROM e0),
+        |r0 AS (SELECT node, 1000000 AS rank FROM nodes),
+        |""".stripMargin
+        + (1 to 3).map(it).mkString(",\n") + "\n"
+        + """SELECT node, CAST(rank AS BIGINT) AS rank,
+        |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+        |    AS node_type
+        |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin)
     },
     // Profile replay: per column, null counts + the q115 KMV estimate
     // formula + typed min/max, one UNION ALL branch per column.

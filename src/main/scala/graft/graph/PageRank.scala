@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page, *The Anatomy of a Large-Scale Hypertextual Web
+  * Search Engine*, WWW'98) with a fixed iteration count and EXACT integer
+  * arithmetic — the graph-centrality companion to the connected-components
+  * family ([[ConnectedComponents]]).
+  *
+  * Ranks are integer-quantized (scale 10⁶) and every update is integer
+  * division: `r' = (1−d)·scale + (d_num · Σ_incoming (r_u DIV deg_u))
+  * DIV d_den` with d = d_num/d_den. No float summation anywhere, so the
+  * result is independent of partitioning/merge order and replayable
+  * bit-for-bit by the SQL oracle as unrolled iteration CTEs (the same
+  * portable-iteration trick as semDedup's Lloyd's and q143's BPE rounds).
+  *
+  * Scale shape: the standard PageRank-on-Spark loop — per iteration ONE
+  * join of the rank frame onto the edge list (hash-partitioned by src)
+  * and ONE aggregation by dst; degree is computed once and carried on the
+  * edge. State is the rank frame (one row per node). Iterations are a
+  * fixed small constant (rank stabilizes geometrically in d), so lineage
+  * stays bounded; for long chains, checkpoint every ~10 rounds like
+  * [[ConnectedComponents.runStars]].
+  *
+  * Dangling nodes (no out-edges) simply leak their rank mass — the
+  * documented simple variant; nodes not present in the edge list are not
+  * ranked. `edges` is DIRECTED (src → dst); pass both directions for an
+  * undirected graph. */
+object PageRank {
+
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+          dNum: Int = 85, dDen: Int = 100): DataFrame = {
+    require(iters >= 1 && scale >= 1 && dDen >= 1 && dNum >= 0 &&
+      dNum <= dDen, "need iters >= 1, 0 <= dNum <= dDen")
+    // materialize the loop-invariant frames ONCE — the lazy form would
+    // re-derive the edge build (scans, joins, distinct) on every
+    // iteration's reference; blocks are released by the harness's
+    // SessionHygiene between queries (the runStars lifecycle)
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank DIV deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((dDen - dNum).toLong * scale / dDen) +
+            expr(s"($dNum * coalesce(__in, 0)) DIV $dDen")).as("rank"))
+    }
+    ranks
+  }
+}

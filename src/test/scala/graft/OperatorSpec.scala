@@ -167,6 +167,25 @@ class OperatorSpec extends SparkSpec {
     assert(m("a") == 25.0 && m("b") == 75.0 && m("c") == 30.0 && m("d") == 30.0)
   }
 
+  test("PageRank: hand-computed star graph, integer-exact, partition-stable") {
+    // undirected star 0—{1,2,3}: deg(0)=3, deg(leaf)=1
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def ranks(iters: Int, parts: Int) =
+      graft.graph.PageRank.run(edges.repartition(parts), iters)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    // iter 1: r(0) = 150000 + 85·(3·1000000 div 1) div 100 = 2700000
+    //         r(leaf) = 150000 + 85·(1000000 div 3) div 100 = 433333
+    assert(ranks(1, 2) == Seq((0L, 2700000L), (1L, 433333L),
+      (2L, 433333L), (3L, 433333L)))
+    // iter 2: r(0) = 150000 + 85·(3·433333) div 100 = 1254999
+    //         r(leaf) = 150000 + 85·(2700000 div 3) div 100 = 915000
+    assert(ranks(2, 2) == Seq((0L, 1254999L), (1L, 915000L),
+      (2L, 915000L), (3L, 915000L)))
+    // exact integer arithmetic: any partitioning, same bits
+    assert(ranks(2, 7) == ranks(2, 2))
+  }
+
   test("ConnectedComponents: distributed loop equals driver union-find") {
     import org.apache.spark.sql.functions.col
     // chain + triangle + isolated edge across several components

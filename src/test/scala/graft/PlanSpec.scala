@@ -275,6 +275,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p) // KMV imperative agg
   }
 
+  test("q148 PageRank: equi-joins only, distributed top-k") {
+    val p = plan("q148_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
