@@ -2271,6 +2271,16 @@ object SparkEntry {
         when(col("node") >= 1000000L, lit("supplier")).otherwise(lit("customer")))
   }
 
+  // ---- checks: exact Pearson correlation matrix --------------------------
+  // All 6 pairs over 4 lineitem measures in one scan/one aggregate;
+  // moments are exact decimal sums of integer-quantized values, so the
+  // result is partition-order independent and SQL-replayable (unlike
+  // the built-in float corr).
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Profile.correlationMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
+        "l_discount" -> 100, "l_tax" -> 100))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2425,6 +2435,7 @@ object SparkEntry {
     "q146_funnel" -> (q146 _),
     "q147_profile" -> (q147 _),
     "q148_pagerank" -> (q148 _),
+    "q149_corr_matrix" -> (q149 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5280,6 +5291,34 @@ object SparkEntry {
              |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
+    },
+    // Correlation replay: HUGEINT exact moment sums (the decimal(38,0)
+    // twin), then the same fixed double sequence per pair.
+    "q149_corr_matrix" -> {
+      val cols = Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
+        "l_discount" -> 100, "l_tax" -> 100)
+      val qz = cols.map { case (c, s) =>
+        c -> s"CAST(round(CAST($c AS DOUBLE) * $s) AS HUGEINT)"
+      }.toMap
+      val moments = Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        cols.flatMap { case (c, _) =>
+          Seq(s"sum(${qz(c)}) AS s_$c", s"sum(${qz(c)} * ${qz(c)}) AS q_$c")
+        } ++
+        cols.map(_._1).combinations(2).toSeq.map { case Seq(a, b) =>
+          s"sum(${qz(a)} * ${qz(b)}) AS p_${a}_$b"
+        }
+      val pair = (a: String, b: String) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  CAST(n AS BIGINT) AS n_rows,
+           |  CASE WHEN CAST(n*q_$a - s_$a*s_$a AS DOUBLE) > 0
+           |        AND CAST(n*q_$b - s_$b*s_$b AS DOUBLE) > 0
+           |       THEN round(CAST(n*p_${a}_$b - s_$a*s_$b AS DOUBLE)
+           |         / sqrt(CAST(n*q_$a - s_$a*s_$a AS DOUBLE)
+           |              * CAST(n*q_$b - s_$b*s_$b AS DOUBLE)), 6)
+           |  END AS corr FROM m""".stripMargin
+      ("WITH m AS (SELECT " + moments.mkString(", ") + " FROM lineitem)\n"
+        + cols.map(_._1).combinations(2).toSeq
+          .map { case Seq(a, b) => pair(a, b) }.mkString("\nUNION ALL\n"))
     },
     // PageRank replay: 3 unrolled integer-DIV iterations over the
     // bipartite trade graph; 150000 = (1-d)*scale with d = 85/100.

@@ -64,4 +64,55 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — exact
+    * and engine-replayable: each column is integer-quantized
+    * (`round(x·scale)`) and every moment (Σx, Σx², Σxy) is summed as
+    * `decimal(38,0)` — EXACT integer addition, immune to float
+    * summation order (the built-in `corr` aggregates doubles and drifts
+    * in the last ulp across partitionings). The classical identity
+    * `r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))` then runs as
+    * ONE fixed sequence of double ops on identical integers, rounded at
+    * the end. Pearson is scale-invariant, so per-column quantization
+    * scales don't bias r — they only set the decimal grid the exact
+    * sums live on.
+    *
+    * Scale shape: ONE scan + ONE aggregate for all
+    * `#cols·(#cols+3)/2` moments (bounded state, no per-pair passes);
+    * the pair pivot is an `explode` over the single aggregated row.
+    * Output: (col_a, col_b, n_rows, corr) for each unordered pair,
+    * `corr` rounded to `roundTo`. Rows with a NULL in either column are
+    * the caller's concern (quantized NULLs poison the exact sums —
+    * filter first); constant columns yield NULL corr (zero variance). */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Int)],
+                        roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.forall(_._2 >= 1), "scales must be >= 1")
+    def q(c: String, s: Int): Column =
+      round(col(c).cast("double") * s).cast("decimal(38,0)")
+    val names = cols.map(_._1)
+    val sums: Seq[Column] = count(lit(1)).as("__n") +:
+      (cols.flatMap { case (c, s) =>
+        Seq(sum(q(c, s)).as(s"__s_$c"),
+          sum(q(c, s) * q(c, s)).as(s"__q_$c"))
+      } ++
+      cols.combinations(2).toSeq.map { case Seq((a, sa), (b, sb)) =>
+        sum(q(a, sa) * q(b, sb)).as(s"__p_${a}_$b")
+      })
+    val one = df.agg(sums.head, sums.tail: _*)
+    val n = col("__n").cast("decimal(38,0)")
+    val pairs = names.combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = (n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+        .cast("double")
+      val da = (n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a"))
+        .cast("double")
+      val db = (n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b"))
+        .cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n_rows"),
+        when(da > 0 && db > 0,
+          round(num / sqrt(da * db), roundTo)).as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("__c")).select(col("__c.*"))
+  }
 }

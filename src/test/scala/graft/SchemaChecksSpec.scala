@@ -90,4 +90,27 @@ class SchemaChecksSpec extends SparkSpec {
     assert(str.isNullAt(4) && str.isNullAt(5))
     assert(str.getString(6) == "a" && str.getString(7) == "x")
   }
+
+  test("Profile.correlationMatrix: exact signs, constants null, bit-stable") {
+    import graft.checks.Profile
+    val df = (1 to 200).map { i =>
+      (i.toDouble, 2.0 * i + 5, -3.0 * i, 7.0, (i % 7).toDouble)
+    }.toDF("x", "y_pos", "y_neg", "const", "mod")
+    val cols = Seq("x" -> 10, "y_pos" -> 10, "y_neg" -> 10,
+      "const" -> 10, "mod" -> 10)
+    val out = Profile.correlationMatrix(df, cols)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "y_pos")).contains(1.0))   // perfect linear
+    assert(out(("x", "y_neg")).contains(-1.0))  // perfect inverse
+    assert(out(("x", "const")).isEmpty)         // zero variance -> NULL
+    // agrees with Spark's float corr within rounding
+    val ref = df.agg(corr(col("x"), col("mod"))).head().getDouble(0)
+    assert(math.abs(out(("x", "mod")).get - ref) < 1e-6)
+    // exact integer moments: repartition cannot move a single bit
+    val out13 = Profile.correlationMatrix(df.repartition(13), cols)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out13 == out)
+  }
 }
