@@ -2281,6 +2281,18 @@ object SparkEntry {
       Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
         "l_discount" -> 100, "l_tax" -> 100))
 
+  // ---- checks: PSI distribution-drift report -----------------------------
+  // Reference = first half of January, current = second half with half of
+  // its error events dropped (planted drift); PSI per event_type bucket
+  // + total, add-one smoothed, exact integer counts.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ref = ev.where(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val cur = ev.where(col("ts") >= lit("2024-01-16").cast("timestamp"))
+      .where(!(col("event_type") === "error" && col("event_id") % 2 === 0))
+    Profile.psiDrift(ref, cur, "event_type")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2436,6 +2448,7 @@ object SparkEntry {
     "q147_profile" -> (q147 _),
     "q148_pagerank" -> (q148 _),
     "q149_corr_matrix" -> (q149 _),
+    "q150_psi_drift" -> (q150 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5292,6 +5305,37 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // PSI replay: per-side counts, full-outer bucket join, add-one
+    // smoothing over the union bucket count, same double sequence.
+    "q150_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type AS bucket, CAST(count(*) AS BIGINT) AS ref_cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  GROUP BY 1),
+        |cur AS (
+        |  SELECT event_type AS bucket, CAST(count(*) AS BIGINT) AS cur_cnt
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |    AND NOT (event_type = 'error' AND event_id % 2 = 0)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ref.bucket, cur.bucket) AS bucket,
+        |    coalesce(ref_cnt, 0) AS ref_cnt, coalesce(cur_cnt, 0) AS cur_cnt
+        |  FROM ref FULL JOIN cur ON ref.bucket = cur.bucket),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b,
+        |    CAST(sum(ref_cnt) AS BIGINT) AS rt,
+        |    CAST(sum(cur_cnt) AS BIGINT) AS ct
+        |  FROM j),
+        |c AS (
+        |  SELECT bucket, ref_cnt, cur_cnt,
+        |    CAST(ref_cnt + 1 AS DOUBLE) / CAST(rt + b AS DOUBLE) AS p,
+        |    CAST(cur_cnt + 1 AS DOUBLE) / CAST(ct + b AS DOUBLE) AS q
+        |  FROM j, t)
+        |SELECT bucket, ref_cnt, cur_cnt,
+        |  round(p, 6) AS ref_p, round(q, 6) AS cur_p,
+        |  round((p - q) * ln(p / q), 6) AS psi_contrib,
+        |  round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+        |FROM c""".stripMargin,
     // Correlation replay: HUGEINT exact moment sums (the decimal(38,0)
     // twin), then the same fixed double sequence per pair.
     "q149_corr_matrix" -> {

@@ -115,4 +115,43 @@ object Profile {
     }
     one.select(explode(array(pairs: _*)).as("__c")).select(col("__c.*"))
   }
+
+  /** Population Stability Index drift report between a reference and a
+    * current snapshot of the same bucketed column — the standard
+    * distribution-shift monitor for features and corpus mixes
+    * (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 significant by the usual banking-scorecards convention).
+    *
+    * Determinism: proportions use add-one smoothing over the UNION of
+    * observed buckets — `p = (cnt+1)/(total+B)` with B the bucket count
+    * — so empty buckets never divide by zero or ln(0), and every value
+    * is one fixed sequence of double ops on exact integers; the per-
+    * bucket contribution and total are rounded to `roundTo`.
+    *
+    * Scale shape: one count aggregate per side (map-side partials,
+    * bucket-cardinality output), a full-outer join on the bucket key,
+    * and a bucket-count window for the total — all on frames the size
+    * of the bucket space, never the data. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, bucketCol: String,
+               roundTo: Int = 6): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val joined = counts(ref, "ref_cnt")
+      .join(counts(cur, "cur_cnt"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val b = count(lit(1)).over(w)
+    val refTot = sum(col("ref_cnt")).over(w)
+    val curTot = sum(col("cur_cnt")).over(w)
+    val p = (col("ref_cnt") + 1).cast("double") / (refTot + b).cast("double")
+    val q = (col("cur_cnt") + 1).cast("double") / (curTot + b).cast("double")
+    val contrib = (p - q) * log(p / q)
+    joined
+      .withColumn("ref_p", round(p, roundTo))
+      .withColumn("cur_p", round(q, roundTo))
+      .withColumn("psi_contrib", round(contrib, roundTo))
+      .withColumn("psi_total", round(sum(contrib).over(w), roundTo))
+  }
 }

@@ -113,4 +113,28 @@ class SchemaChecksSpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(out13 == out)
   }
+
+  test("Profile.psiDrift: identical dists ~0, planted shift detected, empty buckets safe") {
+    import graft.checks.Profile
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    // same distribution -> PSI ≈ 0 (add-one smoothing keeps it tiny)
+    val same = Profile.psiDrift(ref, ref, "k")
+      .select("psi_total").head().getDouble(0)
+    assert(math.abs(same) < 1e-9, s"same-dist PSI = $same")
+    // planted shift: 'c' disappears, 'd' appears -> full-outer bucket
+    // union, zero-count lanes smoothed, PSI well over the 0.25 alarm bar
+    val cur = (Seq.fill(20)("a") ++ Seq.fill(30)("b") ++ Seq.fill(50)("d"))
+      .toDF("k")
+    val drift = Profile.psiDrift(ref, cur, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(drift.keySet == Set("a", "b", "c", "d"))
+    assert(drift("c").getLong(2) == 0L && drift("d").getLong(1) == 0L)
+    assert(drift("a").getDouble(6) > 0.25, "planted drift not flagged")
+    // hand-check one contribution: bucket b is 30/104 on both sides
+    val pb = 31.0 / 104.0
+    assert(drift("b").getDouble(5) ==
+      BigDecimal((pb - pb) * math.log(pb / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
