@@ -2293,6 +2293,13 @@ object SparkEntry {
     Profile.psiDrift(ref, cur, "event_type")
   }
 
+  // ---- checks: per-group OLS trend fit -----------------------------------
+  // extendedprice ~ quantity per returnflag: one hash aggregation of
+  // exact decimal moments per group, closed-form slope/intercept/r².
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    Profile.olsByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
+      x = "l_quantity" -> 1, y = "l_extendedprice" -> 100)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2449,6 +2456,7 @@ object SparkEntry {
     "q148_pagerank" -> (q148 _),
     "q149_corr_matrix" -> (q149 _),
     "q150_psi_drift" -> (q150 _),
+    "q151_group_ols" -> (q151 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5305,6 +5313,39 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // OLS replay: HUGEINT moments per group, closed forms in the same
+    // double order; slope rescaled to original units by xs/ys = 1/100.
+    "q151_group_ols" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1) AS HUGEINT)) AS sx,
+        |    sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)) AS sy,
+        |    sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1) AS HUGEINT)
+        |      * CAST(round(CAST(l_quantity AS DOUBLE) * 1) AS HUGEINT)) AS sxx,
+        |    sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)
+        |      * CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)) AS syy,
+        |    sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1) AS HUGEINT)
+        |      * CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n_rows,
+        |    CAST(n_rows*sxx - sx*sx AS DOUBLE) AS dx,
+        |    CAST(n_rows*syy - sy*sy AS DOUBLE) AS dy,
+        |    CAST(n_rows*sxy - sx*sy AS DOUBLE) AS num,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT l_returnflag, n_rows,
+        |  CASE WHEN dx > 0
+        |    THEN round((num / dx) * (CAST(1 AS DOUBLE) / CAST(100 AS DOUBLE)), 6)
+        |  END AS slope,
+        |  CASE WHEN dx > 0
+        |    THEN round(((syd - (num / dx) * sxd) / CAST(n_rows AS DOUBLE))
+        |      / 100, 6)
+        |  END AS intercept,
+        |  CASE WHEN dx > 0 AND dy > 0
+        |    THEN round(num * num / (dx * dy), 6)
+        |  END AS r2
+        |FROM f""".stripMargin,
     // PSI replay: per-side counts, full-outer bucket join, add-one
     // smoothing over the union bucket count, same double sequence.
     "q150_psi_drift" ->

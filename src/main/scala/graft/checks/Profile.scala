@@ -116,6 +116,53 @@ object Profile {
     one.select(explode(array(pairs: _*)).as("__c")).select(col("__c.*"))
   }
 
+  /** Per-group ordinary-least-squares fit `y ≈ slope·x + intercept` with
+    * the same exact-moment machinery as [[correlationMatrix]]: per group
+    * ONE hash aggregation of integer-quantized decimal(38,0) sums (Σx,
+    * Σy, Σx², Σy², Σxy), then the closed forms run once per group as a
+    * fixed double sequence — partition-order independent, replayable.
+    * `slope`/`intercept` are reported on the ORIGINAL units (the
+    * quantization scales divide back out exactly — a power-of-ten ratio
+    * of the exact integer expressions). Output: keys + (n_rows, slope,
+    * intercept, r2), rounded; constant-x groups yield NULLs.
+    *
+    * Scale: one shuffle on the group key, O(1) state per group — the
+    * trend-per-entity pass (degradation slopes, price curves) at any
+    * group cardinality. */
+  def olsByGroup(df: DataFrame, keys: Seq[String],
+                 x: (String, Int), y: (String, Int),
+                 roundTo: Int = 6): DataFrame = {
+    require(keys.nonEmpty && x._2 >= 1 && y._2 >= 1,
+      "need keys and scales >= 1")
+    def qz(c: String, s: Int): Column =
+      round(col(c).cast("double") * s).cast("decimal(38,0)")
+    val (xc, xs) = x
+    val (yc, ys) = y
+    val g = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(qz(xc, xs)).as("__sx"), sum(qz(yc, ys)).as("__sy"),
+      sum(qz(xc, xs) * qz(xc, xs)).as("__sxx"),
+      sum(qz(yc, ys) * qz(yc, ys)).as("__syy"),
+      sum(qz(xc, xs) * qz(yc, ys)).as("__sxy"))
+    val n = col("n_rows").cast("decimal(38,0)")
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    // slope on quantized units is num/dx; original units multiply by
+    // xs/ys (exact power-of-ten ratio applied once)
+    val slopeQ = num / dx
+    val slope = slopeQ * (xs.toDouble / ys.toDouble)
+    val interceptQ = (col("__sy").cast("double") -
+      slopeQ * col("__sx").cast("double")) / col("n_rows").cast("double")
+    val intercept = interceptQ / ys
+    g.select(keys.map(col) ++ Seq(
+      col("n_rows"),
+      when(dx > 0, round(slope, roundTo)).as("slope"),
+      when(dx > 0, round(intercept, roundTo)).as("intercept"),
+      when(dx > 0 && dy > 0,
+        round(num * num / (dx * dy), roundTo)).as("r2")): _*)
+  }
+
   /** Population Stability Index drift report between a reference and a
     * current snapshot of the same bucketed column — the standard
     * distribution-shift monitor for features and corpus mixes

@@ -137,4 +137,23 @@ class SchemaChecksSpec extends SparkSpec {
       BigDecimal((pb - pb) * math.log(pb / pb))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("Profile.olsByGroup: exact line recovered, constant-x null lane") {
+    import graft.checks.Profile
+    val df = ((1 to 50).map(i => ("g1", i.toDouble, 3.5 * i + 2.0)) ++
+      (1 to 30).map(i => ("g2", i.toDouble, -0.25 * i + 10.0)) ++
+      (1 to 10).map(_ => ("g3", 7.0, 1.0)))
+      .toDF("g", "x", "y")
+    val out = Profile.olsByGroup(df, Seq("g"), "x" -> 100, "y" -> 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getDouble(2) == 3.5 && out("g1").getDouble(3) == 2.0 &&
+      out("g1").getDouble(4) == 1.0)
+    assert(out("g2").getDouble(2) == -0.25 && out("g2").getDouble(3) == 10.0)
+    assert(out("g3").isNullAt(2) && out("g3").isNullAt(4)) // zero variance
+    // exact moments: partitioning is bit-invariant
+    val out7 = Profile.olsByGroup(df.repartition(7), Seq("g"),
+        "x" -> 100, "y" -> 100)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(out7 == out.map { case (k, r) => k -> r.toSeq })
+  }
 }
