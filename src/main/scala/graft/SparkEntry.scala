@@ -2300,6 +2300,14 @@ object SparkEntry {
     Profile.olsByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
       x = "l_quantity" -> 1, y = "l_extendedprice" -> 100)
 
+  // ---- screens: EWMA smoother + deviation flag ---------------------------
+  // alpha = 1/4 over each user's event series; |x - ewma_prev| > 150
+  // flags spikes against the smoothed level (value sd ~ 49, so flags are
+  // the genuine tail). Sequential per-series fold in flatMapGroups.
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    operators.TimeseriesScreens.ewmaScreen(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "value", threshold = 150.0)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2457,6 +2465,7 @@ object SparkEntry {
     "q149_corr_matrix" -> (q149 _),
     "q150_psi_drift" -> (q150 _),
     "q151_group_ols" -> (q151 _),
+    "q152_ewma_screen" -> (q152 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5313,6 +5322,37 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // EWMA replay: per-series ordered fold via list_reduce (the q78
+    // flat-state pattern) in exact BIGINT micro-units — a float fold is
+    // not ulp-replayable across engines (FMA contraction), so the state
+    // is fixed-point by design: E' = (X + 3E + 2) // 4.
+    "q152_ewma_screen" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    list(struct_pack(ts := epoch_us(ts), id := event_id, v := value)
+        |      ORDER BY epoch_us(ts), event_id) AS arr
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT user_id, arr,
+        |    list_reduce(list_transform(arr,
+        |        s -> [CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)]),
+        |      (acc, x) -> acc ||
+        |        [(1 * x[1] + 3 * acc[len(acc)] + 2) // 4]) AS ew
+        |  FROM g),
+        |x AS (
+        |  SELECT user_id, arr, ew,
+        |    list_transform(arr,
+        |      s -> CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+        |  FROM e)
+        |SELECT user_id, arr[t.i].ts AS ts_us, arr[t.i].id AS event_id,
+        |  arr[t.i].v AS value,
+        |  CAST(ew[t.i] AS DOUBLE) / 1000000 AS ewma,
+        |  CASE WHEN t.i > 1
+        |    THEN CAST(xs[t.i] - ew[t.i-1] AS DOUBLE) / 1000000
+        |  END AS deviation,
+        |  CASE WHEN t.i > 1 THEN abs(xs[t.i] - ew[t.i-1]) > 150000000
+        |       ELSE false END AS flag_ewma
+        |FROM x, unnest(range(1, len(arr) + 1)) t(i)""".stripMargin,
     // OLS replay: HUGEINT moments per group, closed forms in the same
     // double order; slope rescaled to original units by xs/ys = 1/100.
     "q151_group_ols" ->

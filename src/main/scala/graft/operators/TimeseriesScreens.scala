@@ -351,4 +351,58 @@ object TimeseriesScreens {
       }
     }.toDF(keyCol, tsCol, valueCol, "flag_single_delta")
   }
+
+  /** EWMA smoother + deviation screen — the infinite-memory companion to
+    * the rolling-frame screens: `E₁ = X₁`, `E_t = (aN·X_t +
+    * (aD−aN)·E_{t−1} + aD/2) DIV aD` in FIXED-POINT micro-units
+    * (`X = round(value·10⁶)`), and a row is flagged when
+    * `|X_t − E_{t−1}| > threshold·10⁶`. The fixed-point state is the
+    * portability decision, learned the hard way: a float fold is NOT
+    * ulp-replayable across engines — DuckDB's vectorized `a·b + c`
+    * contracts to FMA, so its fold drifts one ulp from the JVM's and 4
+    * of 10k rows at sf0.01 rounded across a half boundary. Integer
+    * state makes every step exact on both engines by construction (the
+    * same trick as semDedup's Lloyd's and q148's DIV updates).
+    *
+    * No window frame can express the unbounded recursion (powers of
+    * (1−α) under/overflow any expanding rewrite), so each series folds
+    * sequentially inside `flatMapGroups` — the cluster parallelizes
+    * across series, the per-series scan is linear and local, the same
+    * distribution story as every screen here.
+    *
+    * Input: null-free, NON-NEGATIVE `valueCol` (the half-up integer
+    * division assumes a non-negative state; filter upstream). Output:
+    * (key, ts_us, id, value, ewma, deviation, flag_ewma) with
+    * ewma/deviation in original units on the 10⁻⁶ grid; `deviation` is
+    * NULL on each series' first row. */
+  def ewmaScreen(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, valueCol: String, threshold: Double,
+                 alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum <= alphaDen,
+      "need 0 < alphaNum/alphaDen <= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thrMicro = math.round(threshold * 1000000L)
+    val rows = df.select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol)), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val xs = it.toArray.sortBy(t => (t._2, t._3))
+      var prev = -1L // micro-units; values are non-negative by contract
+      xs.iterator.map { case (u, ts, id, v) =>
+        val x = math.round(v * 1000000L)
+        val first = prev < 0L
+        val e = if (first) x
+          else Math.floorDiv(
+            alphaNum * x + (alphaDen - alphaNum) * prev + alphaDen / 2,
+            alphaDen)
+        val dev = if (first) None else Some(x - prev)
+        prev = e
+        (u, ts, id, v, e / 1000000.0, dev.map(_ / 1000000.0),
+          dev.exists(d => math.abs(d) > thrMicro))
+      }
+    }.toDF(keyCol, "ts_us", idCol, valueCol, "ewma", "deviation",
+      "flag_ewma")
+  }
 }

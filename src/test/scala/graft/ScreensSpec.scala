@@ -161,4 +161,28 @@ class ScreensSpec extends SparkSpec {
       .collect().toSeq
     assert(out == cases.map(c => (c._2, c._3, c._4, c._5, c._6)))
   }
+
+  test("ewmaScreen: hand-computed fixed-point fold, flags, partition-stable") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // series: 4, 8, 8, 100 (spike), alpha=1/4, threshold=50
+    // micro: E1=4e6; E2=(8e6+3·4e6+2)//4=5e6; E3=(8e6+15e6+2)//4=5.75e6
+    //        E4=(100e6+17.25e6+2)//4=29312500 -> 29.3125
+    val df = Seq((1L, ts(1), 10L, 4.0), (1L, ts(2), 11L, 8.0),
+      (1L, ts(3), 12L, 8.0), (1L, ts(4), 13L, 100.0),
+      (2L, ts(1), 20L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    def run(parts: Int) = TimeseriesScreens.ewmaScreen(df.repartition(parts),
+        "user_id", "ts", "event_id", "value", threshold = 50.0)
+      .orderBy("user_id", "ts_us")
+      .select("user_id", "event_id", "ewma", "deviation", "flag_ewma")
+      .as[(Long, Long, Double, Option[Double], Boolean)].collect().toSeq
+    val out = run(2)
+    assert(out == Seq(
+      (1L, 10L, 4.0, None, false),
+      (1L, 11L, 5.0, Some(4.0), false),
+      (1L, 12L, 5.75, Some(3.0), false),
+      (1L, 13L, 29.3125, Some(94.25), true), // 100 - 5.75 > 50
+      (2L, 20L, 7.0, None, false)))          // singleton series
+    assert(run(7) == out) // integer state: partitioning is bit-invariant
+  }
 }
