@@ -2308,6 +2308,12 @@ object SparkEntry {
     operators.TimeseriesScreens.ewmaScreen(t(s, dir, "events"),
       "user_id", "ts", "event_id", "value", threshold = 150.0)
 
+  // ---- checks: chi-square independence + Cramér's V ----------------------
+  // lang × source association over documents: full R×C grid including
+  // never-observed cells (they still contribute E), bucket-space joins.
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    Profile.chiSquare(t(s, dir, "documents"), "lang", "source")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2466,6 +2472,7 @@ object SparkEntry {
     "q150_psi_drift" -> (q150 _),
     "q151_group_ols" -> (q151 _),
     "q152_ewma_screen" -> (q152 _),
+    "q153_chi_square" -> (q153 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5322,6 +5329,41 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // Chi-square replay: margins cross-joined to the full grid, same
+    // double sequence over exact counts.
+    "q153_chi_square" ->
+      """WITH obs AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(observed) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(observed) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(obs.observed, 0) AS observed
+        |  FROM ra CROSS JOIN cb LEFT JOIN obs USING (a, b)),
+        |t AS (
+        |  SELECT CAST(sum(observed) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS nb
+        |  FROM grid),
+        |c AS (
+        |  SELECT a, b, observed, ra, cb, n, na, nb,
+        |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
+        |    (CAST(observed AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(observed AS DOUBLE)
+        |      - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS ctr
+        |  FROM grid, t)
+        |SELECT a, b, observed, round(exp, 6) AS expected,
+        |  round(ctr, 6) AS contrib,
+        |  round(sum(ctr) OVER (), 6) AS chi2,
+        |  (na - 1) * (nb - 1) AS dof,
+        |  round(sqrt(sum(ctr) OVER ()
+        |    / (CAST(n AS DOUBLE) * CAST(least(na - 1, nb - 1) AS DOUBLE))), 6)
+        |    AS cramers_v,
+        |  n AS n_rows
+        |FROM c""".stripMargin,
     // EWMA replay: per-series ordered fold via list_reduce (the q78
     // flat-state pattern) in exact BIGINT micro-units — a float fold is
     // not ulp-replayable across engines (FMA contraction), so the state

@@ -163,6 +163,52 @@ object Profile {
         round(num * num / (dx * dy), roundTo)).as("r2")): _*)
   }
 
+  /** Chi-square test of independence + Cramér's V between two categorical
+    * columns — the association audit behind "is source a proxy for
+    * language" / feature-leakage checks. Observed counts are one hash
+    * aggregation; the FULL R×C grid (including never-observed cells,
+    * which still contribute E to the statistic) is the cross join of the
+    * two margin frames — bucket-space-sized, never data-sized. Expected
+    * counts and contributions are a fixed double sequence over exact
+    * integer counts, rounded at the end.
+    *
+    * Output: one row per grid cell (a, b, observed, expected, contrib)
+    * plus the same (chi2, dof, cramers_v, n_rows) totals on every row
+    * (window over the grid). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val ra = obs.groupBy(col("a")).agg(sum(col("observed")).as("__ra"))
+    val cb = obs.groupBy(col("b")).agg(sum(col("observed")).as("__cb"))
+    val grid = ra.crossJoin(cb)
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("observed"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // staged: window results materialize as columns before the chi2
+    // window reads them (window-over-window in one expression is illegal)
+    val cells = grid
+      .withColumn("__n", sum(col("observed")).over(w))
+      .withColumn("__nA", size(collect_set(col("a")).over(w)).cast("long"))
+      .withColumn("__nB", size(collect_set(col("b")).over(w)).cast("long"))
+      .withColumn("__exp", col("__ra").cast("double") *
+        col("__cb").cast("double") / col("__n").cast("double"))
+      .withColumn("__ctr",
+        (col("observed").cast("double") - col("__exp")) *
+          (col("observed").cast("double") - col("__exp")) / col("__exp"))
+    cells
+      .withColumn("__chi2", sum(col("__ctr")).over(w))
+      .select(col("a"), col("b"), col("observed"),
+        round(col("__exp"), roundTo).as("expected"),
+        round(col("__ctr"), roundTo).as("contrib"),
+        round(col("__chi2"), roundTo).as("chi2"),
+        ((col("__nA") - 1) * (col("__nB") - 1)).as("dof"),
+        round(sqrt(col("__chi2") / (col("__n").cast("double") *
+          least(col("__nA") - 1, col("__nB") - 1).cast("double"))), roundTo)
+          .as("cramers_v"),
+        col("__n").as("n_rows"))
+  }
+
   /** Population Stability Index drift report between a reference and a
     * current snapshot of the same bucketed column — the standard
     * distribution-shift monitor for features and corpus mixes

@@ -156,4 +156,24 @@ class SchemaChecksSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(out7 == out.map { case (k, r) => k -> r.toSeq })
   }
+
+  test("Profile.chiSquare: perfect association V=1, independence V=0, empty cells") {
+    import graft.checks.Profile
+    // perfect association: b is a function of a (diagonal table)
+    val dep = (Seq.fill(30)(("a1", "b1")) ++ Seq.fill(20)(("a2", "b2")))
+      .toDF("x", "y")
+    val d = Profile.chiSquare(dep, "x", "y").collect()
+    assert(d.forall(_.getDouble(7) == 1.0)) // cramers_v
+    assert(d.length == 4) // full 2x2 grid incl. the two empty cells
+    val offDiag = d.filter(r => r.getLong(2) == 0L)
+    assert(offDiag.length == 2 &&
+      offDiag.forall(r => r.getDouble(4) > 0)) // empty cells contribute E
+    // exact independence: proportional rows -> chi2 = 0, V = 0
+    val ind = (Seq.fill(40)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(20)(("a2", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("x", "y")
+    val i = Profile.chiSquare(ind, "x", "y").collect()
+    assert(i.forall(r => r.getDouble(5) == 0.0 && r.getDouble(7) == 0.0))
+    assert(i.forall(r => r.getLong(6) == 1L)) // dof (2-1)(2-1)
+  }
 }
