@@ -2314,6 +2314,17 @@ object SparkEntry {
   private def q153(s: SparkSession, dir: String): DataFrame =
     Profile.chiSquare(t(s, dir, "documents"), "lang", "source")
 
+  // ---- training-data pipeline: hard-negative mining ----------------------
+  // Top-5 most-similar different-label vectors for each of 30 query
+  // embeddings — exact oracle twin; the banded production path is
+  // recall-tested in SimilaritySpec.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.hardNegatives(
+      emb.where(col("vec_id") < 30), emb,
+      idCol = "vec_id", embCol = "embedding", labelCol = "label", k = 5)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2473,6 +2484,7 @@ object SparkEntry {
     "q151_group_ols" -> (q151 _),
     "q152_ewma_screen" -> (q152 _),
     "q153_chi_square" -> (q153 _),
+    "q154_hard_negatives" -> (q154 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5329,6 +5341,28 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // Hard negatives: the q42 brute cosine with a label-mismatch filter.
+    "q154_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 30),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, q_label, c_id, c_label,
+        |    round(
+        |      list_sum(list_transform(list_zip(q_emb, c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c_emb,
+        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosine
+        |  FROM q, c
+        |  WHERE q_id <> c_id AND q_label IS DISTINCT FROM c_label)
+        |SELECT q_id, q_label, rk, c_id, c_label, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
     // Chi-square replay: margins cross-joined to the full grid, same
     // double sequence over exact counts.
     "q153_chi_square" ->

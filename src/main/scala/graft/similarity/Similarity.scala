@@ -65,6 +65,59 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query row, the top-k most-similar corpus rows with a DIFFERENT
+    * label — the highest-value negatives (similar-but-wrong) that
+    * in-batch random sampling almost never surfaces. With
+    * `bandedDim = None` the exact brute form runs (bounded query sets —
+    * the q154 oracle twin); with `bandedDim = Some(dim)` candidates must
+    * share ≥1 portable sign-bit band (the cosineNearDupPairs/semDedup
+    * blocking), so the search is a (band, bits) equi-join — candidate
+    * volume ~ bands × corpus / 2^(nBits/bands) per query, never corpus²
+    * (recall vs the exact form is spec-tested, the lshTopK pattern).
+    * TUNING: hard negatives live in the moderate-cosine band
+    * (~0.3–0.6), so use NARROW bands (e.g. bands=12 over nBits=24 →
+    * 2-bit bands); the default 6-bit near-dup blocking is tuned for
+    * cosine ≳0.9 pairs and recalls poorly here (0.23 vs 0.5+ on the
+    * fixture).
+    * Output: (q_id, q_label, rk, c_id, c_label, cosine). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int,
+                    bandedDim: Option[Int] = None, nBits: Int = 24,
+                    bands: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+        col(labelCol).as("q_label"), col(embCol).as("q_emb"))
+      .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
+    val c = corpus.select(col(idCol).as("c_id"),
+        col(labelCol).as("c_label"), col(embCol).as("c_emb"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    val cand = bandedDim match {
+      case None =>
+        q.crossJoin(c)
+      case Some(dim) =>
+        val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
+        val qb = queries.select(col(idCol).as("q_id"),
+          explode(array(bandStructs: _*)).as("bb"))
+          .select(col("q_id"), col("bb.band"), col("bb.bits"))
+        val cb = corpus.select(col(idCol).as("c_id"),
+          explode(array(bandStructs: _*)).as("bb"))
+          .select(col("c_id"), col("bb.band"), col("bb.bits"))
+        qb.join(cb, Seq("band", "bits"))
+          .select("q_id", "c_id").distinct()
+          .join(q, "q_id").join(c, "c_id")
+    }
+    cand
+      .where(col("q_id") =!= col("c_id") &&
+        !(col("q_label") <=> col("c_label")))
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "q_label", "rk", "c_id", "c_label", "cosine")
+  }
+
   /** Assign each orphan (unclustered) row to the cluster of its nearest
     * clustered neighbor by cosine — `match_orphaned_records`
     * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:241-299`).

@@ -120,6 +120,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"seeded IVF recall@5 = $recall")
   }
 
+  test("hardNegatives: different-label only; banded path keeps recall") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where($"vec_id" < 20)
+    val exact = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+      "label", 5)
+    val rows = exact.collect()
+    assert(rows.length == 20 * 5)
+    assert(rows.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("c_label")))
+    // banded candidates are a subset; recall@5 of the exact negatives
+    val ex = rows.map(r => (r.getLong(0), r.getLong(3))).toSet
+    // hard negatives are MODERATELY similar, so narrow 2-bit bands
+    // (bands=12 over 24 bits) — the 6-bit near-dup blocking is tuned for
+    // cosine ~0.9 pairs and misses the 0.3-0.6 band this op mines
+    val banded = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+        "label", 5, bandedDim = Some(64), nBits = 24, bands = 12)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = ex.intersect(banded).size.toDouble / ex.size
+    assert(recall >= 0.5, s"banded hard-negative recall@5 = $recall")
+  }
+
   test("pooledCentroids: exact quantized means, bit-stable under repartition") {
     val emb = Seq(
       (0, Array(1.0f, 2.0f, 3.0f)),
