@@ -82,6 +82,72 @@ object EventStreams {
       .toDF()
   }
 
+  case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_id: Long, value: Double)
+  case class EwmaState(emicro: Long)
+  case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
+                     value: Double, ewma: Double, deviation: Option[Double],
+                     flag_ewma: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeseriesScreens.ewmaScreen]]:
+    * the same FIXED-POINT micro-unit recursion
+    * (`E' = (aN·X + (aD−aN)·E + aD/2) DIV aD`) carried as per-user
+    * `ValueState` in a `transformWithState` processor — because the state
+    * is an exact integer, a stream fed in timestamp order produces
+    * BIT-IDENTICAL ewma/deviation/flag values to the batch screen
+    * (StreamingSpec asserts it batch-for-batch), which is exactly why
+    * the fixed-point design matters: a float state would drift between
+    * the batch fold and the incremental store. Within each micro-batch,
+    * rows sort by (ts, id) like the batch twin; cross-batch order is the
+    * stream's arrival contract (feed event-time-ordered or add a
+    * watermark+sort upstream). */
+  class EwmaProcessor(threshold: Double, alphaNum: Int, alphaDen: Int)
+      extends StatefulProcessor[Long, EwmaEvent, EwmaOut] {
+    @transient private var state: ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState]("ewma",
+        Encoders.product[EwmaState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EwmaEvent],
+                                 timers: TimerValues): Iterator[EwmaOut] = {
+      val thrMicro = math.round(threshold * 1000000L)
+      // Timestamp.getTime is MILLIS — micros matter for both the output
+      // column and the within-batch (ts, id) sort parity with the batch
+      // twin, so derive epoch micros from the Instant
+      def micros(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      var prev = if (state.exists()) state.get().emicro else -1L
+      val out = rows.toArray
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .map { e =>
+          val x = math.round(e.value * 1000000L)
+          val first = prev < 0L
+          val em = if (first) x
+            else Math.floorDiv(
+              alphaNum * x + (alphaDen - alphaNum) * prev + alphaDen / 2,
+              alphaDen)
+          val dev = if (first) None else Some(x - prev)
+          prev = em
+          EwmaOut(uid, micros(e.ts), e.event_id, e.value,
+            em / 1000000.0, dev.map(_ / 1000000.0),
+            dev.exists(d => math.abs(d) > thrMicro))
+        }
+      state.update(EwmaState(prev))
+      out.iterator
+    }
+  }
+
+  /** Per-user streaming EWMA screen via [[EwmaProcessor]]. */
+  def ewmaStream(spark: SparkSession, events: DataFrame, threshold: Double,
+                 alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("value")).as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(threshold, alphaNum, alphaDen),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   case class OpenSession(startTs: Long, lastTs: Long, count: Long, sum: Double)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long,

@@ -115,6 +115,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ewmaStream (transformWithState) is bit-identical to the batch screen") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.load(spark, sf, "events")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("user_id", "ts_us", "event_id", "value", "ewma",
+          "deviation", "flag_ewma")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.toSeq)
+        .toMap
+      val stream = canon(EventStreams.ewmaStream(spark, events,
+        threshold = 150.0))
+      val batch = canon(graft.operators.TimeseriesScreens.ewmaScreen(
+        events, "user_id", "ts", "event_id", "value", threshold = 150.0))
+      // exact integer state: the incremental store and the batch fold
+      // cannot disagree by even an ulp
+      assert(stream.nonEmpty && stream == batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("nearDupCandidates: stream-stream band join finds planted near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
