@@ -2325,6 +2325,25 @@ object SparkEntry {
       idCol = "vec_id", embCol = "embedding", labelCol = "label", k = 5)
   }
 
+  // ---- checks: snapshot diff report --------------------------------------
+  // "Yesterday's" orders vs a deterministically mutated "today": every
+  // 11th key removed, every 7th repriced (changed), negative-key inserts;
+  // row-level added/removed/changed/unchanged with changed-column lists.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val today = base
+      .where(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.where(col("o_orderkey") % 13 === 0)
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+    TemporalOps.diffSnapshots(base, today, keys = Seq("o_orderkey"),
+      compareCols = Seq("o_totalprice", "o_orderstatus"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2485,6 +2504,7 @@ object SparkEntry {
     "q152_ewma_screen" -> (q152 _),
     "q153_chi_square" -> (q153 _),
     "q154_hard_negatives" -> (q154 _),
+    "q155_snapshot_diff" -> (q155 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5341,6 +5361,41 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         + "\n) ORDER BY step")
     },
+    // Snapshot diff: the same mutation replayed, full-outer classified.
+    "q155_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |today AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM base WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_totalprice, o_orderstatus
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    b.o_orderkey IS NOT NULL AS in_old,
+        |    t.o_orderkey IS NOT NULL AS in_new,
+        |    (b.o_totalprice IS DISTINCT FROM t.o_totalprice) AS chg_p,
+        |    (b.o_orderstatus IS DISTINCT FROM t.o_orderstatus) AS chg_s
+        |  FROM base b FULL JOIN today t ON b.o_orderkey = t.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       WHEN chg_p OR chg_s THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CASE WHEN in_old AND in_new THEN
+        |    concat_ws(',',
+        |      CASE WHEN chg_p THEN 'o_totalprice' END,
+        |      CASE WHEN chg_s THEN 'o_orderstatus' END)
+        |  END AS changed_cols,
+        |  CASE WHEN in_old AND in_new THEN
+        |    CAST((CASE WHEN chg_p THEN 1 ELSE 0 END)
+        |       + (CASE WHEN chg_s THEN 1 ELSE 0 END) AS BIGINT)
+        |  ELSE 0 END AS n_changed
+        |FROM j""".stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

@@ -248,6 +248,41 @@ object TemporalOps {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** Row-level diff report between two snapshots of the same table — the
+    * nightly-build audit ("what changed since yesterday") behind the
+    * reference's golden row-count validation layer
+    * (`/root/reference/dbt/seeds/etl_full_row_counts.csv` et al.), but at
+    * column granularity: every key is classified `added` / `removed` /
+    * `changed` / `unchanged`, with the null-safe list of changed columns.
+    *
+    * Scale: one co-partitioned full-outer join on the key (both sides
+    * shuffle once; AQE skew handling applies) and pure per-row
+    * expressions — no collects, no windows; cost is |old| + |new|
+    * regardless of how much changed. Output: keys + (status,
+    * changed_cols, n_changed). */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                    compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "need keys and compare columns")
+    val o = oldDf.select(keys.map(col) ++
+      (lit(true).as("__in_old") +: compareCols.map(c => col(c).as(s"__o_$c"))): _*)
+    val n = newDf.select(keys.map(col) ++
+      (lit(true).as("__in_new") +: compareCols.map(c => col(c).as(s"__n_$c"))): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val changed = compareCols.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c)))
+    val changedArr = array_compact(array(changed: _*))
+    joined.select(keys.map(col) ++ Seq(
+      when(col("__in_old").isNull, lit("added"))
+        .when(col("__in_new").isNull, lit("removed"))
+        .when(size(changedArr) > 0, lit("changed"))
+        .otherwise(lit("unchanged")).as("status"),
+      when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+        concat_ws(",", changedArr)).as("changed_cols"),
+      when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+        size(changedArr).cast("long")).otherwise(lit(0L)).as("n_changed")): _*)
+  }
+
   /** Time-travel read over an SCD2 history ([[scd2Intervals]] output):
     * the rows valid at instant `at` — `from <= at < to`, open `to`
     * (NULL) meaning current. A narrow filter: at 100 TB this rides

@@ -127,6 +127,26 @@ class OperatorSpec extends SparkSpec {
       (4L, "d", Some(40.0))))// insert lane
   }
 
+  test("TemporalOps.diffSnapshots classifies rows and names changed columns") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, null.asInstanceOf[String], 4.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, "a", 1.0),      // unchanged
+      (2L, "B", 2.5),                  // both columns changed
+      (4L, "now-set", 4.0),            // null -> value counts as a change
+      (5L, "new", 5.0))                // added; key 3 removed
+      .toDF("k", "s", "v")
+    val out = TemporalOps.diffSnapshots(old, neu, Seq("k"), Seq("s", "v"))
+      .orderBy("k")
+      .as[(Long, String, Option[String], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unchanged", Some(""), 0L),
+      (2L, "changed", Some("s,v"), 2L),
+      (3L, "removed", None, 0L),
+      (4L, "changed", Some("s"), 1L),
+      (5L, "added", None, 0L)))
+  }
+
   test("TemporalOps.snapshotAt returns the rows valid at the instant") {
     val df = Seq((1, 1, "a"), (1, 3, "b"), (1, 5, "a"), (2, 2, "x"))
       .toDF("k", "seq", "state")
