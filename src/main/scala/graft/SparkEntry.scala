@@ -2257,18 +2257,21 @@ object SparkEntry {
   // Customer–supplier bipartite graph from distinct (custkey, suppkey)
   // trade pairs, both directions; 3 exact-integer rank iterations, top-20.
   // Every update is integer DIV, so the full trace replays in SQL.
+  // Suppliers live in the NEGATIVE id namespace (-suppkey): a sign
+  // encoding cannot collide with positive custkeys at ANY scale factor,
+  // unlike an additive offset that a large-enough key range overruns.
   private def q148(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 1000000L).as("supp"))
+        (-col("l_suppkey")).cast("long").as("supp"))
       .distinct()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
     graft.graph.PageRank.run(edges, iters = 3)
       .orderBy(col("rank").desc, col("node").asc).limit(20)
       .withColumn("node_type",
-        when(col("node") >= 1000000L, lit("supplier")).otherwise(lit("customer")))
+        when(col("node") < 0L, lit("supplier")).otherwise(lit("customer")))
   }
 
   // ---- checks: exact Pearson correlation matrix --------------------------
@@ -5590,7 +5593,7 @@ object SparkEntry {
            |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
       }
       ("""WITH pairs AS (
-        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        |  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e0 AS (
         |  SELECT cust AS src, supp AS dst FROM pairs
@@ -5603,7 +5606,7 @@ object SparkEntry {
         |""".stripMargin
         + (1 to 3).map(it).mkString(",\n") + "\n"
         + """SELECT node, CAST(rank AS BIGINT) AS rank,
-        |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+        |  CASE WHEN node < 0 THEN 'supplier' ELSE 'customer' END
         |    AS node_type
         |FROM r3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin)
     },

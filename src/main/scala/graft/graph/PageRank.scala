@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: the standard PageRank-on-Spark loop — per iteration ONE
   * join of the rank frame onto the edge list (hash-partitioned by src)
   * and ONE aggregation by dst; degree is computed once and carried on the
-  * edge. State is the rank frame (one row per node). Iterations are a
-  * fixed small constant (rank stabilizes geometrically in d), so lineage
-  * stays bounded; for long chains, checkpoint every ~10 rounds like
-  * [[ConnectedComponents.runStars]].
+  * edge. State is the rank frame (one row per node). The loop truncates
+  * the rank frame's lineage with a `localCheckpoint` every
+  * `checkpointEvery` iterations (default 10, the
+  * [[ConnectedComponents.runStars]] cadence) so a long chain never stacks
+  * more than ~10 join+aggregate rounds into one Catalyst plan — without
+  * it, planning cost grows linearly with `iters` and the optimizer
+  * eventually chokes on the plan depth.
   *
   * Dangling nodes (no out-edges) simply leak their rank mass — the
   * documented simple variant; nodes not present in the edge list are not
@@ -30,9 +33,11 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-          dNum: Int = 85, dDen: Int = 100): DataFrame = {
+          dNum: Int = 85, dDen: Int = 100,
+          checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1 && scale >= 1 && dDen >= 1 && dNum >= 0 &&
-      dNum <= dDen, "need iters >= 1, 0 <= dNum <= dDen")
+      dNum <= dDen && checkpointEvery >= 1,
+      "need iters >= 1, 0 <= dNum <= dDen, checkpointEvery >= 1")
     // materialize the loop-invariant frames ONCE — the lazy form would
     // re-derive the edge build (scans, joins, distinct) on every
     // iteration's reference; blocks are released by the harness's
@@ -43,7 +48,7 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -53,6 +58,10 @@ object PageRank {
         .select(col("node"),
           (lit((dDen - dNum).toLong * scale / dDen) +
             expr(s"($dNum * coalesce(__in, 0)) DIV $dDen")).as("rank"))
+      // truncate lineage periodically — never on the last round (the
+      // caller gets a lazy frame and decides its own materialization)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -206,6 +206,35 @@ class OperatorSpec extends SparkSpec {
     assert(ranks(2, 7) == ranks(2, 2))
   }
 
+  test("PageRank: long chains checkpoint in-loop, bounded plan, cadence-invariant") {
+    // ring of 6 nodes, both directions — rank converges to uniform, so a
+    // deep run exercises lineage truncation without numeric surprises
+    val ring = (0L to 5L).map(i => (i, (i + 1) % 6))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    def run(iters: Int, every: Int) =
+      graft.graph.PageRank.run(edges, iters, checkpointEvery = every)
+    // 25 iterations with the default cadence: the returned frame's
+    // analyzed plan covers only the rounds SINCE the last checkpoint
+    // (≤ checkpointEvery), so it must match the 15-iter plan (same 5
+    // post-checkpoint rounds) and be far smaller than the never-
+    // checkpointed 25-round stack (before the fix every run was the
+    // latter, growing without bound in iters)
+    val deep = run(25, 10)
+    val planLen = deep.queryExecution.analyzed.toString.length
+    val sameTail = run(15, 10).queryExecution.analyzed.toString.length
+    val unchecked = run(25, 100).queryExecution.analyzed.toString.length
+    assert(planLen <= sameTail * 12 / 10 && planLen * 3 < unchecked,
+      s"plan not truncated: $planLen vs $sameTail (same tail) / $unchecked (none)")
+    // checkpoint cadence must not change a single bit of the result
+    val a = deep.orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = run(25, 3).orderBy("node").as[(Long, Long)].collect().toSeq
+    val c = run(25, 100).orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b && a == c)
+    // uniform ring: every node converges to full scale
+    assert(a.forall(_._2 == 999999L) || a.forall(_._2 == 1000000L),
+      s"ring should be uniform, got $a")
+  }
+
   test("ConnectedComponents: distributed loop equals driver union-find") {
     import org.apache.spark.sql.functions.col
     // chain + triangle + isolated edge across several components
