@@ -203,8 +203,12 @@ object Profile {
         round(col("__ctr"), roundTo).as("contrib"),
         round(col("__chi2"), roundTo).as("chi2"),
         ((col("__nA") - 1) * (col("__nB") - 1)).as("dof"),
-        round(sqrt(col("__chi2") / (col("__n").cast("double") *
-          least(col("__nA") - 1, col("__nB") - 1).cast("double"))), roundTo)
+        // a single-category column makes min(nA-1, nB-1) = 0: dof is 0,
+        // the test is degenerate, and cramers_v is undefined — gate it
+        // (NULL) instead of dividing by zero (the olsByGroup dx>0 pattern)
+        when(least(col("__nA") - 1, col("__nB") - 1) > 0,
+          round(sqrt(col("__chi2") / (col("__n").cast("double") *
+            least(col("__nA") - 1, col("__nB") - 1).cast("double"))), roundTo))
           .as("cramers_v"),
         col("__n").as("n_rows"))
   }

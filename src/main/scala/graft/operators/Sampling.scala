@@ -270,7 +270,8 @@ object Sampling {
     * window per stratum, and the `rank <= k` filter gets Spark's
     * WindowGroupLimit partial rank-cap below the exchange, so each mapper
     * forwards at most k rows per stratum. Output adds (sample_key,
-    * sample_rank). */
+    * sample_rank). Rows with NULL or non-positive weight are EXCLUDED
+    * (their ES inclusion probability is zero). */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
                      weightCol: String, k: Int,
                      salt: String = "wsamp"): DataFrame = {
@@ -282,7 +283,13 @@ object Sampling {
     val key = round(log(u) / col(weightCol).cast("double"), 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
-    df.withColumn("sample_key", key)
+    // ES keys are only defined for w > 0: w = 0 is a NULL key (the row
+    // would vanish silently) and w < 0 flips ln(u)/w POSITIVE, ranking
+    // negative-weight rows FIRST. Exclude both explicitly — the ES
+    // inclusion probability of a non-positive weight is 0 by definition
+    // — and null weights with them.
+    df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("sample_key", key)
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }

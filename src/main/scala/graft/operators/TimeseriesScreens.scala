@@ -371,7 +371,8 @@ object TimeseriesScreens {
     * distribution story as every screen here.
     *
     * Input: null-free, NON-NEGATIVE `valueCol` (the half-up integer
-    * division assumes a non-negative state; filter upstream). Output:
+    * division assumes a non-negative state; ENFORCED — a negative value
+    * throws rather than corrupting the fold). Output:
     * (key, ts_us, id, value, ewma, deviation, flag_ewma) with
     * ewma/deviation in original units on the 10⁻⁶ grid; `deviation` is
     * NULL on each series' first row. */
@@ -389,16 +390,22 @@ object TimeseriesScreens {
       .as[(Long, Long, Long, Double)]
     rows.groupByKey(_._1).flatMapGroups { (_, it) =>
       val xs = it.toArray.sortBy(t => (t._2, t._3))
-      var prev = -1L // micro-units; values are non-negative by contract
+      // first-row tracked EXPLICITLY, never via a negative sentinel: a
+      // contract-violating negative value must fail loudly below, not
+      // silently restart the series mid-stream
+      var first = true
+      var prev = 0L // micro-units
       xs.iterator.map { case (u, ts, id, v) =>
         val x = math.round(v * 1000000L)
-        val first = prev < 0L
+        require(x >= 0L,
+          s"ewmaScreen requires non-negative $valueCol, got $v (key=$u)")
         val e = if (first) x
           else Math.floorDiv(
             alphaNum * x + (alphaDen - alphaNum) * prev + alphaDen / 2,
             alphaDen)
         val dev = if (first) None else Some(x - prev)
         prev = e
+        first = false
         (u, ts, id, v, e / 1000000.0, dev.map(_ / 1000000.0),
           dev.exists(d => math.abs(d) > thrMicro))
       }

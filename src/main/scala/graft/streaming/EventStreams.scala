@@ -115,23 +115,29 @@ object EventStreams {
       // twin, so derive epoch micros from the Instant
       def micros(t: java.sql.Timestamp): Long =
         t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-      var prev = if (state.exists()) state.get().emicro else -1L
+      // first-row tracked explicitly (state absence), never a negative
+      // sentinel — a contract-violating negative value throws below
+      // instead of silently restarting the series (batch-twin parity)
+      var first = !state.exists()
+      var prev = if (first) 0L else state.get().emicro
       val out = rows.toArray
         .sortBy(e => (micros(e.ts), e.event_id))
         .map { e =>
           val x = math.round(e.value * 1000000L)
-          val first = prev < 0L
+          require(x >= 0L,
+            s"EwmaProcessor requires non-negative value, got ${e.value}")
           val em = if (first) x
             else Math.floorDiv(
               alphaNum * x + (alphaDen - alphaNum) * prev + alphaDen / 2,
               alphaDen)
           val dev = if (first) None else Some(x - prev)
           prev = em
+          first = false
           EwmaOut(uid, micros(e.ts), e.event_id, e.value,
             em / 1000000.0, dev.map(_ / 1000000.0),
             dev.exists(d => math.abs(d) > thrMicro))
         }
-      state.update(EwmaState(prev))
+      if (out.nonEmpty) state.update(EwmaState(prev))
       out.iterator
     }
   }

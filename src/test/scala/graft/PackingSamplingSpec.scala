@@ -207,6 +207,30 @@ class PackingSamplingSpec extends SparkSpec {
     assert(perStratum.values.forall(_ == 5L))
   }
 
+  test("weightedSample excludes null and non-positive weights explicitly") {
+    // w = 0 used to produce a NULL key (silent drop); w < 0 flipped
+    // ln(u)/w positive and ranked FIRST — both must be excluded, and
+    // the positive-weight sample must be unaffected by their presence
+    val good = (0L until 20L).map(i => (i, "s", 5L))
+    val bad = Seq((100L, "s", 0L), (101L, "s", -3L))
+    val clean = Sampling.weightedSample(good.toDF("doc_id", "stratum", "w"),
+        "doc_id", "stratum", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val mixed = Sampling.weightedSample(
+        (good ++ bad).toDF("doc_id", "stratum", "w"),
+        "doc_id", "stratum", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed == clean && !mixed.contains(100L) && !mixed.contains(101L))
+    // null weights go with them
+    val withNull = good.map { case (i, s, w) => (i, s, Some(w)) } :+
+      ((102L, "s", None: Option[Long]))
+    val nulled = Sampling.weightedSample(
+        withNull.toDF("doc_id", "stratum", "w"),
+        "doc_id", "stratum", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nulled == clean)
+  }
+
   test("weightedSample prefers heavy rows in aggregate") {
     // one stratum, two weight classes: weight-20 rows should dominate the
     // selected set vs weight-1 rows (ES inclusion ∝ weight at every prefix)

@@ -176,4 +176,17 @@ class SchemaChecksSpec extends SparkSpec {
     assert(i.forall(r => r.getDouble(5) == 0.0 && r.getDouble(7) == 0.0))
     assert(i.forall(r => r.getLong(6) == 1L)) // dof (2-1)(2-1)
   }
+
+  test("Profile.chiSquare: single-category column -> dof 0, cramers_v NULL") {
+    import graft.checks.Profile
+    // one category on x: least(nA-1, nB-1) = 0 used to divide by zero
+    // (NULL in non-ANSI, DIVIDE_BY_ZERO under ANSI); now gated explicitly
+    val df = (Seq.fill(12)(("only", "b1")) ++ Seq.fill(8)(("only", "b2")))
+      .toDF("x", "y")
+    val out = Profile.chiSquare(df, "x", "y").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(6) == 0L))  // dof
+    assert(out.forall(r => r.isNullAt(7)))       // cramers_v gated
+    assert(out.forall(r => r.getDouble(5) == 0.0)) // chi2 trivially 0
+  }
 }

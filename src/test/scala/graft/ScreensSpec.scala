@@ -185,4 +185,29 @@ class ScreensSpec extends SparkSpec {
       (2L, 20L, 7.0, None, false)))          // singleton series
     assert(run(7) == out) // integer state: partitioning is bit-invariant
   }
+
+  test("ewmaScreen: zero values fold normally, negative values fail loudly") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // zeros are legal state — the old prev = -1 sentinel never conflated
+    // them, but the explicit first-flag must keep treating 0 as a value:
+    // E1=0, E2=(8e6+0+2)//4=2e6, E3=(0+3·2e6+2)//4=1.5e6
+    val zeros = Seq((1L, ts(1), 1L, 0.0), (1L, ts(2), 2L, 8.0),
+      (1L, ts(3), 3L, 0.0)).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeseriesScreens.ewmaScreen(zeros, "user_id", "ts",
+        "event_id", "value", threshold = 50.0)
+      .orderBy("ts_us").select("ewma", "deviation")
+      .as[(Double, Option[Double])].collect().toSeq
+    assert(out == Seq((0.0, None), (2.0, Some(8.0)), (1.5, Some(-2.0))))
+    // a contract-violating negative value must throw, not silently
+    // restart the series (the old sentinel treated every later row as
+    // a fresh first row)
+    val neg = Seq((1L, ts(1), 1L, 4.0), (1L, ts(2), 2L, -1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[org.apache.spark.SparkException] {
+      TimeseriesScreens.ewmaScreen(neg, "user_id", "ts", "event_id",
+        "value", threshold = 50.0).collect()
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-negative")))
+  }
 }
