@@ -94,6 +94,31 @@ object Bench {
         name -> best
       }
     }
+    // Whole-pipeline capstone: the chained harvest → allocation → mcoe →
+    // plant-parts → checks lineage (Etl.buildWide), timed end-to-end
+    // including the parquet writes and the validation pass — the
+    // apples-to-apples number against the reference's published
+    // whole-ETL wall time. Not part of the per-query suite (it
+    // materializes real output), recorded as its own entry.
+    val capstoneSec = if (only.nonEmpty) -1.0 else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_capstone")
+      try {
+        val (sec, failed) = Etl.capstone(spark, sfDir, dir.toString)
+        if (failed > 0)
+          System.err.println(s"[bench] etl_capstone: $failed FAILED checks")
+        sec
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] etl_capstone failed: ${e.getMessage}")
+        -1.0
+      } finally {
+        graft.util.SessionHygiene.releaseAll(spark)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+    }
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -103,7 +128,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -111,7 +136,8 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(fullJson) // full detail on stderr for local runs
     val resMap = results.toMap
-    val qs = headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + jnum(v)))
+    val qs = (headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + jnum(v))) :+
+        ("\"etl_capstone\":" + jnum(capstoneSec)))
       .mkString("{", ",", "}")
     // The one parseable line, printed LAST so it lands inside the tail.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

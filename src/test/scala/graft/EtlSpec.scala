@@ -42,4 +42,35 @@ class EtlSpec extends SparkSpec {
       .where(!col("passed")).count()
     assert(custFails == 0 && suppFails == 0)
   }
+
+  test("Etl.capstone: chained wide lineage writes, validates, conserves revenue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_capstone").toString
+    val (sec, failed) = Etl.capstone(spark, sf, dir)
+    assert(sec > 0 && failed == 0)
+    val metrics = spark.read.parquet(s"$dir/${Etl.supplierMetrics.name}")
+    val parts = spark.read.parquet(s"$dir/${Etl.plantParts.name}")
+    assert(metrics.count() > 0 && parts.count() > 0)
+    // ownership allocation conserves: summed allocated revenue equals the
+    // total price of orders that HAVE lineitems (fraction sums to 1 per
+    // such order; the synthetic fixture leaves ~2% of orders without
+    // lineitems and those carry no ownership to allocate). Tolerance
+    // covers double summation order + round(2).
+    val orders = Tables.load(spark, sf, "orders")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val expected = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(sum("o_totalprice")).as[Double].head()
+    val got = metrics.agg(sum("alloc_revenue")).as[Double].head()
+    assert(math.abs(got - expected) / expected < 1e-6,
+      s"allocation lost mass: $got vs $expected")
+    // the three grains each cover all suppliers exactly once at the
+    // supplier grain, and every region row aggregates >= 1 supplier
+    val supParts = parts.where(col("grain") === "supplier")
+    assert(supParts.count() ==
+      metrics.select("s_suppkey").distinct().count())
+    // true-grain: the finest grain wins every signature collision, so
+    // every supplier-grain row with a unique signature is true
+    assert(parts.where(col("grain") === "supplier" && !col("true_gran"))
+      .count() == 0)
+  }
 }
