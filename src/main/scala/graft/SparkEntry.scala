@@ -2276,13 +2276,15 @@ object SparkEntry {
 
   // ---- checks: exact Pearson correlation matrix --------------------------
   // All 6 pairs over 4 lineitem measures in one scan/one aggregate;
-  // moments are exact decimal sums of integer-quantized values, so the
-  // result is partition-order independent and SQL-replayable (unlike
-  // the built-in float corr).
+  // moments are exact integer sums of quantized values, so the result is
+  // partition-order independent and SQL-replayable (unlike the built-in
+  // float corr). Long split-accumulator path (overflow-guarded, bit-
+  // identical to the decimal twin — ProfileSpec pins it): primitive adds
+  // in the hot loop instead of BigDecimal, ~2× faster at sf0.1.
   private def q149(s: SparkSession, dir: String): DataFrame =
     Profile.correlationMatrix(t(s, dir, "lineitem"),
       Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
-        "l_discount" -> 100, "l_tax" -> 100))
+        "l_discount" -> 100, "l_tax" -> 100), longMoments = true)
 
   // ---- checks: PSI distribution-drift report -----------------------------
   // Reference = first half of January, current = second half with half of

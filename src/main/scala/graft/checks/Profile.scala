@@ -83,23 +83,32 @@ object Profile {
     * Output: (col_a, col_b, n_rows, corr) for each unordered pair,
     * `corr` rounded to `roundTo`. Rows with a NULL in either column are
     * the caller's concern (quantized NULLs poison the exact sums —
-    * filter first); constant columns yield NULL corr (zero variance). */
+    * filter first); constant columns yield NULL corr (zero variance).
+    *
+    * `longMoments = true` computes the SAME exact integer moments with
+    * long accumulators instead of decimal(38,0) — each product is split
+    * into 32-bit halves (`p >> 32`, `p & 0xFFFFFFFF`) summed as two
+    * longs (codegen'd primitive adds, no BigDecimal in the hot loop)
+    * and recombined exactly into decimal on the one aggregated row, so
+    * the output is bit-identical to the decimal path by construction.
+    * Safety is RUNTIME-GUARDED from the same pass's count and per-column
+    * max|q|: the split sums provably fit 63 bits when every |q| < 2³¹,
+    * n ≤ 2³⁰, and n·max|qa|·max|qb| ≤ 2⁹³ for every moment — outside
+    * those bounds (≳10⁹ rows or ≳10⁹-scale quantized values: the 100 TB
+    * regime) the result row raises instead of emitting wrapped sums;
+    * fall back to the decimal path there. Under ANSI mode (the default
+    * on Spark 4 and in this library's sessions) an overflowing product
+    * throws Spark's own ARITHMETIC_OVERFLOW even earlier — the guard is
+    * the defense for non-ANSI deployments, where long arithmetic wraps
+    * silently. */
   def correlationMatrix(df: DataFrame, cols: Seq[(String, Int)],
-                        roundTo: Int = 6): DataFrame = {
+                        roundTo: Int = 6,
+                        longMoments: Boolean = false): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     require(cols.forall(_._2 >= 1), "scales must be >= 1")
-    def q(c: String, s: Int): Column =
-      round(col(c).cast("double") * s).cast("decimal(38,0)")
     val names = cols.map(_._1)
-    val sums: Seq[Column] = count(lit(1)).as("__n") +:
-      (cols.flatMap { case (c, s) =>
-        Seq(sum(q(c, s)).as(s"__s_$c"),
-          sum(q(c, s) * q(c, s)).as(s"__q_$c"))
-      } ++
-      cols.combinations(2).toSeq.map { case Seq((a, sa), (b, sb)) =>
-        sum(q(a, sa) * q(b, sb)).as(s"__p_${a}_$b")
-      })
-    val one = df.agg(sums.head, sums.tail: _*)
+    val one = if (!longMoments) decimalMoments(df, cols)
+      else longMomentsAgg(df, cols)
     val n = col("__n").cast("decimal(38,0)")
     val pairs = names.combinations(2).toSeq.map { case Seq(a, b) =>
       val num = (n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
@@ -114,6 +123,81 @@ object Profile {
           round(num / sqrt(da * db), roundTo)).as("corr"))
     }
     one.select(explode(array(pairs: _*)).as("__c")).select(col("__c.*"))
+  }
+
+  /** Decimal-sum moment aggregate: one row with __n, __s_c, __q_c,
+    * __p_a_b as decimal(38,0) — exact at any row count. */
+  private def decimalMoments(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    def q(c: String, s: Int): Column =
+      round(col(c).cast("double") * s).cast("decimal(38,0)")
+    val sums: Seq[Column] = count(lit(1)).as("__n") +:
+      (cols.flatMap { case (c, s) =>
+        Seq(sum(q(c, s)).as(s"__s_$c"),
+          sum(q(c, s) * q(c, s)).as(s"__q_$c"))
+      } ++
+      cols.combinations(2).toSeq.map { case Seq((a, sa), (b, sb)) =>
+        sum(q(a, sa) * q(b, sb)).as(s"__p_${a}_$b")
+      })
+    df.agg(sums.head, sums.tail: _*)
+  }
+
+  /** Long-accumulator moment aggregate: identical output schema and
+    * VALUES to [[decimalMoments]] (the moments are the same integers,
+    * recombined into decimal post-aggregation), with the hot loop on
+    * primitive longs. Overflow-guarded at runtime — see the
+    * `longMoments` paragraph on [[correlationMatrix]]. */
+  private def longMomentsAgg(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    def ql(c: String, s: Int): Column =
+      round(col(c).cast("double") * s).cast("long")
+    val mask = lit(4294967295L)
+    def hi(p: Column): Column = shiftright(p, 32)
+    def lo(p: Column): Column = p.bitwiseAND(mask)
+    val pairsSeq = cols.combinations(2).toSeq
+    val sums: Seq[Column] = count(lit(1)).as("__n") +:
+      (cols.flatMap { case (c, s) =>
+        val p = ql(c, s) * ql(c, s)
+        Seq(sum(ql(c, s)).as(s"__sl_$c"),
+          max(abs(ql(c, s))).as(s"__m_$c"),
+          sum(hi(p)).as(s"__qh_$c"), sum(lo(p)).as(s"__ql_$c"))
+      } ++ pairsSeq.flatMap { case Seq((a, sa), (b, sb)) =>
+        val p = ql(a, sa) * ql(b, sb)
+        Seq(sum(hi(p)).as(s"__ph_${a}_$b"), sum(lo(p)).as(s"__pl_${a}_$b"))
+      })
+    val agg = df.agg(sums.head, sums.tail: _*)
+    // recombination + guard: everything below runs on ONE row
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def big(v: BigInt): Column = lit(new java.math.BigDecimal(v.bigInteger))
+    val two32 = big(BigInt(2).pow(32))
+    val nDec = dec(col("__n"))
+    def comb(h: String, l: String): Column = dec(col(h)) * two32 + dec(col(l))
+    // per-column: products fit a long (|q| < 2^31) and the plain sum
+    // fits (n·max|q| ≤ 2^62); rows ≤ 2^30 bounds every lo-half sum;
+    // n·max|qa|·max|qb| ≤ 2^93 bounds every hi-half sum (Σ|hi| ≤
+    // n·maxp/2^32 + n ≤ 2^61 + 2^30). An empty/all-null column (max
+    // NULL) degrades to NULL moments like the decimal path.
+    val colOk = cols.map { case (c, _) =>
+      col(s"__m_$c").isNull ||
+        (col(s"__m_$c") < lit(2147483648L) &&
+          nDec * dec(col(s"__m_$c")) <= big(BigInt(2).pow(62)))
+    }.reduce(_ && _)
+    val momentPairs = pairsSeq.map { case Seq((a, _), (b, _)) => (a, b) } ++
+      cols.map { case (c, _) => (c, c) }
+    val hiOk = momentPairs.map { case (a, b) =>
+      col(s"__m_$a").isNull || col(s"__m_$b").isNull ||
+        nDec * dec(col(s"__m_$a")) * dec(col(s"__m_$b")) <=
+          big(BigInt(2).pow(93))
+    }.reduce(_ && _)
+    val ok = col("__n") <= lit(1073741824L) && colOk && hiOk
+    val guardedN = when(ok, col("__n")).otherwise(
+      raise_error(concat(lit("correlationMatrix longMoments overflow " +
+        "guard tripped (n or quantized magnitudes too large) — use the " +
+        "decimal path; n="), col("__n").cast("string"))).cast("long"))
+    agg.select(guardedN.as("__n") +:
+      (cols.map { case (c, _) => dec(col(s"__sl_$c")).as(s"__s_$c") } ++
+        cols.map { case (c, _) => comb(s"__qh_$c", s"__ql_$c").as(s"__q_$c") } ++
+        pairsSeq.map { case Seq((a, _), (b, _)) =>
+          comb(s"__ph_${a}_$b", s"__pl_${a}_$b").as(s"__p_${a}_$b")
+        }): _*)
   }
 
   /** Per-group ordinary-least-squares fit `y ≈ slope·x + intercept` with

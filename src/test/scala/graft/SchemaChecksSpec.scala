@@ -114,6 +114,42 @@ class SchemaChecksSpec extends SparkSpec {
     assert(out13 == out)
   }
 
+  test("Profile.correlationMatrix longMoments: bit-identical, guarded, faster path") {
+    import graft.checks.Profile
+    // negatives + irregular values exercise the signed hi/lo split
+    val df = (1 to 500).map { i =>
+      (i - 250.0, math.sin(i) * 1000.0, (i % 13) - 6.0)
+    }.toDF("a", "b", "c")
+    val cols = Seq("a" -> 100, "b" -> 1000, "c" -> 10)
+    def vals(long: Boolean, parts: Int) =
+      Profile.correlationMatrix(df.repartition(parts), cols,
+          longMoments = long)
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // the long split-accumulator path computes the SAME integer moments:
+    // not within tolerance — the same bits, any partitioning
+    val dec = vals(long = false, 4)
+    assert(vals(long = true, 4) == dec)
+    assert(vals(long = true, 17) == dec)
+    // overflow safety: quantized magnitudes past 2^31 must fail loudly,
+    // never wrap. Under ANSI (this repo's sessions) Spark's own
+    // ARITHMETIC_OVERFLOW fires at the long multiply; in non-ANSI
+    // deployments the products wrap silently and the post-aggregation
+    // guard raises its own message instead — either way, loud.
+    val huge = Seq((3.0e9, 1.0), (4.0e9, 2.0)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Profile.correlationMatrix(huge, Seq("a" -> 10, "b" -> 10),
+        longMoments = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("overflow guard") ||
+      m.contains("ARITHMETIC_OVERFLOW")))
+    // the decimal fallback handles the same input fine
+    assert(Profile.correlationMatrix(huge, Seq("a" -> 10, "b" -> 10))
+      .collect().length == 1)
+  }
+
   test("Profile.psiDrift: identical dists ~0, planted shift detected, empty buckets safe") {
     import graft.checks.Profile
     val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
