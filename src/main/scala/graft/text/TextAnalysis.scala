@@ -541,7 +541,10 @@ object TextAnalysis {
     * reference `get_stats`; the greedy-leftmost merge is a left fold. */
   def bpeMergeTable(df: DataFrame, textCol: String,
                     merges: Int): DataFrame = {
-    require(merges >= 1 && merges <= 64, "need 1 <= merges <= 64")
+    require(merges >= 1 && merges <= 64,
+      "need 1 <= merges <= 64: each round is a distributed aggregate — " +
+        "for real vocab sizes (30k+ merges) use bpeMergeTableLocal, " +
+        "which trains on the collected type dictionary")
     val spark = df.sparkSession
     import spark.implicits._
     val vocab0 = df
@@ -583,6 +586,130 @@ object TextAnalysis {
       }
     }
     graft.util.SessionHygiene.releaseCheckpoint(vocab0)
+    table.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** BPE training for REAL vocabulary sizes (30k+ merges): same
+    * algorithm, same output as [[bpeMergeTable]] — BpeSpec pins the two
+    * bit-identical over the distributed form's full 64-round range — but
+    * after the ONE corpus pass produces the word-frequency dictionary,
+    * the merge loop runs driver-local over the collected types instead
+    * of paying a distributed aggregate + 1-row collect per round.
+    *
+    * Why this is the right scale call: the published algorithm (Sennrich
+    * ACL'16 §3.2) trains on the type dictionary, which even at web scale
+    * is millions of entries — `maxTypes` bounds the collect explicitly
+    * (the documented-bounded-collect pattern; a 5M-type dictionary is
+    * ~100 MB of driver heap, far under any executor's shuffle state for
+    * the corpus pass that produced it). 30k merge rounds at one
+    * distributed job each would cost hours of scheduling latency for a
+    * loop a driver finishes in seconds.
+    *
+    * Driver loop: incremental pair statistics — each merge re-derives
+    * deltas only for the words that CONTAIN the merged pair (an inverted
+    * pair → word-ids index), and the global argmax pops from a
+    * lazy-deletion max-heap ordered (count desc, left asc, right asc),
+    * the distributed form's exact tie-break. */
+  def bpeMergeTableLocal(df: DataFrame, textCol: String, merges: Int,
+                         maxTypes: Int = 5000000): DataFrame = {
+    require(merges >= 1, "need merges >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__f"))
+      .as[(String, Long)].collect()
+    require(types.length <= maxTypes,
+      s"${types.length} word types exceed maxTypes=$maxTypes — raise the " +
+        "bound or use the distributed bpeMergeTable")
+
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] = types.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(ch => b += ch.toString); b += "</w>"; b
+    }
+    val freqs: Array[Long] = types.map(_._2)
+    def pairList(s: collection.Seq[String]): Seq[(String, String)] =
+      (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    for (i <- syms.indices; p <- pairList(syms(i))) {
+      stats(p) = stats.getOrElse(p, 0L) + freqs(i)
+      occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i
+    }
+    // max-heap with lazy deletion: entries go stale when a pair's count
+    // changes; a popped entry only wins if it still matches stats
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = b._2.compareTo(a._2) // smaller left = higher priority
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    def mergeWord(s: mutable.ArrayBuffer[String], l: String, r: String,
+                  m: String): mutable.ArrayBuffer[String] = {
+      // the distributed trainer's greedy-leftmost left fold
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += m; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out
+    }
+
+    val table = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // pop to the first live entry
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (top._1 > 0 && stats.get((top._2, top._3)).contains(top._1))
+          best = Some(top)
+      }
+      best match {
+        case None => exhausted = true
+        case Some((c, l, r)) =>
+          val m = l + r
+          table += ((step.toLong, l, r, m, c))
+          val touched = mutable.HashSet.empty[(String, String)]
+          for (i <- occurs.getOrElse((l, r), mutable.HashSet.empty).toArray) {
+            val before = pairList(syms(i))
+            syms(i) = mergeWord(syms(i), l, r, m)
+            val after = pairList(syms(i))
+            // multiset delta on this word's pairs, weighted by its freq
+            val delta = mutable.HashMap.empty[(String, String), Long]
+            before.foreach(p => delta(p) = delta.getOrElse(p, 0L) - freqs(i))
+            after.foreach(p => delta(p) = delta.getOrElse(p, 0L) + freqs(i))
+            delta.foreach { case (p, d) =>
+              if (d != 0) {
+                stats(p) = stats.getOrElse(p, 0L) + d
+                touched += p
+              }
+            }
+            val afterSet = after.toSet
+            before.foreach(p => if (!afterSet.contains(p))
+              occurs.get(p).foreach(_ -= i))
+            after.foreach(p =>
+              occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i)
+          }
+          stats.remove((l, r)); occurs.remove((l, r))
+          touched.foreach(p => stats.get(p).filter(_ > 0)
+            .foreach(c2 => heap.enqueue((c2, p._1, p._2))))
+          step += 1
+      }
+    }
     table.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 

@@ -307,6 +307,35 @@ class PackingSamplingSpec extends SparkSpec {
       (2L, "a", "</w>", "a</w>", 4L)))
   }
 
+  test("bpeMergeTableLocal == bpeMergeTable over the distributed form's full range") {
+    // the driver-local trainer must replay the distributed trainer's
+    // exact table — counts, tie-breaks, greedy-leftmost — over all 64
+    // rounds the distributed form supports, on real fixture text
+    val df = Tables.load(spark, sf, "documents").limit(200).select("text")
+    val dist = TextAnalysis.bpeMergeTable(df, "text", merges = 64)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val local = TextAnalysis.bpeMergeTableLocal(df, "text", merges = 64)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(local == dist)
+    // the cap is lifted: train far past 64 merges, table stays
+    // well-formed (monotone steps, every merge concatenates its pair,
+    // counts positive and step-1 matches the 64-round prefix)
+    val big = TextAnalysis.bpeMergeTableLocal(df, "text", merges = 1000)
+      .orderBy("step")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(big.length > 64 && big.take(64) == dist)
+    assert(big.map(_._1) == (1L to big.length))
+    assert(big.forall { case (_, l, r, m, c) => m == l + r && c >= 1 })
+    // exhaustion: a tiny vocab runs dry before the requested rounds
+    // and stops cleanly instead of looping
+    val tiny = Seq("ab ab").toDF("text")
+    val dry = TextAnalysis.bpeMergeTableLocal(tiny, "text", merges = 1000)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(dry.length < 10 && dry.nonEmpty)
+  }
+
   test("bpeEncode applies merges in order, greedy-leftmost, scalar outputs") {
     val df = Seq((1L, "aaa ba"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
     // merges learned elsewhere: (a,a) then (aa,a) then (b,a)
