@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming façade over the hourly/timeseries operators
@@ -151,6 +151,70 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor(threshold, alphaNum, alphaDen),
         TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  case class DedupEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, fingerprint: Long)
+  case class DedupOut(user_id: Long, event_id: Long, fingerprint: Long,
+                      first_ts_us: Long)
+
+  /** Streaming incremental dedup on `transformWithState` MAP state — the
+    * second state shape of the Spark 4 arbitrary-state API after
+    * [[EwmaProcessor]]'s fixed-point ValueState: per user, the
+    * fingerprints already emitted live in a `MapState[Long, Long]`
+    * (fingerprint → first-seen micros), and a row passes only on its
+    * FIRST appearance. With a `ttl`, RocksDB expires map entries
+    * per-key, which bounds state exactly like
+    * `dropDuplicatesWithinWatermark` bounds its — the right semantics
+    * for ingest dedup where a re-emit after the horizon is acceptable
+    * (and the batch compaction pass catches it).
+    *
+    * Within each micro-batch rows sort by (ts, event_id) so the SAME
+    * occurrence wins as in the batch twin (exact first-per-fingerprint
+    * dedup); cross-batch order is the stream's arrival contract. */
+  class StreamDedupProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, DedupEvent, DedupOut] {
+    @transient private var seen: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[Long, Long]("seen",
+        Encoders.scalaLong, Encoders.scalaLong, ttl)
+    override def handleInputRows(uid: Long, rows: Iterator[DedupEvent],
+                                 timers: TimerValues): Iterator[DedupOut] = {
+      def micros(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      // eager: state mutations must happen inside handleInputRows, not
+      // during a deferred iterator consumption
+      val out = rows.toArray
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .flatMap { e =>
+          if (seen.containsKey(e.fingerprint)) None
+          else {
+            val m = micros(e.ts)
+            seen.updateValue(e.fingerprint, m)
+            Some(DedupOut(uid, e.event_id, e.fingerprint, m))
+          }
+        }
+      out.iterator
+    }
+  }
+
+  /** Per-user first-occurrence dedup via [[StreamDedupProcessor]]. The
+    * fingerprint is `xxhash64(event_type, value)` — swap in a content
+    * hash upstream for document streams. `ttl` bounds the seen-map
+    * (requires processing-time mode); None keeps exact unbounded
+    * history. */
+  def dedupTws(spark: SparkSession, events: DataFrame,
+               ttl: Option[java.time.Duration] = None): DataFrame = {
+    import spark.implicits._
+    val conf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        xxhash64(col("event_type"), col("value")).as("fingerprint"))
+      .as[DedupEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamDedupProcessor(conf), mode,
+        OutputMode.Append())
       .toDF()
   }
 

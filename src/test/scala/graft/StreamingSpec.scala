@@ -141,6 +141,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupTws (transformWithState MapState) matches the batch first-per-fingerprint dedup") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val lagKey = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    val prev = spark.conf.getOption(key)
+    val prevLag = spark.conf.getOption(lagKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch-mode transformWithState has no StateStoreCoordinator endpoint;
+    // the snapshot-upload lag report would fail the store load trying to
+    // reach it
+    spark.conf.set(lagKey, "false")
+    try {
+      import org.apache.spark.sql.expressions.Window
+      // plant exact duplicates: every event appears twice, so the
+      // processor must drop exactly half
+      val events = Tables.load(spark, sf, "events")
+      val doubled = events.unionByName(events)
+      // drive through a REAL streaming query (also creates the state
+      // store coordinator this provider's maintenance reports to)
+      val dir = java.nio.file.Files.createTempDirectory("graft_dtws").toString
+      doubled.write.mode("overwrite").parquet(dir)
+      val staged = spark.read.parquet(dir)
+      val q = EventStreams.runToMemory(spark, staged.schema, dir,
+        EventStreams.dedupTws(spark, _), "dtws_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.awaitTermination(60000)
+      val tws = spark.table("dtws_out")
+        .select("user_id", "event_id", "fingerprint", "first_ts_us")
+        .collect().map(_.toSeq).toSet
+      // batch twin: exact first occurrence per (user, fingerprint),
+      // (ts, event_id) order — the same winner the processor picks
+      val batch = doubled
+        .select(col("user_id"), col("ts"), col("event_id"),
+          xxhash64(col("event_type"), col("value")).as("fingerprint"))
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("fingerprint"))
+          .orderBy(col("ts"), col("event_id"))))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"), col("fingerprint"),
+          unix_micros(col("ts")).as("first_ts_us"))
+        .collect().map(_.toSeq).toSet
+      assert(tws.nonEmpty && tws == batch)
+      // the planted duplicates were dropped
+      assert(tws.size * 2 <= doubled.count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevLag match {
+        case Some(v) => spark.conf.set(lagKey, v)
+        case None => spark.conf.unset(lagKey)
+      }
+    }
+  }
+
   test("nearDupCandidates: stream-stream band join finds planted near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
