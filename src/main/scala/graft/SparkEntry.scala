@@ -1289,22 +1289,28 @@ object SparkEntry {
       (col("c_custkey") % 4 + 1).cast("int"))
     val zip5 = lpad((col("c_custkey") % 100000).cast("string"), 5, "0")
     val boxn = (col("c_custkey") % 1000).cast("string")
-    val m7 = col("c_custkey") % 7
+    val m9 = col("c_custkey") % 9
     val base = t(s, dir, "customer").withColumn("addr_raw",
-      when(m7 === 0, concat(lit("PO Box "), boxn))
-        .when(m7 === 1, concat(lit("PO Box "), boxn, lit(", Springfield, "),
+      when(m9 === 0, concat(lit("PO Box "), boxn))
+        .when(m9 === 1, concat(lit("PO Box "), boxn, lit(", Springfield, "),
           st2, lit(" "), zip5))
-        .when(m7 === 2, concat(num, lit(" N "), stname,
+        .when(m9 === 2, concat(num, lit(" N "), stname,
           lit(", Springfield, "), st2, lit(" "), zip5))
-        .when(m7 === 3, concat(num, lit(" "), stname, lit(" NW"),
+        .when(m9 === 3, concat(num, lit(" "), stname, lit(" NW"),
           lit(", Springfield, "), st2, lit(" "), zip5))
-        .when(m7 === 4, concat(num, lit(" "), stname, lit(", Ste "),
+        .when(m9 === 4, concat(num, lit(" "), stname, lit(", Ste "),
           (col("c_custkey") % 50 + 1).cast("string"),
           lit(", Springfield, "), st2, lit(" "), zip5))
-        .when(m7 === 5, concat(num, lit(" "), stname, lit(" Apt "),
+        .when(m9 === 5, concat(num, lit(" "), stname, lit(" Apt "),
           (col("c_custkey") % 20 + 1).cast("string"),
           lit(", Springfield, "), st2, lit(" "), zip5, lit("-"),
           lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        // spelled-out directionals (usaddress surface forms)
+        .when(m9 === 6, concat(num, lit(" North "), stname,
+          lit(", Springfield, "), st2, lit(" "), zip5))
+        .when(m9 === 7, concat(num, lit(" "),
+          (col("c_custkey") % 90 + 1).cast("string"), lit("th St West"),
+          lit(", Springfield, "), st2, lit(" "), zip5))
         .otherwise(concat(num, lit(" "), stname,
           lit(", Springfield, "), st2, lit(" "), zip5)))
     Cleaning.parseAddress(col("addr_raw"))
@@ -3789,8 +3795,18 @@ object SparkEntry {
         |    PARTITION BY sum_qty, n_rows, n_suppliers
         |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
         |FROM parts""".stripMargin,
-    "q90_parse_address" ->
-      """WITH parts AS (
+    // The regexes interpolate the SAME Scala constants the Spark path
+    // compiles (both RE2-safe), so the two engines cannot drift.
+    "q90_parse_address" -> {
+      val sp = graft.functions.Cleaning.streetAddrPattern
+      val bp = graft.functions.Cleaning.poBoxPattern
+      // each generated line carries its own stripMargin '|' — the regex
+      // itself contains '|' alternations that must survive the strip
+      def sg(i: Int) =
+        s"|    nullif(regexp_extract(addr_raw, '$sp', $i), '') AS g$i,"
+      def bg(i: Int) =
+        s"|    nullif(regexp_extract(addr_raw, '$bp', $i), '') AS b$i"
+      s"""WITH parts AS (
         |  SELECT c_custkey,
         |    CAST(c_custkey % 900 + 1 AS VARCHAR) AS num,
         |    (['Main St', 'Oak Ave', 'Elm Dr'])[c_custkey % 3 + 1] AS stname,
@@ -3799,34 +3815,28 @@ object SparkEntry {
         |    CAST(c_custkey % 1000 AS VARCHAR) AS boxn,
         |    CAST(c_custkey % 50 + 1 AS VARCHAR) AS ste,
         |    CAST(c_custkey % 20 + 1 AS VARCHAR) AS apt,
+        |    CAST(c_custkey % 90 + 1 AS VARCHAR) AS ordn,
         |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS zip4,
-        |    c_custkey % 7 AS m7
+        |    c_custkey % 9 AS m9
         |  FROM customer),
         |base AS (
         |  SELECT c_custkey,
-        |    CASE m7
+        |    CASE m9
         |      WHEN 0 THEN 'PO Box ' || boxn
         |      WHEN 1 THEN 'PO Box ' || boxn || ', Springfield, ' || st || ' ' || zip5
         |      WHEN 2 THEN num || ' N ' || stname || ', Springfield, ' || st || ' ' || zip5
         |      WHEN 3 THEN num || ' ' || stname || ' NW, Springfield, ' || st || ' ' || zip5
         |      WHEN 4 THEN num || ' ' || stname || ', Ste ' || ste || ', Springfield, ' || st || ' ' || zip5
         |      WHEN 5 THEN num || ' ' || stname || ' Apt ' || apt || ', Springfield, ' || st || ' ' || zip5 || '-' || zip4
+        |      WHEN 6 THEN num || ' North ' || stname || ', Springfield, ' || st || ' ' || zip5
+        |      WHEN 7 THEN num || ' ' || ordn || 'th St West, Springfield, ' || st || ' ' || zip5
         |      ELSE num || ' ' || stname || ', Springfield, ' || st || ' ' || zip5
         |    END AS addr_raw
         |  FROM parts),
         |ex AS (
         |  SELECT c_custkey, addr_raw,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 1), '') AS g1,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 2), '') AS g2,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 3), '') AS g3,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 4), '') AS g4,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 5), '') AS g5,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 6), '') AS g6,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 7), '') AS g7,
-        |    nullif(regexp_extract(addr_raw, '^\s*(\d+)\s+(?:((?:NE|NW|SE|SW|N|S|E|W))\s+)?([^,]+?)(?:\s+((?:NE|NW|SE|SW|N|S|E|W)))?(?:\s*,?\s+((?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)\.?\s*[A-Za-z0-9-]+))?\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 8), '') AS g8,
-        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 2), '') AS b2,
-        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 3), '') AS b3,
-        |    nullif(regexp_extract(addr_raw, '^\s*[Pp]\.?[Oo]\.?\s*Box\s+(\d+)\s*,\s*([^,]+?)\s*,\s*([A-Z]{2})\s+(\d{5}(?:-\d{4})?)\s*$', 4), '') AS b4
+${(1 to 8).map(sg).mkString("\n")}
+${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM base)
         |SELECT c_custkey, addr_raw,
         |  g1 AS addr_number,
@@ -3836,7 +3846,8 @@ object SparkEntry {
         |  coalesce(g6, b2) AS addr_city,
         |  coalesce(g7, b3) AS addr_state,
         |  coalesce(g8, b4) AS addr_zip
-        |FROM ex""".stripMargin,
+        |FROM ex""".stripMargin
+    },
     "q91_territory_demand" ->
       """WITH county AS (
         |  SELECT c_custkey, c_nationkey,

@@ -171,7 +171,11 @@ object Cleaning {
     * Pure expressions; both regexes are RE2-compatible so the DuckDB oracle
     * runs the identical patterns. */
   val streetAddrPattern: String = {
-    val dir = "(?:NE|NW|SE|SW|N|S|E|W)"
+    // longer alternatives first: "Northeast" must not match as "North";
+    // spelled-out directionals cover the usaddress corpus's
+    // StreetNamePreDirectional/PostDirectional surface forms
+    val dir = "(?:Northeast|Northwest|Southeast|Southwest|North|South|" +
+      "East|West|NE|NW|SE|SW|N|S|E|W)"
     val occ = "(?:Apt|Apartment|Ste|Suite|Unit|Bldg|Rm|Fl|#)"
     "^\\s*(\\d+)\\s+" +                       // 1: address number
       s"(?:($dir)\\s+)?" +                    // 2: pre-directional

@@ -169,7 +169,20 @@ class GeoCodesSpec extends SparkSpec {
       ((36.91, -111.46), "America/Phoenix"),     // Page AZ
       ((35.68, -109.35), "America/Denver"),      // Navajo Nation (Ganado)
       ((32.69, -114.62), "America/Phoenix"),     // Yuma (west of -114.55)
-      ((34.85, -114.61), "America/Los_Angeles")) // Needles CA
+      ((34.85, -114.61), "America/Los_Angeles"), // Needles CA
+      // FINAL-declaration sweep (round 10): the remaining tricky pairs
+      // the 0.25-degree boundary-rule grid is expected to answer —
+      // residual deviation inside straddling cells is the documented
+      // closed scope (COVERAGE.md)
+      ((37.08, -88.60), "America/Chicago"),      // Paducah KY (west KY)
+      ((35.15, -90.05), "America/Chicago"),      // Memphis TN
+      ((36.15, -109.55), "America/Denver"),      // Navajo Nation NE AZ
+      ((32.71, -103.14), "America/Denver"),      // Hobbs NM
+      ((31.99, -102.08), "America/Chicago"),     // Midland TX
+      ((30.69, -88.04), "America/Chicago"),      // Mobile AL
+      ((30.42, -87.22), "America/Chicago"),      // Pensacola FL
+      ((46.54, -87.40), "America/Detroit"),      // Marquette MI (central UP)
+      ((44.51, -88.01), "America/Chicago"))      // Green Bay WI
     val misses = cases.collect {
       case ((la, lo), want) if usTzPoint(la, lo) != want =>
         s"($la,$lo): got ${usTzPoint(la, lo)}, want $want"

@@ -145,6 +145,15 @@ class ScreensSpec extends SparkSpec {
         Some("8"), Some("Main St Apt 4B"), Some("Salem"), Some("OR"), Some("97301-1234")),
       ("500 W Pine Rd # 12, Mesa, AZ 85201",
         Some("500"), Some("W Pine Rd # 12"), Some("Mesa"), Some("AZ"), Some("85201")),
+      // spelled-out directionals (surface forms the CRF tags as
+      // Pre/PostDirectional); "Northview" must NOT lose its prefix to
+      // the "North" alternative (longest-first alternation + backtrack)
+      ("12 North Main St, Provo, UT 84601",
+        Some("12"), Some("North Main St"), Some("Provo"), Some("UT"), Some("84601")),
+      ("7 42nd St West, Fargo, ND 58102",
+        Some("7"), Some("42nd St West"), Some("Fargo"), Some("ND"), Some("58102")),
+      ("33 Northview Ave, Boise, ID 83702",
+        Some("33"), Some("Northview Ave"), Some("Boise"), Some("ID"), Some("83702")),
       ("PO Box 873, Helena, MT 59601",
         None, None, Some("Helena"), Some("MT"), Some("59601")),
       ("P.O. Box 12, Reno, NV 89501",
