@@ -2355,6 +2355,55 @@ object SparkEntry {
       compareCols = Seq("o_totalprice", "o_orderstatus"))
   }
 
+  // ---- capstone chain: harvest → allocation → mcoe, oracle-replayable ----
+  // The Etl.buildWide chain's metric stage as a graded query: supplier
+  // nationkey is HARVESTED (occurrence-consistency vote over a clean
+  // master + a noisy order-grain feed, q88's shape), order totals are
+  // allocated by quantity-share ownership, and the per-(supplier, year)
+  // rollup ratios come out of the allocated revenue. Allocation here is
+  // EXACT INTEGER cents — (tp_cents · qty) DIV qty_total per
+  // (order, supplier), truncated like the SQL's integer division — so
+  // the revenue sums are partition-order independent and the oracle
+  // hash-matches without tolerance (the production Etl path keeps the
+  // reference's float scale_by_ownership; this is its exact twin, the
+  // same twin discipline as q140/q148/q152).
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val direct = sup.select(col("s_suppkey").as("suppkey"),
+      col("s_nationkey").cast("long").as("nationkey"))
+    val reported = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"),
+        when(col("l_orderkey") % 13 === 0, col("s_nationkey") + 1)
+          .otherwise(col("s_nationkey")).cast("long").as("nationkey"))
+    val entities = Harvest.occurrenceConsistency(
+        direct.unionByName(reported), Seq("suppkey"), "nationkey", 0.7)
+      .select(col("suppkey").as("s_suppkey"), col("nationkey"))
+    // one hash(l_orderkey) exchange serves both the (order, supplier)
+    // agg and the ownership-total window (the q12 shape)
+    val own = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("__tot",
+        sum(col("qty")).over(Window.partitionBy(col("l_orderkey"))))
+    val alloc = t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("order_year"),
+        round(col("o_totalprice") * 100).cast("long").as("__tp_cents"))
+      .join(own, col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey"), col("order_year"), col("qty"),
+        expr("(__tp_cents * qty) DIV __tot").as("__alloc_cents"))
+    alloc.groupBy(col("l_suppkey").as("s_suppkey"), col("order_year"))
+      .agg((sum(col("__alloc_cents")) / 100.0).as("alloc_revenue"),
+        sum(col("qty")).as("qty"))
+      .join(broadcast(entities), Seq("s_suppkey"), "left")
+      .withColumn("price_per_qty",
+        round(col("alloc_revenue") / col("qty"), 4))
+      .select("s_suppkey", "order_year", "nationkey", "alloc_revenue",
+        "qty", "price_per_qty")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2516,6 +2565,7 @@ object SparkEntry {
     "q153_chi_square" -> (q153 _),
     "q154_hard_negatives" -> (q154 _),
     "q155_snapshot_diff" -> (q155 _),
+    "q156_capstone_metrics" -> (q156 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5412,6 +5462,50 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |       + (CASE WHEN chg_s THEN 1 ELSE 0 END) AS BIGINT)
         |  ELSE 0 END AS n_changed
         |FROM j""".stripMargin,
+    // Capstone chain replay: harvest vote (q88 shape) + integer-cent
+    // ownership allocation + per-(supplier, year) rollup. Every revenue
+    // cell is a sum of exact integer cents, so no tolerance is needed.
+    "q156_capstone_metrics" ->
+      """WITH cand AS (
+        |  SELECT s_suppkey AS suppkey, CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey,
+        |    CAST(CASE WHEN l_orderkey % 13 = 0 THEN s_nationkey + 1
+        |         ELSE s_nationkey END AS BIGINT)
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |vc AS (
+        |  SELECT suppkey, nationkey, count(*) AS n FROM cand
+        |  WHERE nationkey IS NOT NULL GROUP BY 1, 2),
+        |vr AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY suppkey) AS tc,
+        |    row_number() OVER (PARTITION BY suppkey
+        |      ORDER BY n DESC, nationkey ASC) AS rk
+        |  FROM vc),
+        |ent AS (
+        |  SELECT suppkey AS s_suppkey,
+        |    CASE WHEN CAST(n AS DOUBLE)/tc > 0.7e0 THEN nationkey END
+        |      AS nationkey
+        |  FROM vr WHERE rk = 1),
+        |own AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |ownt AS (
+        |  SELECT *, sum(qty) OVER (PARTITION BY l_orderkey) AS tot
+        |  FROM own),
+        |alloc AS (
+        |  SELECT f.l_suppkey, year(o.o_orderdate) AS order_year, f.qty,
+        |    (CAST(round(o.o_totalprice * 100) AS BIGINT) * f.qty) // f.tot
+        |      AS alloc_cents
+        |  FROM orders o JOIN ownt f ON o.o_orderkey = f.l_orderkey)
+        |SELECT a.l_suppkey AS s_suppkey, a.order_year, e.nationkey,
+        |  sum(a.alloc_cents) / 100.0 AS alloc_revenue,
+        |  CAST(sum(a.qty) AS BIGINT) AS qty,
+        |  round((sum(a.alloc_cents) / 100.0) / sum(a.qty), 4)
+        |    AS price_per_qty
+        |FROM alloc a LEFT JOIN ent e ON a.l_suppkey = e.s_suppkey
+        |GROUP BY 1, 2, 3""".stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (
