@@ -2404,6 +2404,42 @@ object SparkEntry {
         "qty", "price_per_qty")
   }
 
+  // ---- capstone chain: plant-parts grains over the q156 metrics ----------
+  // Stage 4 of the Etl.buildWide chain as a graded query: the
+  // supplier/nation/region grain family (q51) + true-grain labeling
+  // (q89) computed over the CHAINED metrics frame — nation comes from
+  // the harvested nationkey, region through the broadcast nation dim.
+  // Revenue re-aggregates as exact integer cents (the q156 cells are
+  // cents/100, so ·100 recovers them losslessly), keeping every sum
+  // partition-order independent and the oracle hash-exact.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withRegion = q156(s, dir).join(
+      broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nationkey"),
+        col("n_regionkey"))),
+      Seq("nationkey"), "left")
+      .withColumn("__cents",
+        round(col("alloc_revenue") * 100).cast("long"))
+    def grain(label: String, priority: Int, key: Column): DataFrame =
+      withRegion.groupBy(key.cast("string").as("part_key"))
+        .agg((sum(col("__cents")) / 100.0).as("sum_revenue"),
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("s_suppkey")).as("n_suppliers"))
+        .withColumn("grain", lit(label))
+        .withColumn("priority", lit(priority))
+    val parts = grain("supplier", 1, col("s_suppkey"))
+      .unionByName(grain("nation", 2, col("nationkey")))
+      .unionByName(grain("region", 3, col("n_regionkey")))
+    val sig = Window.partitionBy(col("sum_revenue"), col("n_rows"),
+      col("n_suppliers"))
+    parts
+      .withColumn("true_gran", row_number().over(
+        sig.orderBy(col("priority").asc, col("part_key").asc)) === 1)
+      .select("grain", "part_key", "sum_revenue", "n_rows", "n_suppliers",
+        "true_gran")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2566,6 +2602,7 @@ object SparkEntry {
     "q154_hard_negatives" -> (q154 _),
     "q155_snapshot_diff" -> (q155 _),
     "q156_capstone_metrics" -> (q156 _),
+    "q157_capstone_parts" -> (q157 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5506,6 +5543,72 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    AS price_per_qty
         |FROM alloc a LEFT JOIN ent e ON a.l_suppkey = e.s_suppkey
         |GROUP BY 1, 2, 3""".stripMargin,
+    // Capstone plant-parts replay: the q156 chain re-aggregated at three
+    // grains with the q89 true-grain signature window; revenue stays in
+    // exact integer cents until the final /100.
+    "q157_capstone_parts" ->
+      """WITH cand AS (
+        |  SELECT s_suppkey AS suppkey, CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey,
+        |    CAST(CASE WHEN l_orderkey % 13 = 0 THEN s_nationkey + 1
+        |         ELSE s_nationkey END AS BIGINT)
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |vc AS (
+        |  SELECT suppkey, nationkey, count(*) AS n FROM cand
+        |  WHERE nationkey IS NOT NULL GROUP BY 1, 2),
+        |vr AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY suppkey) AS tc,
+        |    row_number() OVER (PARTITION BY suppkey
+        |      ORDER BY n DESC, nationkey ASC) AS rk
+        |  FROM vc),
+        |ent AS (
+        |  SELECT suppkey AS s_suppkey,
+        |    CASE WHEN CAST(n AS DOUBLE)/tc > 0.7e0 THEN nationkey END
+        |      AS nationkey
+        |  FROM vr WHERE rk = 1),
+        |own AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |ownt AS (
+        |  SELECT *, sum(qty) OVER (PARTITION BY l_orderkey) AS tot
+        |  FROM own),
+        |alloc AS (
+        |  SELECT f.l_suppkey, year(o.o_orderdate) AS order_year,
+        |    f.qty,
+        |    (CAST(round(o.o_totalprice * 100) AS BIGINT) * f.qty) // f.tot
+        |      AS alloc_cents
+        |  FROM orders o JOIN ownt f ON o.o_orderkey = f.l_orderkey),
+        |metrics AS (
+        |  SELECT a.l_suppkey AS s_suppkey, a.order_year, e.nationkey,
+        |    CAST(sum(a.alloc_cents) AS BIGINT) AS cents,
+        |    CAST(sum(a.qty) AS BIGINT) AS qty
+        |  FROM alloc a LEFT JOIN ent e ON a.l_suppkey = e.s_suppkey
+        |  GROUP BY 1, 2, 3),
+        |wr AS (
+        |  SELECT m.*, n.n_regionkey FROM metrics m
+        |  LEFT JOIN nation n ON m.nationkey = n.n_nationkey),
+        |parts AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS part_key,
+        |    sum(cents) / 100.0 AS sum_revenue, count(*) AS n_rows,
+        |    count(DISTINCT s_suppkey) AS n_suppliers,
+        |    'supplier' AS grain, 1 AS priority
+        |  FROM wr GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(nationkey AS VARCHAR), sum(cents) / 100.0,
+        |    count(*), count(DISTINCT s_suppkey), 'nation', 2
+        |  FROM wr GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS VARCHAR), sum(cents) / 100.0,
+        |    count(*), count(DISTINCT s_suppkey), 'region', 3
+        |  FROM wr GROUP BY 1)
+        |SELECT grain, part_key, sum_revenue, n_rows, n_suppliers,
+        |  row_number() OVER (
+        |    PARTITION BY sum_revenue, n_rows, n_suppliers
+        |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
+        |FROM parts""".stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (
