@@ -282,6 +282,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q156 capstone chain: dims broadcast, ownership agg + window share one exchange") {
+    val p = plan("q156_capstone_metrics")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the harvested-entity join is a broadcast (supplier-sized dim)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the repartition(l_orderkey) feeds BOTH the (order, supplier)
+    // aggregate and the ownership-total window without a second
+    // exchange on the same key: at most 4 hash exchanges total
+    // (ownership, reported-vote, entity-vote, final rollup)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
