@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming façade over the hourly/timeseries operators
@@ -140,6 +140,93 @@ object EventStreams {
       if (out.nonEmpty) state.update(EwmaState(prev))
       out.iterator
     }
+  }
+
+  /** Out-of-order-tolerant streaming EWMA — the THIRD state shape of the
+    * Spark 4 arbitrary-state API (after [[EwmaProcessor]]'s ValueState
+    * and [[StreamDedupProcessor]]'s MapState): a `ListState` buffer plus
+    * EVENT-TIME TIMERS. [[EwmaProcessor]] documents "feed
+    * event-time-ordered" as its arrival contract; this processor removes
+    * that contract — events buffer in ListState on arrival, an
+    * event-time timer fires when the watermark advances, and only then do
+    * the ripe events (ts ≤ watermark) flush through the same fixed-point
+    * fold in exact (ts, id) order. As long as the watermark delay bounds
+    * the stream's disorder, the fold order — and therefore every output
+    * bit — matches the batch screen (StreamingSpec proves it on a stream
+    * deliberately shuffled across micro-batches).
+    *
+    * Scale: buffered state per key is bounded by (watermark delay ×
+    * event rate), the same bound every watermarked stateful op carries;
+    * timers are one per key per watermark advance, re-registered only
+    * while the buffer is non-empty. */
+  class OrderedEwmaProcessor(threshold: Double, alphaNum: Int, alphaDen: Int)
+      extends StatefulProcessor[Long, EwmaEvent, EwmaOut] {
+    @transient private var buf: ListState[EwmaEvent] = _
+    @transient private var st: ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[EwmaEvent]("buf",
+        Encoders.product[EwmaEvent], TTLConfig.NONE)
+      st = getHandle.getValueState[EwmaState]("ewma",
+        Encoders.product[EwmaState], TTLConfig.NONE)
+    }
+    private def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    override def handleInputRows(uid: Long, rows: Iterator[EwmaEvent],
+                                 timers: TimerValues): Iterator[EwmaOut] = {
+      rows.foreach(buf.appendValue)
+      // flush as soon as the watermark next advances
+      getHandle.registerTimer(timers.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[EwmaOut] = {
+      val wmMs = timers.getCurrentWatermarkInMs()
+      val all = buf.get().toArray
+      val (ripe, pending) = all.partition(e => micros(e.ts) / 1000L <= wmMs)
+      buf.clear()
+      if (pending.nonEmpty) {
+        buf.appendList(pending)
+        // +2 so a same-batch handleInputRows registration (wm + 1)
+        // never collides with the re-registration
+        getHandle.registerTimer(wmMs + 2)
+      }
+      var first = !st.exists()
+      var prev = if (first) 0L else st.get().emicro
+      val thrMicro = math.round(threshold * 1000000L)
+      val out = ripe.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+        val x = math.round(e.value * 1000000L)
+        require(x >= 0L,
+          s"OrderedEwmaProcessor requires non-negative value, got ${e.value}")
+        val em = if (first) x
+          else Math.floorDiv(
+            alphaNum * x + (alphaDen - alphaNum) * prev + alphaDen / 2,
+            alphaDen)
+        val dev = if (first) None else Some(x - prev)
+        prev = em
+        first = false
+        EwmaOut(uid, micros(e.ts), e.event_id, e.value,
+          em / 1000000.0, dev.map(_ / 1000000.0),
+          dev.exists(d => math.abs(d) > thrMicro))
+      }
+      if (ripe.nonEmpty) st.update(EwmaState(prev))
+      out.iterator
+    }
+  }
+
+  /** Per-user out-of-order-tolerant EWMA via [[OrderedEwmaProcessor]]:
+    * event-time mode with a watermark whose delay must bound the
+    * stream's disorder. */
+  def ewmaStreamOrdered(spark: SparkSession, events: DataFrame,
+                        threshold: Double, watermark: String,
+                        alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value")).as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new OrderedEwmaProcessor(threshold, alphaNum, alphaDen),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
   }
 
   /** Per-user streaming EWMA screen via [[EwmaProcessor]]. */

@@ -243,4 +243,31 @@ class PropertySpec extends SparkSpec {
       assert(cluster == graft.functions.PortableHash.hex60(s), s)
     }
   }
+
+  test("bpeMergeTableLocal == bpeMergeTable on random corpora (property)") {
+    // small alphabets force heavy pair collisions, overlap runs ("aaa"),
+    // and tie-breaks — the shapes where the incremental-stats / heap
+    // bookkeeping could drift from the per-round distributed recount
+    val corpusGen: Gen[List[String]] = for {
+      nDocs <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        nWords <- Gen.choose(1, 12)
+        words <- Gen.listOfN(nWords, for {
+          len <- Gen.choose(1, 6)
+          cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+        } yield cs.mkString)
+      } yield words.mkString(" "))
+    } yield docs
+    forAll(corpusGen, 8) { docs =>
+      val df = docs.toDF("text")
+      val dist = graft.text.TextAnalysis.bpeMergeTable(df, "text", merges = 12)
+        .orderBy("step")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      val local = graft.text.TextAnalysis
+        .bpeMergeTableLocal(df, "text", merges = 12)
+        .orderBy("step")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(local == dist, s"corpus=$docs\nlocal=$local\ndist=$dist")
+    }
+  }
 }

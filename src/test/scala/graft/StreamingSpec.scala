@@ -197,6 +197,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ewmaStreamOrdered (ListState + event-time timers) reorders a disordered stream") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.load(spark, sf, "events")
+      // stage one parquet file PER DAY, but move every 5th event one
+      // file LATER — it arrives a micro-batch after its event-time
+      // peers (≤1 day of disorder). maxFilesPerTrigger=1 turns each
+      // file into its own micro-batch, so the disorder is CROSS-batch:
+      // the within-batch sort of the plain EwmaProcessor cannot fix it,
+      // only the ListState buffer + watermark timer can.
+      val dir = java.nio.file.Files.createTempDirectory("graft_oewma").toString
+      val staged = events.withColumn("__day", dayofmonth(col("ts")))
+        .withColumn("__file",
+          when(col("event_id") % 5 === 0, col("__day") + 1)
+            .otherwise(col("__day")))
+      val days = staged.select("__file").distinct()
+        .orderBy("__file").collect().map(_.getInt(0))
+      days.foreach { d =>
+        staged.where(col("__file") === d).drop("__day", "__file")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val schema = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .transform(df => EventStreams.ewmaStreamOrdered(spark, df,
+          threshold = 150.0, watermark = "2 days"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("oewma_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("oewma_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.toSeq)
+        .toMap
+      // the watermark never passes the final 2 days (nothing arrives
+      // after), so the comparable set is everything at or below the
+      // final watermark: max(ts) - 2 days
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val wmCutUs = (maxUs / 1000L - 2L * 86400000L) * 1000L
+      val batch = graft.operators.TimeseriesScreens.ewmaScreen(
+          events, "user_id", "ts", "event_id", "value", threshold = 150.0)
+        .where(col("ts_us") <= wmCutUs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.toSeq)
+        .toMap
+      // every ripe event was emitted exactly once, in event-time order,
+      // BIT-identical to the batch fold — despite cross-batch disorder
+      val ripeStreamed = streamed.filter { case ((_, ts, _), _) => ts <= wmCutUs }
+      assert(batch.nonEmpty && ripeStreamed == batch,
+        s"streamed=${streamed.size} ripe=${ripeStreamed.size} batch=${batch.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("nearDupCandidates: stream-stream band join finds planted near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
