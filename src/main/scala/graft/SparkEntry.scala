@@ -2306,10 +2306,13 @@ object SparkEntry {
 
   // ---- checks: per-group OLS trend fit -----------------------------------
   // extendedprice ~ quantity per returnflag: one hash aggregation of
-  // exact decimal moments per group, closed-form slope/intercept/r².
+  // exact integer moments per group, closed-form slope/intercept/r².
+  // Long split-accumulator path (per-group overflow guard, bit-identical
+  // to the decimal twin — spec-pinned), like q149.
   private def q151(s: SparkSession, dir: String): DataFrame =
     Profile.olsByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
-      x = "l_quantity" -> 1, y = "l_extendedprice" -> 100)
+      x = "l_quantity" -> 1, y = "l_extendedprice" -> 100,
+      longMoments = true)
 
   // ---- screens: EWMA smoother + deviation flag ---------------------------
   // alpha = 1/4 over each user's event series; |x - ewma_prev| > 150

@@ -215,19 +215,66 @@ object Profile {
     * group cardinality. */
   def olsByGroup(df: DataFrame, keys: Seq[String],
                  x: (String, Int), y: (String, Int),
-                 roundTo: Int = 6): DataFrame = {
+                 roundTo: Int = 6, longMoments: Boolean = false): DataFrame = {
     require(keys.nonEmpty && x._2 >= 1 && y._2 >= 1,
       "need keys and scales >= 1")
     def qz(c: String, s: Int): Column =
       round(col(c).cast("double") * s).cast("decimal(38,0)")
     val (xc, xs) = x
     val (yc, ys) = y
-    val g = df.groupBy(keys.map(col): _*).agg(
+    // `longMoments = true` swaps the per-row decimal(38,0) sums for the
+    // [[correlationMatrix]] long split-accumulator form — identical
+    // integer moments recombined into decimal PER GROUP, with the same
+    // runtime overflow guard evaluated on each group's count and
+    // max|q| (any group outside the envelope raises; fall back to the
+    // decimal path there). The fold below this aggregate is shared.
+    val g = if (!longMoments) df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
       sum(qz(xc, xs)).as("__sx"), sum(qz(yc, ys)).as("__sy"),
       sum(qz(xc, xs) * qz(xc, xs)).as("__sxx"),
       sum(qz(yc, ys) * qz(yc, ys)).as("__syy"),
       sum(qz(xc, xs) * qz(yc, ys)).as("__sxy"))
+    else {
+      def ql(c: String, s: Int): Column =
+        round(col(c).cast("double") * s).cast("long")
+      val mask = lit(4294967295L)
+      def hi(p: Column): Column = shiftright(p, 32)
+      def lo(p: Column): Column = p.bitwiseAND(mask)
+      val px = ql(xc, xs) * ql(xc, xs)
+      val py = ql(yc, ys) * ql(yc, ys)
+      val pxy = ql(xc, xs) * ql(yc, ys)
+      val agg = df.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("n_rows"),
+        sum(ql(xc, xs)).as("__sxl"), sum(ql(yc, ys)).as("__syl"),
+        max(abs(ql(xc, xs))).as("__mx"), max(abs(ql(yc, ys))).as("__my"),
+        sum(hi(px)).as("__xxh"), sum(lo(px)).as("__xxl"),
+        sum(hi(py)).as("__yyh"), sum(lo(py)).as("__yyl"),
+        sum(hi(pxy)).as("__xyh"), sum(lo(pxy)).as("__xyl"))
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def big(v: BigInt): Column = lit(new java.math.BigDecimal(v.bigInteger))
+      val two32 = big(BigInt(2).pow(32))
+      val nDec = dec(col("n_rows"))
+      def comb(h: String, l: String): Column =
+        dec(col(h)) * two32 + dec(col(l))
+      def mOk(m: String): Column = col(m).isNull ||
+        (col(m) < lit(2147483648L) &&
+          nDec * dec(col(m)) <= big(BigInt(2).pow(62)))
+      def hiOk(a: String, b: String): Column =
+        col(a).isNull || col(b).isNull ||
+          nDec * dec(col(a)) * dec(col(b)) <= big(BigInt(2).pow(93))
+      val ok = col("n_rows") <= lit(1073741824L) &&
+        mOk("__mx") && mOk("__my") &&
+        hiOk("__mx", "__mx") && hiOk("__my", "__my") && hiOk("__mx", "__my")
+      agg.select(keys.map(col) ++ Seq(
+        when(ok, col("n_rows")).otherwise(
+          raise_error(concat(lit("olsByGroup longMoments overflow guard " +
+            "tripped for a group — use the decimal path; n="),
+            col("n_rows").cast("string"))).cast("long")).as("n_rows"),
+        dec(col("__sxl")).as("__sx"), dec(col("__syl")).as("__sy"),
+        comb("__xxh", "__xxl").as("__sxx"),
+        comb("__yyh", "__yyl").as("__syy"),
+        comb("__xyh", "__xyl").as("__sxy")): _*)
+    }
     val n = col("n_rows").cast("decimal(38,0)")
     val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
     val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")

@@ -191,6 +191,24 @@ class SchemaChecksSpec extends SparkSpec {
         "x" -> 100, "y" -> 100)
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(out7 == out.map { case (k, r) => k -> r.toSeq })
+    // the long split-accumulator path computes the SAME integer moments
+    // per group: identical bits, any partitioning (incl. negative slopes
+    // exercising the signed hi/lo split)
+    val outL = Profile.olsByGroup(df.repartition(11), Seq("g"),
+        "x" -> 100, "y" -> 100, longMoments = true)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(outL == out.map { case (k, r) => k -> r.toSeq })
+    // per-group overflow guard: quantized magnitudes past 2^31 fail
+    // loudly (ANSI ARITHMETIC_OVERFLOW or the guard's raise), never wrap
+    val huge = Seq(("g", 3.0e9, 1.0), ("g", 4.0e9, 2.0)).toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Profile.olsByGroup(huge, Seq("g"), "x" -> 10, "y" -> 10,
+        longMoments = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("overflow guard") ||
+      m.contains("ARITHMETIC_OVERFLOW")))
   }
 
   test("Profile.chiSquare: perfect association V=1, independence V=0, empty cells") {
