@@ -113,7 +113,9 @@ object Bench {
       } finally {
         graft.util.SessionHygiene.releaseAll(spark)
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles returns null on IO error; an NPE here would mask
+          // the capstone's original exception
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
           f.delete(); ()
         }
         rm(dir.toFile)

@@ -154,8 +154,13 @@ object Etl {
     val withRegion = metrics.join(
       broadcast(nation.select(col("n_nationkey").cast("long").as("nationkey"),
         col("n_regionkey"))), Seq("nationkey"), "left")
+    // a supplier whose harvest vote fails the 0.7 strictness carries a
+    // NULL nationkey; its nation/region grain rows land in an explicit
+    // "unknown" bucket so the required part_key check holds for any
+    // data distribution
     def grain(label: String, priority: Int, key: Column): DataFrame =
-      withRegion.groupBy(key.cast("string").as("part_key"))
+      withRegion.groupBy(
+          coalesce(key.cast("string"), lit("unknown")).as("part_key"))
         .agg(round(sum(col("alloc_revenue")), 2).as("sum_revenue"),
           count(lit(1)).as("n_rows"),
           count_distinct(col("s_suppkey")).as("n_suppliers"))
@@ -175,10 +180,57 @@ object Etl {
     Map(supplierMetrics.name -> metrics, plantParts.name -> partsOut)
   }
 
+  /** Per-(table × partition) row counts of the written capstone outputs —
+    * the observation side of the reference's golden row-count regression
+    * (`/root/reference/dbt/seeds/etl_full_row_counts.csv` checked by
+    * `row_counts_per_partition.sql`). supplier_metrics partitions by
+    * order_year, plant_parts by grain. One metadata-cheap count
+    * aggregation per table over the freshly-written files. */
+  def capstoneRowCounts(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/${supplierMetrics.name}")
+      .groupBy(col("order_year").cast("string").as("partition"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("table_name", lit(supplierMetrics.name))
+      .unionByName(
+        spark.read.parquet(s"$outDir/${plantParts.name}")
+          .groupBy(col("grain").as("partition"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("table_name", lit(plantParts.name)))
+      .select("table_name", "partition", "n_rows")
+
+  /** Drift report between observed capstone counts and a golden frame
+    * (`sf`-filtered slice of the manifest): one row per
+    * (table × partition) whose count is missing, extra, or changed.
+    * Empty ⇔ the regression holds. */
+  def rowCountDrift(observed: DataFrame, golden: DataFrame): DataFrame =
+    observed.select(col("table_name"), col("partition"),
+        col("n_rows").as("observed_rows"))
+      .join(golden.select(col("table_name"), col("partition"),
+          col("n_rows").as("expected_rows")),
+        Seq("table_name", "partition"), "full_outer")
+      .where(not(col("observed_rows") <=> col("expected_rows")))
+
+  /** The committed golden manifest (regenerate via [[CapstoneGoldens]]),
+    * empty when the classpath resource is absent. Columns:
+    * sf, table_name, partition, n_rows. */
+  def loadRowCountGoldens(spark: SparkSession): DataFrame = {
+    val res = Option(getClass.getResourceAsStream(
+      "/goldens/capstone_row_counts.csv"))
+    val lines = res.map { in =>
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }.getOrElse(Nil)
+    import spark.implicits._
+    lines.drop(1).map(_.split(",", -1)).collect {
+      case Array(sfL, tbl, part, n) => (sfL, tbl, part, n.toLong)
+    }.toDF("sf", "table_name", "partition", "n_rows")
+  }
+
   /** Run the wide chain end-to-end — write both outputs, validate them
-    * with [[CheckRunner]] — and return (wall seconds, failed checks).
-    * This is the number to hold against the reference's whole-ETL wall
-    * time; Bench records it as `etl_capstone`. */
+    * with [[CheckRunner]] plus the golden row-count regression — and
+    * return (wall seconds, failed checks). This is the number to hold
+    * against the reference's whole-ETL wall time; Bench records it as
+    * `etl_capstone`. */
   def capstone(spark: SparkSession, sfDir: String, outDir: String): (Double, Long) = {
     val t0 = System.nanoTime()
     val outputs = buildWide(spark, sfDir)
@@ -186,7 +238,7 @@ object Etl {
       s"$outDir/${supplierMetrics.name}", partitionBy = Seq("order_year"))
     ParquetSink.write(outputs(plantParts.name), plantParts,
       s"$outDir/${plantParts.name}")
-    val failed = Seq(
+    val checkFailed = Seq(
       CheckRunner.run(
         spark.read.parquet(s"$outDir/${supplierMetrics.name}"),
         CheckRunner.fromResource(supplierMetrics)),
@@ -194,7 +246,20 @@ object Etl {
         spark.read.parquet(s"$outDir/${plantParts.name}"),
         CheckRunner.fromResource(plantParts))
     ).map(_.where(!col("passed")).count()).sum
-    ((System.nanoTime() - t0) / 1e9, failed)
+    // golden row-count regression: only for scale labels the committed
+    // manifest pins (sf label = fixture dir basename); any
+    // (table × partition) drift is a failed check
+    val sfLabel = new java.io.File(sfDir).getName
+    val golden = loadRowCountGoldens(spark).where(col("sf") === sfLabel)
+    val driftFailed =
+      if (golden.isEmpty) 0L
+      else {
+        val drift = rowCountDrift(capstoneRowCounts(spark, outDir), golden)
+        val n = drift.count()
+        if (n > 0) drift.show(50, false)
+        n
+      }
+    ((System.nanoTime() - t0) / 1e9, checkFailed + driftFailed)
   }
 
   /** Build both outputs as one lineage over the fixture tables. */
@@ -292,5 +357,33 @@ object Etl {
     println(f"ETL capstone (harvest->allocation->mcoe->plant-parts->checks): " +
       f"$wallSec%.2f s, failed checks: $wideFailed")
     if (failed + wideFailed > 0) sys.exit(1)
+  }
+}
+
+/** Regenerate the capstone golden row-count manifest
+  * (`src/main/resources/goldens/capstone_row_counts.csv`) — run after an
+  * INTENTIONAL capstone semantics change, then commit the diff:
+  * `runMain graft.CapstoneGoldens <outCsv> <sfDir>...`. Each fixture dir
+  * contributes a slice labeled by its basename. */
+object CapstoneGoldens {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CapstoneGoldens <outCsv> <sfDir>...")
+    val spark = GraftSession.local()
+    val rows = args.drop(1).flatMap { sfDir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_golden").toString
+      val outputs = Etl.buildWide(spark, sfDir)
+      graft.sources.ParquetSink.write(outputs(Etl.supplierMetrics.name),
+        Etl.supplierMetrics, s"$out/${Etl.supplierMetrics.name}",
+        partitionBy = Seq("order_year"))
+      graft.sources.ParquetSink.write(outputs(Etl.plantParts.name),
+        Etl.plantParts, s"$out/${Etl.plantParts.name}")
+      val sfLabel = new java.io.File(sfDir).getName
+      Etl.capstoneRowCounts(spark, out).orderBy("table_name", "partition")
+        .collect()
+        .map(r => s"$sfLabel,${r.getString(0)},${r.getString(1)},${r.getLong(2)}")
+    }
+    val csv = ("sf,table_name,partition,n_rows" +: rows).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)), csv)
+    println(s"wrote ${rows.length} golden rows -> ${args(0)}")
   }
 }

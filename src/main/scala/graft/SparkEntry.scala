@@ -2443,6 +2443,48 @@ object SparkEntry {
         "true_gran")
   }
 
+  // ---- §2.11 record linkage: TRAINED pair-match model, end-to-end --------
+  // The reference's train→score loop (eia_ferc1_record_linkage.py:137-393)
+  // exercised in-engine: label the blocked candidate pairs with a
+  // deterministic noisy rule, TRAIN the logistic pair-matcher (MLlib
+  // LBFGS, unregularized, tight tol), collect the coefficients, and score
+  // ALL candidates with logisticScore over the trained weights as
+  // plan-time literals; top-1 per customer. Oracle-replayable because the
+  // design is saturated (one binary feature + bias): the unregularized
+  // MLE reproduces the empirical cell rates exactly —
+  // sigmoid(w·x + b) = p̂(y=1 | x) — so the SQL recovers the SAME trained
+  // scores from the cell rates without running LBFGS. The spec
+  // (LinkageTrainSpec) pins the trained weights to the closed-form
+  // log-odds within 1e-6.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nkey"), col("c_custkey"),
+        expr("right(regexp_replace(c_name, '[^0-9]', ''), 4)").as("c_last4"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nkey"), col("s_suppkey"),
+        expr("right(regexp_replace(s_name, '[^0-9]', ''), 4)").as("s_last4"))
+    val cand = Linkage.blockedFuzzyJoin(c, sup, Seq("nkey"), "c_last4",
+        "s_last4", maxDist = 2)
+      .withColumn("is_close", (col("name_dist") <= 1).cast("double"))
+      // deterministic noisy labels keeping both cells strictly inside
+      // (0,1): close pairs match ~3/4 of the time, far pairs ~1/4
+      .withColumn("label",
+        when(col("is_close") === 1.0,
+            ((col("c_custkey") + col("s_suppkey")) % 4 < 3))
+          .otherwise((col("c_custkey") + col("s_suppkey")) % 4 === 0)
+          .cast("double"))
+    val (w, b) = Linkage.trainPairMatcher(cand, Seq("is_close"), "label")
+    cand
+      .withColumn("score",
+        Linkage.logisticScore(Seq(col("is_close") -> w.head), b))
+      .withColumn("score_micro", round(col("score") * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))
+          .orderBy(col("score").desc, col("s_suppkey").asc)))
+      .where(col("rk") === 1)
+      .select("c_custkey", "s_suppkey", "name_dist", "score_micro")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2606,6 +2648,7 @@ object SparkEntry {
     "q155_snapshot_diff" -> (q155 _),
     "q156_capstone_metrics" -> (q156 _),
     "q157_capstone_parts" -> (q157 _),
+    "q158_trained_match" -> (q158 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5612,6 +5655,37 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    PARTITION BY sum_revenue, n_rows, n_suppliers
         |    ORDER BY priority ASC, part_key ASC) = 1 AS true_gran
         |FROM parts""".stripMargin,
+    // Trained pair-matcher replay: the unregularized logistic MLE on a
+    // saturated one-binary-feature design fits the empirical cell rates
+    // exactly (sigmoid(w·x+b) = p̂(y|x)), so the trained scores are
+    // recoverable from the label rates without re-running LBFGS.
+    "q158_trained_match" ->
+      """WITH cand AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    levenshtein(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4),
+        |                right(regexp_replace(s_name, '[^0-9]', '', 'g'), 4))
+        |      AS name_dist
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+        |feat AS (
+        |  SELECT *, CASE WHEN name_dist <= 1 THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN name_dist <= 1
+        |      THEN CASE WHEN (c_custkey + s_suppkey) % 4 < 3 THEN 1.0 ELSE 0.0 END
+        |      ELSE CASE WHEN (c_custkey + s_suppkey) % 4 = 0 THEN 1.0 ELSE 0.0 END
+        |    END AS y
+        |  FROM cand WHERE name_dist <= 2),
+        |cells AS (
+        |  SELECT avg(CASE WHEN x = 0 THEN y END) AS p0,
+        |         avg(CASE WHEN x = 1 THEN y END) AS p1 FROM feat),
+        |scored AS (
+        |  SELECT f.c_custkey, f.s_suppkey, f.name_dist,
+        |    CASE WHEN f.x = 1 THEN c.p1 ELSE c.p0 END AS score
+        |  FROM feat f, cells c)
+        |SELECT c_custkey, s_suppkey, name_dist,
+        |  CAST(round(score * 1e6) AS BIGINT) AS score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY score DESC, s_suppkey ASC) AS rk
+        |  FROM scored)
+        |WHERE rk = 1""".stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

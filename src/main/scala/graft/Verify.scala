@@ -18,7 +18,7 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
       f.delete(); ()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -133,10 +133,13 @@ object CheckRunner {
     val fieldChecks = r.fields.flatMap { f =>
       val req = if (f.required) Seq(NotNull(s"${r.name}:${f.name}:not_null", f.name)) else Nil
       val en = f.enum.map(v => InEnum(s"${r.name}:${f.name}:enum", f.name, v)).toSeq
+      // one-sided bounds enforce with the missing side unbounded
       val rng = (f.min, f.max) match {
-        case (Some(lo), Some(hi)) =>
-          Seq(InRange(s"${r.name}:${f.name}:range", f.name, lo, hi))
-        case _ => Nil
+        case (None, None) => Nil
+        case (lo, hi) =>
+          Seq(InRange(s"${r.name}:${f.name}:range", f.name,
+            lo.getOrElse(Double.NegativeInfinity),
+            hi.getOrElse(Double.PositiveInfinity)))
       }
       req ++ en ++ rng
     }

@@ -84,6 +84,38 @@ object Linkage {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Train the pair-match logistic model in-engine — the reference's
+    * train step (`/root/reference/src/pudl/analysis/record_linkage/
+    * eia_ferc1_record_linkage.py:137-393`, LogisticRegression over
+    * labeled candidate pairs) — and hand back `(weights, intercept)` for
+    * plan-time-literal scoring through [[logisticScore]]. Unregularized
+    * MLE with a tight tolerance: on a saturated design (discrete
+    * features covering every cell) the fitted probabilities equal the
+    * empirical cell rates exactly, which is what makes the train→score
+    * loop oracle-replayable (the SQL recomputes the cell rates instead
+    * of re-running LBFGS).
+    *
+    * Scale: training data is the BLOCKED candidate-pair frame (never the
+    * cross product); LBFGS cost is one treeAggregate pass per iteration
+    * over (features, label) — a few dozen passes over an
+    * already-reduced frame. The collect is the coefficient vector:
+    * O(n_features). */
+  def trainPairMatcher(pairs: DataFrame, featureCols: Seq[String],
+                       labelCol: String, maxIter: Int = 500,
+                       tol: Double = 1e-12): (Seq[Double], Double) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("__features")
+      .transform(pairs.select((featureCols :+ labelCol).map(c =>
+        col(c).cast("double").as(c)): _*))
+    val model = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setTol(tol).setRegParam(0.0)
+      .fit(assembled)
+    (model.coefficients.toArray.toSeq, model.intercept)
+  }
+
   /** Cross-year entity linkage — the full `link_ids_cross_year` graph
     * (`/root/reference/src/pudl/analysis/record_linkage/link_cross_year.py:299-360`)
     * re-expressed as a composition of the implemented distributed stages:

@@ -182,7 +182,10 @@ object EventStreams {
                                     info: ExpiredTimerInfo): Iterator[EwmaOut] = {
       val wmMs = timers.getCurrentWatermarkInMs()
       val all = buf.get().toArray
-      val (ripe, pending) = all.partition(e => micros(e.ts) / 1000L <= wmMs)
+      // strict < at µs: an event in the watermark millisecond still
+      // passes Spark's late filter (ts >= watermark) in a later batch,
+      // so it must stay buffered until the watermark strictly passes it
+      val (ripe, pending) = all.partition(e => micros(e.ts) < wmMs * 1000L)
       buf.clear()
       if (pending.nonEmpty) {
         buf.appendList(pending)

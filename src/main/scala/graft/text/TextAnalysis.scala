@@ -615,14 +615,22 @@ object TextAnalysis {
     require(merges >= 1, "need merges >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val types = df
+    // bounded collect: accumulate partition-by-partition and refuse the
+    // moment the dictionary exceeds maxTypes — the guard must fire
+    // BEFORE the driver heap holds an over-bound dictionary, not after
+    val typeIter = df
       .select(explode(tokens(col(textCol))).as("__w"))
       .where(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__f"))
-      .as[(String, Long)].collect()
-    require(types.length <= maxTypes,
-      s"${types.length} word types exceed maxTypes=$maxTypes — raise the " +
-        "bound or use the distributed bpeMergeTable")
+      .as[(String, Long)].toLocalIterator()  // java.util.Iterator: fetches
+    val typeBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (typeIter.hasNext) {               // one partition at a time
+      typeBuf += typeIter.next()
+      require(typeBuf.length <= maxTypes,
+        s"word types exceed maxTypes=$maxTypes — raise the bound or use " +
+          "the distributed bpeMergeTable")
+    }
+    val types = typeBuf.toArray
 
     import scala.collection.mutable
     val syms: Array[mutable.ArrayBuffer[String]] = types.map { case (w, _) =>

@@ -73,4 +73,41 @@ class EtlSpec extends SparkSpec {
     assert(parts.where(col("grain") === "supplier" && !col("true_gran"))
       .count() == 0)
   }
+
+  test("capstone golden row counts: manifest matches, any drift fails") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_spec").toString
+    val outputs = Etl.buildWide(spark, sf)
+    graft.sources.ParquetSink.write(outputs(Etl.supplierMetrics.name),
+      Etl.supplierMetrics, s"$out/${Etl.supplierMetrics.name}",
+      partitionBy = Seq("order_year"))
+    graft.sources.ParquetSink.write(outputs(Etl.plantParts.name),
+      Etl.plantParts, s"$out/${Etl.plantParts.name}")
+    val observed = Etl.capstoneRowCounts(spark, out)
+
+    // identity golden -> no drift
+    assert(Etl.rowCountDrift(observed, observed).isEmpty)
+
+    // one changed count, one removed partition, one phantom -> 3 drifts
+    val doctored = observed
+      .withColumn("n_rows",
+        when(col("partition") === "supplier", col("n_rows") + 1)
+          .otherwise(col("n_rows")))
+      .where(col("partition") =!= "region")
+      .unionByName(Seq(("ghost_table", "2099", 5L))
+        .toDF("table_name", "partition", "n_rows"))
+    assert(Etl.rowCountDrift(observed, doctored).count() === 3)
+
+    // the committed manifest pins the graded scale factors; this spec's
+    // sf0.001 run must NOT be pinned (capstone skips the diff for
+    // unpinned labels), while sf0.01 and sf0.1 slices must exist
+    val golden = Etl.loadRowCountGoldens(spark)
+    assert(golden.where(col("sf") === "sf0.01").count() > 0)
+    assert(golden.where(col("sf") === "sf0.1").count() > 0)
+    // and the committed slice agrees with a fresh sf0.01 build end-to-end
+    // via the capstone itself (checks + golden diff all pass)
+    val capOut = java.nio.file.Files.createTempDirectory("graft_cap_gold").toString
+    val (_, failed) = Etl.capstone(spark, "/root/testdata/sf0.01", capOut)
+    assert(failed === 0L, s"capstone failed $failed checks at sf0.01")
+  }
 }

@@ -334,6 +334,14 @@ class PackingSamplingSpec extends SparkSpec {
     val dry = TextAnalysis.bpeMergeTableLocal(tiny, "text", merges = 1000)
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(dry.length < 10 && dry.nonEmpty)
+    // maxTypes failure lane: a dictionary over the bound must refuse the
+    // collect loudly (the documented-bounded-collect contract), naming
+    // both the observed size and the bound
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergeTableLocal(df, "text", merges = 4, maxTypes = 10)
+    }
+    assert(err.getMessage.contains("maxTypes=10") &&
+      err.getMessage.contains("bpeMergeTable"))
   }
 
   test("bpeEncode applies merges in order, greedy-leftmost, scalar outputs") {

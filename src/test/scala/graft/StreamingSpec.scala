@@ -236,19 +236,20 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.toSeq)
         .toMap
       // the watermark never passes the final 2 days (nothing arrives
-      // after), so the comparable set is everything at or below the
-      // final watermark: max(ts) - 2 days
+      // after), so the comparable set is everything STRICTLY below the
+      // final watermark: max(ts) - 2 days (the processor keeps events
+      // in the watermark µs buffered — they may still gain peers)
       val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val wmCutUs = (maxUs / 1000L - 2L * 86400000L) * 1000L
       val batch = graft.operators.TimeseriesScreens.ewmaScreen(
           events, "user_id", "ts", "event_id", "value", threshold = 150.0)
-        .where(col("ts_us") <= wmCutUs)
+        .where(col("ts_us") < wmCutUs)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.toSeq)
         .toMap
       // every ripe event was emitted exactly once, in event-time order,
       // BIT-identical to the batch fold — despite cross-batch disorder
-      val ripeStreamed = streamed.filter { case ((_, ts, _), _) => ts <= wmCutUs }
+      val ripeStreamed = streamed.filter { case ((_, ts, _), _) => ts < wmCutUs }
       assert(batch.nonEmpty && ripeStreamed == batch,
         s"streamed=${streamed.size} ripe=${ripeStreamed.size} batch=${batch.size}")
     } finally prev match {
