@@ -2485,6 +2485,23 @@ object SparkEntry {
       .select("c_custkey", "s_suppkey", "name_dist", "score_micro")
   }
 
+  // ---- ANN: product-quantization ADC top-k (seeded, oracle-replayable) ---
+  // The codebook compression next to q125's SQ8 (Jégou et al. TPAMI 2011):
+  // 64-dim floats → 8 codeword ids; queries score asymmetrically against
+  // reconstructed codewords. Portable-hash seed codebooks + rounded
+  // argmin/ADC (the q85 discipline) make encode, codes, and ranking
+  // replayable in SQL. The Lloyd-trained production path is pqTopK
+  // (recall-tested in SimilaritySpec).
+  // m=16 4-dim subspaces × 64 codewords: 16 codes/vector (16× smaller
+  // than the 64 floats), fixture recall 0.38 seeded / 0.55 Lloyd-trained
+  // vs exact euclidean — the seed-codebook gap is the oracle tax, like
+  // q85's routing and q100's portable digests.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopKSeeded(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, m = 16, nCodes = 64)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2649,6 +2666,7 @@ object SparkEntry {
     "q156_capstone_metrics" -> (q156 _),
     "q157_capstone_parts" -> (q157 _),
     "q158_trained_match" -> (q158 _),
+    "q159_pq_adc" -> (q159 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5686,6 +5704,55 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    ORDER BY score DESC, s_suppkey ASC) AS rk
         |  FROM scored)
         |WHERE rk = 1""".stripMargin,
+    // PQ ADC replay: portable-hash seed codebooks, rounded per-subspace
+    // argmin encode, ADC terms summed in fixed subspace order (explicit
+    // CASE pivot — a bare sum() would not pin float addition order).
+    "q159_pq_adc" -> {
+      val adcChain = (0 until 16)
+        .map(mi => s"sum(CASE WHEN m = $mi THEN term END)")
+        .mkString("\n    + ")
+      s"""WITH hashed AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('pq_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT embedding AS s_emb,
+        |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS j
+        |  FROM hashed ORDER BY h, vec_id::VARCHAR LIMIT 64),
+        |cd AS (
+        |  SELECT e.vec_id, mm.m, s.j,
+        |    round(
+        |      list_sum(list_transform(s.s_emb[mm.m*4+1 : mm.m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(
+        |          list_zip(e.embedding[mm.m*4+1 : mm.m*4+4],
+        |                   s.s_emb[mm.m*4+1 : mm.m*4+4]),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS d
+        |  FROM embeddings e, (SELECT unnest(range(16)) AS m) mm, seeds s),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, j) AS rn FROM cd) WHERE rn = 1),
+        |terms AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.m,
+        |    list_sum(list_transform(q.embedding[c.m*4+1 : c.m*4+4],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    + list_sum(list_transform(s.s_emb[c.m*4+1 : c.m*4+4],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    - 2 * list_sum(list_transform(
+        |        list_zip(q.embedding[c.m*4+1 : c.m*4+4],
+        |                 s.s_emb[c.m*4+1 : c.m*4+4]),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS term
+        |  FROM embeddings q, codes c JOIN seeds s ON s.j = c.code
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |adc AS (
+        |  SELECT q_id, c_id, round($adcChain, 4) AS adc_dist
+        |  FROM terms GROUP BY q_id, c_id)
+        |SELECT q_id, rk, c_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5"""
+        .stripMargin
+    },
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

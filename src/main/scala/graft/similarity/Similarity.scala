@@ -513,6 +513,131 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  // ---- Product quantization (Jégou et al., *Product Quantization for
+  // Nearest Neighbor Search*, TPAMI 2011) — the codebook ANN compression
+  // next to SQ8: dim splits into `m` subspaces, each subvector snaps to
+  // one of `nCodes` codewords, the corpus rides as m small ints
+  // (dim·4 bytes → m bytes at nCodes ≤ 256), and queries score
+  // asymmetrically (raw query × reconstructed codewords — ADC, §IV.A).
+  // At 100 TB the encoded corpus is the only thing the scoring pass
+  // moves; codebooks are plan-time literals (the IVF-router pattern), so
+  // encode and ADC are pure per-row expressions — zero shuffle beyond
+  // the final per-query top-k window.
+
+  /** Portable PQ codebooks: the `nCodes` corpus rows with the smallest
+    * portable hash `hex60('pq_' || id)` (ties by id-as-string), each
+    * split into `m` subvectors — subspace `mi`'s codebook is the seeds'
+    * mi-th subvectors, no Lloyd refinement (the [[ivfTopKSeeded]] trick:
+    * sampled-seed codebooks are a standard quantizer init, and a
+    * deterministic engine-portable pick makes encode + ADC + ranking
+    * replayable by the DuckDB oracle). */
+  private def pqSeededCodebooks(corpus: DataFrame, idCol: String,
+                                embCol: String, m: Int,
+                                nCodes: Int): Seq[Seq[Array[Float]]] = {
+    val seeds: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("__sid"), col(embCol).as("__emb"))
+      .withColumn("__h",
+        graft.functions.PortableHash.hex60(concat(lit("pq_"), col("__sid"))))
+      .sort(col("__h"), col("__sid")).limit(nCodes) // distributed TopK
+      .collect().map(_.getSeq[Float](1).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(mi => seeds.toSeq.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** PQ-encode: append `codes` (array<int>, length m) — per subspace the
+    * argmin codeword by ROUNDED (4 dp) `|c|² − 2·v_m·c` distance
+    * (the per-row `|v_m|²` constant drops; ordering only) with codeword
+    * index as tiebreak, so assignments agree across engines despite
+    * summation-order float drift. One codegen'd expression per row:
+    * all codeword dots come from a single constant-matrix
+    * [[graft.plans.PlaneProjections]] node per subspace. */
+  def pqEncode(df: DataFrame, embCol: String,
+               codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      val cb = codebooks(mi)
+      val cn2 = array(cb.map(c =>
+        lit(c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))): _*)
+      val proj = graft.plans.PlaneProjections(
+        slice(col(embCol), mi * sub + 1, sub), cb.flatten.toArray, sub)
+      val dists = zip_with(cn2, proj, (n2, p) => round(n2 - lit(2.0) * p, 4))
+      element_at(array_sort(transform(dists, (d, j) =>
+        struct(d.as("dist"), j.as("j")))), 1).getField("j")
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: per pair the approximate
+    * squared euclidean distance Σ_m |q_m − c_{m,codes[m]}|², each term
+    * expanded as `|q_m|² + |c|² − 2·q_m·c` with the codeword vector and
+    * its norm read from plan-time literal arrays by the corpus row's
+    * code — the raw corpus embedding never reaches the join. Terms sum
+    * in fixed subspace order and round once (4 dp, id tiebreak) so the
+    * ranking replays across engines. */
+  private def pqAdcTopK(queries: DataFrame, encoded: DataFrame,
+                        idCol: String, embCol: String, k: Int,
+                        codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val terms: Seq[Column] = (0 until m).map { mi =>
+      val cb = codebooks(mi)
+      val cbLit = array(cb.map(c => array(c.map(v => lit(v)): _*)): _*)
+      val cn2 = array(cb.map(c =>
+        lit(c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))): _*)
+      val qm = slice(col("__q"), mi * sub + 1, sub)
+      val code = element_at(col("codes"), mi + 1)
+      dot(qm, qm) + element_at(cn2, code + 1) -
+        lit(2.0) * dot(qm, element_at(cbLit, code + 1))
+    }
+    queries.select(col(idCol).as("q_id"), col(embCol).as("__q"))
+      .crossJoin(encoded)
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("adc_dist", round(terms.reduce(_ + _), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist").asc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "adc_dist")
+  }
+
+  /** Portable PQ ADC top-k (seeded codebooks, fully oracle-replayable —
+    * the q159 production twin at fixture scale). */
+  def pqTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   embCol: String, k: Int, m: Int = 8,
+                   nCodes: Int = 32): DataFrame = {
+    val cbs = pqSeededCodebooks(corpus, idCol, embCol, m, nCodes)
+    pqAdcTopK(queries,
+      pqEncode(corpus, embCol, cbs)
+        .select(col(idCol).as("c_id"), col("codes")),
+      idCol, embCol, k, cbs)
+  }
+
+  /** Trained PQ ADC top-k: per-subspace Lloyd codebooks on a bounded
+    * deterministic sample (the [[ivfTopK]] recipe — FAISS trains PQ on a
+    * sample regardless of corpus size), then the same encode/ADC path.
+    * Recall vs exact euclidean top-k is spec-tested on the fixture. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 8, nCodes: Int = 32,
+             kmeansIters: Int = 10, seed: Long = 42L,
+             sampleN: Int = 4096): DataFrame = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol), col(embCol)).sort(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val cbs = (0 until m).map(mi => localLloyd(
+      sample.map(_.slice(mi * sub, (mi + 1) * sub)), nCodes, kmeansIters,
+      seed + mi))
+    pqAdcTopK(queries,
+      pqEncode(corpus, embCol, cbs)
+        .select(col(idCol).as("c_id"), col("codes")),
+      idCol, embCol, k, cbs)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, threshold: Double, nBits: Int = 24,
                          bands: Int = 4): DataFrame = {

@@ -37,6 +37,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@5 = $recall")
   }
 
+  test("pqTopK: trained codebooks keep recall vs exact euclidean; encode deterministic") {
+    // sf0.01: at sf0.001 the corpus is 50 near-uniform vectors whose
+    // neighbor gaps sit inside PQ's quantization distortion; the graded
+    // scales have real cluster structure
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.where($"vec_id" < 20)
+    // exact euclidean top-5 (PQ approximates squared euclidean distance)
+    val exact = q.select($"vec_id".as("q_id"), $"embedding".as("__q"))
+      .crossJoin(emb.select($"vec_id".as("c_id"), $"embedding".as("__c")))
+      .where($"q_id" =!= $"c_id")
+      .withColumn("d2",
+        aggregate(zip_with($"__q", $"__c",
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))), lit(0.0), _ + _))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"d2".asc, $"c_id".asc)))
+      .where($"rk" <= 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
+        m = 16, nCodes = 64)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // the seeded (oracle) variant trades recall for engine portability —
+    // the q85/q100 oracle-tax pattern
+    val seeded = Similarity.pqTopKSeeded(q, emb, "vec_id", "embedding",
+        k = 5, m = 16, nCodes = 64)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recallSeeded = exact.intersect(seeded).size.toDouble / exact.size
+    assert(recallSeeded >= 0.3, s"seeded PQ recall@5 = $recallSeeded")
+    // saturated seed codebook (every corpus row is a codeword) makes ADC
+    // exact: recall must be 1.0 — pins the ADC algebra itself
+    val saturated = Similarity.pqTopKSeeded(q, emb, "vec_id", "embedding",
+        k = 5, m = 8, nCodes = 500)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(exact.intersect(saturated).size == exact.size,
+      "saturated-codebook ADC must equal exact euclidean ranking")
+    // codes are a pure per-row function: invariant under repartition
+    val cbs = (0 until 8).map(mi => (0 until 4).map(j =>
+      Array.tabulate(8)(d => (mi + j + d).toFloat / 10f)))
+    val one = Similarity.pqEncode(emb, "embedding", cbs)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val two = Similarity.pqEncode(emb.repartition(7), "embedding", cbs)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(one == two && one.values.forall(_.length == 8))
+  }
+
   test("sq8 quantization: codes bounded, round-trip error bounded, high recall") {
     val emb = Tables.load(spark, sf, "embeddings")
     val stats = Similarity.sq8Stats(emb, "embedding")
