@@ -2502,6 +2502,26 @@ object SparkEntry {
       idCol = "vec_id", embCol = "embedding", k = 5, m = 16, nCodes = 64)
   }
 
+  // ---- dbt checks, part 2: the remaining two macros --------------------
+  // expect_summed_columns_not_exceed_threshold + one_value_per_key
+  // (/root/reference/dbt/macros/) over the lineitem⋈orders frame — one
+  // exceed check that trips and one that holds, one functional
+  // dependency that holds (order → customer) and one that trips
+  // (customer → order status). Same lazy one-row-aggregation-per-check
+  // shape as q92.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import graft.checks.CheckRunner._
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    run(j, Seq(
+      SummedNotExceed("lineitem:tax_discount_vs_qty_cents", "l_tax",
+        "l_discount", "l_quantity", multiplier = 0.01),
+      SummedNotExceed("lineitem:tax_discount_le_total", "l_tax",
+        "l_discount", "o_totalprice"),
+      OneValuePerKey("orders:order_to_cust", "l_orderkey", "o_custkey"),
+      OneValuePerKey("orders:cust_to_status", "o_custkey", "o_orderstatus")))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2667,6 +2687,7 @@ object SparkEntry {
     "q157_capstone_parts" -> (q157 _),
     "q158_trained_match" -> (q158 _),
     "q159_pq_adc" -> (q159 _),
+    "q160_dbt_checks2" -> (q160 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5753,6 +5774,45 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5"""
         .stripMargin
     },
+    // dbt macros part 2 replay: the exceed counts and functional-
+    // dependency violation counts recomputed directly.
+    "q160_dbt_checks2" ->
+      """WITH j AS (
+        |  SELECT l.l_tax, l.l_discount, l.l_quantity, l.l_orderkey,
+        |    o.o_totalprice, o.o_custkey, o.o_orderstatus
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c1 AS (
+        |  SELECT 'lineitem:tax_discount_vs_qty_cents' AS check_name,
+        |    count(CASE WHEN l_tax IS NOT NULL AND l_discount IS NOT NULL
+        |      AND l_quantity IS NOT NULL
+        |      AND (l_tax + l_discount) > l_quantity * 0.01 THEN 1 END)
+        |      AS observed
+        |  FROM j),
+        |c2 AS (
+        |  SELECT 'lineitem:tax_discount_le_total' AS check_name,
+        |    count(CASE WHEN l_tax IS NOT NULL AND l_discount IS NOT NULL
+        |      AND o_totalprice IS NOT NULL
+        |      AND (l_tax + l_discount) > o_totalprice * 1.0 THEN 1 END)
+        |      AS observed
+        |  FROM j),
+        |c3 AS (
+        |  SELECT 'orders:order_to_cust' AS check_name,
+        |    count(CASE WHEN n > 1 THEN 1 END) AS observed
+        |  FROM (SELECT l_orderkey, count(DISTINCT o_custkey) AS n
+        |        FROM j WHERE l_orderkey IS NOT NULL GROUP BY 1)),
+        |c4 AS (
+        |  SELECT 'orders:cust_to_status' AS check_name,
+        |    count(CASE WHEN n > 1 THEN 1 END) AS observed
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS n
+        |        FROM j WHERE o_custkey IS NOT NULL GROUP BY 1))
+        |SELECT check_name, observed = 0 AS passed, observed FROM c1
+        |UNION ALL
+        |SELECT check_name, observed = 0 AS passed, observed FROM c2
+        |UNION ALL
+        |SELECT check_name, observed = 0 AS passed, observed FROM c3
+        |UNION ALL
+        |SELECT check_name, observed = 0 AS passed, observed FROM c4"""
+        .stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

@@ -47,6 +47,19 @@ object CheckRunner {
     * continuity; `asset_checks.py:221-263` group-mean continuity twin). */
   case class ChangeWithinRatio(name: String, periodCol: String,
                                valueCol: String, ratio: Double) extends Check
+  /** Row-level `a + b <= threshold · multiplier` with a failure budget —
+    * `expect_summed_columns_not_exceed_threshold`
+    * (`/root/reference/dbt/macros/expect_summed_columns_not_exceed_threshold.sql`):
+    * rows where all three sides are non-null and the sum exceeds count as
+    * failures; the check passes while failures <= errorThreshold. */
+  case class SummedNotExceed(name: String, colA: String, colB: String,
+                             thresholdCol: String, multiplier: Double = 1.0,
+                             errorThreshold: Long = 0) extends Check
+  /** Functional dependency key → value — `one_value_per_key`
+    * (`/root/reference/dbt/macros/one_value_per_key.sql`): fails if any
+    * non-null key maps to more than one distinct value. */
+  case class OneValuePerKey(name: String, keyCol: String,
+                            valueCol: String) extends Check
   /** Referential integrity (`pudl_check_fks`,
     * `/root/reference/src/pudl/validate/integrity.py:109-160`): child rows
     * whose key tuple is absent from the parent. SQL FK semantics — a tuple
@@ -107,6 +120,18 @@ object CheckRunner {
           .agg(count(lit(1)).as("observed"))
           .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
             col("observed"))
+      case SummedNotExceed(n, a, b, t, mult, errT) =>
+        df.agg(count(when(
+            col(a).isNotNull && col(b).isNotNull && col(t).isNotNull &&
+              (col(a) + col(b)) > col(t) * mult, 1)).as("observed"))
+          .select(lit(n).as("check_name"),
+            (col("observed") <= errT).as("passed"), col("observed"))
+      case OneValuePerKey(n, k, v) =>
+        df.where(col(k).isNotNull)
+          .groupBy(col(k)).agg(count_distinct(col(v)).as("__n"))
+          .agg(count(when(col("__n") > 1, 1)).as("observed"))
+          .select(lit(n).as("check_name"),
+            (col("observed") === 0).as("passed"), col("observed"))
       case ChangeWithinRatio(n, period, v, ratio) =>
         import org.apache.spark.sql.expressions.Window
         df.groupBy(col(period)).agg(sum(col(v)).as("__t"))

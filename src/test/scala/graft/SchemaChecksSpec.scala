@@ -40,6 +40,32 @@ class SchemaChecksSpec extends SparkSpec {
     assert(out("t:rows"))
   }
 
+  test("SummedNotExceed and OneValuePerKey: pass/fail lanes, nulls, failure budget") {
+    val df = Seq(
+      // (a, b, thr, key, value)
+      (Some(1.0), Some(1.0), Some(5.0), Some(1), "x"),  // 2 <= 5 ok
+      (Some(3.0), Some(3.0), Some(5.0), Some(1), "x"),  // 6 > 5  FAIL
+      (None, Some(9.0), Some(5.0), Some(2), "y"),       // null a: skipped
+      (Some(9.0), Some(9.0), None, Some(2), "z"),       // null thr: skipped
+      (Some(0.0), Some(0.0), Some(0.0), None, "w")      // null key: skipped by FD
+    ).toDF("a", "b", "thr", "k", "v")
+    val out = CheckRunner.run(df, Seq(
+      SummedNotExceed("sum_exceed", "a", "b", "thr"),
+      SummedNotExceed("sum_exceed_budget", "a", "b", "thr",
+        errorThreshold = 1),
+      SummedNotExceed("sum_exceed_mult", "a", "b", "thr",
+        multiplier = 2.0),
+      OneValuePerKey("fd_fail", "k", "v"),   // key 2 -> {y, z}
+      OneValuePerKey("fd_pass", "v", "v")))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    assert(out("sum_exceed") == (false, 1L))        // one exceeding row
+    assert(out("sum_exceed_budget") == (true, 1L))  // inside the budget
+    assert(out("sum_exceed_mult") == (true, 0L))    // 6 <= 10
+    assert(out("fd_fail") == (false, 1L))           // one violating key
+    assert(out("fd_pass") == (true, 0L))
+  }
+
   test("WeightedQuantile picks smallest value reaching cumulative weight") {
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0)).toDF("v", "w")
     val got = df.agg(WeightedQuantile($"v", $"w", 1, 2)).head().getDouble(0)
