@@ -5726,11 +5726,13 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM scored)
         |WHERE rk = 1""".stripMargin,
     // PQ ADC replay: portable-hash seed codebooks, rounded per-subspace
-    // argmin encode, ADC terms summed in fixed subspace order (explicit
-    // CASE pivot — a bare sum() would not pin float addition order).
+    // argmin encode, and the engine's exact ADC algebra —
+    // |q|² + Σ|c|² − 2·Σ q_m·c_m with every Σ an explicit fixed-order
+    // chain (CASE pivot — a bare sum() would not pin float addition
+    // order), |q|² folded once per query and Σ|c|² once per corpus row.
     "q159_pq_adc" -> {
-      val adcChain = (0 until 16)
-        .map(mi => s"sum(CASE WHEN m = $mi THEN term END)")
+      def chain(inner: String) = (0 until 16)
+        .map(mi => s"sum(CASE WHEN m = $mi THEN $inner END)")
         .mkString("\n    + ")
       s"""WITH hashed AS (
         |  SELECT vec_id, embedding,
@@ -5754,21 +5756,38 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  SELECT vec_id, m, j AS code FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
         |      ORDER BY d, j) AS rn FROM cd) WHERE rn = 1),
-        |terms AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.m,
-        |    list_sum(list_transform(q.embedding[c.m*4+1 : c.m*4+4],
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |    + list_sum(list_transform(s.s_emb[c.m*4+1 : c.m*4+4],
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |    - 2 * list_sum(list_transform(
-        |        list_zip(q.embedding[c.m*4+1 : c.m*4+4],
-        |                 s.s_emb[c.m*4+1 : c.m*4+4]),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS term
-        |  FROM embeddings q, codes c JOIN seeds s ON s.j = c.code
-        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |cw AS (
+        |  SELECT co.vec_id, co.m, s.s_emb
+        |  FROM codes co JOIN seeds s ON s.j = co.code),
+        |cn AS (
+        |  SELECT vec_id, ${chain("n2")} AS cn2sum FROM (
+        |    SELECT vec_id, m,
+        |      list_sum(list_transform(s_emb[m*4+1 : m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |    FROM cw) GROUP BY vec_id),
+        |qn AS (
+        |  SELECT vec_id, ${chain("n2")} AS qn2tot FROM (
+        |    SELECT e.vec_id, mm.m,
+        |      list_sum(list_transform(e.embedding[mm.m*4+1 : mm.m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |    FROM embeddings e, (SELECT unnest(range(16)) AS m) mm
+        |    WHERE e.vec_id < 20) GROUP BY vec_id),
+        |ds AS (
+        |  SELECT q_id, c_id, ${chain("dt")} AS dotsum FROM (
+        |    SELECT q.vec_id AS q_id, w.vec_id AS c_id, w.m,
+        |      list_sum(list_transform(
+        |        list_zip(q.embedding[w.m*4+1 : w.m*4+4],
+        |                 w.s_emb[w.m*4+1 : w.m*4+4]),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dt
+        |    FROM embeddings q, cw w
+        |    WHERE q.vec_id < 20 AND q.vec_id <> w.vec_id)
+        |  GROUP BY q_id, c_id),
         |adc AS (
-        |  SELECT q_id, c_id, round($adcChain, 4) AS adc_dist
-        |  FROM terms GROUP BY q_id, c_id)
+        |  SELECT ds.q_id, ds.c_id,
+        |    round(qn.qn2tot + cn.cn2sum - 2 * ds.dotsum, 4) AS adc_dist
+        |  FROM ds
+        |  JOIN qn ON qn.vec_id = ds.q_id
+        |  JOIN cn ON cn.vec_id = ds.c_id)
         |SELECT q_id, rk, c_id, adc_dist FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5"""

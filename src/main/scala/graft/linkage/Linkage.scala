@@ -105,15 +105,23 @@ object Linkage {
                        tol: Double = 1e-12): (Seq[Double], Double) = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
-    val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
-      .setOutputCol("__features")
-      .transform(pairs.select((featureCols :+ labelCol).map(c =>
-        col(c).cast("double").as(c)): _*))
-    val model = new LogisticRegression()
-      .setFeaturesCol("__features").setLabelCol(labelCol)
-      .setMaxIter(maxIter).setTol(tol).setRegParam(0.0)
-      .fit(assembled)
-    (model.coefficients.toArray.toSeq, model.intercept)
+    // localCheckpoint the (features, label) projection: every LBFGS
+    // iteration re-reads the training frame, and without materialization
+    // each pass would re-run the candidate-pair lineage (blocked join +
+    // string distances) — the measured cost of q158 before this was the
+    // join × iterations, not the optimizer
+    val training = pairs.select((featureCols :+ labelCol).map(c =>
+      col(c).cast("double").as(c)): _*).localCheckpoint()
+    try {
+      val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
+        .setOutputCol("__features")
+        .transform(training)
+      val model = new LogisticRegression()
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+        .setMaxIter(maxIter).setTol(tol).setRegParam(0.0)
+        .fit(assembled)
+      (model.coefficients.toArray.toSeq, model.intercept)
+    } finally graft.util.SessionHygiene.releaseCheckpoint(training)
   }
 
   /** Cross-year entity linkage — the full `link_ids_cross_year` graph

@@ -557,17 +557,21 @@ object Similarity {
                codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val codeCols = (0 until m).map { mi =>
-      val cb = codebooks(mi)
-      val cn2 = array(cb.map(c =>
+    // ONE native codegen pass computes all m argmin codes
+    // (graft.plans.PqEncodeCodes): rounded distance + strict-< tiebreak
+    // exactly as the declarative zip_with/round/fold chain it replaced —
+    // that chain boxed nCodes structs per subspace per row through three
+    // interpreted HOFs, the measured bulk of the sf1 encode pass
+    val withCodes = df.withColumn("codes",
+      graft.plans.PqEncodeCodes(col(embCol), codebooks))
+    // __cn2sum (the fold of the chosen codewords' norms, fixed subspace
+    // order) rides next to the codes so ADC never re-derives it per pair
+    val cn2Sum = (0 until m).map { mi =>
+      val cn2 = array(codebooks(mi).map(c =>
         lit(c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))): _*)
-      val proj = graft.plans.PlaneProjections(
-        slice(col(embCol), mi * sub + 1, sub), cb.flatten.toArray, sub)
-      val dists = zip_with(cn2, proj, (n2, p) => round(n2 - lit(2.0) * p, 4))
-      element_at(array_sort(transform(dists, (d, j) =>
-        struct(d.as("dist"), j.as("j")))), 1).getField("j")
-    }
-    df.withColumn("codes", array(codeCols: _*))
+      element_at(cn2, element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    withCodes.withColumn("__cn2sum", cn2Sum)
   }
 
   /** ADC top-k over a PQ-encoded corpus: per pair the approximate
@@ -582,20 +586,25 @@ object Similarity {
                         codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val terms: Seq[Column] = (0 until m).map { mi =>
-      val cb = codebooks(mi)
-      val cbLit = array(cb.map(c => array(c.map(v => lit(v)): _*)): _*)
-      val cn2 = array(cb.map(c =>
-        lit(c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))): _*)
+    // per-pair algebra: adc = |q|² + Σ|c|² − 2·Σ q_m·c_m, with |q|²
+    // (fold of per-subspace norms) computed ONCE per query row and Σ|c|²
+    // attached at encode time — only the m small dots remain per pair
+    val qn2Tot = (0 until m).map { mi =>
       val qm = slice(col("__q"), mi * sub + 1, sub)
-      val code = element_at(col("codes"), mi + 1)
-      dot(qm, qm) + element_at(cn2, code + 1) -
-        lit(2.0) * dot(qm, element_at(cbLit, code + 1))
-    }
+      dotFast(qm, qm)
+    }.reduce(_ + _)
+    // native pair kernel: one codegen pass over all m subspace dots
+    // (codeword lookup by the corpus row's code) — the declarative
+    // slice + literal-array + HOF form evaluated m interpreted folds
+    // per pair
+    val dotSum: Column = graft.plans.PqAdcDotSum(col("__q"), col("codes"),
+      codebooks)
     queries.select(col(idCol).as("q_id"), col(embCol).as("__q"))
+      .withColumn("__qn2", qn2Tot)
       .crossJoin(encoded)
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("adc_dist", round(terms.reduce(_ + _), 4))
+      .withColumn("adc_dist",
+        round(col("__qn2") + col("__cn2sum") - lit(2.0) * dotSum, 4))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("adc_dist").asc, col("c_id").asc)))
@@ -611,7 +620,7 @@ object Similarity {
     val cbs = pqSeededCodebooks(corpus, idCol, embCol, m, nCodes)
     pqAdcTopK(queries,
       pqEncode(corpus, embCol, cbs)
-        .select(col(idCol).as("c_id"), col("codes")),
+        .select(col(idCol).as("c_id"), col("codes"), col("__cn2sum")),
       idCol, embCol, k, cbs)
   }
 
@@ -634,7 +643,7 @@ object Similarity {
       seed + mi))
     pqAdcTopK(queries,
       pqEncode(corpus, embCol, cbs)
-        .select(col(idCol).as("c_id"), col("codes")),
+        .select(col(idCol).as("c_id"), col("codes"), col("__cn2sum")),
       idCol, embCol, k, cbs)
   }
 

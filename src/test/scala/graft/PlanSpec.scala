@@ -295,6 +295,36 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
   }
 
+  test("q158 trained match: block join broadcasts, top-1 window on one exchange") {
+    // training runs eagerly (MLlib on the pairs frame); the RETURNED
+    // scoring plan must be the blocked equi-join with literal weights —
+    // no cartesian, supplier side broadcast, one window exchange
+    val p = plan("q158_trained_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q159 PQ ADC: encode per-row, one window exchange, queries broadcast") {
+    // codebook seeding runs eagerly (bounded 64-row collect); the
+    // RETURNED plan scores the BOUNDED query side against the encoded
+    // corpus (an intentional broadcast cross of ≤20 rows — the sq8TopK
+    // shape; at scale this composes with IVF routing). What must hold:
+    // exactly ONE broadcast (the query side) and ONE hash exchange (the
+    // per-query top-k window) — encode itself adds no shuffle, and the
+    // group-limit truncates map-side before it.
+    val p = plan("q159_pq_adc")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q160 dbt checks 2: per-check one-row aggregates, no Expand") {
+    val p = plan("q160_dbt_checks2")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the
