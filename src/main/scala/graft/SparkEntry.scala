@@ -2522,6 +2522,22 @@ object SparkEntry {
       OneValuePerKey("orders:cust_to_status", "o_custkey", "o_orderstatus")))
   }
 
+  // ---- training-data pipeline: domain-mixture selection to budgets -------
+  // The Pile/Dolma corpus-mixing step: per-language token budgets, docs
+  // kept in deterministic salted-hash order until each domain's budget
+  // is spent; 'fr' deliberately unlisted (dropped). Bucketed cutoffs —
+  // only each domain's boundary bucket pays a row-level window.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens",
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Sampling.mixtureSelect(docs, "doc_id", "lang",
+        "n_tokens", budgets = Map("en" -> 5000L, "zh" -> 2000L,
+          "es" -> 2000L, "de" -> 1500L))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mix_bucket"), col("selected"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2688,6 +2704,7 @@ object SparkEntry {
     "q158_trained_match" -> (q158 _),
     "q159_pq_adc" -> (q159 _),
     "q160_dbt_checks2" -> (q160 _),
+    "q161_mixture_select" -> (q161 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5832,6 +5849,49 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |UNION ALL
         |SELECT check_name, observed = 0 AS passed, observed FROM c4"""
         .stripMargin,
+    // Mixture-select replay: salted hash order, 1024 high-bit buckets
+    // (u // 2^50), per-(lang, bucket) cutoffs, boundary-bucket window.
+    "q161_mixture_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT AS u
+        |  FROM documents),
+        |b AS (SELECT *, u // 1125899906842624 AS mix_bucket FROM d),
+        |budgets(lang, budget) AS (
+        |  VALUES ('en', 5000), ('zh', 2000), ('es', 2000), ('de', 1500)),
+        |tot AS (
+        |  SELECT lang, mix_bucket, sum(n_tokens) AS t FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(t) OVER (PARTITION BY lang ORDER BY mix_bucket) - t
+        |    AS bef FROM tot),
+        |cut AS (
+        |  SELECT c.lang, min(c.mix_bucket) AS cutb
+        |  FROM cum c JOIN budgets g ON c.lang = g.lang
+        |  WHERE c.bef + c.t >= g.budget GROUP BY 1),
+        |cutv AS (
+        |  SELECT c.lang, cut.cutb, c.bef AS cut_before
+        |  FROM cum c JOIN cut ON c.lang = cut.lang AND c.mix_bucket = cut.cutb),
+        |j AS (
+        |  SELECT b.*, g.budget, cv.cutb, cv.cut_before
+        |  FROM b LEFT JOIN budgets g ON b.lang = g.lang
+        |  LEFT JOIN cutv cv ON b.lang = cv.lang),
+        |nonb AS (
+        |  SELECT doc_id, lang, n_tokens, mix_bucket,
+        |    CASE WHEN budget IS NULL THEN FALSE
+        |         WHEN cutb IS NULL THEN TRUE
+        |         ELSE mix_bucket < cutb END AS selected
+        |  FROM j WHERE cutb IS NULL OR mix_bucket <> cutb),
+        |bnd AS (
+        |  SELECT doc_id, lang, n_tokens, mix_bucket,
+        |    cut_before + coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < budget
+        |      AS selected
+        |  FROM j WHERE mix_bucket = cutb)
+        |SELECT * FROM nonb UNION ALL SELECT * FROM bnd""".stripMargin,
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

@@ -110,8 +110,13 @@ object Linkage {
     // each pass would re-run the candidate-pair lineage (blocked join +
     // string distances) — the measured cost of q158 before this was the
     // join × iterations, not the optimizer
+    // single partition: the projected frame is (features, label) doubles
+    // — tiny — and LBFGS launches one job per pass; 1 task per pass
+    // beats 32 near-empty tasks per pass on scheduling latency alone.
+    // At real scale callers pass a bigger-partitioned frame and the
+    // coalesce is the caller's knob, not a correctness constraint.
     val training = pairs.select((featureCols :+ labelCol).map(c =>
-      col(c).cast("double").as(c)): _*).localCheckpoint()
+      col(c).cast("double").as(c)): _*).coalesce(1).localCheckpoint()
     try {
       val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
         .setOutputCol("__features")

@@ -249,6 +249,84 @@ object Sampling {
     }
   }
 
+  /** Domain-mixture selection to per-domain token budgets — the corpus
+    * mixing step of large-scale training pipelines (The Pile, Dolma:
+    * target weights per source × a global token budget → how many tokens
+    * each domain contributes): keep each domain's docs in deterministic
+    * salted-hash order until that domain's token budget is spent. A doc
+    * is kept iff the cumulative tokens of hash-earlier same-domain docs
+    * stay under the budget — rerun-stable, backfill-stable, and
+    * engine-replayable (the hash IS the shuffle).
+    *
+    * Scale shape — the [[budgetSelect]] trick per domain: docs land in
+    * `nBuckets` ranges of the hash (high bits, so bucket order ==
+    * hash order); per-(domain, bucket) token totals are one hash
+    * aggregation collected driver-side (bounded: domains × nBuckets),
+    * the cutoff bucket per domain is driver arithmetic, and only each
+    * domain's ONE boundary bucket pays a row-level window. Everything
+    * else is a map-side comparison — no global sort, no per-domain
+    * full window, skew-immune (hash buckets are uniform within every
+    * domain).
+    *
+    * Domains absent from `budgets` are dropped (selected = false).
+    * Output: input + (mix_bucket, selected). */
+  def mixtureSelect(df: DataFrame, idCol: String, strataCol: String,
+                    tokenCol: String, budgets: Map[String, Long],
+                    salt: String = "mix", nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (bucket = high hash bits)")
+    val shiftBits = 60 - Integer.numberOfTrailingZeros(nBuckets)
+    val u = graft.functions.PortableHash.hex60(
+      concat(lit(s"${salt}_"), col(idCol).cast("string")))
+    val base = df.withColumn("__u", u)
+      .withColumn("mix_bucket", shiftright(col("__u"), shiftBits))
+    // bounded collect: ≤ |domains| × nBuckets rows of (domain, bucket,
+    // token total) — the budgetSelect pattern, per domain
+    val totals = base
+      .groupBy(col(strataCol).cast("string").as("__d"), col("mix_bucket"))
+      .agg(sum(col(tokenCol)).cast("long").as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDomain = totals.groupBy(_._1)
+    // cutoff bucket per domain: first bucket (ascending hash order) at
+    // which the running total reaches the budget; None = whole domain fits
+    val cuts: Map[String, Option[(Long, Long)]] = budgets.map {
+      case (d, budget) =>
+        var before = 0L
+        var cut: Option[(Long, Long)] = None
+        for ((_, b, t) <- byDomain.getOrElse(d, Array.empty[(String, Long, Long)])
+               .sortBy(_._2) if cut.isEmpty) {
+          if (before + t >= budget) cut = Some((b, before))
+          before += t
+        }
+        d -> cut
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cutFrame = broadcast(
+      budgets.toSeq.map { case (d, budget) =>
+        val (cb, cbBefore) = cuts(d).getOrElse((Long.MaxValue, 0L))
+        (d, budget, cb, cbBefore)
+      }.toDF("__d", "__budget", "__cut", "__cut_before"))
+    val joined = base
+      .join(cutFrame, base(strataCol).cast("string") === cutFrame("__d"), "left")
+    val boundary = joined.where(col("mix_bucket") === col("__cut"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__d"))
+      .orderBy(col("__u").asc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val boundaryMarked = boundary
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("selected",
+        col("__cut_before") + col("__cum_before") < col("__budget"))
+      .drop("__cum_before")
+    joined.where(col("mix_bucket") =!= col("__cut") || col("__cut").isNull)
+      .withColumn("selected",
+        col("__cut").isNotNull && col("mix_bucket") < col("__cut"))
+      .unionByName(boundaryMarked)
+      .drop("__d", "__budget", "__cut", "__cut_before", "__u")
+  }
+
   /** Weighted sampling WITHOUT replacement, k per stratum — the
     * exponential-keys scheme of Efraimidis & Spirakis (*Weighted random
     * sampling with a reservoir*, IPL 97(5), 2006): draw u_i ~ U(0,1) per

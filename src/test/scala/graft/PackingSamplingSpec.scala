@@ -179,6 +179,37 @@ class PackingSamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSelect matches the naive per-domain hash-order rule; unlisted domains drop") {
+    val rows = (0L until 150L).map { i =>
+      (i, s"d${i % 4}", (i % 17 + 1).toLong)
+    }
+    val df = rows.toDF("doc_id", "domain", "n_tokens")
+    val budgets = Map("d0" -> 0L, "d1" -> 40L, "d2" -> 100000L)
+    // naive twin: per domain, docs in (salted hash, id) order, keep while
+    // cumulative-before < budget; d3 unlisted -> dropped
+    val expect = rows.groupBy(_._2).flatMap { case (d, rs) =>
+      budgets.get(d).toSeq.flatMap { budget =>
+        var cum = 0L
+        rs.map { case (id, _, n) =>
+          (graft.functions.PortableHash.hex60(s"mix_$id"), id, n)
+        }.sortBy { case (u, id, _) => (u, id) }.flatMap { case (_, id, n) =>
+          val sel = cum < budget; cum += n
+          if (sel) Some(id) else None
+        }
+      }
+    }.toSet
+    val got = Sampling.mixtureSelect(df, "doc_id", "domain", "n_tokens",
+        budgets, nBuckets = 8)
+      .where(col("selected")).select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    assert(!got.exists(_ % 4 == 3)) // d3 dropped entirely
+    // membership is a pure function of the id: invariant under repartition
+    val got2 = Sampling.mixtureSelect(df.repartition(7), "doc_id", "domain",
+        "n_tokens", budgets, nBuckets = 8)
+      .where(col("selected")).select("doc_id").as[Long].collect().toSet
+    assert(got2 == got)
+  }
+
   test("weightedSample matches driver-side ES ranking and is partition-stable") {
     val rows = (0L until 90L).map(i => (i, s"s${(i % 3)}", (i % 11) + 1L))
     val df = rows.toDF("doc_id", "stratum", "w")
