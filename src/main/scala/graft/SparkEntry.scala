@@ -2538,6 +2538,19 @@ object SparkEntry {
         col("mix_bucket"), col("selected"))
   }
 
+  // ---- ANN: IVF-PQ composition (seeded, oracle-replayable) ---------------
+  // FAISS's IVFx,PQy shape: seeded-IVF routing prunes to nProbe cells,
+  // PQ-ADC ranks inside them on the compressed codes — the 100 TB ANN
+  // serving composition (codes hash-partitioned by cell, raw vectors
+  // never reach the scoring join). Routing (q85), codes (q159) and
+  // ranking all replay in the oracle.
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopKSeeded(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, nCells = 16,
+      nProbe = 4, m = 16, nCodes = 64)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2705,6 +2718,7 @@ object SparkEntry {
     "q159_pq_adc" -> (q159 _),
     "q160_dbt_checks2" -> (q160 _),
     "q161_mixture_select" -> (q161 _),
+    "q162_ivfpq" -> (q162 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5892,6 +5906,100 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |      AS selected
         |  FROM j WHERE mix_bucket = cutb)
         |SELECT * FROM nonb UNION ALL SELECT * FROM bnd""".stripMargin,
+    // IVF-PQ replay: q85's rounded cell routing + q159's codes/norms,
+    // ADC over candidates sharing a probed cell, fixed-order sums.
+    "q162_ivfpq" -> {
+      def chain(inner: String) = (0 until 16)
+        .map(mi => s"sum(CASE WHEN m = $mi THEN $inner END)")
+        .mkString("\n    + ")
+      s"""WITH ivfh AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT embedding AS ce,
+        |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS cell
+        |  FROM ivfh ORDER BY h, vec_id::VARCHAR LIMIT 16),
+        |route AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(
+        |      list_sum(list_transform(c.ce,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS d
+        |  FROM embeddings e, cells c),
+        |assigned AS (
+        |  SELECT vec_id AS c_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, cell) AS rn FROM route) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, cell) AS rn FROM route WHERE vec_id < 20)
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT q_id, c_id FROM probes JOIN assigned USING (cell)
+        |  WHERE q_id <> c_id),
+        |pqh AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('pq_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT embedding AS s_emb,
+        |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS j
+        |  FROM pqh ORDER BY h, vec_id::VARCHAR LIMIT 64),
+        |cd AS (
+        |  SELECT e.vec_id, mm.m, s.j,
+        |    round(
+        |      list_sum(list_transform(s.s_emb[mm.m*4+1 : mm.m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(
+        |          list_zip(e.embedding[mm.m*4+1 : mm.m*4+4],
+        |                   s.s_emb[mm.m*4+1 : mm.m*4+4]),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS d
+        |  FROM embeddings e, (SELECT unnest(range(16)) AS m) mm, seeds s),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, j) AS rn FROM cd) WHERE rn = 1),
+        |cw AS (
+        |  SELECT co.vec_id, co.m, s.s_emb
+        |  FROM codes co JOIN seeds s ON s.j = co.code),
+        |cn AS (
+        |  SELECT vec_id, ${chain("n2")} AS cn2sum FROM (
+        |    SELECT vec_id, m,
+        |      list_sum(list_transform(s_emb[m*4+1 : m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |    FROM cw) GROUP BY vec_id),
+        |qn AS (
+        |  SELECT vec_id, ${chain("n2")} AS qn2tot FROM (
+        |    SELECT e.vec_id, mm.m,
+        |      list_sum(list_transform(e.embedding[mm.m*4+1 : mm.m*4+4],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |    FROM embeddings e, (SELECT unnest(range(16)) AS m) mm
+        |    WHERE e.vec_id < 20) GROUP BY vec_id),
+        |ds AS (
+        |  SELECT q_id, c_id, ${chain("dt")} AS dotsum FROM (
+        |    SELECT p.q_id, p.c_id, w.m,
+        |      list_sum(list_transform(
+        |        list_zip(q.embedding[w.m*4+1 : w.m*4+4],
+        |                 w.s_emb[w.m*4+1 : w.m*4+4]),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dt
+        |    FROM cand p
+        |    JOIN embeddings q ON q.vec_id = p.q_id
+        |    JOIN cw w ON w.vec_id = p.c_id)
+        |  GROUP BY q_id, c_id),
+        |adc AS (
+        |  SELECT ds.q_id, ds.c_id,
+        |    round(qn.qn2tot + cn.cn2sum - 2 * ds.dotsum, 4) AS adc_dist
+        |  FROM ds
+        |  JOIN qn ON qn.vec_id = ds.q_id
+        |  JOIN cn ON cn.vec_id = ds.c_id)
+        |SELECT q_id, rk, c_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5"""
+        .stripMargin
+    },
     // Hard negatives: the q42 brute cosine with a label-mismatch filter.
     "q154_hard_negatives" ->
       """WITH q AS (

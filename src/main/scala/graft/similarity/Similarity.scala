@@ -366,15 +366,14 @@ object Similarity {
   }
 
   /** Shared IVF routing/ranking for a constant centroid matrix. */
-  private def ivfRank(queries: DataFrame, corpus: DataFrame, idCol: String,
-                      embCol: String, k: Int, centroids: Seq[Array[Float]],
-                      nProbe: Int, roundedRouting: Boolean): DataFrame = {
-    // Constant centroids → cell routing is one codegen expression per row:
-    // argmin over cells of |v−c|² = v·v − 2v·c + c·c, with the per-row v·v
-    // constant dropped (ordering only). All centroid dots come from ONE
-    // PlaneProjections node (constant float[] matrix); array_sort on
-    // (dist, cell) structs orders by dist with the cell id as tiebreak.
-    // No shuffle, no window.
+  /** Constant centroids → cell routing as one codegen expression per
+    * row: (dist, cell) structs sorted by argmin over cells of
+    * |v−c|² = v·v − 2v·c + c·c, with the per-row v·v constant dropped
+    * (ordering only). All centroid dots come from ONE PlaneProjections
+    * node; rounding (4 dp, cell tiebreak) makes the argmin
+    * engine-portable. No shuffle, no window. */
+  private def cellRouting(embCol: String, centroids: Seq[Array[Float]],
+                          rounded: Boolean): Column = {
     val dim = centroids.head.length
     val cNorms2 = array(centroids.map(c =>
       lit(c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))): _*)
@@ -382,9 +381,15 @@ object Similarity {
       graft.plans.PlaneProjections(col(embCol), centroids.flatten.toArray, dim),
       cNorms2, (proj, n2) => n2 - lit(2.0) * proj)
     val distArr =
-      if (roundedRouting) transform(rawDist, d => round(d, 4)) else rawDist
-    val cellsByDist = array_sort(
-      transform(distArr, (d, i) => struct(d.as("dist"), i.as("cell"))))
+      if (rounded) transform(rawDist, d => round(d, 4)) else rawDist
+    array_sort(transform(distArr, (d, i) =>
+      struct(d.as("dist"), i.as("cell"))))
+  }
+
+  private def ivfRank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int, centroids: Seq[Array[Float]],
+                      nProbe: Int, roundedRouting: Boolean): DataFrame = {
+    val cellsByDist = cellRouting(embCol, centroids, roundedRouting)
     val corpusCells = corpus
       .withColumn("cell", element_at(cellsByDist, 1).getField("cell"))
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"), col("cell"))
@@ -622,6 +627,51 @@ object Similarity {
       pqEncode(corpus, embCol, cbs)
         .select(col(idCol).as("c_id"), col("codes"), col("__cn2sum")),
       idCol, embCol, k, cbs)
+  }
+
+  /** IVF-PQ (the composition FAISS ships as `IVFx,PQy` — Jégou et al.
+    * TPAMI 2011 §V): seeded-IVF cell routing prunes the corpus to each
+    * query's `nProbe` cells, and ranking inside the probed cells runs on
+    * the PQ-compressed codes via ADC — the canonical 100 TB ANN serving
+    * shape, where the scoring pass moves m-byte codes hash-partitioned
+    * by cell id instead of raw vectors, and candidate volume per query
+    * is ~ nProbe/nCells of the corpus. Both quantizers are the portable
+    * seeded forms, so routing, codes, and ranking all replay in the
+    * oracle (q162). */
+  def ivfPqTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int, nCells: Int, nProbe: Int,
+                      m: Int = 16, nCodes: Int = 64): DataFrame = {
+    val centroids: Seq[Array[Float]] = corpus
+      .select(col(idCol).cast("string").as("__sid"), col(embCol).as("__emb"))
+      .withColumn("__h",
+        graft.functions.PortableHash.hex60(concat(lit("ivf_"), col("__sid"))))
+      .sort(col("__h"), col("__sid")).limit(nCells)
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    val cbs = pqSeededCodebooks(corpus, idCol, embCol, m, nCodes)
+    val sub = cbs.head.head.length
+    val routing = cellRouting(embCol, centroids, rounded = true)
+    val corpusCells = pqEncode(corpus, embCol, cbs)
+      .withColumn("cell", element_at(routing, 1).getField("cell"))
+      .select(col(idCol).as("c_id"), col("codes"), col("__cn2sum"),
+        col("cell"))
+    val qn2Tot = (0 until m).map { mi =>
+      val qm = slice(col("__q"), mi * sub + 1, sub)
+      dotFast(qm, qm)
+    }.reduce(_ + _)
+    val queryCells = queries
+      .withColumn("cell", explode(
+        transform(slice(routing, 1, nProbe), s => s.getField("cell"))))
+      .select(col(idCol).as("q_id"), col(embCol).as("__q"), col("cell"))
+      .withColumn("__qn2", qn2Tot)
+    queryCells.join(corpusCells, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("adc_dist", round(col("__qn2") + col("__cn2sum") -
+        lit(2.0) * graft.plans.PqAdcDotSum(col("__q"), col("codes"), cbs), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist").asc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "adc_dist")
   }
 
   /** Trained PQ ADC top-k: per-subspace Lloyd codebooks on a bounded

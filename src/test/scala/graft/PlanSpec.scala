@@ -325,6 +325,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("q162 IVF-PQ: candidates meet on the cell equi-join, never a cross product") {
+    val p = plan("q162_ivfpq")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q113 winnow pairs: two shuffles (fingerprint, pair), no cross join") {
     val p = plan("q113_winnow_pairs")
     // the winnowing sketch itself is within-row (narrow); only the

@@ -75,6 +75,13 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     assert(exact.intersect(saturated).size == exact.size,
       "saturated-codebook ADC must equal exact euclidean ranking")
+    // IVF-PQ composition: cell pruning stacks its recall loss on PQ's;
+    // still must beat random (100/499 ≈ 0.2 would be chance-level work)
+    val ivfpq = Similarity.ivfPqTopKSeeded(q, emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, m = 16, nCodes = 64)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recallIvfPq = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recallIvfPq >= 0.25, s"IVF-PQ recall@5 = $recallIvfPq")
     // codes are a pure per-row function: invariant under repartition
     val cbs = (0 until 8).map(mi => (0 until 4).map(j =>
       Array.tabulate(8)(d => (mi + j + d).toFloat / 10f)))
