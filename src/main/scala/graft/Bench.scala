@@ -100,27 +100,34 @@ object Bench {
     // apples-to-apples number against the reference's published
     // whole-ETL wall time. Not part of the per-query suite (it
     // materializes real output), recorded as its own entry.
-    val capstoneSec = if (only.nonEmpty) -1.0 else {
-      val dir = java.nio.file.Files.createTempDirectory("graft_capstone")
+    def rm(f: java.io.File): Unit = {
+      // listFiles returns null on IO error; an NPE here would mask
+      // the capstone's original exception
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    def timeCapstone(label: String)(
+        run: String => (Double, Long)): Double = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$label")
       try {
-        val (sec, failed) = Etl.capstone(spark, sfDir, dir.toString)
+        val (sec, failed) = run(dir.toString)
         if (failed > 0)
-          System.err.println(s"[bench] etl_capstone: $failed FAILED checks")
+          System.err.println(s"[bench] $label: $failed FAILED checks")
         sec
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] etl_capstone failed: ${e.getMessage}")
+        System.err.println(s"[bench] $label failed: ${e.getMessage}")
         -1.0
       } finally {
         graft.util.SessionHygiene.releaseAll(spark)
-        def rm(f: java.io.File): Unit = {
-          // listFiles returns null on IO error; an NPE here would mask
-          // the capstone's original exception
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-          f.delete(); ()
-        }
         rm(dir.toFile)
       }
     }
+    val capstoneSec = if (only.nonEmpty) -1.0
+      else timeCapstone("etl_capstone")(Etl.capstone(spark, sfDir, _))
+    // the training-data pipeline twin: dedup → decontaminate → quality →
+    // mixture → split → pack, one lineage, timed with write + checks
+    val corpusSec = if (only.nonEmpty) -1.0
+      else timeCapstone("corpus_capstone")(Etl.corpusCapstone(spark, sfDir, _))
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -130,7 +137,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"corpus_capstone_sec":${jnum(corpusSec)},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -139,7 +146,8 @@ object Bench {
     System.err.println(fullJson) // full detail on stderr for local runs
     val resMap = results.toMap
     val qs = (headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + jnum(v))) :+
-        ("\"etl_capstone\":" + jnum(capstoneSec)))
+        ("\"etl_capstone\":" + jnum(capstoneSec)) :+
+        ("\"corpus_capstone\":" + jnum(corpusSec)))
       .mkString("{", ",", "}")
     // The one parseable line, printed LAST so it lands inside the tail.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

