@@ -70,84 +70,188 @@ object CheckRunner {
                         parent: DataFrame,
                         parentCols: Seq[String]) extends Check
 
-  /** One row per check: (check_name, passed, observed). Fully lazy — each
-    * check is a one-row aggregation, the union is a single plan evaluated
-    * when the caller acts on it. */
-  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
-    checks.map {
-      case UniqueKey(n, keys) =>
-        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-          .agg(count(when(col("__n") > 1, 1)).as("observed"))
-          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
-            col("observed"))
-      case NotNull(n, c) =>
-        badCount(df, n, col(c).isNull)
-      case InRange(n, c, lo, hi) =>
-        badCount(df, n, col(c).isNotNull && !col(c).between(lo, hi))
-      case InEnum(n, c, vs) =>
-        badCount(df, n, col(c).isNotNull && !col(c).isin(vs: _*))
-      case RowCount(n, expected) =>
-        df.agg(count(lit(1)).as("observed"))
-          .select(lit(n).as("check_name"),
-            (col("observed") === expected).as("passed"), col("observed"))
-      case ColumnsRatio(n, num, den, lo, hi) =>
-        df.agg((sum(col(num)) / sum(col(den))).as("__r"))
-          .select(lit(n).as("check_name"),
-            col("__r").between(lo, hi).as("passed"),
-            round(col("__r") * 1e6).cast("long").as("observed"))
-      case SubcomponentsSum(n, keys, part, total, tol) =>
-        df.groupBy(keys.map(col): _*)
-          .agg(sum(col(part)).as("__parts"), max(col(total)).as("__total"))
-          .agg(count(when(
-            abs(col("__parts") - col("__total")) > lit(tol) * abs(col("__total")),
-            1)).as("observed"))
-          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
-            col("observed"))
-      case WeightedQuantileBound(n, v, w, qNum, qDen, lo, hi) =>
-        df.groupBy(col(v)).agg(sum(col(w)).as("__w"))
-          .agg(graft.functions.WeightedQuantile(col(v), col("__w"), qNum, qDen)
-            .as("__q"))
-          .select(lit(n).as("check_name"),
-            col("__q").between(lo, hi).as("passed"),
-            round(col("__q") * 1e6).cast("long").as("observed"))
-      case ForeignKey(n, cc, parent, pc) =>
-        val child = df.select(cc.map(col): _*)
-          .where(cc.map(col(_).isNotNull).reduce(_ && _))
-        val par = parent
-          .select(pc.zip(cc).map { case (p, c) => col(p).as(c) }: _*)
-          .distinct()
-        child.join(par, cc, "left_anti")
-          .agg(count(lit(1)).as("observed"))
-          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
-            col("observed"))
-      case SummedNotExceed(n, a, b, t, mult, errT) =>
-        df.agg(count(when(
-            col(a).isNotNull && col(b).isNotNull && col(t).isNotNull &&
-              (col(a) + col(b)) > col(t) * mult, 1)).as("observed"))
-          .select(lit(n).as("check_name"),
-            (col("observed") <= errT).as("passed"), col("observed"))
-      case OneValuePerKey(n, k, v) =>
-        df.where(col(k).isNotNull)
-          .groupBy(col(k)).agg(count_distinct(col(v)).as("__n"))
-          .agg(count(when(col("__n") > 1, 1)).as("observed"))
-          .select(lit(n).as("check_name"),
-            (col("observed") === 0).as("passed"), col("observed"))
-      case ChangeWithinRatio(n, period, v, ratio) =>
-        import org.apache.spark.sql.expressions.Window
-        df.groupBy(col(period)).agg(sum(col(v)).as("__t"))
-          .withColumn("__prev",
-            lag(col("__t"), 1).over(Window.orderBy(col(period))))
-          .agg(count(when(col("__prev").isNotNull &&
-            !(col("__t") / col("__prev")).between(1 - ratio, 1 + ratio), 1))
-            .as("observed"))
-          .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
-            col("observed"))
+  /** One row per check: (check_name, passed, observed), in the order the
+    * checks were given.
+    *
+    * Execution shape (the part that matters at 100 TB): all checks whose
+    * result is a whole-table aggregate with no intermediate grouping —
+    * NotNull / InRange / InEnum / RowCount / ColumnsRatio / SummedNotExceed
+    * — are FUSED into one `agg` over the input, so a suite of N such checks
+    * costs ONE scan, not N (round-11 verdict: q160 was recomputing a
+    * lineitem⋈orders join once per check). The fused one-row result is
+    * `localCheckpoint`ed (a single tiny job) so each per-check projection
+    * reads the cached row rather than re-running the scan. Checks that
+    * need their own grouping (UniqueKey, OneValuePerKey, SubcomponentsSum,
+    * WeightedQuantileBound, ChangeWithinRatio, ForeignKey) keep their own
+    * shapes; when the suite still needs more than one pass over the input,
+    * the input is projected down to exactly the columns the suite
+    * references and `localCheckpoint`ed once, so the (possibly expensive)
+    * upstream lineage — joins, transforms — is computed exactly once.
+    *
+    * Consequence: `run` is eager (it triggers the checkpoint jobs at call
+    * time) whenever the suite needs a shared input or has fusible checks;
+    * a single non-fusible check stays fully lazy. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val fusedIdx = checks.zipWithIndex.collect {
+      case (c, i) if isFusible(c) => (c, i)
+    }
+    val standalone = checks.zipWithIndex.filterNot { case (c, _) => isFusible(c) }
+    val scans = standalone.size + (if (fusedIdx.nonEmpty) 1 else 0)
+    // Share the input across passes: prune to the referenced columns first
+    // so the checkpoint materializes only what the suite reads (a full-width
+    // join would otherwise be cached column-complete for a 3-column suite).
+    val in =
+      if (scans > 1) {
+        val needed = checks.flatMap(referencedColumns).distinct
+        (if (needed.nonEmpty) df.select(needed.map(col): _*) else df)
+          .localCheckpoint()
+      } else df
+    val fusedResults: Map[Int, DataFrame] =
+      if (fusedIdx.isEmpty) Map.empty
+      else {
+        val aggs = fusedIdx.flatMap { case (c, i) => fusedAggs(c, i) }
+        // One scan computes every fused counter; checkpoint the 1-row
+        // result so the per-check projections below are free.
+        val row = in.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        fusedIdx.map { case (c, i) => i -> fusedSelect(row, c, i) }.toMap
+      }
+    checks.zipWithIndex.map { case (c, i) =>
+      fusedResults.getOrElse(i, runOne(in, c))
     }.reduce(_ unionByName _)
+  }
 
-  private def badCount(df: DataFrame, name: String, bad: Column): DataFrame =
-    df.agg(count(when(bad, 1)).as("observed"))
-      .select(lit(name).as("check_name"), (col("observed") === 0).as("passed"),
-        col("observed"))
+  private def isFusible(c: Check): Boolean = c match {
+    case _: NotNull | _: InRange | _: InEnum | _: RowCount |
+         _: ColumnsRatio | _: SummedNotExceed => true
+    case _ => false
+  }
+
+  /** Input columns a check reads — drives the pre-checkpoint projection. */
+  private def referencedColumns(c: Check): Seq[String] = c match {
+    case UniqueKey(_, keys)                     => keys
+    case NotNull(_, c0)                         => Seq(c0)
+    case InRange(_, c0, _, _)                   => Seq(c0)
+    case InEnum(_, c0, _)                       => Seq(c0)
+    case RowCount(_, _)                         => Nil
+    case ColumnsRatio(_, num, den, _, _)        => Seq(num, den)
+    case SubcomponentsSum(_, ks, p, t, _)       => ks ++ Seq(p, t)
+    case WeightedQuantileBound(_, v, w, _, _, _, _) => Seq(v, w)
+    case ChangeWithinRatio(_, p, v, _)          => Seq(p, v)
+    case SummedNotExceed(_, a, b, t, _, _)      => Seq(a, b, t)
+    case OneValuePerKey(_, k, v)                => Seq(k, v)
+    case ForeignKey(_, cc, _, _)                => cc
+  }
+
+  /** Row-level failure predicate for the fusible badCount checks. */
+  private def badPredicate(c: Check): Column = c match {
+    case NotNull(_, c0) => col(c0).isNull
+    case InRange(_, c0, lo, hi) =>
+      col(c0).isNotNull && !col(c0).between(lo, hi)
+    case InEnum(_, c0, vs) =>
+      col(c0).isNotNull && !col(c0).isin(vs: _*)
+    case SummedNotExceed(_, a, b, t, mult, _) =>
+      // Exact decimal literal for the multiplier: decimal inputs then
+      // compare in decimal on both engines (a Double literal forced the
+      // comparison through binary floating point, which can classify
+      // boundary rows differently from the DuckDB oracle's exact
+      // decimal arithmetic). Double inputs are unaffected — the literal
+      // widens to double exactly as before.
+      col(a).isNotNull && col(b).isNotNull && col(t).isNotNull &&
+        (col(a) + col(b)) > col(t) * lit(new java.math.BigDecimal(mult.toString))
+    case other =>
+      throw new IllegalArgumentException(s"not a row-predicate check: $other")
+  }
+
+  /** Aggregate expressions a fusible check contributes to the single fused
+    * pass; names are suffixed with the check's position so duplicate
+    * check shapes coexist. */
+  private def fusedAggs(c: Check, i: Int): Seq[Column] = c match {
+    case RowCount(_, _) =>
+      Seq(count(lit(1)).as(s"__obs_$i"))
+    case ColumnsRatio(_, num, den, _, _) =>
+      Seq((sum(col(num)) / sum(col(den))).as(s"__r_$i"))
+    case rowPred =>
+      Seq(count(when(badPredicate(rowPred), 1)).as(s"__obs_$i"))
+  }
+
+  /** Per-check (check_name, passed, observed) projection over the fused
+    * one-row frame. */
+  private def fusedSelect(row: DataFrame, c: Check, i: Int): DataFrame = c match {
+    case RowCount(n, expected) =>
+      row.select(lit(n).as("check_name"),
+        (col(s"__obs_$i") === expected).as("passed"),
+        col(s"__obs_$i").as("observed"))
+    case ColumnsRatio(n, _, _, lo, hi) =>
+      row.select(lit(n).as("check_name"),
+        col(s"__r_$i").between(lo, hi).as("passed"),
+        round(col(s"__r_$i") * 1e6).cast("long").as("observed"))
+    case SummedNotExceed(n, _, _, _, _, errT) =>
+      row.select(lit(n).as("check_name"),
+        (col(s"__obs_$i") <= errT).as("passed"),
+        col(s"__obs_$i").as("observed"))
+    case other =>
+      row.select(lit(other.name).as("check_name"),
+        (col(s"__obs_$i") === 0).as("passed"),
+        col(s"__obs_$i").as("observed"))
+  }
+
+  /** Checks that need their own grouping/join — one pass each over the
+    * (shared, column-pruned) input. */
+  private def runOne(df: DataFrame, check: Check): DataFrame = check match {
+    case UniqueKey(n, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(count(when(col("__n") > 1, 1)).as("observed"))
+        .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+          col("observed"))
+    case SubcomponentsSum(n, keys, part, total, tol) =>
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(part)).as("__parts"), max(col(total)).as("__total"))
+        .agg(count(when(
+          abs(col("__parts") - col("__total")) > lit(tol) * abs(col("__total")),
+          1)).as("observed"))
+        .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+          col("observed"))
+    case WeightedQuantileBound(n, v, w, qNum, qDen, lo, hi) =>
+      df.groupBy(col(v)).agg(sum(col(w)).as("__w"))
+        .agg(graft.functions.WeightedQuantile(col(v), col("__w"), qNum, qDen)
+          .as("__q"))
+        .select(lit(n).as("check_name"),
+          col("__q").between(lo, hi).as("passed"),
+          round(col("__q") * 1e6).cast("long").as("observed"))
+    case ForeignKey(n, cc, parent, pc) =>
+      val child = df.select(cc.map(col): _*)
+        .where(cc.map(col(_).isNotNull).reduce(_ && _))
+      val par = parent
+        .select(pc.zip(cc).map { case (p, c) => col(p).as(c) }: _*)
+        .distinct()
+      child.join(par, cc, "left_anti")
+        .agg(count(lit(1)).as("observed"))
+        .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+          col("observed"))
+    case OneValuePerKey(n, k, v) =>
+      // ">1 distinct non-null value" ⟺ min(v) < max(v): min/max are
+      // map-side-combinable partial aggs, unlike an exact count_distinct
+      // (which expands to a two-phase distinct shuffle per key).
+      df.where(col(k).isNotNull)
+        .groupBy(col(k))
+        .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+        .agg(count(when(col("__lo") =!= col("__hi"), 1)).as("observed"))
+        .select(lit(n).as("check_name"),
+          (col("observed") === 0).as("passed"), col("observed"))
+    case ChangeWithinRatio(n, period, v, ratio) =>
+      import org.apache.spark.sql.expressions.Window
+      df.groupBy(col(period)).agg(sum(col(v)).as("__t"))
+        .withColumn("__prev",
+          lag(col("__t"), 1).over(Window.orderBy(col(period))))
+        .agg(count(when(col("__prev").isNotNull &&
+          !(col("__t") / col("__prev")).between(1 - ratio, 1 + ratio), 1))
+          .as("observed"))
+        .select(lit(n).as("check_name"), (col("observed") === 0).as("passed"),
+          col("observed"))
+    case fusible =>
+      // Single fusible check with no sharing needed: one lazy agg.
+      fusedSelect(df.agg(fusedAggs(fusible, 0).head), fusible, 0)
+  }
 
   /** Derive the standard check set from a declared Resource (PK unique +
     * required/enum/range per field) — schema metadata drives validation,

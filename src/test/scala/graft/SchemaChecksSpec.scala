@@ -66,6 +66,37 @@ class SchemaChecksSpec extends SparkSpec {
     assert(out("fd_pass") == (true, 0L))
   }
 
+  test("CheckRunner computes the input lineage exactly once (fused + shared)") {
+    // A per-row accumulator UDF proves the scan count: before the round-12
+    // fusion, a suite of N whole-table checks re-executed the input N times.
+    def probedInput() = {
+      val acc = spark.sparkContext.longAccumulator("rows_scanned")
+      val tick = udf { (x: Int) => acc.add(1L); x }
+      val df = spark.range(100).toDF("id")
+        .select(tick(col("id").cast("int")).as("probe"),
+          (col("id") % 7).as("k"), (col("id") % 3).as("v"))
+      (df, acc)
+    }
+    // fused-only suite: 4 global-agg checks -> ONE scan
+    val (dfA, accA) = probedInput()
+    val outA = CheckRunner.run(dfA, Seq(
+      NotNull("c1", "probe"), InRange("c2", "probe", -1, 1000),
+      RowCount("c3", 100L), SummedNotExceed("c4", "probe", "k", "v",
+        multiplier = 1e9)))
+      .collect()
+    assert(accA.value == 100L, s"fused suite scanned ${accA.value} rows")
+    // output rows preserve the caller's check order (the oracle SQL
+    // replays the same UNION ALL order)
+    assert(outA.map(_.getString(0)).toSeq == Seq("c1", "c2", "c3", "c4"))
+    // mixed suite: fused pass + 2 grouped checks -> input still scanned once
+    val (dfB, accB) = probedInput()
+    CheckRunner.run(dfB, Seq(
+      NotNull("c1", "probe"), UniqueKey("c5", Seq("probe")),
+      OneValuePerKey("c6", "k", "v")))
+      .collect()
+    assert(accB.value == 100L, s"mixed suite scanned ${accB.value} rows")
+  }
+
   test("WeightedQuantile picks smallest value reaching cumulative weight") {
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0)).toDF("v", "w")
     val got = df.agg(WeightedQuantile($"v", $"w", 1, 2)).head().getDouble(0)
