@@ -2223,20 +2223,25 @@ object SparkEntry {
   }
 
   // ---- training-data pipeline: count-min sketch frequency estimates -----
-  // 4×32 portable-hash CMS over the corpus words; the 15 exact-top words
-  // get sketch estimates next to their true counts (estimate >= exact
-  // always — CMS can only over-count; width 32 vs ~30 word types makes
-  // 2 of 15 collide so both lanes are exercised). Sketch shuffle is
-  // bounded at depth×width rows per mapper regardless of corpus size.
+  // 4×32 CMS over the corpus words; the 15 exact-top words get sketch
+  // estimates next to their true counts (estimate >= exact always — CMS
+  // can only over-count; width 32 vs ~30 word types makes 2 of 15
+  // collide so both lanes are exercised). Sketch shuffle is bounded at
+  // depth×width rows per mapper regardless of corpus size. This is the
+  // oracle-replay lane (portable family: ONE md5 per row + affine
+  // members); production default is codegen xxhash64 (KmvSketchSpec).
   private def q145(s: SparkSession, dir: String): DataFrame = {
     val (depth, width) = (4, 32)
     val words = t(s, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)
-    val sk = graft.functions.CountMin.sketch(words, "word", depth, width)
+    val fam = graft.functions.PortableHashFamily
+    val sk = graft.functions.CountMin.sketch(words, "word", depth, width,
+      family = fam)
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("word").asc).limit(15)
-    graft.functions.CountMin.estimate(sk, top, "word", depth, width)
+    graft.functions.CountMin.estimate(sk, top, "word", depth, width,
+        family = fam)
       .withColumn("overestimated", col("cms_estimate") > col("exact_count"))
       .select("word", "exact_count", "cms_estimate", "overestimated")
   }
@@ -6276,20 +6281,29 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |    FROM documents)
         |  WHERE len(tok) > 0),
+        |consts AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('a_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substr(md5('b_' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 4) t(i)),
         |sk AS (
-        |  SELECT i.range AS row,
-        |    ('0x' || substr(md5('cms' || i.range || '_' || word), 1, 15))
-        |      ::BIGINT % 32 AS bucket,
+        |  SELECT i AS row, ((a * x + b) % 2147483647) % 32 AS bucket,
         |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM words, range(4) i GROUP BY 1, 2),
+        |  FROM (SELECT word,
+        |          ('0x' || substr(md5('cms_' || word), 1, 15))::BIGINT
+        |            % 2147483647 AS x
+        |        FROM words) CROSS JOIN consts
+        |  GROUP BY 1, 2),
         |top AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM words
         |  GROUP BY word ORDER BY exact_count DESC, word ASC LIMIT 15),
         |tb AS (
-        |  SELECT t.word, t.exact_count, i.range AS row,
-        |    ('0x' || substr(md5('cms' || i.range || '_' || t.word), 1, 15))
-        |      ::BIGINT % 32 AS bucket
-        |  FROM top t, range(4) i),
+        |  SELECT t.word, t.exact_count, i AS row,
+        |    ((a * (('0x' || substr(md5('cms_' || t.word), 1, 15))::BIGINT
+        |      % 2147483647) + b) % 2147483647) % 32 AS bucket
+        |  FROM top t CROSS JOIN consts),
         |est AS (
         |  SELECT word, exact_count,
         |    CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_estimate

@@ -23,26 +23,36 @@ import org.apache.spark.sql.functions._
   * corpus. No custom aggregation buffer needed; counter addition
   * commutes, so the result is partition-order independent.
   *
-  * Portability: the hash family is the seeded portable MD5-prefix hash
-  * ([[PortableHash]]), so any engine replays buckets, counters and
-  * estimates bit-for-bit (the DuckDB oracle does, q145).
+  * Hash family is pluggable like the other sketches (MinHash/SimHash):
+  * [[XxHashFamily]] by default — codegen'd, engine-private, the
+  * production path — or [[PortableHashFamily]] for bit-exact oracle
+  * replay (q145). Both use the family's two-phase base/derive split, so
+  * even the portable lane digests the key string ONCE per row (one MD5)
+  * and derives the depth members by affine arithmetic, instead of paying
+  * depth full digests per row (the round-11 q145 hot spot).
   */
 object CountMin {
 
-  /** Bucket column for row `i`: portable seeded hash of the key mod
-    * `width` (hash is 60-bit non-negative, so `%` is already a bucket). */
-  def bucket(i: Int, key: Column, width: Int, salt: String): Column =
-    PortableHash.hex60(
-      concat(lit(s"${salt}${i}_"), key.cast("string"))) % width
+  /** Bucket columns for rows 0..depth-1: the salted key is hashed once
+    * (`family.base`), each row's member derives from that base, and
+    * `pmod` folds the member into [0, width). */
+  def buckets(key: Column, depth: Int, width: Int, salt: String,
+              family: HashFamily): Seq[Column] = {
+    val base = family.base(concat(lit(s"${salt}_"), key.cast("string")))
+    // the repeated base subtree is CSE'd by codegen within the projection,
+    // so non-trivial bases (the portable family's MD5) evaluate once per row
+    (0 until depth).map(i => pmod(family.derive(i, base), lit(width.toLong)))
+  }
 
   /** Build the depth×width counter frame from a key column: one
     * map-side explode into (row, bucket), one partial-aggregated
     * count shuffle. Output: (row, bucket, cnt) — ≤ depth×width rows. */
   def sketch(df: DataFrame, keyCol: String, depth: Int, width: Int,
-             salt: String = "cms"): DataFrame = {
+             salt: String = "cms",
+             family: HashFamily = XxHashFamily): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth, width >= 1")
-    val rows = (0 until depth).map(i =>
-      struct(lit(i).as("row"), bucket(i, col(keyCol), width, salt).as("bucket")))
+    val rows = buckets(col(keyCol), depth, width, salt, family).zipWithIndex
+      .map { case (b, i) => struct(lit(i).as("row"), b.as("bucket")) }
     df.select(explode(array(rows: _*)).as("__rb"))
       .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -53,10 +63,11 @@ object CountMin {
     * and takes the row-wise minimum. Missing buckets count 0 (possible
     * only for keys absent from the sketched corpus). Adds `cms_estimate`. */
   def estimate(sketchDf: DataFrame, keys: DataFrame, keyCol: String,
-               depth: Int, width: Int, salt: String = "cms"): DataFrame = {
+               depth: Int, width: Int, salt: String = "cms",
+               family: HashFamily = XxHashFamily): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth, width >= 1")
-    val rows = (0 until depth).map(i =>
-      struct(lit(i).as("row"), bucket(i, col(keyCol), width, salt).as("bucket")))
+    val rows = buckets(col(keyCol), depth, width, salt, family).zipWithIndex
+      .map { case (b, i) => struct(lit(i).as("row"), b.as("bucket")) }
     keys.select(col("*"), explode(array(rows: _*)).as("__rb"))
       .select(col("*"), col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
       .drop("__rb")

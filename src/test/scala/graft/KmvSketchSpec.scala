@@ -94,22 +94,29 @@ class KmvSketchSpec extends SparkSpec {
     val df = rows.toDF("key")
     val keys = rows.distinct.toDF("key")
     val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
-    def estimates(depth: Int, width: Int, parts: Int): Map[String, Long] = {
-      val sk = CountMin.sketch(df.repartition(parts), "key", depth, width)
-      CountMin.estimate(sk, keys, "key", depth, width)
+    def estimates(depth: Int, width: Int, parts: Int,
+                  fam: graft.functions.HashFamily): Map[String, Long] = {
+      val sk = CountMin.sketch(df.repartition(parts), "key", depth, width,
+        family = fam)
+      CountMin.estimate(sk, keys, "key", depth, width, family = fam)
         .as[(String, Long)].collect().toMap
     }
-    // narrow sketch: collisions happen but NEVER an under-estimate
-    val narrow = estimates(4, 8, 3)
-    exact.foreach { case (k, n) =>
-      assert(narrow(k) >= n, s"$k under-estimated: ${narrow(k)} < $n")
+    // both families honor the sketch invariants — xxhash64 is the
+    // production default, portable MD5 the oracle-replay lane (q145)
+    for (fam <- Seq(graft.functions.XxHashFamily,
+                    graft.functions.PortableHashFamily)) {
+      // narrow sketch: collisions happen but NEVER an under-estimate
+      val narrow = estimates(4, 8, 3, fam)
+      exact.foreach { case (k, n) =>
+        assert(narrow(k) >= n, s"$fam $k under-estimated: ${narrow(k)} < $n")
+      }
+      assert(exact.exists { case (k, n) => narrow(k) > n },
+        s"$fam: 8-wide sketch over 40 keys should collide somewhere")
+      // wide sketch: 4 independent rows over 2048 buckets -> exact here
+      val wide = estimates(4, 2048, 3, fam)
+      exact.foreach { case (k, n) => assert(wide(k) == n) }
+      // counters commute: partitioning can't change any estimate
+      assert(estimates(4, 8, 13, fam) == narrow)
     }
-    assert(exact.exists { case (k, n) => narrow(k) > n },
-      "8-wide sketch over 40 keys should collide somewhere")
-    // wide sketch: 4 independent rows over 2048 buckets -> exact here
-    val wide = estimates(4, 2048, 3)
-    exact.foreach { case (k, n) => assert(wide(k) == n) }
-    // counters commute: partitioning can't change any estimate
-    assert(estimates(4, 8, 13) == narrow)
   }
 }
