@@ -2556,6 +2556,36 @@ object SparkEntry {
       nProbe = 4, m = 16, nCodes = 64)
   }
 
+  // ---- record linkage: company-name canonicalization ----------------------
+  // The reference's CompanyNameCleaner rule pipeline (name_cleaner.py +
+  // us_legal_forms.json) over deterministic company-style names built from
+  // the supplier keys: default rules + legal-term NORMALIZE (the linkage
+  // canon) and the no-rules legal-term REMOVE screen (SEC subsidiary
+  // filter) side by side. Pure per-row regexp chain — zero shuffle; the
+  // oracle interpolates the SAME rule constants via CompanyNames.sqlChain.
+  private val q163Stems = Seq(
+    "Acme Power & Light", "Basin-Creek Energy (Holdings)", "delta_utilities",
+    "Gulf  States Util 2000", "PECO ENERGY", "The Duke Energy",
+    "Green Mtn. Power", "Niagara-Mohawk [Power]", "The Tampa Electric",
+    "Midwest Gen EME,", "Big Rivers * Electric", "Consolidated   Edison")
+  private val q163Suffixes = Seq(
+    "llc", "Inc", "CORP.", "pub lc", "co", "ltd", "assn")
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CompanyNames
+    val raw = concat(
+      element_at(array(q163Stems.map(lit): _*),
+        (pmod(col("s_suppkey"), lit(q163Stems.size)) + 1).cast("int")),
+      lit(" "),
+      element_at(array(q163Suffixes.map(lit): _*),
+        (pmod(col("s_suppkey"), lit(q163Suffixes.size)) + 1).cast("int")))
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), raw.as("raw_name"),
+        CompanyNames.clean(raw).as("canon_name"),
+        CompanyNames.clean(raw, rules = Nil,
+          legalTerms = CompanyNames.Remove).as("bare_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2724,6 +2754,7 @@ object SparkEntry {
     "q160_dbt_checks2" -> (q160 _),
     "q161_mixture_select" -> (q161 _),
     "q162_ivfpq" -> (q162 _),
+    "q163_company_clean" -> (q163 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6489,5 +6520,25 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  UNNEST(list_transform(range(1, len(arr) + 1),
         |    i -> struct_pack(ts := arr[i].ts, v := arr[i].v,
         |                     f1 := fwd[i], f2 := bwd[i]))) AS u(e)""".stripMargin,
+    // Company-name cleaner replay: the SAME rule constants rendered as a
+    // nested regexp_replace chain (CompanyNames.sqlChain) over the same
+    // deterministically constructed names.
+    "q163_company_clean" -> {
+      import graft.functions.CompanyNames
+      val stems = q163Stems.map(s => "'" + s + "'").mkString(", ")
+      val sufs = q163Suffixes.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH raw AS (
+        |  SELECT s_suppkey,
+        |    ([$stems])[CAST(s_suppkey % ${q163Stems.size} AS INT) + 1]
+        |      || ' ' ||
+        |    ([$sufs])[CAST(s_suppkey % ${q163Suffixes.size} AS INT) + 1]
+        |      AS raw_name
+        |  FROM supplier)
+        |SELECT s_suppkey, raw_name,
+        |  ${CompanyNames.sqlChain("raw_name")} AS canon_name,
+        |  ${CompanyNames.sqlChain("raw_name", rules = Nil,
+               legalTerms = CompanyNames.Remove)} AS bare_name
+        |FROM raw ORDER BY s_suppkey""".stripMargin
+    },
   )
 }
