@@ -2586,6 +2586,30 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  // ---- harvest: last-reported-date rescue ---------------------------------
+  // The second harvest special case (reference `_last_operating_date`,
+  // eia.py:253-328): a date-like attribute whose modal vote fails
+  // strictness falls back to the LAST reported non-null value; the
+  // reference's re-vote then trivially passes, so rescued rows carry
+  // rate 1.0. Customers with one order pass the vote (rate 1.0 modal),
+  // multi-year customers fail it and get rescued with their latest year;
+  // o_orderpriority rides along as a plain modal attribute, so the
+  // assembly join mixes both lanes.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def half(parity: Int) = orders
+      .where(pmod(col("o_orderkey"), lit(2)) === parity)
+      .select(col("o_custkey"),
+        // long: DuckDB year() is BIGINT and the driver hash is type-aware
+        year(col("o_orderdate")).cast("long").as("op_year"),
+        col("o_orderdate"), col("o_orderpriority"))
+    graft.operators.Harvest.harvestEntityTables(
+        Seq(half(0), half(1)), Seq("o_custkey"),
+        attrs = Seq("op_year", "o_orderpriority"),
+        lastReported = Map("op_year" -> "o_orderdate"))
+      .orderBy("o_custkey")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2755,6 +2779,7 @@ object SparkEntry {
     "q161_mixture_select" -> (q161 _),
     "q162_ivfpq" -> (q162 _),
     "q163_company_clean" -> (q163 _),
+    "q164_harvest_lastdate" -> (q164 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6540,5 +6565,57 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
                legalTerms = CompanyNames.Remove)} AS bare_name
         |FROM raw ORDER BY s_suppkey""".stripMargin
     },
+    // Harvest last-reported rescue replay: the same modal vote, plus the
+    // last-by-date fallback for op_year with rate pinned to 1.0 on rescue.
+    // The two parity halves union back to all of orders, so the oracle
+    // votes over orders directly.
+    "q164_harvest_lastdate" ->
+      """WITH cand AS (
+        |  SELECT o_custkey, year(o_orderdate) AS op_year, o_orderdate,
+        |    o_orderpriority
+        |  FROM orders),
+        |yr_counts AS (
+        |  SELECT o_custkey, op_year, count(*) AS vc FROM cand
+        |  WHERE op_year IS NOT NULL GROUP BY 1, 2),
+        |yr_rank AS (
+        |  SELECT *, sum(vc) OVER (PARTITION BY o_custkey) AS tc,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY vc DESC, op_year ASC) AS rk
+        |  FROM yr_counts),
+        |yr_modal AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN CAST(vc AS DOUBLE)/tc > 0.7e0 THEN op_year END AS op_year,
+        |    CAST(vc AS DOUBLE)/tc AS rate
+        |  FROM yr_rank WHERE rk = 1),
+        |yr_last AS (
+        |  SELECT o_custkey, op_year AS lastv FROM (
+        |    SELECT o_custkey, op_year,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, op_year DESC) AS rn
+        |    FROM cand WHERE op_year IS NOT NULL) WHERE rn = 1),
+        |yr AS (
+        |  SELECT m.o_custkey,
+        |    coalesce(m.op_year, l.lastv) AS op_year,
+        |    CASE WHEN m.op_year IS NULL AND l.lastv IS NOT NULL THEN 1.0e0
+        |         ELSE m.rate END AS op_year_rate
+        |  FROM yr_modal m LEFT JOIN yr_last l USING (o_custkey)),
+        |pr_counts AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS vc FROM cand
+        |  WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |pr_rank AS (
+        |  SELECT *, sum(vc) OVER (PARTITION BY o_custkey) AS tc,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY vc DESC, o_orderpriority ASC) AS rk
+        |  FROM pr_counts),
+        |pr AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN CAST(vc AS DOUBLE)/tc > 0.7e0
+        |         THEN o_orderpriority END AS o_orderpriority,
+        |    CAST(vc AS DOUBLE)/tc AS o_orderpriority_rate
+        |  FROM pr_rank WHERE rk = 1)
+        |SELECT coalesce(y.o_custkey, p.o_custkey) AS o_custkey,
+        |  y.op_year, y.op_year_rate, p.o_orderpriority, p.o_orderpriority_rate
+        |FROM yr y FULL OUTER JOIN pr p ON y.o_custkey = p.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -45,19 +45,33 @@ object Harvest {
     * table that carries the attribute, each attribute runs
     * `occurrenceConsistency` with its own strictness override
     * (`:467-480`), and numeric attributes may be rounded before the
-    * consistency vote (the lat/long special case, `:201-252`). The
-    * harvested attribute frames are assembled into one entity table by
+    * consistency vote (the lat/long special case, `:201-252`).
+    *
+    * `lastReported` is the second per-attribute special case
+    * (`_last_operating_date`, `eia.py:253-328`): an attribute mapped to an
+    * ordering column (report_date in the reference) falls back, for
+    * entities whose modal vote FAILED strictness, to the last non-null
+    * value in that ordering — the reference fills every record of the
+    * entity with that value and re-votes, which trivially passes with
+    * rate 1.0, so the rescued rows carry rate 1.0 here too. Ties on the
+    * ordering column break on the larger value, deterministically.
+    *
+    * The harvested attribute frames are assembled into one entity table by
     * full-outer joins on the entity key.
     *
     * Scale: each attribute is an independent union → two aggregations on
-    * the entity key; the final assembly joins one row per entity per
+    * the entity key (the rescue adds one more windowed top-1, still keyed
+    * on the entity); the final assembly joins one row per entity per
     * attribute — all shuffle keys are the entity key.
     */
   def harvestEntityTables(tables: Seq[DataFrame], entityKeys: Seq[String],
                           attrs: Seq[String],
                           strictness: Map[String, Double] = Map.empty,
-                          roundScale: Map[String, Int] = Map.empty): DataFrame = {
+                          roundScale: Map[String, Int] = Map.empty,
+                          lastReported: Map[String, String] = Map.empty): DataFrame = {
+    val keyCols = entityKeys.map(col)
     val harvested = attrs.map { a =>
+      val ordCols = lastReported.get(a).map(col).toSeq
       val cand = tables.filter(_.columns.contains(a)).map { tbl =>
         val c = roundScale.get(a) match {
           // + 0.0 normalizes IEEE -0.0 to +0.0 (engines differ on the sign
@@ -65,12 +79,26 @@ object Harvest {
           case Some(s) => (round(col(a), s) + lit(0.0)).as(a)
           case None => col(a)
         }
-        tbl.select(entityKeys.map(col) :+ c: _*)
+        tbl.select(keyCols ++ Seq(c) ++ ordCols: _*)
       }.reduce(_.unionByName(_))
-      occurrenceConsistency(cand, entityKeys, a,
+      val modal = occurrenceConsistency(cand, entityKeys, a,
         strictness.getOrElse(a, 0.7))
-        .select(entityKeys.map(col) :+ col(a) :+
-          col("rate").as(s"${a}_rate"): _*)
+      lastReported.get(a) match {
+        case None =>
+          modal.select(keyCols :+ col(a) :+ col("rate").as(s"${a}_rate"): _*)
+        case Some(ord) =>
+          val w = Window.partitionBy(keyCols: _*)
+            .orderBy(col(ord).desc, col(a).desc)
+          val last = cand.where(col(a).isNotNull)
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .select(keyCols :+ col(a).as("__last"): _*)
+          modal.join(last, entityKeys, "left")
+            .select(keyCols ++ Seq(
+              coalesce(col(a), col("__last")).as(a),
+              when(col(a).isNull && col("__last").isNotNull, lit(1.0))
+                .otherwise(col("rate")).as(s"${a}_rate")): _*)
+      }
     }
     harvested.reduce((x, y) => x.join(y, entityKeys, "full_outer"))
   }

@@ -344,6 +344,32 @@ class OperatorSpec extends SparkSpec {
     assert(out(1).getString(1) == "q" && out(1).getDouble(3) == 7.0)
   }
 
+  test("Harvest lastReported rescue: failed vote takes last value, rate 1.0") {
+    // reference `_last_operating_date` (eia.py:253-328): entities whose
+    // modal vote fails fall back to the LAST reported non-null value
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val t1 = Seq(
+      (1, Some("2001"), d("2001-01-01")), // k=1: 2/2 consistent -> modal
+      (1, Some("2001"), d("2002-01-01")),
+      (2, Some("1999"), d("1999-01-01")), // k=2: 1/3 each -> rescued
+      (2, Some("2005"), d("2005-01-01")), //   last by date = 2005
+      (2, Some("2003"), d("2003-01-01")),
+      (3, None: Option[String], d("2000-01-01")) // k=3: all null -> null
+    ).toDF("k", "yr", "dt")
+    val out = Harvest.harvestEntityTables(Seq(t1), Seq("k"),
+        attrs = Seq("yr"), lastReported = Map("yr" -> "dt"))
+      .orderBy("k").collect()
+    assert(out(0).getString(1) == "2001" && out(0).getDouble(2) == 1.0)
+    assert(out(1).getString(1) == "2005" && out(1).getDouble(2) == 1.0)
+    // all-null entity: no modal row, no last row -> absent from output
+    // (occurrenceConsistency drops all-null groups, as in q88)
+    assert(out.length == 2)
+    // without the rescue the failed vote stays null
+    val plain = Harvest.harvestEntityTables(Seq(t1), Seq("k"),
+      attrs = Seq("yr")).orderBy("k").collect()
+    assert(plain(1).isNullAt(1) && plain(1).getDouble(2) < 0.7)
+  }
+
   test("Harvest.occurrenceConsistency keeps modal value above strictness") {
     val df = Seq((1, "x"), (1, "x"), (1, "x"), (1, "y"), (2, "p"), (2, "q"))
       .toDF("k", "v")
