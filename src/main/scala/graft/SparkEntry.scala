@@ -2478,6 +2478,20 @@ object SparkEntry {
             ((col("c_custkey") + col("s_suppkey")) % 4 < 3))
           .otherwise((col("c_custkey") + col("s_suppkey")) % 4 === 0)
           .cast("double"))
+      // one materialization feeds the degeneracy guard, the training
+      // projection AND the final scoring pass
+      .localCheckpoint()
+    // Guard: the oracle's closed-form log-odds need both label cells
+    // strictly inside (0,1) — a saturated cell (possible at tiny scale
+    // factors, see LinkageTrainSpec) diverges LBFGS and has no finite
+    // closed form. Fail loudly instead of hash-mismatching.
+    cand.groupBy(col("is_close")).agg(avg(col("label")).as("__p"))
+      .collect().foreach { r =>
+        val p = r.getDouble(1)
+        require(p > 0.0 && p < 1.0,
+          s"q158: degenerate label cell is_close=${r.getDouble(0)} (p=$p); " +
+            "closed-form log-odds undefined at this scale factor")
+      }
     val (w, b) = Linkage.trainPairMatcher(cand, Seq("is_close"), "label")
     cand
       .withColumn("score",

@@ -102,21 +102,25 @@ object Linkage {
     * O(n_features). */
   def trainPairMatcher(pairs: DataFrame, featureCols: Seq[String],
                        labelCol: String, maxIter: Int = 500,
-                       tol: Double = 1e-12): (Seq[Double], Double) = {
+                       tol: Double = 1e-12,
+                       trainPartitions: Int = 1): (Seq[Double], Double) = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     // localCheckpoint the (features, label) projection: every LBFGS
     // iteration re-reads the training frame, and without materialization
     // each pass would re-run the candidate-pair lineage (blocked join +
     // string distances) — the measured cost of q158 before this was the
-    // join × iterations, not the optimizer
-    // single partition: the projected frame is (features, label) doubles
-    // — tiny — and LBFGS launches one job per pass; 1 task per pass
-    // beats 32 near-empty tasks per pass on scheduling latency alone.
-    // At real scale callers pass a bigger-partitioned frame and the
-    // coalesce is the caller's knob, not a correctness constraint.
-    val training = pairs.select((featureCols :+ labelCol).map(c =>
-      col(c).cast("double").as(c)): _*).coalesce(1).localCheckpoint()
+    // join × iterations, not the optimizer.
+    // trainPartitions sizes the per-pass parallelism: the default 1 suits
+    // fixture-scale frames ((features, label) doubles are tiny, and 1 task
+    // per LBFGS pass beats 32 near-empty tasks on scheduling latency);
+    // large candidate-pair frames pass a bigger count — or 0 to keep the
+    // input partitioning — so the gradient passes stay parallel instead
+    // of serializing through one task.
+    val projected = pairs.select((featureCols :+ labelCol).map(c =>
+      col(c).cast("double").as(c)): _*)
+    val training = (if (trainPartitions > 0) projected.coalesce(trainPartitions)
+                    else projected).localCheckpoint()
     try {
       val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
         .setOutputCol("__features")

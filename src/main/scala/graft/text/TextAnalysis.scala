@@ -627,8 +627,8 @@ object TextAnalysis {
     while (typeIter.hasNext) {               // one partition at a time
       typeBuf += typeIter.next()
       require(typeBuf.length <= maxTypes,
-        s"word types exceed maxTypes=$maxTypes — raise the bound or use " +
-          "the distributed bpeMergeTable")
+        s"word types (>= ${typeBuf.length}) exceed maxTypes=$maxTypes — " +
+          "raise the bound or use the distributed bpeMergeTable")
     }
     val types = typeBuf.toArray
 
