@@ -23,8 +23,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Suite-context hygiene (round-11 drift: q01 cost +35% inside the
+    // 162-query suite vs alone): even with the UI off, AppStatusListener
+    // retains per-execution/job/stage/task state in the driver's
+    // InMemoryStore — over ~170 queries × dozens of jobs each that is
+    // real heap + listener-bus work. Keep only a small tail. Shuffle
+    // files and broadcasts are freed by ContextCleaner only on driver
+    // GC, which a 24 GB heap rarely triggers — timeOne forces a GC every
+    // 16 queries, outside the timed window.
     val spark = GraftSession.tune(
-      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "20"),
+      shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/session warm-up on the smallest fixture so the first measured
@@ -43,6 +56,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    var queriesSinceGc = 0
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -56,6 +70,12 @@ object Bench {
       // bench degraded 6× from accumulated blocks squeezing the storage
       // pool over 107 queries)
       graft.util.SessionHygiene.releaseAll(spark)
+      // periodic forced GC: ContextCleaner frees shuffle files and
+      // broadcasts only when the driver GCs, and a large heap can go the
+      // whole suite without one — let the cleaner run while nothing is
+      // being timed instead of paying GC inside a later query's window
+      queriesSinceGc += 1
+      if (queriesSinceGc >= 16) { queriesSinceGc = 0; System.gc() }
       dt
     }
     val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
@@ -106,28 +126,33 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
       f.delete(); ()
     }
+    // capstones report (core = lineage+write, checks = validation) apart,
+    // so a growing check suite never reads as a lineage regression
     def timeCapstone(label: String)(
-        run: String => (Double, Long)): Double = {
+        run: String => (Double, Double, Long)): (Double, Double) = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$label")
       try {
-        val (sec, failed) = run(dir.toString)
+        val (coreSec, checksSec, failed) = run(dir.toString)
         if (failed > 0)
           System.err.println(s"[bench] $label: $failed FAILED checks")
-        sec
+        (coreSec, checksSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $label failed: ${e.getMessage}")
-        -1.0
+        (-1.0, 0.0)
       } finally {
         graft.util.SessionHygiene.releaseAll(spark)
         rm(dir.toFile)
       }
     }
-    val capstoneSec = if (only.nonEmpty) -1.0
+    val (capstoneCore, capstoneChecks) = if (only.nonEmpty) (-1.0, 0.0)
       else timeCapstone("etl_capstone")(Etl.capstone(spark, sfDir, _))
+    val capstoneSec =
+      if (capstoneCore < 0) -1.0 else capstoneCore + capstoneChecks
     // the training-data pipeline twin: dedup → decontaminate → quality →
     // mixture → split → pack, one lineage, timed with write + checks
-    val corpusSec = if (only.nonEmpty) -1.0
+    val (corpusCore, corpusChecks) = if (only.nonEmpty) (-1.0, 0.0)
       else timeCapstone("corpus_capstone")(Etl.corpusCapstone(spark, sfDir, _))
+    val corpusSec = if (corpusCore < 0) -1.0 else corpusCore + corpusChecks
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -137,7 +162,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"corpus_capstone_sec":${jnum(corpusSec)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -147,7 +172,11 @@ object Bench {
     val resMap = results.toMap
     val qs = (headline.flatMap(k => resMap.get(k).map(v => "\"" + k + "\":" + jnum(v))) :+
         ("\"etl_capstone\":" + jnum(capstoneSec)) :+
-        ("\"corpus_capstone\":" + jnum(corpusSec)))
+        ("\"etl_capstone_core\":" + jnum(capstoneCore)) :+
+        ("\"etl_capstone_checks\":" + jnum(capstoneChecks)) :+
+        ("\"corpus_capstone\":" + jnum(corpusSec)) :+
+        ("\"corpus_capstone_core\":" + jnum(corpusCore)) :+
+        ("\"corpus_capstone_checks\":" + jnum(corpusChecks)))
       .mkString("{", ",", "}")
     // The one parseable line, printed LAST so it lands inside the tail.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

@@ -70,8 +70,9 @@ object BinaryOps {
     * (width, height, channels, mean luma) per row, decoded inside
     * `mapPartitions` with one image in memory at a time. Bytes that are
     * not a decodable image yield null metadata (the corrupt-input lane of
-    * a real ingest pipeline). Audio/video stay stubbed — the JDK has no
-    * codec for them. */
+    * a real ingest pipeline). Audio decodes via the JDK too
+    * ([[decodeAudio]]); video is real for MJPEG AVI
+    * ([[decodeVideoFrames]]) and stubbed only for inter-frame codecs. */
   def decodeImages(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -164,8 +165,9 @@ object BinaryOps {
     * Non-PCM encodings (A-law/µ-law) are converted to signed 16-bit PCM
     * through the JDK's own conversion chain before measuring; amplitudes
     * are normalized to [-1, 1]. Bytes that are not decodable audio yield
-    * null metadata (the corrupt-input lane). Video remains stubbed — the
-    * JDK genuinely has no video codec. */
+    * null metadata (the corrupt-input lane). Video is real for MJPEG AVI
+    * ([[decodeVideoFrames]]); inter-frame codecs (H.264 etc.) genuinely
+    * need an external decoder and stay out of scope. */
   def decodeAudio(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -45,7 +45,7 @@ class EtlSpec extends SparkSpec {
 
   test("Etl.capstone: chained wide lineage writes, validates, conserves revenue") {
     val dir = java.nio.file.Files.createTempDirectory("graft_capstone").toString
-    val (sec, failed) = Etl.capstone(spark, sf, dir)
+    val (sec, _, failed) = Etl.capstone(spark, sf, dir)
     assert(sec > 0 && failed == 0)
     val metrics = spark.read.parquet(s"$dir/${Etl.supplierMetrics.name}")
     val parts = spark.read.parquet(s"$dir/${Etl.plantParts.name}")
@@ -76,7 +76,7 @@ class EtlSpec extends SparkSpec {
 
   test("corpus capstone: chained data pipeline writes, validates, and filters correctly") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_cap").toString
-    val (_, failed) = Etl.corpusCapstone(spark, "/root/testdata/sf0.01", out)
+    val (_, _, failed) = Etl.corpusCapstone(spark, "/root/testdata/sf0.01", out)
     assert(failed === 0L, s"corpus capstone failed $failed checks")
     val result = spark.read.parquet(s"$out/${Etl.corpusWide.name}")
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
@@ -132,7 +132,7 @@ class EtlSpec extends SparkSpec {
     // and the committed slice agrees with a fresh sf0.01 build end-to-end
     // via the capstone itself (checks + golden diff all pass)
     val capOut = java.nio.file.Files.createTempDirectory("graft_cap_gold").toString
-    val (_, failed) = Etl.capstone(spark, "/root/testdata/sf0.01", capOut)
+    val (_, _, failed) = Etl.capstone(spark, "/root/testdata/sf0.01", capOut)
     assert(failed === 0L, s"capstone failed $failed checks at sf0.01")
   }
 }
