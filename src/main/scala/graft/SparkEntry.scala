@@ -2636,6 +2636,51 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
+  // ---- record linkage: phonetic-prefix blocked fuzzy match ----------------
+  // The reference's splink blocking shape (eia_ferc1_model_config.py
+  // blocking_rule_1: report_year equality + substr(name_mphone, 1, 3)):
+  // candidates meet on (nation, soundex-prefix-3) — an equi-join, never a
+  // cross product — then score Jaro-Winkler and keep top-1 per customer.
+  // Engine side is the codegen'd built-in soundex; the oracle recomputes
+  // the code char-by-char (Phonetics.soundexSql — DuckDB has no phonetic
+  // function). Spelling-variant name pairs share blocks; two deliberate
+  // misses (first-letter change, W-skip flip) prove blocking selectivity.
+  private val q165CustNames = Seq(
+    "Acme Power", "Basin Creek", "Delta Utilities", "Gulf States",
+    "Peco Energy", "Duke Energy", "Green Mountain", "Niagara Mohawk",
+    "Tampa Electric", "Consolidated Edison", "Pacific Gas",
+    "Midwest Generation")
+  private val q165SuppNames = Seq(
+    "Akme Power", "Bassin Creak", "Deltta Utilitys", "Golf States",
+    "Pecco Energy", "Dook Energy", "Greene Mountain", "Nyagara Mohock",
+    "Tempa Electrik", "Konsolidated Edison", "Pasific Gas",
+    "Midvest Generation")
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    def named(df: DataFrame, key: String, nkey: String, names: Seq[String],
+              keyOut: String, nameOut: String) =
+      df.select(col(key).as(keyOut), col(nkey).as("nkey"),
+          element_at(array(names.map(lit): _*),
+            (pmod(col(key), lit(names.size)) + 1).cast("int")).as(nameOut))
+        .withColumn(s"${nameOut}_sx3",
+          substring(soundex(col(nameOut)), 1, 3))
+    val c = named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+      q165CustNames, "c_custkey", "c_name2")
+    val sup = named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+      q165SuppNames, "s_suppkey", "s_name2")
+    c.join(sup, col("c_name2_sx3") === col("s_name2_sx3") &&
+        c("nkey") === sup("nkey"))
+      .withColumn("name_sim",
+        graft.plans.JaroWinkler(col("c_name2"), col("s_name2")))
+      .where(col("name_sim") >= 0.5)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))
+          .orderBy(col("name_sim").desc, col("s_suppkey").asc)))
+      .where(col("rk") === 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_name2_sx3").as("block_key"),
+        round(col("name_sim"), 6).as("name_sim"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2806,6 +2851,7 @@ object SparkEntry {
     "q162_ivfpq" -> (q162 _),
     "q163_company_clean" -> (q163 _),
     "q164_harvest_lastdate" -> (q164 _),
+    "q165_phonetic_block" -> (q165 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6643,5 +6689,37 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  y.op_year, y.op_year_rate, p.o_orderpriority, p.o_orderpriority_rate
         |FROM yr y FULL OUTER JOIN pr p ON y.o_custkey = p.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // Phonetic-blocked linkage replay: DuckDB has no soundex, so the
+    // oracle recomputes the code with the Phonetics.soundexSql fold over
+    // the same constructed names, then the same jw score + top-1 window.
+    "q165_phonetic_block" -> {
+      import graft.functions.Phonetics
+      val cn = q165CustNames.map(s => "'" + s + "'").mkString(", ")
+      val sn = q165SuppNames.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nkey,
+        |    ([$cn])[CAST(c_custkey % 12 AS INT) + 1] AS c_name2
+        |  FROM customer),
+        |sup AS (
+        |  SELECT s_suppkey, s_nationkey AS nkey,
+        |    ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] AS s_name2
+        |  FROM supplier),
+        |cb AS (
+        |  SELECT *, substr(${Phonetics.soundexSql("c_name2")}, 1, 3)
+        |    AS c_sx3 FROM c),
+        |sb AS (
+        |  SELECT *, substr(${Phonetics.soundexSql("s_name2")}, 1, 3)
+        |    AS s_sx3 FROM sup),
+        |cand AS (
+        |  SELECT c_custkey, s_suppkey, c_sx3 AS block_key,
+        |    jaro_winkler_similarity(c_name2, s_name2) AS sim
+        |  FROM cb JOIN sb ON cb.c_sx3 = sb.s_sx3 AND cb.nkey = sb.nkey
+        |  WHERE jaro_winkler_similarity(c_name2, s_name2) >= 0.5)
+        |SELECT c_custkey, s_suppkey, block_key,
+        |  round(sim, 6) AS name_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY sim DESC, s_suppkey ASC) AS rk FROM cand)
+        |WHERE rk = 1""".stripMargin
+    },
   )
 }

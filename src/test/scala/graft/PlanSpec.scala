@@ -309,6 +309,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q165 phonetic block: equi-join on (nation, soundex prefix), no cross") {
+    // blocking_rule shape: the candidate set forms on an equi-join over
+    // the per-row phonetic key — never a cartesian; the 100-row supplier
+    // side broadcasts; top-1 is a WindowGroupLimit-capped window
+    val p = plan("q165_phonetic_block")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("soundex"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q159 PQ ADC: encode per-row, one window exchange, queries broadcast") {
     // codebook seeding runs eagerly (bounded 64-row collect); the
     // RETURNED plan scores the BOUNDED query side against the encoded
