@@ -2681,6 +2681,29 @@ object SparkEntry {
         round(col("name_sim"), 6).as("name_sim"))
   }
 
+  // ---- training-data pipeline: TRAINED quality classifier ----------------
+  // The fastText/CCNet quality-filter shape: a labeled seed (every 3rd doc;
+  // positive = target class) trains multinomial-NB log-odds token weights
+  // IN-ENGINE (closed-form counts, one shuffle), then the held-out corpus
+  // is scored and thresholded. Integer-nano logs per the q126 discipline
+  // make train + score exact integer arithmetic — the oracle replays the
+  // whole thing, weights included. Mix at sf0.01: 90/333 keep.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.NbQuality
+    val docs = t(s, dir, "documents")
+    val seed = docs.where(col("doc_id") % 3 === 0)
+      .select((col("lang") === "en").as("pos"),
+        split(col("text"), " ").as("ws"))
+    val w = NbQuality.trainLogOdds(seed, col("ws"), col("pos"))
+    val pr = NbQuality.priorNano(seed, col("pos"))
+    NbQuality.score(docs.where(col("doc_id") % 3 =!= 0), "doc_id",
+        split(col("text"), " "), w)
+      .crossJoin(broadcast(pr))
+      .select(col("doc_id"), col("n_toks"),
+        (col("score_raw_nano") + col("prior_nano")).as("score_nano"),
+        ((col("score_raw_nano") + col("prior_nano")) > 0).as("keep"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2852,6 +2875,7 @@ object SparkEntry {
     "q163_company_clean" -> (q163 _),
     "q164_harvest_lastdate" -> (q164 _),
     "q165_phonetic_block" -> (q165 _),
+    "q166_nb_quality" -> (q166 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6721,5 +6745,38 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |        ORDER BY sim DESC, s_suppkey ASC) AS rk FROM cand)
         |WHERE rk = 1""".stripMargin
     },
+    // Trained-NB quality filter replay: the oracle re-trains the same
+    // closed-form log-odds weights from the same seed and scores the same
+    // held-out corpus — integer-nano logs on both sides (q126 discipline).
+    "q166_nb_quality" ->
+      """WITH seed AS (
+        |  SELECT doc_id, (lang = 'en') AS pos, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |tok AS (SELECT pos, unnest(ws) AS token FROM seed),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |w AS (SELECT token,
+        |    CAST(round(ln((c_pos + 0.5) / (n_pos + 0.5 * v)) * 1e9) AS BIGINT)
+        |  - CAST(round(ln((c_neg + 0.5) / (n_neg + 0.5 * v)) * 1e9) AS BIGINT)
+        |    AS w_nano
+        |  FROM cnt, tot),
+        |pr AS (SELECT
+        |    CAST(round(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN pos THEN 0 ELSE 1 END)) * 1e9) AS BIGINT)
+        |    AS prior_nano
+        |  FROM seed),
+        |corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |sc AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(coalesce(w.w_nano, 0)) AS BIGINT) AS s
+        |  FROM corp c LEFT JOIN w USING (token) GROUP BY 1)
+        |SELECT doc_id, n_toks, CAST(s + prior_nano AS BIGINT) AS score_nano,
+        |  (s + prior_nano) > 0 AS keep
+        |FROM sc, pr""".stripMargin,
   )
 }
