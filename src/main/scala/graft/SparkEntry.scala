@@ -2704,6 +2704,32 @@ object SparkEntry {
         ((col("score_raw_nano") + col("prior_nano")) > 0).as("keep"))
   }
 
+  // ---- training-data pipeline: DSIR importance resampling ----------------
+  // Data Selection via Importance Resampling (arXiv:2302.03169): hashed
+  // unigram+bigram bucket models (m=1024, portable family for the replay;
+  // XxHash is the production default) for target = src0-2 docs vs the raw
+  // corpus, per-doc importance log-weights as exact integer nano sums,
+  // then ES/Gumbel resampling (weightedSample, w = exp(logw)) of 25 docs
+  // per language. The m-row ratio table broadcasts at ANY corpus size —
+  // this is the unbounded-vocabulary sibling of q166.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Dsir
+    val m = 1024
+    val fam = graft.functions.PortableHashFamily
+    val docs = t(s, dir, "documents")
+    val ratios = Dsir.bucketLogRatios(
+      docs.where(col("source").isin("src0", "src1", "src2")), docs,
+      col("text"), m, family = fam)
+    val lw = Dsir.docLogWeights(docs, "doc_id", col("text"), ratios, m,
+      family = fam)
+    val base = lw.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("w", exp(col("logw_nano").cast("double") / 1e9))
+    graft.operators.Sampling.weightedSample(base, "doc_id", "lang", "w",
+        k = 25, salt = "dsir")
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("logw_nano"),
+        col("sample_key"), col("sample_rank"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2876,6 +2902,7 @@ object SparkEntry {
     "q164_harvest_lastdate" -> (q164 _),
     "q165_phonetic_block" -> (q165 _),
     "q166_nb_quality" -> (q166 _),
+    "q167_dsir_select" -> (q167 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6778,5 +6805,51 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |SELECT doc_id, n_toks, CAST(s + prior_nano AS BIGINT) AS score_nano,
         |  (s + prior_nano) > 0 AS keep
         |FROM sc, pr""".stripMargin,
+    // DSIR replay: same portable bucket hash, same nano log-ratios over
+    // the range(m) spine, same ES keys as the q139 twin.
+    "q167_dsir_select" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS wl
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(wl) AS gram FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(wl)),
+        |    i -> wl[i] || ' ' || wl[i+1])) AS gram FROM ws),
+        |b AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('167_' || gram), 1, 15))::BIGINT % 1024
+        |      AS bucket
+        |  FROM g),
+        |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM b
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |cq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_q FROM b
+        |  GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+        |j AS (SELECT spine.bucket, coalesce(c_t, 0) AS c_t,
+        |    coalesce(c_q, 0) AS c_q
+        |  FROM spine LEFT JOIN ct USING (bucket)
+        |  LEFT JOIN cq USING (bucket)),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+        |    CAST(sum(c_q) AS BIGINT) AS n_q FROM j),
+        |r AS (SELECT bucket,
+        |    CAST(round(ln((c_t + 0.5) / (n_t + 0.5 * 1024)) * 1e9) AS BIGINT)
+        |  - CAST(round(ln((c_q + 0.5) / (n_q + 0.5 * 1024)) * 1e9) AS BIGINT)
+        |    AS ratio_nano
+        |  FROM j, tot),
+        |lw AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(ratio_nano) AS BIGINT) AS logw_nano
+        |  FROM b JOIN r USING (bucket) GROUP BY 1),
+        |base AS (SELECT lw.doc_id, d.lang, n_grams, logw_nano,
+        |    exp(CAST(logw_nano AS DOUBLE) / 1e9) AS w,
+        |    ((('0x' || substr(md5('dsir_' || lw.doc_id::VARCHAR), 1, 15))
+        |        ::BIGINT % 4503599627370496) + 0.5) / 4503599627370496.0 AS u
+        |  FROM lw JOIN documents d ON d.doc_id = lw.doc_id),
+        |k AS (SELECT doc_id, lang, n_grams, logw_nano,
+        |    round(ln(u) / w, 8) AS sample_key FROM base)
+        |SELECT doc_id, lang, n_grams, logw_nano, sample_key,
+        |  CAST(rk AS INTEGER) AS sample_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_key DESC, doc_id ASC) AS rk FROM k)
+        |WHERE rk <= 25""".stripMargin,
   )
 }
