@@ -2730,6 +2730,74 @@ object SparkEntry {
         col("sample_key"), col("sample_rank"))
   }
 
+  // ---- splink-parity Fellegi–Sunter record linkage -----------------------
+  // The reference's actual FERC1↔EIA model loop (eia_ferc1_record_linkage
+  // .py:220-245): u from random pair sampling, m from labeled pairs, prior
+  // 1/|left|, FS log2 Bayes-factor prediction at threshold 0.9, best match
+  // per right record. Fixture: customer linked to a deterministically
+  // perturbed twin of itself (the q97/q158 pattern) — labels are the key
+  // identity with 1-in-4 dropout noise, the twin jitters balances by
+  // (id mod 7 − 3) cents and nulls a lane on each side (mod 17 / mod 13)
+  // to exercise the splink null level. Comparisons mirror the reference's
+  // ladder shapes: name levels (exact / edit-distance / else), categorical
+  // exact (mktsegment — the fuel_type_code twin), numeric percentage-
+  // difference levels over integer cents (exact decimal arithmetic, no
+  // float boundary). Everything replays in DuckDB: portable-hash u
+  // sampling, integer-nano weights from identical IEEE ln trees, integer
+  // threshold compare.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{Comparison, FellegiSunter => FS}
+    val cust = t(s, dir, "customer")
+    val last4 = expr("right(regexp_replace(c_name, '[^0-9]', ''), 4)")
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val l = cust.select(col("c_custkey").as("l_id"), last4.as("l_last4"),
+      col("c_nationkey").as("l_nkey"), col("c_mktsegment").as("l_seg"),
+      when(col("c_custkey") % 17 === 0, lit(null).cast("long"))
+        .otherwise(cents).as("l_cents"))
+    val r = cust.select(col("c_custkey").as("r_id"), last4.as("r_last4"),
+      col("c_nationkey").as("r_nkey"), col("c_mktsegment").as("r_seg"),
+      when(col("c_custkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(cents + col("c_custkey") % 7 - lit(3)).as("r_cents"))
+    def addLevels(p: DataFrame): DataFrame = p
+      .withColumn("lvl_name",
+        when(col("l_last4") === col("r_last4"), 3)
+          .when(levenshtein(col("l_last4"), col("r_last4")) <= 1, 2)
+          .otherwise(1))
+      .withColumn("lvl_seg", when(col("l_seg") === col("r_seg"), 2)
+        .otherwise(1))
+      .withColumn("lvl_bal",
+        when(col("l_cents").isNull || col("r_cents").isNull,
+            lit(null).cast("int"))
+          .when(lit(1000L) * abs(col("l_cents") - col("r_cents")) <=
+            greatest(abs(col("l_cents")), abs(col("r_cents"))), 3)
+          .when(lit(20L) * abs(col("l_cents") - col("r_cents")) <=
+            greatest(abs(col("l_cents")), abs(col("r_cents"))), 2)
+          .otherwise(1))
+    val comps = Seq(
+      Comparison("name", col("lvl_name"), 3),
+      Comparison("seg", col("lvl_seg"), 2),
+      Comparison("bal", col("lvl_bal"), 3))
+    val mPairs = addLevels(l.join(r, col("l_id") === col("r_id"))
+      .where(col("l_id") % 4 < 3))
+    def side(df: DataFrame, seed: String, id: String): DataFrame =
+      df.where(pmod(graft.functions.PortableHash.hex60(
+        concat(lit(s"${seed}_"), col(id).cast("string"))), lit(32L)) === 0)
+    val uPairs = addLevels(
+      side(l, "u168", "l_id").crossJoin(side(r, "v168", "r_id")))
+    val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
+    val priorNano = FS.priorNanoDf(l).head.getLong(0)
+    val ruleA = l.join(r, col("l_nkey") === col("r_nkey") &&
+      substring(col("l_last4"), 1, 2) === substring(col("r_last4"), 1, 2))
+    val ruleB = l.join(r,
+      substring(col("l_last4"), 1, 3) === substring(col("r_last4"), 1, 3))
+    val cand = addLevels(ruleA.unionByName(ruleB).distinct())
+      .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
+      .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))
+    FS.bestMatch(cand, "r_id", "l_id")
+      .select(col("r_id"), col("l_id"), col("lvl_name"), col("lvl_seg"),
+        col("lvl_bal"), col("weight_nano"), col("accepted"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -2903,6 +2971,7 @@ object SparkEntry {
     "q165_phonetic_block" -> (q165 _),
     "q166_nb_quality" -> (q166 _),
     "q167_dsir_select" -> (q167 _),
+    "q168_fellegi_sunter" -> (q168 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6851,5 +6920,97 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_key DESC, doc_id ASC) AS rk FROM k)
         |WHERE rk <= 25""".stripMargin,
+    "q168_fellegi_sunter" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4) AS last4,
+        |    c_nationkey AS nkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |l AS (SELECT id AS l_id, last4 AS l_last4, nkey AS l_nkey, seg AS l_seg,
+        |    CASE WHEN id % 17 = 0 THEN NULL ELSE cents END AS l_cents FROM base),
+        |rr AS (SELECT id AS r_id, last4 AS r_last4, nkey AS r_nkey, seg AS r_seg,
+        |    CASE WHEN id % 13 = 0 THEN NULL ELSE cents + id % 7 - 3 END AS r_cents
+        |  FROM base),
+        |mp AS (SELECT * FROM l JOIN rr ON l_id = r_id WHERE l_id % 4 < 3),
+        |up AS (SELECT * FROM
+        |    (SELECT * FROM l WHERE ('0x' || substr(md5('u168_' || l_id::VARCHAR), 1, 15))::BIGINT % 32 = 0)
+        |    CROSS JOIN
+        |    (SELECT * FROM rr WHERE ('0x' || substr(md5('v168_' || r_id::VARCHAR), 1, 15))::BIGINT % 32 = 0)),
+        |mlev AS (SELECT
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM mp),
+        |ulev AS (SELECT
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM up),
+        |obs AS (
+        |  SELECT 'm' AS src, 'name' AS comparison, lvl_name AS level FROM mlev
+        |  UNION ALL SELECT 'm', 'seg', lvl_seg FROM mlev
+        |  UNION ALL SELECT 'm', 'bal', lvl_bal FROM mlev WHERE lvl_bal IS NOT NULL
+        |  UNION ALL SELECT 'u', 'name', lvl_name FROM ulev
+        |  UNION ALL SELECT 'u', 'seg', lvl_seg FROM ulev
+        |  UNION ALL SELECT 'u', 'bal', lvl_bal FROM ulev WHERE lvl_bal IS NOT NULL),
+        |spine AS (
+        |  SELECT 'name' AS comparison, CAST(unnest(range(1, 4)) AS INT) AS level, 3 AS n_levels
+        |  UNION ALL
+        |  SELECT 'seg', CAST(unnest(range(1, 3)) AS INT), 2
+        |  UNION ALL
+        |  SELECT 'bal', CAST(unnest(range(1, 4)) AS INT), 3),
+        |cnt AS (SELECT comparison, level,
+        |    CAST(count(*) FILTER (WHERE src = 'm') AS BIGINT) AS c_m,
+        |    CAST(count(*) FILTER (WHERE src = 'u') AS BIGINT) AS c_u
+        |  FROM obs GROUP BY 1, 2),
+        |j AS (SELECT spine.comparison, spine.level, spine.n_levels,
+        |    coalesce(c_m, 0) AS c_m, coalesce(c_u, 0) AS c_u,
+        |    sum(coalesce(c_m, 0)) OVER (PARTITION BY spine.comparison) AS n_m,
+        |    sum(coalesce(c_u, 0)) OVER (PARTITION BY spine.comparison) AS n_u
+        |  FROM spine LEFT JOIN cnt
+        |    ON spine.comparison = cnt.comparison AND spine.level = cnt.level),
+        |w AS (SELECT comparison, level,
+        |    CAST(round((ln((c_m + 0.5) / (n_m + 0.5 * n_levels))
+        |              - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |         / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM j),
+        |pr AS (SELECT CAST(round(-ln(count(*) - 1.0) / ln(2.0) * 1e9) AS BIGINT)
+        |    AS prior_nano FROM l),
+        |cand AS (
+        |  SELECT l.*, rr.* FROM l JOIN rr
+        |    ON l_nkey = r_nkey AND substr(l_last4, 1, 2) = substr(r_last4, 1, 2)
+        |  UNION
+        |  SELECT l.*, rr.* FROM l JOIN rr
+        |    ON substr(l_last4, 1, 3) = substr(r_last4, 1, 3)),
+        |clev AS (SELECT *,
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM cand),
+        |sc AS (SELECT c.*,
+        |    (SELECT w_nano FROM w WHERE comparison = 'name' AND level = c.lvl_name)
+        |  + (SELECT w_nano FROM w WHERE comparison = 'seg' AND level = c.lvl_seg)
+        |  + coalesce((SELECT w_nano FROM w WHERE comparison = 'bal' AND level = c.lvl_bal), 0)
+        |  + (SELECT prior_nano FROM pr) AS weight_nano
+        |  FROM clev c)
+        |SELECT r_id, l_id, lvl_name, lvl_seg, lvl_bal, weight_nano,
+        |  weight_nano >= (SELECT CAST(round(ln(0.9 / (1.0 - 0.9)) / ln(2.0) * 1e9)
+        |    AS BIGINT)) AS accepted
+        |FROM (SELECT *, row_number() OVER (PARTITION BY r_id
+        |    ORDER BY weight_nano DESC, l_id ASC) AS rk FROM sc)
+        |WHERE rk = 1""".stripMargin,
   )
 }

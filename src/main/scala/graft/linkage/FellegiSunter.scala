@@ -1,0 +1,163 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One splink-style comparison: an ordered ladder of agreement levels over
+  * a candidate-pair frame.
+  *
+  * `level` is an integer column over the joined pair frame — HIGHER means
+  * stronger agreement, `1` is the catch-all else-level, and NULL is the
+  * splink null level: the pair contributes Bayes factor 1 (weight 0) for
+  * this comparison and is EXCLUDED from m/u estimation entirely.
+  */
+final case class Comparison(name: String, level: Column, nLevels: Int) {
+  require(nLevels >= 2, "a comparison needs at least two levels")
+}
+
+/** Fellegi–Sunter record linkage, the model behind the reference's splink
+  * FERC1↔EIA matcher (`/root/reference/src/pudl/analysis/record_linkage/
+  * eia_ferc1_record_linkage.py:220-245`, model config in
+  * `eia_ferc1_model_config.py`). The reference trains it exactly like
+  * this module does:
+  *
+  *   - u probabilities (P(level | non-match)) from RANDOM PAIR SAMPLING
+  *     (`estimate_u_using_random_sampling(max_pairs=1e7)` — at any real
+  *     scale a random pair is a non-match with probability ≈ 1);
+  *   - m probabilities (P(level | match)) from LABELED PAIRS
+  *     (`estimate_m_from_pairwise_labels("training_labels")`);
+  *   - prediction: match weight = log2(λ/(1−λ)) + Σ log2(m_l/u_l) over
+  *     the pair's observed level of each comparison, prior
+  *     λ = 1/|left dataset|, acceptance at match probability ≥ 0.9, then
+  *     best match per right record (sort by probability, group, first).
+  *
+  * Spark-first shape:
+  *   - Level observation is ONE projection over the pair frame — every
+  *     comparison's level is an expression, so estimating N comparisons
+  *     costs one scan (explode to (comparison, level) rows), never N.
+  *   - The trained parameter surface is (Σ nLevels) rows — a bounded
+  *     driver collect by construction (the q158/PQ-codebook contract), so
+  *     scoring is pure plan-literal CASE arithmetic: no join, no
+  *     broadcast, fully codegen'd.
+  *   - Float discipline (the q126/q158 rule): each level weight is
+  *     `round(log2-Bayes-factor · 1e9)` computed IN-ENGINE from integer
+  *     counts, so per-pair match weights are exact integer-nano sums —
+  *     partition-order independent and bit-replayable by the DuckDB
+  *     oracle, which builds the identical IEEE doubles from the same
+  *     counts. The 0.9 acceptance threshold compares integer nanos
+  *     (weight ≥ log2(9) nanos), never floats.
+  *
+  * 100 TB shape: u sampling is two hash-filtered side samples crossed
+  * (bounded by the mod parameters — splink's own `max_pairs` knob);
+  * m labels are human-scale by nature; scoring rides whatever blocked
+  * candidate generation the caller brings (never all-pairs here).
+  */
+object FellegiSunter {
+
+  /** (comparison, level) observation rows from one scan of a pair frame:
+    * every comparison's level expression evaluates in a single projection,
+    * then explodes — N comparisons never re-scan the (possibly expensive)
+    * pair lineage. Null levels drop here (splink: excluded from
+    * estimation). */
+  private def observe(pairs: DataFrame, comps: Seq[Comparison]): DataFrame =
+    pairs
+      .select(explode(array(comps.map(c =>
+        struct(lit(c.name).as("comparison"),
+          c.level.cast("int").as("level"))): _*)).as("o"))
+      .select(col("o.comparison").as("comparison"), col("o.level").as("level"))
+      .where(col("level").isNotNull)
+
+  /** Per-(comparison, level) counts over the full level spine (absent
+    * levels count 0 — they still need a smoothed probability). */
+  private def levelCounts(pairs: DataFrame, comps: Seq[Comparison],
+                          out: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val spine = comps
+      .flatMap(c => (1 to c.nLevels).map(l => (c.name, l, c.nLevels)))
+      .toDF("comparison", "level", "n_levels")
+    spine.join(
+        observe(pairs, comps).groupBy("comparison", "level")
+          .agg(count(lit(1)).as(out)),
+        Seq("comparison", "level"), "left")
+      .select(col("comparison"), col("level"), col("n_levels"),
+        coalesce(col(out), lit(0L)).as(out))
+  }
+
+  /** Train the level weights: `w = log2(m_l / u_l)` per (comparison,
+    * level) in integer nanos, add-α smoothed so never-observed levels
+    * stay finite.
+    *
+    * @param mPairs labeled MATCH pairs (the reference's training_labels)
+    * @param uPairs sampled random pairs (≈ all non-matches)
+    * @return (comparison, level, c_m, n_m, c_u, n_u, w_nano) — exactly
+    *         Σ nLevels rows; counts ride along so specs and oracles can
+    *         audit the arithmetic
+    */
+  def trainWeights(mPairs: DataFrame, uPairs: DataFrame,
+                   comps: Seq[Comparison],
+                   alpha: Double = 0.5): DataFrame = {
+    val m = levelCounts(mPairs, comps, "c_m")
+    val u = levelCounts(uPairs, comps, "c_u").drop("n_levels")
+    val wTotM = Window.partitionBy(col("comparison"))
+    def lnRate(c: Column, tot: Column): Column =
+      log((c + lit(alpha)) / (tot + lit(alpha) * col("n_levels")))
+    m.join(u, Seq("comparison", "level"))
+      .withColumn("n_m", sum(col("c_m")).over(wTotM))
+      .withColumn("n_u", sum(col("c_u")).over(wTotM))
+      .select(col("comparison"), col("level"),
+        col("c_m"), col("n_m"), col("c_u"), col("n_u"),
+        round((lnRate(col("c_m"), col("n_m")) -
+            lnRate(col("c_u"), col("n_u"))) / log(lit(2.0)) * lit(1e9))
+          .cast("long").as("w_nano"))
+  }
+
+  /** Bounded collect of the trained surface (≤ Σ nLevels rows by
+    * construction) → plan literals for [[matchWeight]]. */
+  def collectWeights(weights: DataFrame): Map[(String, Int), Long] =
+    weights.select("comparison", "level", "w_nano").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  /** Prior log-odds `log2(λ/(1−λ))` with λ = 1/nLeft (the reference's
+    * `probability_two_random_records_match=1/len(eia_df)`), in nanos,
+    * computed in-engine as a 1-row frame so the JVM never does the float
+    * math (collect the exact long). */
+  def priorNanoDf(left: DataFrame): DataFrame =
+    left.agg(count(lit(1)).as("n"))
+      .select(round(-log(col("n") - lit(1.0)) / log(lit(2.0)) * lit(1e9))
+        .cast("long").as("prior_nano"))
+
+  /** Total match weight in nanos: prior + Σ per-comparison level weight,
+    * null level → 0. Pure integer literal CASE arithmetic. */
+  def matchWeight(comps: Seq[Comparison],
+                  weights: Map[(String, Int), Long],
+                  priorNano: Long): Column =
+    comps.map { c =>
+      val cases = (1 to c.nLevels).map { l =>
+        (c.level === lit(l), lit(weights(c.name -> l)))
+      }
+      cases.foldRight(lit(0L): Column) { case ((cond, w), e) =>
+        when(cond, w).otherwise(e)
+      }
+    }.reduce(_ + _) + lit(priorNano)
+
+  /** Acceptance threshold for match probability ≥ p, in weight nanos:
+    * 2^w/(1+2^w) ≥ p  ⇔  w ≥ log2(p/(1−p)). Engine-side expression so
+    * Spark and the oracle fold the identical double. */
+  def acceptAt(p: Double): Column =
+    round(log(lit(p) / (lit(1.0) - lit(p))) / log(lit(2.0)) * lit(1e9))
+      .cast("long")
+
+  /** Best match per right record: the reference's
+    * `sort_values(match_probability, desc).groupby(record_id_r).first()`
+    * — one window top-1, deterministic leftId tiebreak. */
+  def bestMatch(scored: DataFrame, rightId: String, leftId: String,
+                weightCol: String = "weight_nano"): DataFrame =
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(rightId))
+          .orderBy(col(weightCol).desc, col(leftId).asc)))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+}

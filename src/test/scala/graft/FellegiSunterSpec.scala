@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.linkage.{Comparison, FellegiSunter => FS}
+
+/** Fellegi–Sunter linkage (`FellegiSunter`, q168): hand-computed level
+  * weights, the splink null-level contract, determinism, and the
+  * plan-literal scoring shape. */
+class FellegiSunterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // one comparison, two levels: agree (2) / disagree (1)
+  private val agree = Comparison("eq",
+    when(col("a") === col("b"), 2).otherwise(1), 2)
+
+  test("trainWeights matches the hand-computed smoothed log2 Bayes factors") {
+    // m pairs: 3 agree, 1 disagree; u pairs: 1 agree, 4 disagree
+    val m = Seq((1, 1), (2, 2), (3, 3), (4, 5)).toDF("a", "b")
+    val u = Seq((1, 1), (1, 2), (2, 3), (3, 4), (5, 9)).toDF("a", "b")
+    val w = FS.trainWeights(m, u, Seq(agree)).collect()
+      .map(r => r.getInt(1) -> r.getLong(6)).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // alpha = 0.5, L = 2: m2 = 3.5/5, u2 = 1.5/6; m1 = 1.5/5, u1 = 4.5/6
+    val w2 = math.round(lg2((3 + 0.5) / (4 + 1.0)) * 1e9 -
+      lg2((1 + 0.5) / (5 + 1.0)) * 1e9)
+    assert(math.abs(w(2) - w2) <= 1, s"agree weight ${w(2)} vs $w2")
+    assert(w(2) > 0 && w(1) < 0, "agreement must add evidence, disagreement subtract")
+  }
+
+  test("null level: excluded from estimation, contributes weight 0 to scoring") {
+    val nullable = Comparison("x",
+      when(col("a").isNull || col("b").isNull, lit(null).cast("int"))
+        .when(col("a") === col("b"), 2).otherwise(1), 2)
+    val m = Seq[(Integer, Integer)]((1, 1), (2, 2), (null, 3))
+      .toDF("a", "b")
+    val u = Seq[(Integer, Integer)]((1, 2), (3, null), (4, 5))
+      .toDF("a", "b")
+    val w = FS.trainWeights(m, u, Seq(nullable))
+    // totals count only non-null-level pairs: n_m = 2, n_u = 2
+    val byLevel = w.collect().map(r =>
+      r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(byLevel(2) == ((2L, 2L, 0L, 2L)))
+    assert(byLevel(1) == ((0L, 2L, 2L, 2L)))
+    // scoring: a null level adds exactly 0 on top of the prior
+    val wm = FS.collectWeights(w)
+    val scored = Seq[(Integer, Integer)]((null, 7)).toDF("a", "b")
+      .withColumn("wn", FS.matchWeight(Seq(nullable), wm, priorNano = 42L))
+    assert(scored.select("wn").head.getLong(0) == 42L)
+  }
+
+  test("trainWeights is partition-order independent") {
+    val m = Seq((1, 1), (2, 2), (3, 4), (5, 5), (6, 7)).toDF("a", "b")
+    val u = Seq((1, 3), (2, 9), (4, 4), (6, 1), (8, 8)).toDF("a", "b")
+    val w1 = FS.collectWeights(FS.trainWeights(m, u, Seq(agree)))
+    val w2 = FS.collectWeights(
+      FS.trainWeights(m.repartition(7), u.repartition(5), Seq(agree)))
+    assert(w1 == w2)
+  }
+
+  test("bestMatch keeps exactly one row per right id with deterministic tiebreak") {
+    val scored = Seq(
+      (10, 1, 5L), (10, 2, 9L), (10, 3, 9L), // tie on weight: lowest l wins
+      (20, 4, -3L)
+    ).toDF("r", "l", "weight_nano")
+    val best = FS.bestMatch(scored, "r", "l")
+      .collect().map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(best == Map(10 -> 2, 20 -> 4))
+  }
+
+  test("q168 plan: blocking is equi-join only, scoring is literal arithmetic") {
+    val df = SparkEntry.queries("q168_fellegi_sunter")(spark, sf)
+    df.collect() // resolve AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the trained surface is plan literals — no join introduced by scoring
+    // beyond the two blocking joins and the union dedup
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q168 end-to-end: true pairs accepted, weight ladder is sane") {
+    val rows = SparkEntry.queries("q168_fellegi_sunter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // best match for a right record is overwhelmingly its own twin
+    val self = rows.count(r => r.getLong(0) == r.getLong(1))
+    assert(self * 10 >= rows.length * 9, s"$self self-matches of ${rows.length}")
+    // accepted ⇒ strictly higher weight than any rejected row
+    val acc = rows.filter(_.getBoolean(6)).map(_.getLong(5))
+    val rej = rows.filterNot(_.getBoolean(6)).map(_.getLong(5))
+    if (acc.nonEmpty && rej.nonEmpty) assert(acc.min > rej.max)
+  }
+}
