@@ -2717,11 +2717,18 @@ object SparkEntry {
     val m = 1024
     val fam = graft.functions.PortableHashFamily
     val docs = t(s, dir, "documents")
-    val ratios = Dsir.bucketLogRatios(
-      docs.where(col("source").isin("src0", "src1", "src2")), docs,
-      col("text"), m, family = fam)
-    val lw = Dsir.docLogWeights(docs, "doc_id", col("text"), ratios, m,
-      family = fam)
+    // explode + hash the grams ONCE (the portable MD5 is the dominant
+    // cost); the checkpointed bucket frame feeds both the count agg and
+    // the scoring agg — identical counts to the two-pass form
+    val buckets = docs
+      .select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").as("__t"),
+        explode(Dsir.grams(col("text"))).as("g"))
+      .select(col("doc_id"), col("__t"),
+        Dsir.bucket(col("g"), m, fam).as("bucket"))
+      .localCheckpoint()
+    val ratios = Dsir.ratiosFromBuckets(buckets, col("__t"), m)
+    val lw = Dsir.weightsFromBuckets(buckets, "doc_id", ratios)
     val base = lw.join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("w", exp(col("logw_nano").cast("double") / 1e9))
     graft.operators.Sampling.weightedSample(base, "doc_id", "lang", "w",
@@ -2779,18 +2786,22 @@ object SparkEntry {
       Comparison("bal", col("lvl_bal"), 3))
     val mPairs = addLevels(l.join(r, col("l_id") === col("r_id"))
       .where(col("l_id") % 4 < 3))
+    // the reference's max_pairs=1e7 knob: 1/64 of each side, crossed
     def side(df: DataFrame, seed: String, id: String): DataFrame =
       df.where(pmod(graft.functions.PortableHash.hex60(
-        concat(lit(s"${seed}_"), col(id).cast("string"))), lit(32L)) === 0)
+        concat(lit(s"${seed}_"), col(id).cast("string"))), lit(64L)) === 0)
     val uPairs = addLevels(
       side(l, "u168", "l_id").crossJoin(side(r, "v168", "r_id")))
     val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
     val priorNano = FS.priorNanoDf(l).head.getLong(0)
+    // blocking: splink block_on style — both rules are pure equi-joins;
+    // the duplicate (l,r) a pair can earn from matching both rules is
+    // resolved by the best-match window itself (identical rows rank 1,2 —
+    // rk=1 keeps one), so no distinct shuffle over the full pair volume
     val ruleA = l.join(r, col("l_nkey") === col("r_nkey") &&
       substring(col("l_last4"), 1, 2) === substring(col("r_last4"), 1, 2))
-    val ruleB = l.join(r,
-      substring(col("l_last4"), 1, 3) === substring(col("r_last4"), 1, 3))
-    val cand = addLevels(ruleA.unionByName(ruleB).distinct())
+    val ruleB = l.join(r, col("l_last4") === col("r_last4"))
+    val cand = addLevels(ruleA.unionByName(ruleB))
       .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
       .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))
     FS.bestMatch(cand, "r_id", "l_id")
@@ -6934,9 +6945,9 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM base),
         |mp AS (SELECT * FROM l JOIN rr ON l_id = r_id WHERE l_id % 4 < 3),
         |up AS (SELECT * FROM
-        |    (SELECT * FROM l WHERE ('0x' || substr(md5('u168_' || l_id::VARCHAR), 1, 15))::BIGINT % 32 = 0)
+        |    (SELECT * FROM l WHERE ('0x' || substr(md5('u168_' || l_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)
         |    CROSS JOIN
-        |    (SELECT * FROM rr WHERE ('0x' || substr(md5('v168_' || r_id::VARCHAR), 1, 15))::BIGINT % 32 = 0)),
+        |    (SELECT * FROM rr WHERE ('0x' || substr(md5('v168_' || r_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)),
         |mlev AS (SELECT
         |    CASE WHEN l_last4 = r_last4 THEN 3
         |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
@@ -6988,9 +6999,8 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |cand AS (
         |  SELECT l.*, rr.* FROM l JOIN rr
         |    ON l_nkey = r_nkey AND substr(l_last4, 1, 2) = substr(r_last4, 1, 2)
-        |  UNION
-        |  SELECT l.*, rr.* FROM l JOIN rr
-        |    ON substr(l_last4, 1, 3) = substr(r_last4, 1, 3)),
+        |  UNION ALL
+        |  SELECT l.*, rr.* FROM l JOIN rr ON l_last4 = r_last4),
         |clev AS (SELECT *,
         |    CASE WHEN l_last4 = r_last4 THEN 3
         |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,

@@ -42,9 +42,42 @@ object Dsir {
     concat(ws, bi)
   }
 
-  private def bucketOf(g: Column, m: Int, family: HashFamily,
-                       seed: Int): Column =
+  /** Hashed feature bucket of one gram — public so callers can explode +
+    * bucket ONCE, checkpoint the (id, flag, bucket) frame, and feed both
+    * the count aggregation and the scoring aggregation from it (the gram
+    * hash is the dominant cost at corpus scale; see q167). */
+  def bucket(g: Column, m: Int, family: HashFamily = XxHashFamily,
+             seed: Int = 167): Column =
     pmod(family.hash(seed, g), lit(m.toLong))
+
+  private def bucketOf(g: Column, m: Int, family: HashFamily,
+                       seed: Int): Column = bucket(g, m, family, seed)
+
+  /** [[bucketLogRatios]] over an already-bucketed gram frame (one row per
+    * gram occurrence, `targetFlag` boolean). Same counts as
+    * [[bucketLogRatiosWhere]] — use with a checkpointed bucket frame to
+    * pay the gram hash once for counting AND scoring. */
+  def ratiosFromBuckets(buckets: DataFrame, targetFlag: Column, m: Int,
+                        alpha: Double = 0.5): DataFrame = {
+    val counts = buckets.groupBy("bucket").agg(
+      sum(when(targetFlag, 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_q"))
+    val spine = buckets.sparkSession.range(m).select(col("id").as("bucket"))
+    finishRatios(
+      spine.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("c_t"), lit(0L)).as("c_t"),
+          coalesce(col("c_q"), lit(0L)).as("c_q")),
+      m, alpha)
+  }
+
+  /** [[docLogWeights]] over an already-bucketed gram frame. */
+  def weightsFromBuckets(buckets: DataFrame, idCol: String,
+                         ratios: DataFrame): DataFrame =
+    buckets.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("ratio_nano")).as("logw_nano"))
 
   /** Per-bucket importance log-ratio `ln p̂_t(b) − ln p̂_q(b)` in nanos,
     * add-α smoothed, over the full `0..m-1` bucket spine (so the scoring
@@ -64,6 +97,36 @@ object Dsir {
       .select(col("bucket"),
         coalesce(col("c_t"), lit(0L)).as("c_t"),
         coalesce(col("c_q"), lit(0L)).as("c_q"))
+    finishRatios(joined, m, alpha)
+  }
+
+  /** [[bucketLogRatios]] for the common case where the target corpus IS a
+    * predicate over the raw corpus (DSIR's usual setup: "docs that look
+    * like src X" vs the whole crawl): ONE gram explosion + hash pass
+    * computes both count columns as conditional sums — at 100 TB the gram
+    * hashing dominates, so folding the target pass into the raw pass cuts
+    * the count-stage cost by half. Counts are identical to
+    * `bucketLogRatios(raw.where(targetCond), raw, …)` by construction. */
+  def bucketLogRatiosWhere(raw: DataFrame, targetCond: Column,
+                           textCol: Column, m: Int, alpha: Double = 0.5,
+                           family: HashFamily = XxHashFamily,
+                           seed: Int = 167): DataFrame = {
+    val counts = raw
+      .select(targetCond.as("__t"), explode(grams(textCol)).as("g"))
+      .select(col("__t"), bucketOf(col("g"), m, family, seed).as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_q"))
+    val spine = raw.sparkSession.range(m).select(col("id").as("bucket"))
+    val joined = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_q"), lit(0L)).as("c_q"))
+    finishRatios(joined, m, alpha)
+  }
+
+  private def finishRatios(joined: DataFrame, m: Int,
+                           alpha: Double): DataFrame = {
     val tot = joined.agg(sum("c_t").as("n_t"), sum("c_q").as("n_q"))
     def lnNano(c: Column, n: Column): Column =
       round(log((c + lit(alpha)) / (n + lit(alpha) * m)) * lit(1e9))
