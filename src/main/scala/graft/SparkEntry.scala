@@ -2752,8 +2752,11 @@ object SparkEntry {
   // float boundary). Everything replays in DuckDB: portable-hash u
   // sampling, integer-nano weights from identical IEEE ln trees, integer
   // threshold compare.
-  private def q168(s: SparkSession, dir: String): DataFrame = {
-    import graft.linkage.{Comparison, FellegiSunter => FS}
+  /** Shared q168/q169 fixture: (l, r, addLevels, comps, uPairs). */
+  private def fsFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame => DataFrame,
+         Seq[graft.linkage.Comparison], DataFrame) = {
+    import graft.linkage.Comparison
     val cust = t(s, dir, "customer")
     val last4 = expr("right(regexp_replace(c_name, '[^0-9]', ''), 4)")
     val cents = round(col("c_acctbal") * 100).cast("long")
@@ -2784,14 +2787,20 @@ object SparkEntry {
       Comparison("name", col("lvl_name"), 3),
       Comparison("seg", col("lvl_seg"), 2),
       Comparison("bal", col("lvl_bal"), 3))
-    val mPairs = addLevels(l.join(r, col("l_id") === col("r_id"))
-      .where(col("l_id") % 4 < 3))
     // the reference's max_pairs=1e7 knob: 1/64 of each side, crossed
     def side(df: DataFrame, seed: String, id: String): DataFrame =
       df.where(pmod(graft.functions.PortableHash.hex60(
         concat(lit(s"${seed}_"), col(id).cast("string"))), lit(64L)) === 0)
     val uPairs = addLevels(
       side(l, "u168", "l_id").crossJoin(side(r, "v168", "r_id")))
+    (l, r, addLevels _, comps, uPairs)
+  }
+
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS}
+    val (l, r, addLevels, comps, uPairs) = fsFixture(s, dir)
+    val mPairs = addLevels(l.join(r, col("l_id") === col("r_id"))
+      .where(col("l_id") % 4 < 3))
     val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
     val priorNano = FS.priorNanoDf(l).head.getLong(0)
     // blocking: splink block_on style — both rules are pure equi-joins;
@@ -2807,6 +2816,27 @@ object SparkEntry {
     FS.bestMatch(cand, "r_id", "l_id")
       .select(col("r_id"), col("l_id"), col("lvl_name"), col("lvl_seg"),
         col("lvl_bal"), col("weight_nano"), col("accepted"))
+  }
+
+  // ---- splink EM session: estimate m unsupervised, u fixed ---------------
+  // splink's documented standard training flow (the reference substitutes
+  // labeled pairs for the EM step — q168 covers that lane; this one is the
+  // `estimate_parameters_using_expectation_maximisation` lane): u from the
+  // same 1/64 sampled pairs, then 3 fixed-point EM rounds over the
+  // (nation, 2-prefix) blocked pairs estimating m and λ with NO labels.
+  // Posteriors quantize to integer micros before every sum (the q126/q152
+  // discipline), so the whole EM trajectory — not just the final state —
+  // replays bit-exactly in the DuckDB oracle's unrolled CTE chain.
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS}
+    val (l, r, addLevels, comps, uPairs) = fsFixture(s, dir)
+    val uc = FS.uLevelCounts(uPairs, comps)
+    val emPairs = addLevels(l.join(r, col("l_nkey") === col("r_nkey") &&
+      substring(col("l_last4"), 1, 2) === substring(col("r_last4"), 1, 2)))
+    FS.emTrainM(emPairs, comps, uc)
+      .select(col("comparison"), col("level"), col("c_u"), col("n_u"),
+        col("m_nano"), col("w_nano"), col("lam_micro"))
+      .orderBy(col("comparison"), col("level"))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2983,6 +3013,7 @@ object SparkEntry {
     "q166_nb_quality" -> (q166 _),
     "q167_dsir_select" -> (q167 _),
     "q168_fellegi_sunter" -> (q168 _),
+    "q169_fs_em_train" -> (q169 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7022,5 +7053,152 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |FROM (SELECT *, row_number() OVER (PARTITION BY r_id
         |    ORDER BY weight_nano DESC, l_id ASC) AS rk FROM sc)
         |WHERE rk = 1""".stripMargin,
+    "q169_fs_em_train" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4) AS last4,
+        |    c_nationkey AS nkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |l AS (SELECT id AS l_id, last4 AS l_last4, nkey AS l_nkey, seg AS l_seg,
+        |    CASE WHEN id % 17 = 0 THEN NULL ELSE cents END AS l_cents FROM base),
+        |rr AS (SELECT id AS r_id, last4 AS r_last4, nkey AS r_nkey, seg AS r_seg,
+        |    CASE WHEN id % 13 = 0 THEN NULL ELSE cents + id % 7 - 3 END AS r_cents
+        |  FROM base),
+        |up AS (SELECT * FROM
+        |    (SELECT * FROM l WHERE ('0x' || substr(md5('u168_' || l_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)
+        |    CROSS JOIN
+        |    (SELECT * FROM rr WHERE ('0x' || substr(md5('v168_' || r_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)),
+        |ulev AS (SELECT
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM up),
+        |uobs AS (
+        |  SELECT 'name' AS comparison, lvl_name AS level FROM ulev
+        |  UNION ALL SELECT 'seg', lvl_seg FROM ulev
+        |  UNION ALL SELECT 'bal', lvl_bal FROM ulev WHERE lvl_bal IS NOT NULL),
+        |spine AS (
+        |  SELECT 'name' AS comparison, CAST(unnest(range(1, 4)) AS INT) AS level, 3 AS n_levels
+        |  UNION ALL
+        |  SELECT 'seg', CAST(unnest(range(1, 3)) AS INT), 2
+        |  UNION ALL
+        |  SELECT 'bal', CAST(unnest(range(1, 4)) AS INT), 3),
+        |ucnt AS (SELECT comparison, level, CAST(count(*) AS BIGINT) AS c_u
+        |  FROM uobs GROUP BY 1, 2),
+        |uj AS MATERIALIZED (SELECT spine.comparison, spine.level, spine.n_levels,
+        |    coalesce(c_u, 0) AS c_u,
+        |    CAST(sum(coalesce(c_u, 0)) OVER (PARTITION BY spine.comparison) AS BIGINT) AS n_u
+        |  FROM spine LEFT JOIN ucnt
+        |    ON spine.comparison = ucnt.comparison AND spine.level = ucnt.level),
+        |ep AS MATERIALIZED (SELECT *,
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM (SELECT l.*, rr.* FROM l JOIN rr
+        |    ON l_nkey = r_nkey AND substr(l_last4, 1, 2) = substr(r_last4, 1, 2))),
+        |w1 AS MATERIALIZED (SELECT comparison, level, n_levels, c_u, n_u,
+        |    CAST(round((ln(1.0 / n_levels) - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |      / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM uj),
+        |lr1 AS MATERIALIZED (SELECT CAST(round(ln(0.01 / (1.0 - 0.01)) / ln(2.0) * 1e9) AS BIGINT) AS lr),
+        |p1 AS (SELECT ep.*,
+        |    (SELECT lr FROM lr1)
+        |  + (SELECT w_nano FROM w1 WHERE comparison = 'name' AND level = ep.lvl_name)
+        |  + (SELECT w_nano FROM w1 WHERE comparison = 'seg' AND level = ep.lvl_seg)
+        |  + coalesce((SELECT w_nano FROM w1 WHERE comparison = 'bal' AND level = ep.lvl_bal), 0)
+        |    AS s_nano
+        |  FROM ep),
+        |q1 AS MATERIALIZED (SELECT *, CAST(round(1.0 / (1.0 + exp(-(s_nano / 1e9) * ln(2.0))) * 1e6)
+        |    AS BIGINT) AS p_micro FROM p1),
+        |c1 AS MATERIALIZED (SELECT comparison, level, CAST(sum(p_micro) AS BIGINT) AS s_p FROM (
+        |    SELECT 'name' AS comparison, lvl_name AS level, p_micro FROM q1
+        |    UNION ALL SELECT 'seg', lvl_seg, p_micro FROM q1
+        |    UNION ALL SELECT 'bal', lvl_bal, p_micro FROM q1 WHERE lvl_bal IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |t1 AS MATERIALIZED (SELECT CAST(sum(p_micro) AS BIGINT) AS sp, CAST(count(*) AS BIGINT) AS n
+        |  FROM q1),
+        |m1 AS MATERIALIZED (SELECT uj.comparison, uj.level, uj.n_levels, uj.c_u, uj.n_u,
+        |    (coalesce(s_p, 0) + 500000.0) /
+        |    (CAST(sum(coalesce(s_p, 0)) OVER (PARTITION BY uj.comparison) AS BIGINT)
+        |      + 500000.0 * uj.n_levels) AS m
+        |  FROM uj LEFT JOIN c1
+        |    ON uj.comparison = c1.comparison AND uj.level = c1.level),
+        |w2 AS MATERIALIZED (SELECT comparison, level, n_levels, c_u, n_u,
+        |    CAST(round((ln(m) - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |      / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM m1),
+        |lr2 AS MATERIALIZED (SELECT CAST(round(ln(sp / (n * 1000000 - sp)) / ln(2.0) * 1e9)
+        |    AS BIGINT) AS lr FROM t1),
+        |p2 AS (SELECT ep.*,
+        |    (SELECT lr FROM lr2)
+        |  + (SELECT w_nano FROM w2 WHERE comparison = 'name' AND level = ep.lvl_name)
+        |  + (SELECT w_nano FROM w2 WHERE comparison = 'seg' AND level = ep.lvl_seg)
+        |  + coalesce((SELECT w_nano FROM w2 WHERE comparison = 'bal' AND level = ep.lvl_bal), 0)
+        |    AS s_nano
+        |  FROM ep),
+        |q2 AS MATERIALIZED (SELECT *, CAST(round(1.0 / (1.0 + exp(-(s_nano / 1e9) * ln(2.0))) * 1e6)
+        |    AS BIGINT) AS p_micro FROM p2),
+        |c2 AS MATERIALIZED (SELECT comparison, level, CAST(sum(p_micro) AS BIGINT) AS s_p FROM (
+        |    SELECT 'name' AS comparison, lvl_name AS level, p_micro FROM q2
+        |    UNION ALL SELECT 'seg', lvl_seg, p_micro FROM q2
+        |    UNION ALL SELECT 'bal', lvl_bal, p_micro FROM q2 WHERE lvl_bal IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |t2 AS MATERIALIZED (SELECT CAST(sum(p_micro) AS BIGINT) AS sp, CAST(count(*) AS BIGINT) AS n
+        |  FROM q2),
+        |m2 AS MATERIALIZED (SELECT uj.comparison, uj.level, uj.n_levels, uj.c_u, uj.n_u,
+        |    (coalesce(s_p, 0) + 500000.0) /
+        |    (CAST(sum(coalesce(s_p, 0)) OVER (PARTITION BY uj.comparison) AS BIGINT)
+        |      + 500000.0 * uj.n_levels) AS m
+        |  FROM uj LEFT JOIN c2
+        |    ON uj.comparison = c2.comparison AND uj.level = c2.level),
+        |w3 AS MATERIALIZED (SELECT comparison, level, n_levels, c_u, n_u,
+        |    CAST(round((ln(m) - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |      / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM m2),
+        |lr3 AS MATERIALIZED (SELECT CAST(round(ln(sp / (n * 1000000 - sp)) / ln(2.0) * 1e9)
+        |    AS BIGINT) AS lr FROM t2),
+        |p3 AS (SELECT ep.*,
+        |    (SELECT lr FROM lr3)
+        |  + (SELECT w_nano FROM w3 WHERE comparison = 'name' AND level = ep.lvl_name)
+        |  + (SELECT w_nano FROM w3 WHERE comparison = 'seg' AND level = ep.lvl_seg)
+        |  + coalesce((SELECT w_nano FROM w3 WHERE comparison = 'bal' AND level = ep.lvl_bal), 0)
+        |    AS s_nano
+        |  FROM ep),
+        |q3 AS MATERIALIZED (SELECT *, CAST(round(1.0 / (1.0 + exp(-(s_nano / 1e9) * ln(2.0))) * 1e6)
+        |    AS BIGINT) AS p_micro FROM p3),
+        |c3 AS MATERIALIZED (SELECT comparison, level, CAST(sum(p_micro) AS BIGINT) AS s_p FROM (
+        |    SELECT 'name' AS comparison, lvl_name AS level, p_micro FROM q3
+        |    UNION ALL SELECT 'seg', lvl_seg, p_micro FROM q3
+        |    UNION ALL SELECT 'bal', lvl_bal, p_micro FROM q3 WHERE lvl_bal IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |t3 AS MATERIALIZED (SELECT CAST(sum(p_micro) AS BIGINT) AS sp, CAST(count(*) AS BIGINT) AS n
+        |  FROM q3),
+        |m3 AS MATERIALIZED (SELECT uj.comparison, uj.level, uj.n_levels, uj.c_u, uj.n_u,
+        |    (coalesce(s_p, 0) + 500000.0) /
+        |    (CAST(sum(coalesce(s_p, 0)) OVER (PARTITION BY uj.comparison) AS BIGINT)
+        |      + 500000.0 * uj.n_levels) AS m
+        |  FROM uj LEFT JOIN c3
+        |    ON uj.comparison = c3.comparison AND uj.level = c3.level),
+        |w4 AS MATERIALIZED (SELECT comparison, level, n_levels, c_u, n_u,
+        |    CAST(round((ln(m) - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |      / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM m3),
+        |lr4 AS MATERIALIZED (SELECT CAST(round(ln(sp / (n * 1000000 - sp)) / ln(2.0) * 1e9)
+        |    AS BIGINT) AS lr FROM t3)
+        |SELECT m3.comparison, m3.level, m3.c_u, m3.n_u,
+        |  CAST(round(m3.m * 1e9) AS BIGINT) AS m_nano,
+        |  w4.w_nano,
+        |  (SELECT CAST(round(sp / n) AS BIGINT) FROM t3) AS lam_micro
+        |FROM m3 JOIN w4 ON m3.comparison = w4.comparison AND m3.level = w4.level
+        |ORDER BY m3.comparison, m3.level""".stripMargin,
   )
 }

@@ -113,6 +113,116 @@ object FellegiSunter {
           .cast("long").as("w_nano"))
   }
 
+  /** Per-(comparison, level) u counts with per-comparison totals:
+    * (comparison, level, n_levels, c_u, n_u). The fixed-u side of the
+    * splink standard session (u sampled once, m estimated from labels or
+    * EM). */
+  def uLevelCounts(uPairs: DataFrame, comps: Seq[Comparison]): DataFrame =
+    levelCounts(uPairs, comps, "c_u")
+      .withColumn("n_u",
+        sum(col("c_u")).over(Window.partitionBy(col("comparison"))))
+
+  /** EM estimation of the m probabilities with u FIXED — splink's
+    * documented standard session (`estimate_u_using_random_sampling`, then
+    * `estimate_parameters_using_expectation_maximisation` for m and λ;
+    * the reference substitutes labeled pairs for the EM step, q168 covers
+    * that lane). Unsupervised: no labels touch this function.
+    *
+    * Fixed-point EM, `iters` rounds over a checkpointed pair frame:
+    *  - E-step: per-pair match posterior from the CURRENT weights — the
+    *    weight sum is an exact integer-nano sum, the posterior
+    *    `1/(1+exp(−s·ln2))` is one IEEE expression, and the posterior is
+    *    immediately quantized to integer MICROS, so every M-step sum is
+    *    an exact long (partition-order independent, oracle-replayable —
+    *    the q126/q152 fixed-point discipline).
+    *  - M-step: `m_cl = (Σp_cl + α·1e6)/(Σp_c + α·1e6·L)` and
+    *    `λ = Σp/(n·1e6)` from those exact sums; the next round's weights
+    *    and prior are computed IN-ENGINE from the longs (never driver
+    *    float math), collected as exact nanos.
+    *
+    * Each iteration costs ONE scan of the pair frame for the cell sums
+    * plus one 1-row total — the pair lineage itself is checkpointed once.
+    * Parameter state is ≤ Σ nLevels longs per round: bounded by contract.
+    *
+    * @return (comparison, level, c_u, n_u, m_nano, w_nano, lam_micro) —
+    *         final m in nanos, final weights log2(m/u) in nanos, final λ
+    *         in micros (constant column)
+    */
+  def emTrainM(pairs: DataFrame, comps: Seq[Comparison],
+               uCounts: DataFrame, iters: Int = 3, alpha: Double = 0.5,
+               lambda0: Double = 0.01): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.localCheckpoint()
+    val uj = uCounts.localCheckpoint() // ≤ Σ nLevels rows
+    val aM = alpha * 1e6
+
+    // w from a (comparison, level, n_levels, c_u, n_u, m) frame, in-engine
+    def weightsOf(withM: DataFrame): Map[(String, Int), Long] =
+      withM.select(col("comparison"), col("level"),
+          round((log(col("m")) -
+              log((col("c_u") + lit(alpha)) /
+                (col("n_u") + lit(alpha) * col("n_levels")))) /
+            log(lit(2.0)) * lit(1e9)).cast("long").as("w_nano"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+
+    // round 1: uniform m = 1/L, prior log2(λ0/(1−λ0))
+    var w = weightsOf(uj.withColumn("m", lit(1.0) / col("n_levels")))
+    var lr = spark.range(1).select(
+        round(log(lit(lambda0) / (lit(1.0) - lit(lambda0))) /
+          log(lit(2.0)) * lit(1e9)).cast("long"))
+      .head.getLong(0)
+    var mNano: Map[(String, Int), Long] = Map.empty
+    var lamMicro = 0L
+
+    for (_ <- 1 to iters) {
+      val sCol = comps.map { c =>
+        (1 to c.nLevels).map(l => (c.level === lit(l), lit(w(c.name -> l))))
+          .foldRight(lit(0L): Column) { case ((cond, wl), e) =>
+            when(cond, wl).otherwise(e)
+          }
+      }.reduce(_ + _) + lit(lr)
+      val withP = p.withColumn("p_micro",
+        round(lit(1.0) / (lit(1.0) +
+            exp(lit(-1.0) * (sCol / lit(1e9)) * log(lit(2.0)))) * lit(1e6))
+          .cast("long"))
+      val cells = withP
+        .select(col("p_micro"), explode(array(comps.map(c =>
+          struct(lit(c.name).as("c"), c.level.cast("int").as("l"))): _*))
+          .as("o"))
+        .where(col("o.l").isNotNull)
+        .groupBy(col("o.c").as("comparison"), col("o.l").as("level"))
+        .agg(sum("p_micro").as("s_p"))
+      val tot = withP.agg(sum("p_micro").as("sp"), count(lit(1)).as("n"))
+        .head
+      val (sp, n) = (tot.getLong(0), tot.getLong(1))
+      val withM = uj.join(cells, Seq("comparison", "level"), "left")
+        .withColumn("s_p", coalesce(col("s_p"), lit(0L)))
+        .withColumn("t_p",
+          sum(col("s_p")).over(Window.partitionBy(col("comparison"))))
+        .withColumn("m", (col("s_p") + lit(aM)) /
+          (col("t_p") + lit(aM) * col("n_levels")))
+      w = weightsOf(withM)
+      mNano = withM.select(col("comparison"), col("level"),
+          round(col("m") * lit(1e9)).cast("long"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val lamRow = spark.range(1).select(
+          round(log(lit(sp) / (lit(n) * lit(1000000L) - lit(sp))) /
+            log(lit(2.0)) * lit(1e9)).cast("long").as("lr"),
+          round(lit(sp) / lit(n)).cast("long").as("lam"))
+        .head
+      lr = lamRow.getLong(0)
+      lamMicro = lamRow.getLong(1)
+    }
+    import spark.implicits._
+    val finalRows = comps.flatMap(c => (1 to c.nLevels).map(l =>
+      (c.name, l, mNano(c.name -> l), w(c.name -> l), lamMicro)))
+      .toDF("comparison", "level", "m_nano", "w_nano", "lam_micro")
+    uj.select("comparison", "level", "c_u", "n_u")
+      .join(finalRows, Seq("comparison", "level"))
+  }
+
   /** Bounded collect of the trained surface (≤ Σ nLevels rows by
     * construction) → plan literals for [[matchWeight]]. */
   def collectWeights(weights: DataFrame): Map[(String, Int), Long] =

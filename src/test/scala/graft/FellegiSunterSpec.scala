@@ -70,6 +70,35 @@ class FellegiSunterSpec extends SparkSpec {
     assert(best == Map(10 -> 2, 20 -> 4))
   }
 
+  test("EM with fixed u recovers separation and the match rate, no labels") {
+    // 8 "true" pairs agree, 12 junk pairs disagree; u says agreement is
+    // rare among random pairs → EM must push m(agree) high and λ toward
+    // the true 8/20 rate, starting from uniform m and λ0 = 0.01
+    val pairs = (Seq.tabulate(8)(i => (i, i)) ++
+      Seq.tabulate(12)(i => (100 + i, 200 + i))).toDF("a", "b")
+    val u = (Seq((0, 0)) ++ Seq.tabulate(39)(i => (i, i + 1))).toDF("a", "b")
+    val out = FS.emTrainM(pairs, Seq(agree), FS.uLevelCounts(u, Seq(agree)))
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (mAgree, wAgree, lam) = out(2)
+    // add-α smoothing bounds m at (Σp+0.5e6)/(Σp+1e6) ≈ 0.89 for 8 pairs
+    assert(mAgree > 850000000L, s"m(agree)=$mAgree should approach 1")
+    assert(wAgree > 0L && out(1)._2 < 0L)
+    assert(math.abs(lam - 400000L) < 60000L, s"lambda=$lam should near 0.4")
+  }
+
+  test("EM is partition-order independent (fixed-point posteriors)") {
+    val pairs = (Seq.tabulate(8)(i => (i, i)) ++
+      Seq.tabulate(12)(i => (100 + i, 200 + i))).toDF("a", "b")
+    val u = (Seq((0, 0)) ++ Seq.tabulate(39)(i => (i, i + 1))).toDF("a", "b")
+    val uc = FS.uLevelCounts(u, Seq(agree))
+    def run(p: org.apache.spark.sql.DataFrame) =
+      FS.emTrainM(p, Seq(agree), uc).collect()
+        .map(r => (r.getInt(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(_._1).toSeq
+    assert(run(pairs) == run(pairs.repartition(13)))
+  }
+
   test("q168 plan: blocking is equi-join only, scoring is literal arithmetic") {
     val df = SparkEntry.queries("q168_fellegi_sunter")(spark, sf)
     df.collect() // resolve AQE
