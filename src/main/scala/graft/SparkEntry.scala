@@ -2839,6 +2839,45 @@ object SparkEntry {
       .orderBy(col("comparison"), col("level"))
   }
 
+  // ---- splink term-frequency adjustments ----------------------------------
+  // The reference enables term_frequency_adjustments=True on utility_name
+  // and fuel_type_code (eia_ferc1_model_config.py:47-50): agreeing on a
+  // RARE value is stronger evidence than agreeing on a common one. Same
+  // trained weights as q168; the exact-match mktsegment level gains a
+  // per-value correction log2(u_level / tf_v) from a broadcast TF dim over
+  // the concatenated datasets, and acceptance + best-match rank on the
+  // adjusted weight. Integer nanos end-to-end.
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS}
+    val (l, r, addLevels, comps, uPairs) = fsFixture(s, dir)
+    val mPairs = addLevels(l.join(r, col("l_id") === col("r_id"))
+      .where(col("l_id") % 4 < 3))
+    val trained = FS.trainWeights(mPairs, uPairs, comps).localCheckpoint()
+    val wMap = FS.collectWeights(trained)
+    val segU = trained
+      .where(col("comparison") === "seg" && col("level") === 2)
+      .select("c_u", "n_u").head
+    val priorNano = FS.priorNanoDf(l).head.getLong(0)
+    val tf = FS.tfAdjustments(
+      l.select(col("l_seg").as("value"))
+        .unionByName(r.select(col("r_seg").as("value"))),
+      col("value"), segU.getLong(0), segU.getLong(1), nLevels = 2)
+    val ruleA = l.join(r, col("l_nkey") === col("r_nkey") &&
+      substring(col("l_last4"), 1, 2) === substring(col("r_last4"), 1, 2))
+    val ruleB = l.join(r, col("l_last4") === col("r_last4"))
+    val cand = addLevels(ruleA.unionByName(ruleB))
+      .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
+      .join(broadcast(tf), col("l_seg") === col("value"))
+      .withColumn("tf_adj_nano",
+        when(col("lvl_seg") === 2, col("tf_adj_nano")).otherwise(0L))
+      .withColumn("weight_adj_nano",
+        col("weight_nano") + col("tf_adj_nano"))
+      .withColumn("accepted", col("weight_adj_nano") >= FS.acceptAt(0.9))
+    FS.bestMatch(cand, "r_id", "l_id", weightCol = "weight_adj_nano")
+      .select(col("r_id"), col("l_id"), col("lvl_seg"), col("weight_nano"),
+        col("tf_adj_nano"), col("weight_adj_nano"), col("accepted"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -3014,6 +3053,7 @@ object SparkEntry {
     "q167_dsir_select" -> (q167 _),
     "q168_fellegi_sunter" -> (q168 _),
     "q169_fs_em_train" -> (q169 _),
+    "q170_fs_tf_adjust" -> (q170 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7200,5 +7240,109 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  (SELECT CAST(round(sp / n) AS BIGINT) FROM t3) AS lam_micro
         |FROM m3 JOIN w4 ON m3.comparison = w4.comparison AND m3.level = w4.level
         |ORDER BY m3.comparison, m3.level""".stripMargin,
+    "q170_fs_tf_adjust" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    right(regexp_replace(c_name, '[^0-9]', '', 'g'), 4) AS last4,
+        |    c_nationkey AS nkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |l AS (SELECT id AS l_id, last4 AS l_last4, nkey AS l_nkey, seg AS l_seg,
+        |    CASE WHEN id % 17 = 0 THEN NULL ELSE cents END AS l_cents FROM base),
+        |rr AS (SELECT id AS r_id, last4 AS r_last4, nkey AS r_nkey, seg AS r_seg,
+        |    CASE WHEN id % 13 = 0 THEN NULL ELSE cents + id % 7 - 3 END AS r_cents
+        |  FROM base),
+        |mp AS (SELECT * FROM l JOIN rr ON l_id = r_id WHERE l_id % 4 < 3),
+        |up AS (SELECT * FROM
+        |    (SELECT * FROM l WHERE ('0x' || substr(md5('u168_' || l_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)
+        |    CROSS JOIN
+        |    (SELECT * FROM rr WHERE ('0x' || substr(md5('v168_' || r_id::VARCHAR), 1, 15))::BIGINT % 64 = 0)),
+        |mlev AS (SELECT
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM mp),
+        |ulev AS (SELECT
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM up),
+        |obs AS (
+        |  SELECT 'm' AS src, 'name' AS comparison, lvl_name AS level FROM mlev
+        |  UNION ALL SELECT 'm', 'seg', lvl_seg FROM mlev
+        |  UNION ALL SELECT 'm', 'bal', lvl_bal FROM mlev WHERE lvl_bal IS NOT NULL
+        |  UNION ALL SELECT 'u', 'name', lvl_name FROM ulev
+        |  UNION ALL SELECT 'u', 'seg', lvl_seg FROM ulev
+        |  UNION ALL SELECT 'u', 'bal', lvl_bal FROM ulev WHERE lvl_bal IS NOT NULL),
+        |spine AS (
+        |  SELECT 'name' AS comparison, CAST(unnest(range(1, 4)) AS INT) AS level, 3 AS n_levels
+        |  UNION ALL
+        |  SELECT 'seg', CAST(unnest(range(1, 3)) AS INT), 2
+        |  UNION ALL
+        |  SELECT 'bal', CAST(unnest(range(1, 4)) AS INT), 3),
+        |cnt AS (SELECT comparison, level,
+        |    CAST(count(*) FILTER (WHERE src = 'm') AS BIGINT) AS c_m,
+        |    CAST(count(*) FILTER (WHERE src = 'u') AS BIGINT) AS c_u
+        |  FROM obs GROUP BY 1, 2),
+        |j AS (SELECT spine.comparison, spine.level, spine.n_levels,
+        |    coalesce(c_m, 0) AS c_m, coalesce(c_u, 0) AS c_u,
+        |    sum(coalesce(c_m, 0)) OVER (PARTITION BY spine.comparison) AS n_m,
+        |    sum(coalesce(c_u, 0)) OVER (PARTITION BY spine.comparison) AS n_u
+        |  FROM spine LEFT JOIN cnt
+        |    ON spine.comparison = cnt.comparison AND spine.level = cnt.level),
+        |w AS (SELECT comparison, level,
+        |    CAST(round((ln((c_m + 0.5) / (n_m + 0.5 * n_levels))
+        |              - ln((c_u + 0.5) / (n_u + 0.5 * n_levels)))
+        |         / ln(2.0) * 1e9) AS BIGINT) AS w_nano
+        |  FROM j),
+        |pr AS (SELECT CAST(round(-ln(count(*) - 1.0) / ln(2.0) * 1e9) AS BIGINT)
+        |    AS prior_nano FROM l),
+        |tf AS (SELECT value,
+        |    CAST(round((ln(((SELECT c_u FROM j WHERE comparison = 'seg' AND level = 2) + 0.5)
+        |              / ((SELECT n_u FROM j WHERE comparison = 'seg' AND level = 2) + 0.5 * 2))
+        |          - ln(c / n)) / ln(2.0) * 1e9) AS BIGINT) AS tf_adj_nano
+        |  FROM (SELECT value, CAST(count(*) AS BIGINT) AS c,
+        |      CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        |    FROM (SELECT l_seg AS value FROM l UNION ALL SELECT r_seg FROM rr)
+        |    GROUP BY value)),
+        |cand AS (
+        |  SELECT l.*, rr.* FROM l JOIN rr
+        |    ON l_nkey = r_nkey AND substr(l_last4, 1, 2) = substr(r_last4, 1, 2)
+        |  UNION ALL
+        |  SELECT l.*, rr.* FROM l JOIN rr ON l_last4 = r_last4),
+        |clev AS (SELECT *,
+        |    CASE WHEN l_last4 = r_last4 THEN 3
+        |      WHEN levenshtein(l_last4, r_last4) <= 1 THEN 2 ELSE 1 END AS lvl_name,
+        |    CASE WHEN l_seg = r_seg THEN 2 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN l_cents IS NULL OR r_cents IS NULL THEN NULL
+        |      WHEN 1000 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 3
+        |      WHEN 20 * abs(l_cents - r_cents) <= greatest(abs(l_cents), abs(r_cents)) THEN 2
+        |      ELSE 1 END AS lvl_bal
+        |  FROM cand),
+        |sc AS (SELECT c.*,
+        |    (SELECT w_nano FROM w WHERE comparison = 'name' AND level = c.lvl_name)
+        |  + (SELECT w_nano FROM w WHERE comparison = 'seg' AND level = c.lvl_seg)
+        |  + coalesce((SELECT w_nano FROM w WHERE comparison = 'bal' AND level = c.lvl_bal), 0)
+        |  + (SELECT prior_nano FROM pr) AS weight_nano
+        |  FROM clev c),
+        |adj AS (SELECT sc.*,
+        |    CASE WHEN lvl_seg = 2 THEN tf.tf_adj_nano ELSE 0 END AS tf_adj_nano,
+        |    weight_nano + CASE WHEN lvl_seg = 2 THEN tf.tf_adj_nano ELSE 0 END
+        |      AS weight_adj_nano
+        |  FROM sc JOIN tf ON sc.l_seg = tf.value)
+        |SELECT r_id, l_id, lvl_seg, weight_nano, tf_adj_nano, weight_adj_nano,
+        |  weight_adj_nano >= (SELECT CAST(round(ln(0.9 / (1.0 - 0.9)) / ln(2.0) * 1e9)
+        |    AS BIGINT)) AS accepted
+        |FROM (SELECT *, row_number() OVER (PARTITION BY r_id
+        |    ORDER BY weight_adj_nano DESC, l_id ASC) AS rk FROM adj)
+        |WHERE rk = 1""".stripMargin,
   )
 }

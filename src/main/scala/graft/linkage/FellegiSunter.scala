@@ -252,6 +252,36 @@ object FellegiSunter {
       }
     }.reduce(_ + _) + lit(priorNano)
 
+  /** splink term-frequency adjustments
+    * (`comparison.configure(term_frequency_adjustments=True)` — the
+    * reference enables this on utility_name and fuel_type_code,
+    * `eia_ferc1_model_config.py:47-50`): agreeing on a RARE value is
+    * stronger evidence than agreeing on a common one. For an exact-match
+    * level, the pair's u is really the value's term frequency, so the
+    * weight correction is `log2(u_level / tf_v)` — positive for rare
+    * values, negative for common ones, zero-sum in expectation.
+    *
+    * @param values one-column frame of the concatenated datasets' values
+    *               (splink computes TF over the combined input)
+    * @param cU,nU  the exact level's sampled-u counts (ride along on
+    *               [[trainWeights]] output for exactly this purpose)
+    * @return (value, tf_adj_nano) — one row per distinct value, a
+    *         broadcast-sized dim by nature (categorical comparisons)
+    */
+  def tfAdjustments(values: DataFrame, valueCol: Column,
+                    cU: Long, nU: Long, nLevels: Int,
+                    alpha: Double = 0.5): DataFrame = {
+    val cnt = values.select(valueCol.as("value"))
+      .groupBy("value").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("n"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("value"),
+        round((log((lit(cU) + lit(alpha)) /
+              (lit(nU) + lit(alpha) * nLevels)) -
+            log(col("c") / col("n"))) / log(lit(2.0)) * lit(1e9))
+          .cast("long").as("tf_adj_nano"))
+  }
+
   /** Acceptance threshold for match probability ≥ p, in weight nanos:
     * 2^w/(1+2^w) ≥ p  ⇔  w ≥ log2(p/(1−p)). Engine-side expression so
     * Spark and the oracle fold the identical double. */

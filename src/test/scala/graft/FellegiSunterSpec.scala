@@ -99,6 +99,19 @@ class FellegiSunterSpec extends SparkSpec {
     assert(run(pairs) == run(pairs.repartition(13)))
   }
 
+  test("TF adjustments: rare values boost, common values penalize, 0 off-level") {
+    // 8 of "x" (common), 2 of "y" (rare); u_exact = 1/3 (c_u=1, n_u=4, L=2)
+    val values = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).toDF("value")
+    val adj = FS.tfAdjustments(values, col("value"), cU = 1L, nU = 4L,
+        nLevels = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val uEx = (1 + 0.5) / (4 + 0.5 * 2)
+    assert(math.abs(adj("x") - math.round(lg2(uEx / 0.8) * 1e9)) <= 1)
+    assert(math.abs(adj("y") - math.round(lg2(uEx / 0.2) * 1e9)) <= 1)
+    assert(adj("y") > 0 && adj("x") < 0, "rare boosts, common penalizes")
+  }
+
   test("q168 plan: blocking is equi-join only, scoring is literal arithmetic") {
     val df = SparkEntry.queries("q168_fellegi_sunter")(spark, sf)
     df.collect() // resolve AQE
