@@ -152,6 +152,7 @@ object FellegiSunter {
                uCounts: DataFrame, iters: Int = 3, alpha: Double = 0.5,
                lambda0: Double = 0.01): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val p = pairs.localCheckpoint()
     val uj = uCounts.localCheckpoint() // ≤ Σ nLevels rows
     val aM = alpha * 1e6
@@ -186,16 +187,22 @@ object FellegiSunter {
         round(lit(1.0) / (lit(1.0) +
             exp(lit(-1.0) * (sCol / lit(1e9)) * log(lit(2.0)))) * lit(1e6))
           .cast("long"))
-      val cells = withP
+      // one scan per round: a "__all" pseudo-observation rides the same
+      // explode so cell sums AND the λ totals come out of one aggregate
+      val aggRows = withP
         .select(col("p_micro"), explode(array(comps.map(c =>
-          struct(lit(c.name).as("c"), c.level.cast("int").as("l"))): _*))
+            struct(lit(c.name).as("c"), c.level.cast("int").as("l"))) :+
+          struct(lit("__all").as("c"), lit(0).cast("int").as("l")): _*))
           .as("o"))
         .where(col("o.l").isNotNull)
         .groupBy(col("o.c").as("comparison"), col("o.l").as("level"))
-        .agg(sum("p_micro").as("s_p"))
-      val tot = withP.agg(sum("p_micro").as("sp"), count(lit(1)).as("n"))
-        .head
-      val (sp, n) = (tot.getLong(0), tot.getLong(1))
+        .agg(sum("p_micro").as("s_p"), count(lit(1)).as("n_rows"))
+        .collect() // ≤ Σ nLevels + 1 rows — bounded by contract
+      val allRow = aggRows.find(_.getString(0) == "__all").get
+      val (sp, n) = (allRow.getLong(2), allRow.getLong(3))
+      val cells = aggRows.filter(_.getString(0) != "__all")
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        .toDF("comparison", "level", "s_p")
       val withM = uj.join(cells, Seq("comparison", "level"), "left")
         .withColumn("s_p", coalesce(col("s_p"), lit(0L)))
         .withColumn("t_p",
@@ -215,7 +222,6 @@ object FellegiSunter {
       lr = lamRow.getLong(0)
       lamMicro = lamRow.getLong(1)
     }
-    import spark.implicits._
     val finalRows = comps.flatMap(c => (1 to c.nLevels).map(l =>
       (c.name, l, mNano(c.name -> l), w(c.name -> l), lamMicro)))
       .toDF("comparison", "level", "m_nano", "w_nano", "lam_micro")
