@@ -2831,8 +2831,12 @@ object SparkEntry {
     import graft.linkage.{FellegiSunter => FS}
     val (l, r, addLevels, comps, uPairs) = fsFixture(s, dir)
     val uc = FS.uLevelCounts(uPairs, comps)
+    // estimation needs only the level columns — project before the
+    // checkpoint inside emTrainM so 3 ints materialize per pair, not the
+    // full fixture row
     val emPairs = addLevels(l.join(r, col("l_nkey") === col("r_nkey") &&
       substring(col("l_last4"), 1, 2) === substring(col("r_last4"), 1, 2)))
+      .select("lvl_name", "lvl_seg", "lvl_bal")
     FS.emTrainM(emPairs, comps, uc)
       .select(col("comparison"), col("level"), col("c_u"), col("n_u"),
         col("m_nano"), col("w_nano"), col("lam_micro"))

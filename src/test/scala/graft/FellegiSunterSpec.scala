@@ -99,6 +99,33 @@ class FellegiSunterSpec extends SparkSpec {
     assert(run(pairs) == run(pairs.repartition(13)))
   }
 
+  test("property: trainWeights equals the brute-force FS arithmetic") {
+    // random level assignments across three seeds; driver recomputes the
+    // smoothed log2 Bayes factors from raw counts
+    for (seed <- Seq(7, 23, 91)) {
+      val rng = new scala.util.Random(seed)
+      val L = 2 + rng.nextInt(3)
+      val comp = Comparison("c", col("lvl"), L)
+      def frame(n: Int) = (1 to n)
+        .map(_ => if (rng.nextInt(10) == 0) (null: Integer)
+                  else Integer.valueOf(1 + rng.nextInt(L)))
+        .toDF("lvl")
+      val (mDf, uDf) = (frame(40 + rng.nextInt(40)), frame(60 + rng.nextInt(60)))
+      val got = FS.collectWeights(FS.trainWeights(mDf, uDf, Seq(comp)))
+      def counts(df: org.apache.spark.sql.DataFrame) = {
+        val obs = df.collect().flatMap(r => Option(r.get(0))).map(_.toString.toInt)
+        ((1 to L).map(l => l -> obs.count(_ == l).toLong).toMap, obs.length.toLong)
+      }
+      val ((cm, nm), (cu, nu)) = (counts(mDf), counts(uDf))
+      for (l <- 1 to L) {
+        val exp = math.round((math.log((cm(l) + 0.5) / (nm + 0.5 * L)) -
+          math.log((cu(l) + 0.5) / (nu + 0.5 * L))) / math.log(2.0) * 1e9)
+        assert(math.abs(got("c" -> l) - exp) <= 1,
+          s"seed=$seed L=$L level=$l got=${got("c" -> l)} exp=$exp")
+      }
+    }
+  }
+
   test("TF adjustments: rare values boost, common values penalize, 0 off-level") {
     // 8 of "x" (common), 2 of "y" (rare); u_exact = 1/3 (c_u=1, n_u=4, L=2)
     val values = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).toDF("value")
