@@ -153,6 +153,12 @@ object Bench {
     val (corpusCore, corpusChecks) = if (only.nonEmpty) (-1.0, 0.0)
       else timeCapstone("corpus_capstone")(Etl.corpusCapstone(spark, sfDir, _))
     val corpusSec = if (corpusCore < 0) -1.0 else corpusCore + corpusChecks
+    // the record-linkage twin: name canon -> phonetic blocking -> FS
+    // train -> predict -> best match, one lineage, write + checks
+    val (linkCore, linkChecks) = if (only.nonEmpty) (-1.0, 0.0)
+      else timeCapstone("linkage_capstone")(
+        Etl.linkageCapstone(spark, sfDir, _))
+    val linkSec = if (linkCore < 0) -1.0 else linkCore + linkChecks
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -162,7 +168,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -176,7 +182,10 @@ object Bench {
         ("\"etl_capstone_checks\":" + jnum(capstoneChecks)) :+
         ("\"corpus_capstone\":" + jnum(corpusSec)) :+
         ("\"corpus_capstone_core\":" + jnum(corpusCore)) :+
-        ("\"corpus_capstone_checks\":" + jnum(corpusChecks)))
+        ("\"corpus_capstone_checks\":" + jnum(corpusChecks)) :+
+        ("\"linkage_capstone\":" + jnum(linkSec)) :+
+        ("\"linkage_capstone_core\":" + jnum(linkCore)) :+
+        ("\"linkage_capstone_checks\":" + jnum(linkChecks)))
       .mkString("{", ",", "}")
     // The one parseable line, printed LAST so it lands inside the tail.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

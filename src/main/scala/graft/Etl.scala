@@ -286,6 +286,144 @@ object Etl {
     (coreSec, (System.nanoTime() - t1) / 1e9, failed)
   }
 
+  // ---- record-linkage capstone --------------------------------------------
+
+  /** Linkage capstone output: one best match per right-dataset record. */
+  val linkageMatches: Resource = Resource("out_linkage_matches", Seq(
+    Field("r_id", FieldType.Integer, required = true),
+    Field("l_id", FieldType.Integer, required = true),
+    Field("canon_name", FieldType.Str, required = true),
+    Field("lvl_name", FieldType.Integer, min = Some(1.0), max = Some(3.0)),
+    Field("lvl_nation", FieldType.Integer, min = Some(1.0), max = Some(2.0)),
+    Field("lvl_bal", FieldType.Integer, min = Some(1.0), max = Some(3.0)),
+    Field("weight_nano", FieldType.Integer),
+    Field("accepted", FieldType.Boolean, required = true)),
+    primaryKey = Seq("r_id"))
+
+  private val linkStems = Seq(
+    "Acme Power & Light", "Basin-Creek Energy (Holdings)", "delta_utilities",
+    "Gulf  States Util 2000", "PECO ENERGY", "The Duke Energy",
+    "Green Mtn. Power", "Niagara-Mohawk [Power]", "The Tampa Electric",
+    "Midwest Gen EME,", "Big Rivers * Electric", "Consolidated   Edison")
+  // abbreviation dressing on side A, spelled-out dressing on side B — the
+  // CompanyNames legal-form table converges each pair to one canon token
+  private val linkSfxA = Seq("LLC", "Inc.", "Corp", "Ltd")
+  private val linkSfxB =
+    Seq("Ltd Liability Co", "Incorporated", "Corporation", "Limited")
+
+  /** The reference's record-linkage pipeline start-to-finish as one
+    * lineage (`eia_ferc1_record_linkage.py`): company-name
+    * canonicalization (the q163 rule chain) → phonetic blocking (nation +
+    * soundex prefix, the metaphone-prefix blocking rules) → Fellegi–Sunter
+    * training (u from deterministic sampled pairs, m from labeled pairs)
+    * → prediction at match probability ≥ 0.9 → best match per right
+    * record. Both sides derive from the supplier fixture: the same entity
+    * wears a different legal-form dressing, punctuation and case per side,
+    * so the cleaner is load-bearing — raw names differ on every true pair,
+    * canon names agree.
+    *
+    * No DuckDB twin (the oracle lanes are q163/q165/q168-q170, which
+    * verify each stage bit-exactly); the capstone is CheckRunner-validated
+    * + spec-pinned and Bench-timed as `linkage_capstone`. */
+  def buildLinkageWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CompanyNames
+    import graft.linkage.{Comparison, FellegiSunter => FS}
+    val sup = Tables.load(spark, sfDir, "supplier")
+    def stem(k: Column): Column =
+      element_at(array(linkStems.map(lit): _*),
+        (pmod(k, lit(linkStems.size)) + 1).cast("int"))
+    def sfx(k: Column, list: Seq[String]): Column =
+      element_at(array(list.map(lit): _*),
+        (pmod(k, lit(list.size)) + 1).cast("int"))
+    // the rule chain strips digit tokens (reference behavior), so the
+    // identity must ride as LETTERS: id + digits mapped a-j
+    def ident(k: Column): Column =
+      concat(lit("id"),
+        translate(format_string("%05d", k), "0123456789", "abcdefghij"))
+    val cents = round(col("s_acctbal") * 100).cast("long")
+    val a = sup.select(col("s_suppkey").as("l_id"),
+      concat(stem(col("s_suppkey")), lit(" "), ident(col("s_suppkey")),
+        lit(" "), sfx(col("s_suppkey"), linkSfxA)).as("l_raw"),
+      col("s_nationkey").as("l_nkey"),
+      when(col("s_suppkey") % 17 === 0, lit(null).cast("long"))
+        .otherwise(cents).as("l_cents"))
+      .withColumn("l_canon", CompanyNames.clean(col("l_raw")))
+    val b = sup.select(col("s_suppkey").as("r_id"),
+      upper(concat(stem(col("s_suppkey")), lit(" "),
+        ident(col("s_suppkey")), lit(", "),
+        sfx(col("s_suppkey"), linkSfxB))).as("r_raw"),
+      col("s_nationkey").as("r_nkey"),
+      when(col("s_suppkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(cents + col("s_suppkey") % 7 - lit(3)).as("r_cents"))
+      .withColumn("r_canon", CompanyNames.clean(col("r_raw")))
+    def addLevels(p: DataFrame): DataFrame = p
+      .withColumn("lvl_name",
+        when(col("l_canon") === col("r_canon"), 3)
+          .when(graft.plans.JaroWinkler(col("l_canon"), col("r_canon"))
+            >= 0.9, 2)
+          .otherwise(1))
+      .withColumn("lvl_nation", when(col("l_nkey") === col("r_nkey"), 2)
+        .otherwise(1))
+      .withColumn("lvl_bal",
+        when(col("l_cents").isNull || col("r_cents").isNull,
+            lit(null).cast("int"))
+          .when(lit(1000L) * abs(col("l_cents") - col("r_cents")) <=
+            greatest(abs(col("l_cents")), abs(col("r_cents"))), 3)
+          .when(lit(20L) * abs(col("l_cents") - col("r_cents")) <=
+            greatest(abs(col("l_cents")), abs(col("r_cents"))), 2)
+          .otherwise(1))
+    val comps = Seq(
+      Comparison("name", col("lvl_name"), 3),
+      Comparison("nation", col("lvl_nation"), 2),
+      Comparison("bal", col("lvl_bal"), 3))
+    // training: labeled pairs = entity identity with 1-in-4 dropout; u =
+    // 1/8 of each side crossed (the max_pairs knob)
+    val mPairs = addLevels(a.join(b, col("l_id") === col("r_id"))
+      .where(col("l_id") % 4 < 3))
+    def side(df: DataFrame, seed: String, id: String): DataFrame =
+      df.where(pmod(graft.functions.PortableHash.hex60(
+        concat(lit(s"${seed}_"), col(id).cast("string"))), lit(8L)) === 0)
+    val uPairs = addLevels(
+      side(a, "ulink", "l_id").crossJoin(side(b, "vlink", "r_id")))
+    val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
+    val priorNano = FS.priorNanoDf(a).head.getLong(0)
+    // blocking: (nation, soundex 3-prefix of the canon name) — the
+    // reference's report_year + substr(plant_name_mphone,1,3) shape —
+    // plus an identity-digits rule; both pure equi-joins, best-match
+    // window resolves the dual-rule duplicates
+    val ruleA = a.join(b,
+      col("l_nkey") === col("r_nkey") &&
+      substring(soundex(col("l_canon")), 1, 3) ===
+        substring(soundex(col("r_canon")), 1, 3))
+    val ruleB = a.join(b,
+      regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0) ===
+        regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))
+    val cand = addLevels(ruleA.unionByName(ruleB))
+      .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
+      .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))
+    FS.bestMatch(cand, "r_id", "l_id")
+      .select(col("r_id"), col("l_id"), col("r_canon").as("canon_name"),
+        col("lvl_name"), col("lvl_nation"), col("lvl_bal"),
+        col("weight_nano"), col("accepted"))
+  }
+
+  /** Run the linkage chain end-to-end — parquet write + CheckRunner
+    * validation — returning (core seconds, check seconds, failed checks);
+    * Bench records `linkage_capstone` (= core + checks) plus the parts. */
+  def linkageCapstone(spark: SparkSession, sfDir: String,
+                      outDir: String): (Double, Double, Long) = {
+    val t0 = System.nanoTime()
+    val out = buildLinkageWide(spark, sfDir)
+    ParquetSink.write(out, linkageMatches, s"$outDir/${linkageMatches.name}")
+    val coreSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val failed = CheckRunner.run(
+        spark.read.parquet(s"$outDir/${linkageMatches.name}"),
+        CheckRunner.fromResource(linkageMatches))
+      .where(!col("passed")).count()
+    (coreSec, (System.nanoTime() - t1) / 1e9, failed)
+  }
+
   /** Per-(table × partition) row counts of the written capstone outputs —
     * the observation side of the reference's golden row-count regression
     * (`/root/reference/dbt/seeds/etl_full_row_counts.csv` checked by
