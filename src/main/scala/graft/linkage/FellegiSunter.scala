@@ -140,9 +140,11 @@ object FellegiSunter {
     *    and prior are computed IN-ENGINE from the longs (never driver
     *    float math), collected as exact nanos.
     *
-    * Each iteration costs ONE scan of the pair frame for the cell sums
-    * plus one 1-row total — the pair lineage itself is checkpointed once.
-    * Parameter state is ≤ Σ nLevels longs per round: bounded by contract.
+    * Each iteration costs ONE scan of the pair frame: a `__all`
+    * pseudo-observation rides the cell explode, so the λ totals come out
+    * of the same aggregate as the cell sums; the pair lineage itself is
+    * checkpointed once. Parameter state is ≤ Σ nLevels + 1 longs per
+    * round: bounded by contract.
     *
     * @return (comparison, level, c_u, n_u, m_nano, w_nano, lam_micro) —
     *         final m in nanos, final weights log2(m/u) in nanos, final λ
@@ -151,6 +153,8 @@ object FellegiSunter {
   def emTrainM(pairs: DataFrame, comps: Seq[Comparison],
                uCounts: DataFrame, iters: Int = 3, alpha: Double = 0.5,
                lambda0: Double = 0.01): DataFrame = {
+    require(iters >= 1, "EM needs at least one round")
+    require(lambda0 > 0.0 && lambda0 < 1.0, "lambda0 must be inside (0,1)")
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.localCheckpoint()
@@ -291,9 +295,11 @@ object FellegiSunter {
   /** Acceptance threshold for match probability ≥ p, in weight nanos:
     * 2^w/(1+2^w) ≥ p  ⇔  w ≥ log2(p/(1−p)). Engine-side expression so
     * Spark and the oracle fold the identical double. */
-  def acceptAt(p: Double): Column =
+  def acceptAt(p: Double): Column = {
+    require(p > 0.0 && p < 1.0, "probability threshold must be inside (0,1)")
     round(log(lit(p) / (lit(1.0) - lit(p))) / log(lit(2.0)) * lit(1e9))
       .cast("long")
+  }
 
   /** Best match per right record: the reference's
     * `sort_values(match_probability, desc).groupby(record_id_r).first()`

@@ -51,6 +51,30 @@ class DsirSpec extends SparkSpec {
     assert(lw2 == lw)
   }
 
+  test("fused and bucketed paths equal the two-pass reference form") {
+    val twoPass = Dsir.bucketLogRatios(
+        corpus.where(col("kind") === "tgt"), corpus, col("text"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dsir.bucketLogRatiosWhere(
+        corpus, col("kind") === "tgt", col("text"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == twoPass)
+    val b = corpus.select(col("id"), (col("kind") === "tgt").as("__t"),
+        explode(Dsir.grams(col("text"))).as("g"))
+      .select(col("id"), col("__t"), Dsir.bucket(col("g"), m).as("bucket"))
+    val fromBuckets = Dsir.ratiosFromBuckets(b, col("__t"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromBuckets == twoPass)
+    // weights over the bucketed frame equal the direct form
+    val ratios = Dsir.bucketLogRatios(
+      corpus.where(col("kind") === "tgt"), corpus, col("text"), m)
+    val direct = Dsir.docLogWeights(corpus, "id", col("text"), ratios, m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaBuckets = Dsir.weightsFromBuckets(b, "id", ratios)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaBuckets == direct)
+  }
+
   test("scoring plan broadcasts the m-row ratio table") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val ratios = Dsir.bucketLogRatios(
