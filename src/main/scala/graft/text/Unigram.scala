@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer — the SentencePiece family (Kudo,
+  * ACL 2018: "Subword Regularization"), the other major tokenizer beside
+  * BPE (`TextAnalysis.bpeMergeTable`, q143). Training is hard
+  * (Viterbi) EM over the word-frequency dictionary: segment every word
+  * with the current piece scores, count pieces weighted by word
+  * frequency, re-score as smoothed log-probabilities; repeat.
+  *
+  * Float discipline: piece scores are integer NANOS
+  * (`round(ln(p)·1e9)`), so the Viterbi DP is EXACT integer arithmetic —
+  * a float DP would tie-break on ulps and diverge across engines; the
+  * integer DP with an explicit tie rule (equal score → smaller start =
+  * longer last piece) replays bit-for-bit in DuckDB's list_reduce twin
+  * (q171). EM round trips (counts → ln → nanos) follow the q126 rule:
+  * one ln per cell from exact integer counts, rounded once.
+  *
+  * Spark-first shape — NO UDFs anywhere:
+  *  - candidate piece scores come from an equi-JOIN of exploded
+  *    (word, start, len) substrings against the vocab table (vocab can be
+  *    any size — nothing broadcasts into a lambda closure), re-aggregated
+  *    into one flat score array per word;
+  *  - the DP itself is a declarative `aggregate` HOF over positions with
+  *    the candidate window UNROLLED (≤ maxPieceLen candidates per
+  *    position) — whole-stage codegen, no interpreted path;
+  *  - the unit of work is the word DICTIONARY (distinct words ×
+  *    frequency), which is vocabulary-bounded no matter the corpus size —
+  *    the same reduction SentencePiece itself relies on.
+  */
+object Unigram {
+
+  /** Very negative sentinel for the DP fold — far below any real score
+    * (scores are ≥ n·unkNano ≈ −2·10¹¹ for fixture-sized words) but safe
+    * from overflow. Mirrored literally in the SQL twin. */
+  val NegInf: Long = -4611686018427387904L
+
+  /** (word, start j, len l, piece) for every substring of length
+    * 1..maxPieceLen — l runs to maxPieceLen even past the word end (null
+    * piece) so the per-word score array has EXACTLY n·maxPieceLen slots
+    * and the DP can index it as (j−1)·maxPieceLen + l. */
+  private def substrings(words: DataFrame, wordCol: String,
+                         maxPieceLen: Int): DataFrame =
+    words
+      // sequence(1, 0) would DESCEND — empty words are the caller's bug,
+      // dropped here so they can't corrupt the position explode
+      .where(length(col(wordCol)) >= 1)
+      .withColumn("j", explode(sequence(lit(1), length(col(wordCol)))))
+      .withColumn("l", explode(sequence(lit(1), lit(maxPieceLen))))
+      .withColumn("piece",
+        when(col("j") + col("l") - 1 <= length(col(wordCol)),
+          col(wordCol).substr(col("j"), col("l"))))
+
+  /** Seed vocabulary: every single character (coverage) plus the top-k
+    * multi-char substrings by weighted occurrence count, scored as
+    * smoothed log-probabilities in nanos.
+    *
+    * @param words word dictionary: (`wordCol`, `cntCol`)
+    * @return (piece, cnt, score_nano)
+    */
+  def seedVocab(words: DataFrame, wordCol: String, cntCol: String,
+                k: Int, maxPieceLen: Int = 4,
+                alpha: Double = 0.5): DataFrame = {
+    val occ = substrings(words, wordCol, maxPieceLen)
+      .where(col("piece").isNotNull)
+      .groupBy("piece").agg(sum(col(cntCol)).as("cnt"))
+    val picked = occ.where(length(col("piece")) === 1)
+      .unionByName(
+        occ.where(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(k))
+    rescore(picked, alpha)
+  }
+
+  /** Smoothed log-probability scores over a (piece, cnt) frame:
+    * `score_nano = round(ln((cnt+α)/(tot+α·V))·1e9)` with V = |vocab| —
+    * both engines build the identical IEEE ratio and round once. */
+  private def rescore(counts: DataFrame, alpha: Double): DataFrame = {
+    val w = Window.partitionBy()
+    counts
+      .withColumn("__tot", sum(col("cnt")).over(w))
+      .withColumn("__v", count(lit(1)).over(w))
+      .select(col("piece"), col("cnt"),
+        round(log((col("cnt") + lit(alpha)) /
+            (col("__tot") + lit(alpha) * col("__v"))) * lit(1e9))
+          .cast("long").as("score_nano"))
+  }
+
+  /** Per-word flat candidate score array: slot (j−1)·maxPieceLen + l
+    * holds the score of the piece starting at j with length l — NULL when
+    * the piece is not in the vocabulary or overruns the word; single
+    * characters fall back to `unkNano` so segmentation never dead-ends. */
+  def scoreArrays(words: DataFrame, wordCol: String, vocab: DataFrame,
+                  maxPieceLen: Int, unkNano: Long): DataFrame =
+    substrings(words, wordCol, maxPieceLen)
+      .join(vocab.select(col("piece"), col("score_nano")), Seq("piece"),
+        "left")
+      .withColumn("__s",
+        when(col("l") === 1 && col("piece").isNotNull,
+          coalesce(col("score_nano"), lit(unkNano)))
+        .otherwise(when(col("piece").isNotNull, col("score_nano"))))
+      .groupBy(words.columns.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("l"), col("__s")))),
+        e => e.getField("__s")).as("score_arr"))
+
+  /** Exact integer Viterbi segmentation: adds `pieces: array<string>` and
+    * `score_nano: long` to a frame that already carries `score_arr` from
+    * [[scoreArrays]]. Tie rule: equal score prefers the SMALLER start
+    * (longer last piece) — deterministic and engine-portable. */
+  def viterbiSegment(withArr: DataFrame, wordCol: String,
+                     maxPieceLen: Int): DataFrame = {
+    val word = col(wordCol)
+    val n = length(word)
+    // dp[i] (1-based slot i+1): best (score, start-of-last-piece)
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("s"), lit(0).as("bp"))),
+      (acc: Column, i: Column) => {
+        val best = (maxPieceLen - 1 to 0 by -1).foldLeft(
+          struct(lit(NegInf).as("s"), lit(-1).as("bp"))) { (b, d) =>
+          val j = i - lit(d)
+          val l = lit(d + 1)
+          val cand = when(j >= 1,
+            element_at(acc, j).getField("s") +
+              element_at(col("score_arr"), (j - 1) * maxPieceLen + l))
+          when(cand.isNotNull && cand > b.getField("s"),
+            struct(cand.as("s"), j.cast("int").as("bp"))).otherwise(b)
+        }
+        concat(acc, array(best))
+      })
+    // walk the backpointers from position n — at most n hops
+    val seg = aggregate(
+      sequence(lit(1), n),
+      struct(n.cast("int").as("pos"),
+        array().cast("array<string>").as("out")),
+      (st: Column, _: Column) => {
+        val pos = st.getField("pos")
+        val bp = element_at(col("__dp"), pos + 1).getField("bp")
+        when(pos > 0,
+          struct((bp - 1).cast("int").as("pos"),
+            concat(array(word.substr(bp, pos - bp + 1)), st.getField("out"))
+              .as("out")))
+        .otherwise(st)
+      }).getField("out")
+    withArr
+      .withColumn("__dp", dp)
+      .withColumn("pieces", seg)
+      .withColumn("score_nano", element_at(col("__dp"), n + 1).getField("s"))
+      .drop("__dp")
+  }
+
+  /** One hard-EM round: Viterbi-segment the word dictionary under the
+    * current scores, count pieces weighted by word frequency (pieces the
+    * segmentation never uses keep a zero count — they stay in the vocab,
+    * α-smoothed), re-score. Vocabulary membership is FIXED across rounds
+    * (the pruning schedule is a separate concern); unknown single chars
+    * can only appear if the seed missed them, and surface as themselves. */
+  def emRound(words: DataFrame, wordCol: String, cntCol: String,
+              vocab: DataFrame, maxPieceLen: Int, unkNano: Long,
+              alpha: Double = 0.5): DataFrame = {
+    val seg = viterbiSegment(
+      scoreArrays(words, wordCol, vocab, maxPieceLen, unkNano),
+      wordCol, maxPieceLen)
+    val used = seg
+      .select(col(cntCol), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col(cntCol)).as("cnt"))
+    rescore(
+      vocab.select("piece").join(used, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt")),
+      alpha)
+  }
+}
