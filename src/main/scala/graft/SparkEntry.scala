@@ -2903,6 +2903,28 @@ object SparkEntry {
     r2.orderBy("piece")
   }
 
+  // Encode under the TRAINED unigram vocab (q171's round-2 scores) — the
+  // q143→q144 train→encode symmetry for the SentencePiece family. One row
+  // per dictionary word: its exact-integer Viterbi segmentation.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Unigram
+    val unk = -23025850930L
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val seed = Unigram.seedVocab(words, "word", "cnt", k = 24)
+    val r1 = Unigram.emRound(words, "word", "cnt", seed, 4, unk)
+    val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
+    Unigram.viterbiSegment(
+        Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
+      .select(col("word"), col("cnt"),
+        size(col("pieces")).as("n_pieces"),
+        concat_ws("+", col("pieces")).as("seg"),
+        col("score_nano"))
+      .orderBy("word")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -3080,6 +3102,7 @@ object SparkEntry {
     "q169_fs_em_train" -> (q169 _),
     "q170_fs_tf_adjust" -> (q170 _),
     "q171_unigram_lm" -> (q171 _),
+    "q172_unigram_encode" -> (q172 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7467,5 +7490,131 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM cnt2),
         |dummy AS (SELECT 1)
         |SELECT piece, cnt, score_nano FROM vocab2 ORDER BY piece""".stripMargin,
+    "q172_unigram_encode" ->
+      """WITH wdict AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |sub AS MATERIALIZED (
+        |  SELECT word, j, l,
+        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
+        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
+        |    unnest(generate_series(1, 4)) AS gl(l)),
+        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+        |picked AS (
+        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
+        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM picked),
+        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp1 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr1),
+        |seg1 AS MATERIALIZED (SELECT word, cnt,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp1),
+        |cnt1 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab0) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt1),
+        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp2 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr2),
+        |seg2 AS MATERIALIZED (SELECT word, cnt,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp2),
+        |cnt2 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab1) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt2),
+        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab2 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp3 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr3),
+        |seg3 AS MATERIALIZED (SELECT word, cnt, n, dp,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp3)
+        |SELECT word, cnt, CAST(len(pieces) AS INT) AS n_pieces,
+        |  array_to_string(pieces, '+') AS seg,
+        |  dp[n + 1].s AS score_nano
+        |FROM seg3 ORDER BY word""".stripMargin,
   )
 }
