@@ -2893,12 +2893,18 @@ object SparkEntry {
   private def q171(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Unigram
     val unk = -23025850930L // ln(1e-10) nanos, literal in both engines
+    // the word dict and each round's vocab are tiny by contract —
+    // checkpointing them keeps round R+1's plan from containing round R's
+    // whole lineage (3 nested Viterbi HOFs would recompile otherwise)
     val words = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val seed = Unigram.seedVocab(words, "word", "cnt", k = 24)
+      .localCheckpoint()
     val r1 = Unigram.emRound(words, "word", "cnt", seed, 4, unk)
+      .localCheckpoint()
     val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
     r2.orderBy("piece")
   }
@@ -2913,9 +2919,13 @@ object SparkEntry {
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val seed = Unigram.seedVocab(words, "word", "cnt", k = 24)
+      .localCheckpoint()
     val r1 = Unigram.emRound(words, "word", "cnt", seed, 4, unk)
+      .localCheckpoint()
     val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
+      .localCheckpoint()
     Unigram.viterbiSegment(
         Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
       .select(col("word"), col("cnt"),
