@@ -2935,6 +2935,30 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  // The full SentencePiece training LOOP: seed → EM → prune (drop the
+  // least-used multi-char pieces, chars never pruned) → renormalize → EM
+  // under the shrunk vocabulary. Completes q171's fixed-membership rounds
+  // with the shrink schedule real SentencePiece runs.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Unigram
+    val unk = -23025850930L
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val seed = Unigram.seedVocab(words, "word", "cnt", k = 24)
+      .localCheckpoint()
+    val r1 = Unigram.emRound(words, "word", "cnt", seed, 4, unk)
+      .localCheckpoint()
+    val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
+      .localCheckpoint()
+    val pruned = Unigram.rescoreCounts(Unigram.prune(r2, keepMulti = 12))
+      .localCheckpoint()
+    Unigram.emRound(words, "word", "cnt", pruned, 4, unk)
+      .orderBy("piece")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -3113,6 +3137,7 @@ object SparkEntry {
     "q170_fs_tf_adjust" -> (q170 _),
     "q171_unigram_lm" -> (q171 _),
     "q172_unigram_encode" -> (q172 _),
+    "q173_unigram_prune" -> (q173 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7626,5 +7651,148 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  array_to_string(pieces, '+') AS seg,
         |  dp[n + 1].s AS score_nano
         |FROM seg3 ORDER BY word""".stripMargin,
+    "q173_unigram_prune" ->
+      """WITH wdict AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |sub AS MATERIALIZED (
+        |  SELECT word, j, l,
+        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
+        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
+        |    unnest(generate_series(1, 4)) AS gl(l)),
+        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+        |picked AS (
+        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
+        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM picked),
+        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp1 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr1),
+        |seg1 AS MATERIALIZED (SELECT word, cnt,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp1),
+        |cnt1 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab0) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt1),
+        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp2 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr2),
+        |seg2 AS MATERIALIZED (SELECT word, cnt,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp2),
+        |cnt2 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab1) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt2),
+        |vocabp AS MATERIALIZED (
+        |  SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM (
+        |    SELECT piece, cnt FROM vocab2 WHERE len(piece) = 1
+        |    UNION ALL
+        |    SELECT piece, cnt FROM (SELECT piece, cnt FROM vocab2
+        |      WHERE len(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT 12))),
+        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocabp v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp3 AS MATERIALIZED (SELECT word, cnt, n, arr,
+        |    list_reduce(
+        |        list_transform(generate_series(0, n),
+        |          i -> CASE WHEN i = 0
+        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
+        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
+        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
+        |  FROM arr3),
+        |seg3 AS MATERIALIZED (SELECT word, cnt,
+        |    list_reduce(
+        |        [[CAST(n AS VARCHAR)]] ||
+        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
+        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
+        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
+        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
+        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
+        |            || st[2:]
+        |          ELSE st END)[2:] AS pieces
+        |  FROM dp3),
+        |cnt3 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocabp) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg3 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab3 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt3),
+        |dummy AS (SELECT 1)
+        |SELECT piece, cnt, score_nano FROM vocab3 ORDER BY piece""".stripMargin,
   )
 }

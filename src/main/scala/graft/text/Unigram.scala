@@ -74,6 +74,25 @@ object Unigram {
     rescore(picked, alpha)
   }
 
+  /** Vocabulary pruning — SentencePiece trains with a shrink schedule:
+    * seed large, EM, drop the least-useful pieces, EM again until the
+    * target size. The utility proxy here is the EM usage count (the
+    * pieces Viterbi stopped choosing contribute least likelihood);
+    * single characters are never pruned (coverage). Deterministic:
+    * (cnt DESC, piece ASC). Re-score after pruning ([[rescoreCounts]])
+    * so probabilities renormalize over the surviving vocab. */
+  def prune(vocab: DataFrame, keepMulti: Int): DataFrame =
+    vocab.where(length(col("piece")) === 1)
+      .unionByName(
+        vocab.where(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(keepMulti))
+      .select("piece", "cnt")
+
+  /** Public form of the score normalization, for prune→rescore→EM
+    * compositions. */
+  def rescoreCounts(counts: DataFrame, alpha: Double = 0.5): DataFrame =
+    rescore(counts, alpha)
+
   /** Smoothed log-probability scores over a (piece, cnt) frame:
     * `score_nano = round(ln((cnt+α)/(tot+α·V))·1e9)` with V = |vocab| —
     * both engines build the identical IEEE ratio and round once. */

@@ -82,6 +82,23 @@ class UnigramSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("prune keeps all chars + top multi-grams, deterministic tiebreak") {
+    val vocab = Seq(
+      ("a", 10L, -1L), ("b", 2L, -1L), ("ab", 7L, -1L), ("ba", 7L, -1L),
+      ("abc", 9L, -1L), ("bc", 1L, -1L)
+    ).toDF("piece", "cnt", "score_nano")
+    val kept = Unigram.prune(vocab, keepMulti = 2)
+      .collect().map(_.getString(0)).toSet
+    // chars always survive; multi: abc (9) then ab/ba tie at 7 → "ab" asc
+    assert(kept == Set("a", "b", "abc", "ab"))
+    // rescore renormalizes over the survivors
+    val re = Unigram.rescoreCounts(Unigram.prune(vocab, 2))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tot = 10 + 2 + 9 + 7
+    val exp = math.round(math.log((10 + 0.5) / (tot + 0.5 * 4)) * 1e9)
+    assert(math.abs(re("a") - exp) <= 1)
+  }
+
   test("segmentation is partition-order independent") {
     val words = (1 to 40).map(i => s"word${i % 7}x").distinct
     val vocab = Map("wo" -> -2L, "rd" -> -2L, "w" -> -5L, "o" -> -5L,
