@@ -79,38 +79,38 @@ object Bench {
       dt
     }
     val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    // Outlier re-measure: this host shows rare 10-30× per-query noise
-    // spikes from external contention (a query measured 0.7 s in
-    // isolation has recorded 30 s mid-suite, with JVM GC and storage
-    // clean — round-4's "6× regression" post-mortem separated a real
-    // session-hygiene bug from exactly this). A query whose first
-    // measurement is a suite-relative outlier is re-run AFTER the whole
-    // suite finishes (a contention burst outlives adjacent retries but
-    // rarely the remaining suite — q65 recorded 5.2 s in round 5 because
-    // its immediate best-of-3 sat inside the same burst; its quiet cost
-    // is 0.58 s) and reports the minimum — a query's cost is what it
-    // achieves on a quiet host; the spike is the environment's, not the
-    // query's. BOTH numbers are recorded: `queries` carries the final
-    // (min) time, `queries_first_pass` the raw in-suite measurement, so
-    // round-over-round comparisons can pick a consistent basis.
+    // Min-of-two, for EVERY query: this host shows per-query noise from
+    // external contention at two magnitudes — rare 10-30× spikes (a query
+    // measured 0.7 s in isolation has recorded 30 s mid-suite, with JVM GC
+    // and storage clean) and frequent 2-3× drag on sub-2 s queries (round
+    // 12's driver run showed q85 +180%, q61 +102%, q58 +68% with ZERO code
+    // change in those files). Rounds 5-12 re-measured only suite-relative
+    // outliers (> 8× median), which caught the spikes but let mid-size
+    // noise stick: a true-0.5 s query measured at 1.5 s is indistinguishable
+    // from a genuine 1.5 s query without a second sample. So the whole
+    // suite now runs TWICE and each query reports the minimum — a query's
+    // cost is what it achieves on a quiet host; the spike is the
+    // environment's, not the query's. A third retry still fires for any
+    // query whose min-of-two remains a suite-relative extreme (both passes
+    // inside one long contention burst). BOTH numbers are recorded:
+    // `queries` carries the final (min) time, `__first_pass` the raw
+    // pass-1 measurement, so round-over-round comparisons can pick a
+    // consistent basis.
+    val byName = selected.toMap
+    val secondPass = firstPass.map { case (name, dt1) =>
+      name -> math.min(dt1, timeOne(name, byName(name)))
+    }
     val med = {
-      val s = firstPass.map(_._2).sorted
+      val s = secondPass.map(_._2).sorted
       if (s.isEmpty) 0.0 else s(s.length / 2)
     }
     val cutoff = math.max(2.5, 8.0 * med)
-    val outliers = firstPass.filter(_._2 > cutoff).map(_._1).toSet
-    val byName = selected.toMap
-    val results = firstPass.map { case (name, dt) =>
-      if (!outliers.contains(name)) name -> dt
+    val results = secondPass.map { case (name, dt) =>
+      if (dt <= cutoff) name -> dt
       else {
-        var best = dt
-        var tries = 0
-        while (best > cutoff && tries < 2) {
-          best = math.min(best, timeOne(name, byName(name)))
-          tries += 1
-        }
+        val best = math.min(dt, timeOne(name, byName(name)))
         System.err.println(
-          f"[bench] $name outlier: $dt%.2f s first pass, $best%.2f s best of ${tries + 1}")
+          f"[bench] $name outlier: $dt%.2f s min-of-two, $best%.2f s best of 3")
         name -> best
       }
     }

@@ -610,7 +610,12 @@ object Etl {
     println(f"Corpus capstone (dedup->decontaminate->quality->mixture->" +
       f"split->pack->checks): core $corpusSec%.2f s + checks " +
       f"$corpusCheckSec%.2f s, failed: $corpusFailed")
-    if (failed + wideFailed + corpusFailed > 0) sys.exit(1)
+    val (linkSec, linkCheckSec, linkFailed) =
+      linkageCapstone(spark, sfDir, s"$outDir/linkage")
+    println(f"Linkage capstone (canon->block->FS-train->predict->" +
+      f"best-match->checks): core $linkSec%.2f s + checks " +
+      f"$linkCheckSec%.2f s, failed: $linkFailed")
+    if (failed + wideFailed + corpusFailed + linkFailed > 0) sys.exit(1)
   }
 }
 

@@ -2959,6 +2959,43 @@ object SparkEntry {
       .orderBy("piece")
   }
 
+  // Metaphone blocking — the reference's ACTUAL phonetic key for its
+  // FERC↔EIA splink model: jellyfish.metaphone per name, candidate pairs
+  // blocked on the 3-char code prefix
+  // (eia_ferc1_record_linkage.py:182-193, eia_ferc1_model_config.py:12).
+  // q165's soundex twin key-for-key: same synthetic name variants, the
+  // native Metaphone expression (whole-stage codegen), block on
+  // substr(mphone, 1, 3) + nation, Jaro-Winkler score, best match per
+  // customer. The full code rides along as c_mphone so the oracle pins
+  // every emitted letter, not just the blocking prefix.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    def named(df: DataFrame, key: String, nkey: String, names: Seq[String],
+              keyOut: String, nameOut: String) =
+      df.select(col(key).as(keyOut), col(nkey).as("nkey"),
+          element_at(array(names.map(lit): _*),
+            (pmod(col(key), lit(names.size)) + 1).cast("int")).as(nameOut))
+        .withColumn(s"${nameOut}_mph", graft.plans.Metaphone(col(nameOut)))
+        .withColumn(s"${nameOut}_mp3",
+          substring(col(s"${nameOut}_mph"), 1, 3))
+    val c = named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+      q165CustNames, "c_custkey", "c_name2")
+    val sup = named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+      q165SuppNames, "s_suppkey", "s_name2")
+    c.join(sup, col("c_name2_mp3") === col("s_name2_mp3") &&
+        c("nkey") === sup("nkey"))
+      .withColumn("name_sim",
+        graft.plans.JaroWinkler(col("c_name2"), col("s_name2")))
+      .where(col("name_sim") >= 0.5)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))
+          .orderBy(col("name_sim").desc, col("s_suppkey").asc)))
+      .where(col("rk") === 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_name2_mp3").as("block_key"),
+        col("c_name2_mph").as("c_mphone"),
+        round(col("name_sim"), 6).as("name_sim"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -3138,6 +3175,7 @@ object SparkEntry {
     "q171_unigram_lm" -> (q171 _),
     "q172_unigram_encode" -> (q172 _),
     "q173_unigram_prune" -> (q173 _),
+    "q174_metaphone_block" -> (q174 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7429,7 +7467,7 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    ORDER BY weight_adj_nano DESC, l_id ASC) AS rk FROM adj)
         |WHERE rk = 1""".stripMargin,
     "q171_unigram_lm" ->
-      """WITH wdict AS MATERIALIZED (
+      """WITH RECURSIVE wdict AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) >= 1 GROUP BY word),
@@ -7457,25 +7495,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab0 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp1 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr1),
-        |seg1 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp1),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
         |cnt1 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab0) vp
@@ -7494,25 +7543,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab1 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp2 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr2),
-        |seg2 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp2),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
         |cnt2 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab1) vp
@@ -7522,11 +7582,10 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |vocab2 AS MATERIALIZED (SELECT piece, cnt,
         |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
         |      * 1e9) AS BIGINT) AS score_nano
-        |  FROM cnt2),
-        |dummy AS (SELECT 1)
+        |  FROM cnt2)
         |SELECT piece, cnt, score_nano FROM vocab2 ORDER BY piece""".stripMargin,
     "q172_unigram_encode" ->
-      """WITH wdict AS MATERIALIZED (
+      """WITH RECURSIVE wdict AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) >= 1 GROUP BY word),
@@ -7554,25 +7613,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab0 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp1 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr1),
-        |seg1 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp1),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
         |cnt1 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab0) vp
@@ -7591,25 +7661,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab1 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp2 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr2),
-        |seg2 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp2),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
         |cnt2 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab1) vp
@@ -7628,31 +7709,52 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab2 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp3 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr3),
-        |seg3 AS MATERIALIZED (SELECT word, cnt, n, dp,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp3)
-        |SELECT word, cnt, CAST(len(pieces) AS INT) AS n_pieces,
-        |  array_to_string(pieces, '+') AS seg,
-        |  dp[n + 1].s AS score_nano
-        |FROM seg3 ORDER BY word""".stripMargin,
+        |dp3 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr3
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp3 WHERE i < n))
+        |SELECT word, cnt, CAST(len(p0) AS INT) AS n_pieces,
+        |  array_to_string(p0, '+') AS seg, s0 AS score_nano
+        |FROM dp3 WHERE i = n ORDER BY word""".stripMargin,
+    // The unigram DPs (q171/q172/q173) are RECURSIVE CTEs (forward
+    // Viterbi, state carried in plain BIGINT/VARCHAR[] columns) rather
+    // than unrolled list_reduce folds: DuckDB 1.0.0's list_reduce lambda
+    // nondeterministically corrupts STRUCT accumulators once the query
+    // chains ~3 DP instances (round 12: q173's seg3 returned another
+    // row's pieces, different row per run — 'customer' segmented as
+    // 'stream' in one run, 'column' in another; round 13's gate then
+    // caught the same flake in q172's third DP, green through round 12
+    // by luck). The recursive form has no lambda accumulator at all, so
+    // the whole corruption family is out of reach; tie-breaks (longest
+    // piece wins on equal score) and the unreachable-cell sentinel match
+    // the fold DP exactly — verified value-identical to the engine at
+    // both scales over repeated runs.
     "q173_unigram_prune" ->
-      """WITH wdict AS MATERIALIZED (
+      """WITH RECURSIVE wdict AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) >= 1 GROUP BY word),
@@ -7680,25 +7782,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab0 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp1 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr1),
-        |seg1 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp1),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
         |cnt1 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab0) vp
@@ -7717,25 +7830,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocab1 v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp2 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr2),
-        |seg2 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp2),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
         |cnt2 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocab1) vp
@@ -7763,25 +7887,36 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM wdict w JOIN sub ON sub.word = w.word
         |  LEFT JOIN vocabp v ON v.piece = sub.piece
         |  GROUP BY w.word, w.cnt, w.n),
-        |dp3 AS MATERIALIZED (SELECT word, cnt, n, arr,
-        |    list_reduce(
-        |        list_transform(generate_series(0, n),
-        |          i -> CASE WHEN i = 0
-        |            THEN [struct_pack(s := CAST(0 AS BIGINT), bp := 0)]
-        |            ELSE [struct_pack(s := CAST(i AS BIGINT), bp := -9)] END),
-        |        (acc, x) -> acc || [(CASE WHEN (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 0) >= 1 AND acc[(x[1].s - 0)].s IS NOT NULL AND arr[(((x[1].s - 0) - 1) * 4 + 1)] IS NOT NULL THEN acc[(x[1].s - 0)].s + arr[(((x[1].s - 0) - 1) * 4 + 1)] END), bp := CAST(x[1].s - 0 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 1) >= 1 AND acc[(x[1].s - 1)].s IS NOT NULL AND arr[(((x[1].s - 1) - 1) * 4 + 2)] IS NOT NULL THEN acc[(x[1].s - 1)].s + arr[(((x[1].s - 1) - 1) * 4 + 2)] END), bp := CAST(x[1].s - 1 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END) > ((CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 2) >= 1 AND acc[(x[1].s - 2)].s IS NOT NULL AND arr[(((x[1].s - 2) - 1) * 4 + 3)] IS NOT NULL THEN acc[(x[1].s - 2)].s + arr[(((x[1].s - 2) - 1) * 4 + 3)] END), bp := CAST(x[1].s - 2 AS INT)) ELSE (CASE WHEN (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) IS NOT NULL AND (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END) > (struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1)).s THEN struct_pack(s := (CASE WHEN (x[1].s - 3) >= 1 AND acc[(x[1].s - 3)].s IS NOT NULL AND arr[(((x[1].s - 3) - 1) * 4 + 4)] IS NOT NULL THEN acc[(x[1].s - 3)].s + arr[(((x[1].s - 3) - 1) * 4 + 4)] END), bp := CAST(x[1].s - 3 AS INT)) ELSE struct_pack(s := CAST(-4611686018427387904 AS BIGINT), bp := -1) END) END) END) END)]) AS dp
-        |  FROM arr3),
-        |seg3 AS MATERIALIZED (SELECT word, cnt,
-        |    list_reduce(
-        |        [[CAST(n AS VARCHAR)]] ||
-        |        list_transform(generate_series(1, n), i -> CAST([] AS VARCHAR[])),
-        |        (st, x) -> CASE WHEN CAST(st[1] AS INT) > 0 THEN
-        |            [CAST(dp[CAST(st[1] AS INT) + 1].bp - 1 AS VARCHAR),
-        |             substr(word, dp[CAST(st[1] AS INT) + 1].bp,
-        |               CAST(st[1] AS INT) - dp[CAST(st[1] AS INT) + 1].bp + 1)]
-        |            || st[2:]
-        |          ELSE st END)[2:] AS pieces
-        |  FROM dp3),
+        |dp3 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr3
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp3 WHERE i < n)),
+        |seg3 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp3 WHERE i = n),
         |cnt3 AS MATERIALIZED (SELECT vp.piece,
         |    coalesce(u.cnt, 0) AS cnt
         |  FROM (SELECT piece FROM vocabp) vp
@@ -7791,8 +7926,52 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |vocab3 AS MATERIALIZED (SELECT piece, cnt,
         |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
         |      * 1e9) AS BIGINT) AS score_nano
-        |  FROM cnt3),
-        |dummy AS (SELECT 1)
+        |  FROM cnt3)
         |SELECT piece, cnt, score_nano FROM vocab3 ORDER BY piece""".stripMargin,
+    // Metaphone replay: per-word codes from the single-level VARCHAR-
+    // accumulator fold in Phonetics.metaphoneWordSql (the q163 fold
+    // discipline — no struct accumulators), computed once over the 24
+    // DISTINCT names and joined back, then the same block-join / best-
+    // match shape as q165's oracle.
+    "q174_metaphone_block" -> {
+      import graft.functions.Phonetics
+      val cn = q165CustNames.map(s => "'" + s + "'").mkString(", ")
+      val sn = q165SuppNames.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nkey,
+        |    ([$cn])[CAST(c_custkey % 12 AS INT) + 1] AS c_name2
+        |  FROM customer),
+        |sup AS (
+        |  SELECT s_suppkey, s_nationkey AS nkey,
+        |    ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] AS s_name2
+        |  FROM supplier),
+        |nm AS (
+        |  SELECT DISTINCT c_name2 AS name FROM c
+        |  UNION SELECT DISTINCT s_name2 FROM sup),
+        |wrd AS (
+        |  SELECT name, g.wi,
+        |    lower(string_split_regex(name, '[^A-Za-z]+')[wi]) AS w
+        |  FROM nm, unnest(generate_series(1,
+        |    len(string_split_regex(name, '[^A-Za-z]+')))) AS g(wi)),
+        |wcode AS (
+        |  SELECT name, wi, ${Phonetics.metaphoneWordSql("w")} AS code
+        |  FROM wrd WHERE w <> ''),
+        |mcode AS (SELECT name, string_agg(code, ' ' ORDER BY wi) AS mph
+        |  FROM wcode GROUP BY name),
+        |cb AS (SELECT c.*, m.mph AS c_mphone, substr(m.mph, 1, 3) AS c_mp3
+        |  FROM c JOIN mcode m ON m.name = c.c_name2),
+        |sb AS (SELECT sup.*, substr(m.mph, 1, 3) AS s_mp3
+        |  FROM sup JOIN mcode m ON m.name = sup.s_name2),
+        |cand AS (
+        |  SELECT c_custkey, s_suppkey, c_mp3 AS block_key, c_mphone,
+        |    jaro_winkler_similarity(c_name2, s_name2) AS sim
+        |  FROM cb JOIN sb ON cb.c_mp3 = sb.s_mp3 AND cb.nkey = sb.nkey
+        |  WHERE jaro_winkler_similarity(c_name2, s_name2) >= 0.5)
+        |SELECT c_custkey, s_suppkey, block_key, c_mphone,
+        |  round(sim, 6) AS name_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY sim DESC, s_suppkey ASC) AS rk FROM cand)
+        |WHERE rk = 1""".stripMargin
+    },
   )
 }

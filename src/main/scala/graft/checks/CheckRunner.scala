@@ -92,6 +92,10 @@ object CheckRunner {
     * time) whenever the suite needs a shared input or has fusible checks;
     * a single non-fusible check stays fully lazy. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    // an empty suite would otherwise surface as reduce's opaque
+    // UnsupportedOperationException at the very end of the method
+    require(checks.nonEmpty,
+      "CheckRunner.run: empty check list (a suite must declare >= 1 check)")
     val fusedIdx = checks.zipWithIndex.collect {
       case (c, i) if isFusible(c) => (c, i)
     }

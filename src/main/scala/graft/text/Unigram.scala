@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenizer — the SentencePiece family (Kudo,
@@ -95,12 +94,17 @@ object Unigram {
 
   /** Smoothed log-probability scores over a (piece, cnt) frame:
     * `score_nano = round(ln((cnt+α)/(tot+α·V))·1e9)` with V = |vocab| —
-    * both engines build the identical IEEE ratio and round once. */
+    * both engines build the identical IEEE ratio and round once.
+    *
+    * The normalizer is a ONE-ROW aggregate broadcast back onto the frame,
+    * not an unpartitioned Window: `Window.partitionBy()` funnels the whole
+    * vocab through a single partition (bounded here, but a production
+    * vocab of 256k pieces should renormalize without any single-partition
+    * exchange, and the broadcast side is exactly one row either way). */
   private def rescore(counts: DataFrame, alpha: Double): DataFrame = {
-    val w = Window.partitionBy()
-    counts
-      .withColumn("__tot", sum(col("cnt")).over(w))
-      .withColumn("__v", count(lit(1)).over(w))
+    val totals = counts.agg(
+      sum(col("cnt")).as("__tot"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals))
       .select(col("piece"), col("cnt"),
         round(log((col("cnt") + lit(alpha)) /
             (col("__tot") + lit(alpha) * col("__v"))) * lit(1e9))

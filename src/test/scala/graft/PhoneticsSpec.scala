@@ -58,4 +58,96 @@ class PhoneticsSpec extends SparkSpec {
       .select(soundex(col("n"))).collect()
     assert(r.exists(_.isNullAt(0)))
   }
+
+  // ---- Metaphone (Philips 1990) -----------------------------------------
+
+  test("metaphone: hand-checked classic vectors") {
+    // every expected value hand-derived from the documented rule set in
+    // Phonetics.metaphoneWord's Scaladoc ('0' = theta)
+    val vectors = Seq(
+      "thompson" -> "0MPSN", // TH → 0
+      "knight" -> "NT",      // kn- prefix drop; silent gh
+      "wright" -> "RT",      // wr- prefix drop
+      "school" -> "SKL",     // sch → K; oo collapses
+      "lamb" -> "LM",        // final -mb
+      "xavier" -> "SFR",     // x- → s; v → F
+      "where" -> "WR",       // wh- → w
+      "ghost" -> "KST",      // gh before vowel → K
+      "through" -> "0R",     // final silent gh
+      "judge" -> "JJ",       // dge → J
+      "dodge" -> "TJ",
+      "cellar" -> "SLR",     // ce → S; ll collapses
+      "phone" -> "FN",       // ph → F
+      "watch" -> "WX",       // -tch- drops T, ch → X
+      "signed" -> "SNT",     // -gned silent g
+      "gnome" -> "NM",       // gn- prefix drop
+      "science" -> "SNS",    // sci silent c
+      "pneumonia" -> "NMN",  // pn- prefix drop
+      "ocean" -> "OSN",      // word-initial vowel kept; ce → S
+      "machine" -> "MXN",    // ch → X
+      "aggressive" -> "AKRSF", // gg collapses; v → F
+      "exciting" -> "EKSSTNK", // x → KS
+      "accept" -> "AKSPT")   // cc NOT collapsed
+    vectors.foreach { case (w, exp) =>
+      assert(Phonetics.metaphoneWord(w) == exp,
+        s"'$w': got ${Phonetics.metaphoneWord(w)}, want $exp")
+    }
+  }
+
+  test("metaphone: multi-word names, non-letters, null safety") {
+    assert(Phonetics.metaphone("Acme Power") == "AKM PWR")
+    assert(Phonetics.metaphone("St. Clair") == "ST KLR")
+    assert(Phonetics.metaphone("O'Brien") == "O BRN")
+    assert(Phonetics.metaphone("123") == "")
+    assert(Phonetics.metaphone("") == "")
+    assert(Phonetics.metaphone(null) == null)
+  }
+
+  test("metaphone blocking: variants that share a code, and the misses") {
+    val same = Seq(
+      "Acme Power" -> "Akme Power",
+      "Gulf States" -> "Golf States",
+      "Delta Utilities" -> "Deltta Utilitys",
+      "Duke Energy" -> "Dook Energy",
+      "Tampa Electric" -> "Tempa Electrik",
+      "Green Mountain" -> "Greene Mountain",
+      "Basin Creek" -> "Bassin Creak",
+      "Consolidated Edison" -> "Konsolidated Edison",
+      "Pacific Gas" -> "Pasific Gas")
+    same.foreach { case (a, b) =>
+      assert(Phonetics.metaphone(a) == Phonetics.metaphone(b), s"$a vs $b")
+    }
+    // metaphone is SHARPER than soundex on these (documented recall
+    // difference of the q174 blocking vs q165's): Y-before-vowel is
+    // emitted, V≠W, CC≠C
+    assert(Phonetics.metaphone("Niagara Mohawk") !=
+      Phonetics.metaphone("Nyagara Mohock"))
+    assert(Phonetics.metaphone("Midwest Generation") !=
+      Phonetics.metaphone("Midvest Generation"))
+    assert(Phonetics.metaphone("Peco Energy") !=
+      Phonetics.metaphone("Pecco Energy"))
+  }
+
+  test("metaphone engine expression matches the driver twin, stays codegen") {
+    val names = (battery.filter(_ != null) ++ Seq(
+      "Acme Power", "Gulf States", "Niagara Mohawk", "exciting machine",
+      "thompson", "where", "xavier")).distinct
+    // drive from range() so the projection cannot constant-fold into a
+    // LocalTableScan — the codegen assertion must see a real span
+    val df = spark.range(names.size)
+      .select(element_at(array(names.map(lit): _*),
+        col("id").cast("int") + 1).as("n"))
+      .select(col("n"), graft.plans.Metaphone(col("n")).as("mp"))
+    // null-intolerant native expression inside WholeStageCodegen
+    assert(df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, df.queryExecution.executedPlan)
+    df.collect().foreach { r =>
+      assert(r.getString(1) == Phonetics.metaphone(r.getString(0)),
+        s"'${r.getString(0)}'")
+    }
+    val nullRow = Seq((Option.empty[String], 1)).toDF("n", "i")
+      .select(graft.plans.Metaphone(col("n"))).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
 }

@@ -99,6 +99,18 @@ class UnigramSpec extends SparkSpec {
     assert(math.abs(re("a") - exp) <= 1)
   }
 
+  test("rescore renormalizes without a single-partition WindowExec") {
+    // the normalizer must be a 1-row aggregate broadcast back onto the
+    // vocab — an unpartitioned Window would funnel a production-size
+    // vocab (256k pieces) through ONE partition
+    val vocab = Seq(("a", 10L), ("b", 2L), ("ab", 7L)).toDF("piece", "cnt")
+    val plan = Unigram.rescoreCounts(vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unpartitioned WindowExec in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("segmentation is partition-order independent") {
     val words = (1 to 40).map(i => s"word${i % 7}x").distinct
     val vocab = Map("wo" -> -2L, "rd" -> -2L, "w" -> -5L, "o" -> -5L,
