@@ -387,14 +387,18 @@ object Etl {
       side(a, "ulink", "l_id").crossJoin(side(b, "vlink", "r_id")))
     val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
     val priorNano = FS.priorNanoDf(a).head.getLong(0)
-    // blocking: (nation, soundex 3-prefix of the canon name) — the
-    // reference's report_year + substr(plant_name_mphone,1,3) shape —
-    // plus an identity-digits rule; both pure equi-joins, best-match
-    // window resolves the dual-rule duplicates
+    // blocking: (nation, metaphone 3-prefix of the canon name) — the
+    // reference's report_year + substr(plant_name_mphone,1,3) rule,
+    // key-for-key since round 13 (native Metaphone expression; soundex
+    // held the slot in rounds ≤12) — plus an identity-digits rule; both
+    // pure equi-joins, best-match window resolves dual-rule duplicates.
+    // True-pair recall does not depend on the phonetic key at all: each
+    // pair's canon names are EQUAL (same metaphone) and ruleB's identity
+    // token blocks them independently.
     val ruleA = a.join(b,
       col("l_nkey") === col("r_nkey") &&
-      substring(soundex(col("l_canon")), 1, 3) ===
-        substring(soundex(col("r_canon")), 1, 3))
+      substring(graft.plans.Metaphone(col("l_canon")), 1, 3) ===
+        substring(graft.plans.Metaphone(col("r_canon")), 1, 3))
     val ruleB = a.join(b,
       regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0) ===
         regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))
