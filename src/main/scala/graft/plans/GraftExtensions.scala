@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(args(0), args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("metaphone"),
+      info("metaphone",
+        "metaphone(s) - Metaphone phonetic code (Philips 1990), per word, " +
+          "joined with spaces; the reference's splink blocking key function"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "metaphone expects 1 argument")
+        Metaphone(args(0))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("convex_clip"),
       info("convex_clip",
         "convex_clip(subject, clip) - Sutherland-Hodgman intersection ring of a simple polygon with a CONVEX clip ring"),

@@ -33,6 +33,11 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val jw = spark.sql(
         "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head().getDouble(0)
       assert(jw == 0.9611111111111111)
+      // metaphone: same code as the Column form / driver twin
+      val mp = spark.sql(
+        "SELECT metaphone('Acme Power') AS mp").head().getString(0)
+      assert(mp == "AKM PWR")
+      assert(mp == graft.functions.Phonetics.metaphone("Acme Power"))
       // geometry expressions: unit square ∩ offset unit square = 0.25
       def sq(ox: Double, oy: Double) =
         s"""array(struct(${ox}d AS x, ${oy}d AS y),
