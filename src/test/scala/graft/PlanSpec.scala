@@ -321,6 +321,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q174 metaphone block: equi-join on (nation, mphone prefix), no cross") {
+    // the reference's actual blocking rule (substr(mphone,1,3)) — same
+    // shape contract as q165: equi-join on the per-row phonetic key,
+    // supplier side broadcasts at fixture scale, top-1 capped by
+    // WindowGroupLimit; the metaphone call itself stays in the join key
+    // projection (codegen'd native expression)
+    val p = plan("q174_metaphone_block")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("metaphone"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q159 PQ ADC: encode per-row, one window exchange, queries broadcast") {
     // codebook seeding runs eagerly (bounded 64-row collect); the
     // RETURNED plan scores the BOUNDED query side against the encoded
