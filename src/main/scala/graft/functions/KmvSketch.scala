@@ -80,7 +80,15 @@ class KmvAgg(k: Int, scale: Double = KmvSketch.Two60)
     if (b.length < k) b.length.toDouble
     else (k - 1).toDouble * scale / b(k - 1).toDouble
 
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  // NATIVE array encoder, not Encoders.kryo: the buffer crosses the
+  // partial/final aggregation boundary once per group per mapper, and
+  // Kryo pays an opaque-blob serialize + reflective access there (it was
+  // also the one lane needing --add-opens at runtime); the Unsafe array
+  // form is a straight memcpy of k longs. q115's wall time is dominated
+  // by the portable-MD5 oracle lane, not the buffer, so this is a
+  // shuffle-format/hygiene change, not a headline speedup.
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
@@ -99,7 +107,8 @@ class KmvStateOut(k: Int)
     inner.reduce(b, h)
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
   override def finish(b: Array[Long]): Array[Long] = b
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
@@ -116,7 +125,8 @@ class KmvMergeAgg(k: Int, scale: Double = KmvSketch.Two60)
   override def finish(b: Array[Long]): Double =
     if (b.length < k) b.length.toDouble
     else (k - 1).toDouble * scale / b(k - 1).toDouble
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

@@ -40,8 +40,13 @@ class WeightedQuantileAgg(num: Long, den: Long)
     sorted(i)._1
   }
 
+  // native product-array encoder, not Encoders.kryo — the buffer crosses
+  // the partial/final boundary per group per mapper, and the struct-array
+  // form shuffles as columnar unsafe rows instead of opaque blobs (also
+  // drops the Kryo reflective-access runtime dependency)
   override def bufferEncoder: Encoder[Seq[(Double, Double)]] =
-    Encoders.kryo[Seq[(Double, Double)]]
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(Double, Double)]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
