@@ -50,6 +50,11 @@ object Verify {
         // manifest check fires
         rmTree(new java.io.File(s"$outDir/$name"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full cause chain: a wrapped failure ("EXPRESSION_ENCODING_
+        // FAILED") is undiagnosable from the top-level message alone —
+        // round 13 lost a cycle to a Kryo InaccessibleObjectException
+        // hidden two causes deep
+        e.printStackTrace(System.err)
       }
       // release the query's caches/localCheckpoints — 107 queries in one
       // JVM otherwise accumulate blocks until the storage pool degrades
