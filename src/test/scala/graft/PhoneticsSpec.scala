@@ -128,6 +128,32 @@ class PhoneticsSpec extends SparkSpec {
       Phonetics.metaphone("Pecco Energy"))
   }
 
+  test("metaphone: randomized engine-vs-twin parity incl. hostile inputs") {
+    // deterministic fuzz battery: pure letters, mixed-case, digits,
+    // punctuation, unicode separators, long runs, empty-ish strings —
+    // the codegen'd expression and the driver twin must agree everywhere,
+    // and the output alphabet is pinned to [A-Z0 ]
+    val rnd = new scala.util.Random(13)
+    val alphabets = Seq(
+      "abcdefghijklmnopqrstuvwxyz",
+      "abcdeghknpswxy",          // prefix/digraph-heavy
+      "aAbB cC-12.!'",           // separators + case
+      "gghhtchdgesciy",          // rule-dense
+      "éßñ日ab c")               // non-ASCII are separators
+    val fuzz = (1 to 400).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.size))
+      (1 to (1 + rnd.nextInt(18))).map(_ => a(rnd.nextInt(a.length))).mkString
+    } :+ "" :+ "   " :+ "a" * 200
+    val got = fuzz.distinct.toDF("n")
+      .select(col("n"), graft.plans.Metaphone(col("n")).as("mp")).collect()
+    got.foreach { r =>
+      val (n, mp) = (r.getString(0), r.getString(1))
+      assert(mp == Phonetics.metaphone(n), s"'$n'")
+      assert(mp.forall(c => (c >= 'A' && c <= 'Z') || c == '0' || c == ' '),
+        s"'$n' -> '$mp'")
+    }
+  }
+
   test("metaphone engine expression matches the driver twin, stays codegen") {
     val names = (battery.filter(_ != null) ++ Seq(
       "Acme Power", "Gulf States", "Niagara Mohawk", "exciting machine",
