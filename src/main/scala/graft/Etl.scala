@@ -190,7 +190,10 @@ object Etl {
       enum = Some(Seq("train", "val", "test"))),
     Field("n_tokens", FieldType.Integer, min = Some(0.0)),
     Field("shard", FieldType.Integer, min = Some(0.0)),
-    Field("chunk_id", FieldType.Integer, min = Some(0.0))),
+    Field("chunk_id", FieldType.Integer, min = Some(0.0)),
+    // subword count under the corpus-trained unigram vocab; every word
+    // yields >= 1 piece, so n_pieces >= n_tokens >= 1 for kept docs
+    Field("n_pieces", FieldType.Integer, min = Some(1.0))),
     primaryKey = Seq("doc_id"))
 
   /** The training-corpus capstone: the WHOLE LLM-data pipeline as one
@@ -248,9 +251,16 @@ object Etl {
     val budgets = scored.groupBy(col("lang"))
       .agg((sum(col("n_tokens")) / 2).cast("long").as("__b"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the kept corpus fans out to FIVE consumers below (split input,
+    // packer input, tokenizer word count, per-doc encode, final select);
+    // without a checkpoint each one replays the whole dedup → CC →
+    // decontaminate → quality → mixture lineage (the CheckRunner shared-
+    // input lesson). Column-pruned to exactly what the consumers read.
     val mixed = Sampling.mixtureSelect(scored, "doc_id", "lang",
         "n_tokens", budgets)
       .where(col("selected"))
+      .select("doc_id", "lang", "n_tokens", "text")
+      .localCheckpoint()
 
     // 5 + 6. deterministic split, then packing within the kept corpus
     val split = Sampling.deterministicSplit(
@@ -259,10 +269,46 @@ object Etl {
     val packed = TextAnalysis.packSequences(
       mixed.select("doc_id", "text"), "doc_id", "text",
       budget = 512, nShards = 8)
+
+    // 7. tokenizer-ready accounting (round 13): train the SentencePiece
+    //    unigram vocab ON the kept corpus (the q171 dictionary reduction
+    //    — EM touches only the word dictionary, so this stage is
+    //    corpus-size-independent after one word-count pass) and count
+    //    subword pieces per doc under the trained scores (the q172
+    //    encode, applied once per DICTIONARY word and summed per doc).
+    //    A real training-data pipeline ends exactly here: the packer's
+    //    whitespace budget above is an approximation; n_pieces is the
+    //    number the trained tokenizer will actually emit.
+    import graft.text.Unigram
+    val unk = -23025850930L
+    val words = mixed
+      .select(explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val r1 = Unigram.emRound(words, "word", "cnt",
+      Unigram.seedVocab(words, "word", "cnt", k = 24).localCheckpoint(),
+      4, unk).localCheckpoint()
+    val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
+      .localCheckpoint()
+    val wordPieces = Unigram.viterbiSegment(
+        Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
+      .select(col("word"), size(col("pieces")).cast("long").as("__wp"))
+    val docPieces = mixed
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .join(wordPieces, Seq("word"))
+      .groupBy("doc_id").agg(sum(col("__wp")).as("n_pieces"))
+
     mixed.select("doc_id", "lang", "n_tokens")
       .join(split.select("doc_id", "split"), Seq("doc_id"))
       .join(packed.select("doc_id", "shard", "chunk_id"), Seq("doc_id"))
-      .select("doc_id", "lang", "split", "n_tokens", "shard", "chunk_id")
+      .join(docPieces, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
+        col("shard"), col("chunk_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
   /** Run the corpus chain end-to-end — split-partitioned parquet write +

@@ -97,6 +97,12 @@ class EtlSpec extends SparkSpec {
       .agg(sum("n_tokens").as("kept")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept.nonEmpty && kept.values.forall(_ > 0))
+    // tokenizer accounting (stage 7): every word yields >= 1 subword
+    // piece under the trained unigram vocab, and multi-char pieces make
+    // the total strictly less than the character count
+    val pieceRows = result.select("n_tokens", "n_pieces").collect()
+    assert(pieceRows.forall(r => r.getLong(1) >= r.getLong(0)),
+      "n_pieces must be >= n_tokens (each word >= 1 piece)")
   }
 
   test("capstone golden row counts: manifest matches, any drift fails") {
