@@ -2996,6 +2996,40 @@ object SparkEntry {
         round(col("name_sim"), 6).as("name_sim"))
   }
 
+  // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
+  // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
+  // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
+  // once, then join the per-word piece counts back to the exploded docs
+  // and sum per doc. The dictionary reduction means the corpus is touched
+  // twice (word count + the accounting join) no matter its size; the
+  // trained surface is vocabulary-bounded.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Unigram
+    val unk = -23025850930L
+    val docs = t(s, dir, "documents")
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val seed = Unigram.seedVocab(words, "word", "cnt", k = 24)
+      .localCheckpoint()
+    val r1 = Unigram.emRound(words, "word", "cnt", seed, 4, unk)
+      .localCheckpoint()
+    val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
+      .localCheckpoint()
+    val wp = Unigram.viterbiSegment(
+        Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
+      .select(col("word"), size(col("pieces")).cast("long").as("__wp"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .join(wp, Seq("word"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wp")).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q02(spark, "/root/testdata/sf0.001")
@@ -3176,6 +3210,7 @@ object SparkEntry {
     "q172_unigram_encode" -> (q172 _),
     "q173_unigram_prune" -> (q173 _),
     "q174_metaphone_block" -> (q174 _),
+    "q175_doc_pieces" -> (q175 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7928,6 +7963,171 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |      * 1e9) AS BIGINT) AS score_nano
         |  FROM cnt3)
         |SELECT piece, cnt, score_nano FROM vocab3 ORDER BY piece""".stripMargin,
+    // q175: stage-7 accounting replay — the q172 recursive-CTE encode
+    // oracle extended with the per-doc piece-count join (no new DP
+    // instances; sums CAST to BIGINT so no HUGEINT reaches the hash).
+    "q175_doc_pieces" ->
+      """WITH RECURSIVE wdict AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |sub AS MATERIALIZED (
+        |  SELECT word, j, l,
+        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
+        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
+        |    unnest(generate_series(1, 4)) AS gl(l)),
+        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+        |picked AS (
+        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
+        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM picked),
+        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
+        |cnt1 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab0) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt1),
+        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
+        |cnt2 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab1) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt2),
+        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab2 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp3 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr3
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp3 WHERE i < n)),
+        |wp AS MATERIALIZED (
+        |  SELECT word, CAST(len(p0) AS BIGINT) AS np FROM dp3 WHERE i = n),
+        |docw AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(np) AS BIGINT) AS n_pieces
+        |FROM docw JOIN wp USING (word) WHERE len(word) >= 1
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // Metaphone replay: per-word codes from the single-level VARCHAR-
     // accumulator fold in Phonetics.metaphoneWordSql (the q163 fold
     // discipline — no struct accumulators), computed once over the 24
