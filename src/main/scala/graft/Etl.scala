@@ -360,7 +360,7 @@ object Etl {
   /** The reference's record-linkage pipeline start-to-finish as one
     * lineage (`eia_ferc1_record_linkage.py`): company-name
     * canonicalization (the q163 rule chain) → phonetic blocking (nation +
-    * soundex prefix, the metaphone-prefix blocking rules) → Fellegi–Sunter
+    * metaphone prefix — the reference blocking rule key-for-key) → Fellegi–Sunter
     * training (u from deterministic sampled pairs, m from labeled pairs)
     * → prediction at match probability ≥ 0.9 → best match per right
     * record. Both sides derive from the supplier fixture: the same entity
