@@ -300,4 +300,14 @@ class SchemaChecksSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(7)))       // cramers_v gated
     assert(out.forall(r => r.getDouble(5) == 0.0)) // chi2 trivially 0
   }
+
+  test("CheckRunner.run rejects an empty check list explicitly") {
+    // an empty suite used to surface as reduce's opaque
+    // UnsupportedOperationException after the checkpoint work had run
+    val df = Seq((1, "A")).toDF("id", "flag")
+    val e = intercept[IllegalArgumentException] {
+      CheckRunner.run(df, Seq.empty)
+    }
+    assert(e.getMessage.contains("empty check list"), e.getMessage)
+  }
 }
