@@ -3003,7 +3003,9 @@ object SparkEntry {
   // and sum per doc. The dictionary reduction means the corpus is touched
   // twice (word count + the accounting join) no matter its size; the
   // trained surface is vocabulary-bounded.
-  private def q175(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q175/q176 accounting frame: (doc_id, lang, n_tokens,
+    * n_pieces) under the q171-trained unigram vocab. */
+  private def unigramDocPieces(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Unigram
     val unk = -23025850930L
     val docs = t(s, dir, "documents")
@@ -3027,8 +3029,23 @@ object SparkEntry {
       .join(wp, Seq("word"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(col("__wp")).as("n_pieces"))
-      .orderBy("doc_id")
   }
+
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    unigramDocPieces(s, dir).orderBy("doc_id")
+
+  // Context-window packing by TRAINED-TOKENIZER budget — the production
+  // packer: windows are budgeted in model tokens (q175's n_pieces under
+  // the corpus-trained unigram vocab), not whitespace words (q134's
+  // form). Same declarative shape: one shuffle on the shard key, running
+  // offsets and chunk arithmetic as window expressions.
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.packSequencesBy(
+        unigramDocPieces(s, dir).select(col("doc_id"), col("n_pieces")),
+        "doc_id", col("n_pieces"), budget = 512, nShards = 8)
+      .select(col("doc_id"), col("n_tokens").as("n_pieces"), col("shard"),
+        col("chunk_id"), col("chunk_pos"), col("n_chunks"))
+      .orderBy("doc_id")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -3211,6 +3228,7 @@ object SparkEntry {
     "q173_unigram_prune" -> (q173 _),
     "q174_metaphone_block" -> (q174 _),
     "q175_doc_pieces" -> (q175 _),
+    "q176_pack_by_pieces" -> (q176 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8128,6 +8146,183 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  CAST(sum(np) AS BIGINT) AS n_pieces
         |FROM docw JOIN wp USING (word) WHERE len(word) >= 1
         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // q176: the q175 accounting packed into 512-PIECE context windows
+    // (window-sum replay; every sum/offset CAST to BIGINT so no
+    // HUGEINT reaches the hash).
+    "q176_pack_by_pieces" ->
+      """WITH RECURSIVE wdict AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |sub AS MATERIALIZED (
+        |  SELECT word, j, l,
+        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
+        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
+        |    unnest(generate_series(1, 4)) AS gl(l)),
+        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+        |picked AS (
+        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
+        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM picked),
+        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
+        |cnt1 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab0) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt1),
+        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
+        |cnt2 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab1) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt2),
+        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab2 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp3 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr3
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp3 WHERE i < n)),
+        |wp AS MATERIALIZED (
+        |  SELECT word, CAST(len(p0) AS BIGINT) AS np FROM dp3 WHERE i = n),
+        |docw AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |acct AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces
+        |  FROM docw JOIN wp USING (word) WHERE len(word) >= 1
+        |  GROUP BY doc_id),
+        |off AS (
+        |  SELECT doc_id, n_pieces, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(sum(n_pieces) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        |  FROM acct)
+        |SELECT doc_id, n_pieces, shard,
+        |  CAST(floor((end_off - n_pieces) / 512.0) AS BIGINT) AS chunk_id,
+        |  CAST((end_off - n_pieces) % 512 AS BIGINT) AS chunk_pos,
+        |  CASE WHEN n_pieces = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor((end_off - 1) / 512.0)
+        |      - floor((end_off - n_pieces) / 512.0) + 1 AS BIGINT) END AS n_chunks
+        |FROM off ORDER BY doc_id""".stripMargin,
     // Metaphone replay: per-word codes from the single-level VARCHAR-
     // accumulator fold in Phonetics.metaphoneWordSql (the q163 fold
     // discipline — no struct accumulators), computed once over the 24

@@ -332,10 +332,20 @@ object TextAnalysis {
     * spans (0 for empty documents). Pure window arithmetic — replayable by
     * any SQL engine. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Int, nShards: Int): DataFrame = {
+                    budget: Int, nShards: Int): DataFrame =
+    packSequencesBy(df, idCol,
+      tokenCount(col(textCol)).cast("long"), budget, nShards)
+
+  /** [[packSequences]] generalized to an arbitrary per-row length column —
+    * the production form: context windows are budgeted in MODEL tokens
+    * (the trained tokenizer's output, q175's `n_pieces`), not whitespace
+    * words. Same shape either way: one shuffle on the shard key, the
+    * running offset and chunk arithmetic are pure window expressions. */
+  def packSequencesBy(df: DataFrame, idCol: String, countCol: Column,
+                      budget: Int, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
-    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    df.select(col(idCol), countCol.as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("end_off", sum(col("n_tokens")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))

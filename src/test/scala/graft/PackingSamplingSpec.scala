@@ -48,6 +48,26 @@ class PackingSamplingSpec extends SparkSpec {
     assert(out(2).getAs[Long]("start_off") == 3L)
   }
 
+  test("packSequencesBy: whitespace-count column reproduces packSequences") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "a b c"), (1L, ""), (2L, "x y"), (3L, "one"),
+      (4L, "p q r s t"), (5L, "m n")).toDF("doc_id", "text")
+    val a = graft.text.TextAnalysis
+      .packSequences(docs, "doc_id", "text", budget = 4, nShards = 2)
+      .collect().map(_.toSeq).toSet
+    val b = graft.text.TextAnalysis.packSequencesBy(docs, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 4, nShards = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // a genuinely different count column changes the packing
+    val c = graft.text.TextAnalysis.packSequencesBy(docs, "doc_id",
+        lit(3L), budget = 4, nShards = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    assert(c.values.forall(_ == 3L))
+  }
+
   test("deterministicSplit: stable, exhaustive, respects bucket thresholds") {
     val df = (0L until 500L).toDF("doc_id")
     val s1 = Sampling.deterministicSplit(df, "doc_id",
