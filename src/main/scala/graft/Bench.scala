@@ -127,38 +127,66 @@ object Bench {
       f.delete(); ()
     }
     // capstones report (core = lineage+write, checks = validation) apart,
-    // so a growing check suite never reads as a lineage regression
+    // so a growing check suite never reads as a lineage regression.
+    // Min-of-two, same policy as the query suite: each capstone runs
+    // TWICE (each pass in a fresh temp dir, with SessionHygiene.releaseAll
+    // between, outside any timed window) and the run with the smaller
+    // core+checks total is KEPT WHOLE — core and checks always come from
+    // the same pass, so the split stays internally consistent. The pass-1
+    // raw numbers are returned beside the kept run and recorded as
+    // `*_first_pass_*` keys so round-over-round comparison has a
+    // consistent basis (round 12/13 single-run capstone numbers swung
+    // 2-5× on driver-host contention with zero code change).
     def timeCapstone(label: String)(
-        run: String => (Double, Double, Long)): (Double, Double) = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_$label")
-      try {
-        val (coreSec, checksSec, failed) = run(dir.toString)
-        if (failed > 0)
-          System.err.println(s"[bench] $label: $failed FAILED checks")
-        (coreSec, checksSec)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $label failed: ${e.getMessage}")
-        (-1.0, 0.0)
-      } finally {
-        graft.util.SessionHygiene.releaseAll(spark)
-        rm(dir.toFile)
+        run: String => (Double, Double, Long)): (Double, Double, Double, Double) = {
+      def once(): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_$label")
+        try {
+          val (coreSec, checksSec, failed) = run(dir.toString)
+          if (failed > 0)
+            System.err.println(s"[bench] $label: $failed FAILED checks")
+          (coreSec, checksSec)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          (-1.0, 0.0)
+        } finally {
+          graft.util.SessionHygiene.releaseAll(spark)
+          rm(dir.toFile)
+        }
       }
+      val (c1, k1) = once()
+      val (c2, k2) = once()
+      // a failed pass (core = -1) never wins over a successful one
+      val keepFirst =
+        if (c2 < 0) true
+        else if (c1 < 0) false
+        else (c1 + k1) <= (c2 + k2)
+      val (c, k) = if (keepFirst) (c1, k1) else (c2, k2)
+      (c, k, c1, k1)
     }
-    val (capstoneCore, capstoneChecks) = if (only.nonEmpty) (-1.0, 0.0)
+    val (capstoneCore, capstoneChecks, capstoneFpCore, capstoneFpChecks) =
+      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("etl_capstone")(Etl.capstone(spark, sfDir, _))
     val capstoneSec =
       if (capstoneCore < 0) -1.0 else capstoneCore + capstoneChecks
+    val capstoneFpSec =
+      if (capstoneFpCore < 0) -1.0 else capstoneFpCore + capstoneFpChecks
     // the training-data pipeline twin: dedup → decontaminate → quality →
     // mixture → split → pack, one lineage, timed with write + checks
-    val (corpusCore, corpusChecks) = if (only.nonEmpty) (-1.0, 0.0)
+    val (corpusCore, corpusChecks, corpusFpCore, corpusFpChecks) =
+      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("corpus_capstone")(Etl.corpusCapstone(spark, sfDir, _))
     val corpusSec = if (corpusCore < 0) -1.0 else corpusCore + corpusChecks
+    val corpusFpSec =
+      if (corpusFpCore < 0) -1.0 else corpusFpCore + corpusFpChecks
     // the record-linkage twin: name canon -> phonetic blocking -> FS
     // train -> predict -> best match, one lineage, write + checks
-    val (linkCore, linkChecks) = if (only.nonEmpty) (-1.0, 0.0)
+    val (linkCore, linkChecks, linkFpCore, linkFpChecks) =
+      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("linkage_capstone")(
         Etl.linkageCapstone(spark, sfDir, _))
     val linkSec = if (linkCore < 0) -1.0 else linkCore + linkChecks
+    val linkFpSec = if (linkFpCore < 0) -1.0 else linkFpCore + linkFpChecks
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -168,7 +196,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -180,12 +208,15 @@ object Bench {
         ("\"etl_capstone\":" + jnum(capstoneSec)) :+
         ("\"etl_capstone_core\":" + jnum(capstoneCore)) :+
         ("\"etl_capstone_checks\":" + jnum(capstoneChecks)) :+
+        ("\"etl_capstone_first_pass\":" + jnum(capstoneFpSec)) :+
         ("\"corpus_capstone\":" + jnum(corpusSec)) :+
         ("\"corpus_capstone_core\":" + jnum(corpusCore)) :+
         ("\"corpus_capstone_checks\":" + jnum(corpusChecks)) :+
+        ("\"corpus_capstone_first_pass\":" + jnum(corpusFpSec)) :+
         ("\"linkage_capstone\":" + jnum(linkSec)) :+
         ("\"linkage_capstone_core\":" + jnum(linkCore)) :+
-        ("\"linkage_capstone_checks\":" + jnum(linkChecks)))
+        ("\"linkage_capstone_checks\":" + jnum(linkChecks)) :+
+        ("\"linkage_capstone_first_pass\":" + jnum(linkFpSec)))
       .mkString("{", ",", "}")
     // The one parseable line, printed LAST so it lands inside the tail.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

@@ -305,10 +305,16 @@ object Etl {
     mixed.select("doc_id", "lang", "n_tokens")
       .join(split.select("doc_id", "split"), Seq("doc_id"))
       .join(packed.select("doc_id", "shard", "chunk_id"), Seq("doc_id"))
-      .join(docPieces, Seq("doc_id"), "left")
+      // inner join: the quality floor (qualityScore >= 0.05 forces
+      // tokenCount >= 5) guarantees every kept doc has >= 1 whitespace
+      // word, so every doc_id has dictionary-word rows and n_pieces >= 1
+      // — matching the schema's declared min. A left join + coalesce(0)
+      // here would contradict that invariant (write a 0 the CheckRunner
+      // min=1 rule then rejects) while hiding the violation as a
+      // run-time check failure instead of a missing row.
+      .join(docPieces, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
-        col("shard"), col("chunk_id"),
-        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+        col("shard"), col("chunk_id"), col("n_pieces"))
   }
 
   /** Run the corpus chain end-to-end — split-partitioned parquet write +
@@ -441,10 +447,20 @@ object Etl {
     // True-pair recall does not depend on the phonetic key at all: each
     // pair's canon names are EQUAL (same metaphone) and ruleB's identity
     // token blocks them independently.
-    val ruleA = a.join(b,
-      col("l_nkey") === col("r_nkey") &&
-      substring(graft.plans.Metaphone(col("l_canon")), 1, 3) ===
-        substring(graft.plans.Metaphone(col("r_canon")), 1, 3))
+    // skew guard (round 14): the phonetic block key is degenerate-prone
+    // at corpus scale — a very common name prefix puts L·R pairs in ONE
+    // shuffle group (AQE splits skewed partitions, not a single giant
+    // key). saltBySize spreads any block with > maxBlock left rows over
+    // ceil(L/maxBlock) salts with the right side replicated per salt —
+    // pair-for-pair identical output (golden row counts unaffected), so
+    // it ships ON here; at fixture scale no block exceeds the cap and
+    // the guard costs one map-side count + an empty broadcast.
+    val ruleA = graft.linkage.Linkage.skewGuardedJoin(a, b,
+      Seq(col("l_nkey"),
+        substring(graft.plans.Metaphone(col("l_canon")), 1, 3)),
+      Seq(col("r_nkey"),
+        substring(graft.plans.Metaphone(col("r_canon")), 1, 3)),
+      maxBlock = 100000)
     val ruleB = a.join(b,
       regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0) ===
         regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))

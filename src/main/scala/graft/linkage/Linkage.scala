@@ -48,14 +48,75 @@ object Linkage {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** Skew guard for blocked pair joins: salt oversized blocks into
+    * sub-blocks so no single shuffle group holds more than `maxBlock`
+    * left rows. SEMANTICS-PRESERVING — the classic manual skew-join
+    * split, NOT a recall-lossy cap: a hot block of L left rows gets
+    * ceil(L/maxBlock) salts, each left row lands in exactly one salt
+    * (deterministic hash of the whole left row) and each right row is
+    * replicated to every salt of its block, so the joined pair set is
+    * bit-identical to the unguarded equi-join while the degenerate key
+    * (a very common name prefix at 100 TB) is spread across
+    * ceil(L/maxBlock) tasks instead of one quadratic hot partition.
+    * AQE's OptimizeSkewedJoin cannot do this — it splits skewed
+    * *partitions*, and a single giant key stays in one task.
+    *
+    * Scale: one extra map-side-combinable count over the left side; the
+    * oversized-key frame is broadcast and small by construction (each
+    * key holds > maxBlock rows, so there are at most N/maxBlock of
+    * them). Returns (saltedLeft, saltedRight, joinKeyNames); callers
+    * join on the returned names and drop them. Left/right must have
+    * disjoint non-key column names. */
+  def saltBySize(left: DataFrame, right: DataFrame,
+                 leftKeys: Seq[Column], rightKeys: Seq[Column],
+                 maxBlock: Int): (DataFrame, DataFrame, Seq[String]) = {
+    require(maxBlock >= 1, "maxBlock must be >= 1")
+    require(leftKeys.size == rightKeys.size, "key lists must align")
+    val names = leftKeys.indices.map(i => s"__bk$i")
+    val l = left.select(
+      left.columns.map(col) ++ leftKeys.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val r = right.select(
+      right.columns.map(col) ++ rightKeys.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val hot = l.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBlock)
+      .select(names.map(col) :+
+        ceil(col("__bn") / lit(maxBlock.toDouble)).cast("int").as("__nsalt"): _*)
+    val saltedL = l.join(broadcast(hot), names, "left")
+      .withColumn("__salt",
+        when(col("__nsalt").isNull, lit(0)).otherwise(
+          pmod(xxhash64(left.columns.map(col): _*),
+            col("__nsalt").cast("long")).cast("int")))
+      .drop("__nsalt")
+    val saltedR = r.join(broadcast(hot), names, "left")
+      .withColumn("__salt", explode(
+        sequence(lit(0), coalesce(col("__nsalt"), lit(1)) - 1)))
+      .drop("__nsalt")
+    (saltedL, saltedR, names :+ "__salt")
+  }
+
+  /** Equi-join `left` and `right` on aligned key expressions with the
+    * [[saltBySize]] skew guard; output carries all left + right columns
+    * (internal key/salt columns dropped). Pair-for-pair identical to
+    * `left.join(right, leftKeys zip rightKeys map (l === r) reduce (&&))`. */
+  def skewGuardedJoin(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[Column], rightKeys: Seq[Column],
+                      maxBlock: Int): DataFrame = {
+    val (l, r, names) = saltBySize(left, right, leftKeys, rightKeys, maxBlock)
+    l.join(r, names).drop(names: _*)
+  }
+
   /** Blocked fuzzy join: equi-join on `blockKeys`, keep pairs with
     * levenshtein(leftText, rightText) <= maxDist. Reference:
     * StringSimilarityScorer over blocked candidates
-    * (`/root/reference/src/pudl/analysis/record_linkage/embed_dataframe.py:356-500`). */
+    * (`/root/reference/src/pudl/analysis/record_linkage/embed_dataframe.py:356-500`).
+    * `maxBlock > 0` turns on the [[saltBySize]] skew guard (identical
+    * results, bounded shuffle groups); 0 = plain equi-join (default —
+    * the oracle lanes keep the unguarded plan their PlanSpec pins). */
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame, blockKeys: Seq[String],
                        leftText: String, rightText: String,
-                       maxDist: Int): DataFrame =
-    left.join(right, blockKeys)
+                       maxDist: Int, maxBlock: Int = 0): DataFrame =
+    blockedPairs(left, right, blockKeys, maxBlock)
       .withColumn("name_dist", levenshtein(col(leftText), col(rightText)))
       .where(col("name_dist") <= maxDist)
 
@@ -65,14 +126,34 @@ object Linkage {
     * equi-join on `blockKeys`, keep pairs with similarity >= `minSim`. The
     * native [[graft.plans.JaroWinkler]] expression matches DuckDB's
     * `jaro_winkler_similarity` bit-for-bit, so the operator is
-    * SQL-oracle-replayable. */
+    * SQL-oracle-replayable. `maxBlock` as in [[blockedFuzzyJoin]]. */
   def blockedFuzzyJoinJw(left: DataFrame, right: DataFrame,
                          blockKeys: Seq[String], leftText: String,
-                         rightText: String, minSim: Double): DataFrame =
-    left.join(right, blockKeys)
+                         rightText: String, minSim: Double,
+                         maxBlock: Int = 0): DataFrame =
+    blockedPairs(left, right, blockKeys, maxBlock)
       .withColumn("name_sim",
         graft.plans.JaroWinkler(col(leftText), col(rightText)))
       .where(col("name_sim") >= minSim)
+
+  /** USING-join on shared `blockKeys` column names, optionally skew-
+    * guarded; output schema matches `left.join(right, blockKeys)`
+    * (one copy of each key column). */
+  private def blockedPairs(left: DataFrame, right: DataFrame,
+                           blockKeys: Seq[String], maxBlock: Int): DataFrame =
+    if (maxBlock <= 0) left.join(right, blockKeys)
+    else {
+      // rename right's key columns first so the guarded join never holds
+      // two attributes with the same name; drop the copies afterwards —
+      // same columns as `left.join(right, blockKeys)` (one key copy)
+      val rkNames = blockKeys.map(k => s"__rk_$k")
+      val renamed = blockKeys.zip(rkNames).foldLeft(right) {
+        case (d, (k, rk)) => d.withColumnRenamed(k, rk)
+      }
+      skewGuardedJoin(left, renamed,
+          blockKeys.map(col), rkNames.map(col), maxBlock)
+        .drop(rkNames: _*)
+    }
 
   /** Logistic match score over fixed-weight features — the shape of the
     * reference's pair-match model
