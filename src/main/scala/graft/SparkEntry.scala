@@ -2996,6 +2996,48 @@ object SparkEntry {
         round(col("name_sim"), 6).as("name_sim"))
   }
 
+  // Multi-rule blocking union — splink's
+  // `blocking_rules_to_generate_predictions` candidate shape, which the
+  // reference configures with TEN OR-ed rules
+  // (`/root/reference/src/pudl/analysis/record_linkage/eia_ferc1_model_config.py:12-33`):
+  // every rule is report_year + some attribute conjunction + a metaphone
+  // prefix of varying length. q177 replays two rules of exactly those
+  // shapes on the q165/q174 name fixture — rule 0 = (nation, metaphone
+  // 3-prefix) [blocking_rule_1], rule 1 = (nation, fuel-type twin,
+  // metaphone 2-prefix) [blocking_rule_4] — through Linkage.unionBlocks:
+  // pairs matched by several rules appear ONCE with match_key = first
+  // matching rule and n_rules = how many matched (the cross-rule dedup
+  // the reference gets from splink's sequential AND-NOT SQL).
+  private val q177Fuels = Seq("coal", "gas", "wind", "solar", "hydro")
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    def named(df: DataFrame, key: String, nkey: String, names: Seq[String],
+              keyOut: String, nkeyOut: String, nameOut: String, pfx: String) =
+      df.select(col(key).as(keyOut), col(nkey).as(nkeyOut),
+          element_at(array(names.map(lit): _*),
+            (pmod(col(key), lit(names.size)) + 1).cast("int")).as(nameOut))
+        .withColumn(s"${pfx}_ftc",
+          element_at(array(q177Fuels.map(lit): _*),
+            (pmod(col(keyOut), lit(q177Fuels.size)) + 1).cast("int")))
+        .withColumn(s"${pfx}_mph", graft.plans.Metaphone(col(nameOut)))
+        .withColumn(s"${pfx}_mp3", substring(col(s"${pfx}_mph"), 1, 3))
+        .withColumn(s"${pfx}_mp2", substring(col(s"${pfx}_mph"), 1, 2))
+    val c = named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+      q165CustNames, "c_custkey", "c_nkey", "c_name2", "c")
+    val sup = named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+      q165SuppNames, "s_suppkey", "s_nkey", "s_name2", "s")
+    graft.linkage.Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
+        Seq(
+          (Seq(col("c_nkey"), col("c_mp3")),
+           Seq(col("s_nkey"), col("s_mp3"))),
+          (Seq(col("c_nkey"), col("c_ftc"), col("c_mp2")),
+           Seq(col("s_nkey"), col("s_ftc"), col("s_mp2")))))
+      .withColumn("name_sim",
+        graft.plans.JaroWinkler(col("c_name2"), col("s_name2")))
+      .where(col("name_sim") >= 0.5)
+      .select(col("c_custkey"), col("s_suppkey"), col("match_key"),
+        col("n_rules"), round(col("name_sim"), 6).as("name_sim"))
+  }
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3229,6 +3271,7 @@ object SparkEntry {
     "q174_metaphone_block" -> (q174 _),
     "q175_doc_pieces" -> (q175 _),
     "q176_pack_by_pieces" -> (q176 _),
+    "q177_union_blocks" -> (q177 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8367,6 +8410,58 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
         |        ORDER BY sim DESC, s_suppkey ASC) AS rk FROM cand)
         |WHERE rk = 1""".stripMargin
+    },
+    "q177_union_blocks" -> {
+      import graft.functions.Phonetics
+      val cn = q165CustNames.map(s => "'" + s + "'").mkString(", ")
+      val sn = q165SuppNames.map(s => "'" + s + "'").mkString(", ")
+      val fu = q177Fuels.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS c_nkey,
+        |    ([$cn])[CAST(c_custkey % 12 AS INT) + 1] AS c_name2,
+        |    ([$fu])[CAST(c_custkey % 5 AS INT) + 1] AS c_ftc
+        |  FROM customer),
+        |sup AS (
+        |  SELECT s_suppkey, s_nationkey AS s_nkey,
+        |    ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] AS s_name2,
+        |    ([$fu])[CAST(s_suppkey % 5 AS INT) + 1] AS s_ftc
+        |  FROM supplier),
+        |nm AS (
+        |  SELECT DISTINCT c_name2 AS name FROM c
+        |  UNION SELECT DISTINCT s_name2 FROM sup),
+        |wrd AS (
+        |  SELECT name, g.wi,
+        |    lower(string_split_regex(name, '[^A-Za-z]+')[wi]) AS w
+        |  FROM nm, unnest(generate_series(1,
+        |    len(string_split_regex(name, '[^A-Za-z]+')))) AS g(wi)),
+        |wcode AS (
+        |  SELECT name, wi, ${Phonetics.metaphoneWordSql("w")} AS code
+        |  FROM wrd WHERE w <> ''),
+        |mcode AS (SELECT name, string_agg(code, ' ' ORDER BY wi) AS mph
+        |  FROM wcode GROUP BY name),
+        |cb AS (SELECT c.*, substr(m.mph, 1, 3) AS c_mp3,
+        |    substr(m.mph, 1, 2) AS c_mp2
+        |  FROM c JOIN mcode m ON m.name = c.c_name2),
+        |sb AS (SELECT sup.*, substr(m.mph, 1, 3) AS s_mp3,
+        |    substr(m.mph, 1, 2) AS s_mp2
+        |  FROM sup JOIN mcode m ON m.name = sup.s_name2),
+        |u AS (
+        |  SELECT c_custkey, s_suppkey, c_name2, s_name2, 0 AS match_key
+        |  FROM cb JOIN sb ON cb.c_nkey = sb.s_nkey AND cb.c_mp3 = sb.s_mp3
+        |  UNION ALL
+        |  SELECT c_custkey, s_suppkey, c_name2, s_name2, 1
+        |  FROM cb JOIN sb ON cb.c_nkey = sb.s_nkey
+        |    AND cb.c_ftc = sb.s_ftc AND cb.c_mp2 = sb.s_mp2),
+        |dedup AS (
+        |  SELECT c_custkey, s_suppkey, c_name2, s_name2, match_key,
+        |    count(*) OVER (PARTITION BY c_custkey, s_suppkey) AS n_rules,
+        |    row_number() OVER (PARTITION BY c_custkey, s_suppkey
+        |      ORDER BY match_key) AS rn
+        |  FROM u)
+        |SELECT c_custkey, s_suppkey, match_key, n_rules,
+        |  round(jaro_winkler_similarity(c_name2, s_name2), 6) AS name_sim
+        |FROM dedup
+        |WHERE rn = 1 AND jaro_winkler_similarity(c_name2, s_name2) >= 0.5""".stripMargin
     },
   )
 }

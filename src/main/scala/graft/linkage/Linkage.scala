@@ -106,6 +106,43 @@ object Linkage {
     l.join(r, names).drop(names: _*)
   }
 
+  /** Multi-rule candidate generation — splink's
+    * `blocking_rules_to_generate_predictions` union semantics, the
+    * reference's actual candidate shape (it ORs 10 blocking rules,
+    * eia_ferc1_model_config.py:12-33, consumed at
+    * eia_ferc1_record_linkage.py:137-180): each rule is a conjunction of
+    * aligned equi-key expressions; a pair matched by several rules is
+    * kept ONCE, labeled `match_key` = the index of the FIRST rule that
+    * matched (splink emits the same via sequential `AND NOT
+    * previous-rule` SQL; union + min-rule dedup is the equivalent
+    * declarative form) and `n_rules` = how many rules generated it.
+    *
+    * Scale: K blocked equi-joins (never all-pairs) + ONE shuffle on the
+    * (leftId, rightId) pair key for the cross-rule dedup window. Pass
+    * `maxBlock > 0` to route every rule's join through the
+    * [[saltBySize]] skew guard. Left/right must have disjoint column
+    * names (including the id columns). */
+  def unionBlocks(left: DataFrame, right: DataFrame,
+                  leftId: String, rightId: String,
+                  rules: Seq[(Seq[Column], Seq[Column])],
+                  maxBlock: Int = 0): DataFrame = {
+    require(rules.nonEmpty, "need at least one blocking rule")
+    val perRule = rules.zipWithIndex.map { case ((lk, rk), i) =>
+      val j =
+        if (maxBlock > 0) skewGuardedJoin(left, right, lk, rk, maxBlock)
+        else left.join(right,
+          lk.zip(rk).map { case (a, b) => a === b }.reduce(_ && _))
+      j.withColumn("match_key", lit(i))
+    }
+    val pair = Window.partitionBy(col(leftId), col(rightId))
+    perRule.reduce(_.unionByName(_))
+      .withColumn("n_rules", count(lit(1)).over(pair))
+      .withColumn("__rn",
+        row_number().over(pair.orderBy(col("match_key"))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Blocked fuzzy join: equi-join on `blockKeys`, keep pairs with
     * levenshtein(leftText, rightText) <= maxDist. Reference:
     * StringSimilarityScorer over blocked candidates

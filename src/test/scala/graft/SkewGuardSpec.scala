@@ -106,6 +106,59 @@ class SkewGuardSpec extends SparkSpec {
     assert(plain.exceptAll(guarded).count() === 0)
   }
 
+  // ---- unionBlocks: splink's blocking_rules_to_generate_predictions ----
+  // (reference eia_ferc1_model_config.py:12-33 ORs 10 rules; splink keeps
+  // each pair once, labeled with the first rule that matched)
+
+  private def ubLeft = Seq(
+    (1L, 10, "aa", "x"), (2L, 10, "aa", "y"), (3L, 20, "bb", "x"),
+    (4L, 20, "cc", "z")).toDF("l_id", "l_nat", "l_blk", "l_ftc")
+  private def ubRight = Seq(
+    (100L, 10, "aa", "x"), (101L, 10, "aa", "q"), (102L, 20, "bb", "z"),
+    (103L, 30, "cc", "z")).toDF("r_id", "r_nat", "r_blk", "r_ftc")
+
+  test("unionBlocks dedups cross-rule pairs: first rule wins match_key") {
+    // rule 0: (nat, blk); rule 1: (nat, ftc)
+    val out = Linkage.unionBlocks(ubLeft, ubRight, "l_id", "r_id", Seq(
+      (Seq(col("l_nat"), col("l_blk")), Seq(col("r_nat"), col("r_blk"))),
+      (Seq(col("l_nat"), col("l_ftc")), Seq(col("r_nat"), col("r_ftc")))))
+      .select("l_id", "r_id", "match_key", "n_rules")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3))).toSet
+    // (1,100): both rules -> once, match_key 0, n_rules 2
+    // (1,101)/(2,100)/(2,101): rule 0 only; (3,102): rule 0 only
+    // (4,102): rule 1 only (nat 20, ftc z) -> match_key 1
+    assert(out === Set(
+      (1L, 100L, 0, 2L), (1L, 101L, 0, 1L), (2L, 100L, 0, 1L),
+      (2L, 101L, 0, 1L), (3L, 102L, 0, 1L), (4L, 102L, 1, 1L)))
+  }
+
+  test("unionBlocks equals the distinct OR-join pair set") {
+    val rules = Seq(
+      (Seq(col("l_nat"), col("l_blk")), Seq(col("r_nat"), col("r_blk"))),
+      (Seq(col("l_nat"), col("l_ftc")), Seq(col("r_nat"), col("r_ftc"))))
+    val or = ubLeft.join(ubRight,
+        (col("l_nat") === col("r_nat") && col("l_blk") === col("r_blk")) ||
+        (col("l_nat") === col("r_nat") && col("l_ftc") === col("r_ftc")))
+      .select("l_id", "r_id").distinct()
+    val ub = Linkage.unionBlocks(ubLeft, ubRight, "l_id", "r_id", rules)
+      .select("l_id", "r_id")
+    assert(ub.count() === or.count())
+    assert(ub.exceptAll(or).count() === 0)
+  }
+
+  test("unionBlocks with the skew guard on matches guard off") {
+    val rules = Seq(
+      (Seq(col("l_nat"), col("l_blk")), Seq(col("r_nat"), col("r_blk"))),
+      (Seq(col("l_nat"), col("l_ftc")), Seq(col("r_nat"), col("r_ftc"))))
+    val off = Linkage.unionBlocks(ubLeft, ubRight, "l_id", "r_id", rules)
+      .select("l_id", "r_id", "match_key", "n_rules")
+    val on = Linkage.unionBlocks(ubLeft, ubRight, "l_id", "r_id", rules,
+        maxBlock = 1)
+      .select("l_id", "r_id", "match_key", "n_rules")
+    assert(on.collect().toSet === off.collect().toSet)
+  }
+
   test("null block keys drop from the guarded join like the plain join") {
     val left = Seq((1L, Some("aaa")), (2L, None), (3L, Some("bbb")))
       .toDF("l_id", "blk")
