@@ -54,8 +54,15 @@ object Bench {
     // Catalyst prune the projections we're trying to measure).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_CAPSTONES=only: skip the query suite and time ONLY the
+    // three capstones (min-of-two) — the lane for one-off scale runs
+    // (e.g. capstones at sf1, SCALE.md round-14) where 176 queries of
+    // suite time would dwarf the measurement of interest.
+    val capsOnly = sys.env.get("SPARK_GRAFT_CAPSTONES").contains("only")
+    val selected =
+      if (capsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     var queriesSinceGc = 0
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

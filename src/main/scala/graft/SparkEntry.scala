@@ -3010,6 +3010,21 @@ object SparkEntry {
   // the reference gets from splink's sequential AND-NOT SQL).
   private val q177Fuels = Seq("coal", "gas", "wind", "solar", "hydro")
   private def q177(s: SparkSession, dir: String): DataFrame = {
+    val (c, sup) = q177Sides(s, dir)
+    graft.linkage.Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
+        q177Rules)
+      .withColumn("name_sim",
+        graft.plans.JaroWinkler(col("c_name2"), col("s_name2")))
+      .where(col("name_sim") >= 0.5)
+      .select(col("c_custkey"), col("s_suppkey"), col("match_key"),
+        col("n_rules"), round(col("name_sim"), 6).as("name_sim"))
+  }
+  private def q177Rules: Seq[(Seq[Column], Seq[Column])] = Seq(
+    (Seq(col("c_nkey"), col("c_mp3")),
+     Seq(col("s_nkey"), col("s_mp3"))),
+    (Seq(col("c_nkey"), col("c_ftc"), col("c_mp2")),
+     Seq(col("s_nkey"), col("s_ftc"), col("s_mp2"))))
+  private def q177Sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     def named(df: DataFrame, key: String, nkey: String, names: Seq[String],
               keyOut: String, nkeyOut: String, nameOut: String, pfx: String) =
       df.select(col(key).as(keyOut), col(nkey).as(nkeyOut),
@@ -3021,21 +3036,20 @@ object SparkEntry {
         .withColumn(s"${pfx}_mph", graft.plans.Metaphone(col(nameOut)))
         .withColumn(s"${pfx}_mp3", substring(col(s"${pfx}_mph"), 1, 3))
         .withColumn(s"${pfx}_mp2", substring(col(s"${pfx}_mph"), 1, 2))
-    val c = named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
-      q165CustNames, "c_custkey", "c_nkey", "c_name2", "c")
-    val sup = named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
-      q165SuppNames, "s_suppkey", "s_nkey", "s_name2", "s")
-    graft.linkage.Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
-        Seq(
-          (Seq(col("c_nkey"), col("c_mp3")),
-           Seq(col("s_nkey"), col("s_mp3"))),
-          (Seq(col("c_nkey"), col("c_ftc"), col("c_mp2")),
-           Seq(col("s_nkey"), col("s_ftc"), col("s_mp2")))))
-      .withColumn("name_sim",
-        graft.plans.JaroWinkler(col("c_name2"), col("s_name2")))
-      .where(col("name_sim") >= 0.5)
-      .select(col("c_custkey"), col("s_suppkey"), col("match_key"),
-        col("n_rules"), round(col("name_sim"), 6).as("name_sim"))
+    (named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+       q165CustNames, "c_custkey", "c_nkey", "c_name2", "c"),
+     named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+       q165SuppNames, "s_suppkey", "s_nkey", "s_name2", "s"))
+  }
+
+  // Blocking-rule pre-flight — splink's count_comparisons analysis over
+  // the q177 rule set: per-rule candidate-pair volume from per-block
+  // cardinalities (sum of nL*nR), computed WITHOUT materializing pairs —
+  // the 100 TB budget check that picks the rule set and calibrates the
+  // skew guard's maxBlock. Output: one row per rule.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val (c, sup) = q177Sides(s, dir)
+    graft.linkage.Linkage.blockProfile(c, sup, q177Rules)
   }
 
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
@@ -3272,6 +3286,7 @@ object SparkEntry {
     "q175_doc_pieces" -> (q175 _),
     "q176_pack_by_pieces" -> (q176 _),
     "q177_union_blocks" -> (q177 _),
+    "q178_block_profile" -> (q178 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8462,6 +8477,63 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  round(jaro_winkler_similarity(c_name2, s_name2), 6) AS name_sim
         |FROM dedup
         |WHERE rn = 1 AND jaro_winkler_similarity(c_name2, s_name2) >= 0.5""".stripMargin
+    },
+    "q178_block_profile" -> {
+      import graft.functions.Phonetics
+      val cn = q165CustNames.map(s => "'" + s + "'").mkString(", ")
+      val sn = q165SuppNames.map(s => "'" + s + "'").mkString(", ")
+      val fu = q177Fuels.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS c_nkey,
+        |    ([$cn])[CAST(c_custkey % 12 AS INT) + 1] AS c_name2,
+        |    ([$fu])[CAST(c_custkey % 5 AS INT) + 1] AS c_ftc
+        |  FROM customer),
+        |sup AS (
+        |  SELECT s_suppkey, s_nationkey AS s_nkey,
+        |    ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] AS s_name2,
+        |    ([$fu])[CAST(s_suppkey % 5 AS INT) + 1] AS s_ftc
+        |  FROM supplier),
+        |nm AS (
+        |  SELECT DISTINCT c_name2 AS name FROM c
+        |  UNION SELECT DISTINCT s_name2 FROM sup),
+        |wrd AS (
+        |  SELECT name, g.wi,
+        |    lower(string_split_regex(name, '[^A-Za-z]+')[wi]) AS w
+        |  FROM nm, unnest(generate_series(1,
+        |    len(string_split_regex(name, '[^A-Za-z]+')))) AS g(wi)),
+        |wcode AS (
+        |  SELECT name, wi, ${Phonetics.metaphoneWordSql("w")} AS code
+        |  FROM wrd WHERE w <> ''),
+        |mcode AS (SELECT name, string_agg(code, ' ' ORDER BY wi) AS mph
+        |  FROM wcode GROUP BY name),
+        |cb AS (SELECT c.*, substr(m.mph, 1, 3) AS c_mp3,
+        |    substr(m.mph, 1, 2) AS c_mp2
+        |  FROM c JOIN mcode m ON m.name = c.c_name2),
+        |sb AS (SELECT sup.*, substr(m.mph, 1, 3) AS s_mp3,
+        |    substr(m.mph, 1, 2) AS s_mp2
+        |  FROM sup JOIN mcode m ON m.name = sup.s_name2),
+        |r0 AS (
+        |  SELECT count(*) AS n_blocks,
+        |    CAST(sum(nl * nr) AS BIGINT) AS n_pairs,
+        |    max(nl * nr) AS max_block_pairs
+        |  FROM (SELECT c_nkey, c_mp3, count(*) AS nl FROM cb GROUP BY 1, 2) L
+        |  JOIN (SELECT s_nkey, s_mp3, count(*) AS nr FROM sb GROUP BY 1, 2) R
+        |    ON L.c_nkey = R.s_nkey AND L.c_mp3 = R.s_mp3),
+        |r1 AS (
+        |  SELECT count(*) AS n_blocks,
+        |    CAST(sum(nl * nr) AS BIGINT) AS n_pairs,
+        |    max(nl * nr) AS max_block_pairs
+        |  FROM (SELECT c_nkey, c_ftc, c_mp2, count(*) AS nl
+        |        FROM cb GROUP BY 1, 2, 3) L
+        |  JOIN (SELECT s_nkey, s_ftc, s_mp2, count(*) AS nr
+        |        FROM sb GROUP BY 1, 2, 3) R
+        |    ON L.c_nkey = R.s_nkey AND L.c_ftc = R.s_ftc
+        |      AND L.c_mp2 = R.s_mp2)
+        |SELECT CAST(0 AS INT) AS match_key, n_blocks, n_pairs,
+        |  max_block_pairs FROM r0
+        |UNION ALL
+        |SELECT CAST(1 AS INT), n_blocks, n_pairs, max_block_pairs
+        |FROM r1""".stripMargin
     },
   )
 }

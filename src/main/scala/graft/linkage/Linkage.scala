@@ -143,6 +143,36 @@ object Linkage {
       .drop("__rn")
   }
 
+  /** Blocking-rule pre-flight — splink's
+    * `count_comparisons_from_blocking_rule` analysis (the tool used to
+    * budget the reference's 10 prediction rules before running them):
+    * for each rule, the candidate-pair volume computed from per-block
+    * cardinalities — sum over blocks of nL·nR — WITHOUT materializing a
+    * single pair. At 100 TB this is how a rule set is chosen and how
+    * [[saltBySize]]'s maxBlock is calibrated: two map-side-combinable
+    * counts + one (small) key-cardinality join per rule, never the
+    * quadratic pair frame itself. Returns one row per rule:
+    * (match_key, n_blocks, n_pairs, max_block_pairs). */
+  def blockProfile(left: DataFrame, right: DataFrame,
+                   rules: Seq[(Seq[Column], Seq[Column])]): DataFrame = {
+    require(rules.nonEmpty, "need at least one blocking rule")
+    rules.zipWithIndex.map { case ((lk, rk), i) =>
+      val names = lk.indices.map(j => s"__bk$j")
+      val lc = left
+        .groupBy(lk.zip(names).map { case (c, n) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("__nl"))
+      val rc = right
+        .groupBy(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("__nr"))
+      lc.join(rc, names.toSeq)
+        .select((col("__nl") * col("__nr")).as("__bp"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("__bp")).as("n_pairs"),
+          max(col("__bp")).as("max_block_pairs"))
+        .select(lit(i).as("match_key"), col("n_blocks"),
+          col("n_pairs"), col("max_block_pairs"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Blocked fuzzy join: equi-join on `blockKeys`, keep pairs with
     * levenshtein(leftText, rightText) <= maxDist. Reference:
     * StringSimilarityScorer over blocked candidates

@@ -159,6 +159,25 @@ class SkewGuardSpec extends SparkSpec {
     assert(on.collect().toSet === off.collect().toSet)
   }
 
+  test("blockProfile counts candidate pairs without materializing them") {
+    val rules = Seq(
+      (Seq(col("l_nat"), col("l_blk")), Seq(col("r_nat"), col("r_blk"))),
+      (Seq(col("l_nat"), col("l_ftc")), Seq(col("r_nat"), col("r_ftc"))))
+    val prof = Linkage.blockProfile(ubLeft, ubRight, rules)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // rule 0: blocks (10,aa) 2x2=4 and (20,bb) 1x1=1 -> 2 blocks, 5 pairs
+    // rule 1: blocks (10,x) 1 and (20,z) 1 -> 2 blocks, 2 pairs
+    assert(prof === Set((0, 2L, 5L, 4L), (1, 2L, 2L, 1L)))
+    // cross-check against the materialized per-rule joins
+    rules.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val actual = ubLeft.join(ubRight,
+        lk.zip(rk).map { case (a, b) => a === b }.reduce(_ && _)).count()
+      val claimed = prof.find(_._1 == i).get._3
+      assert(claimed === actual, s"rule $i")
+    }
+  }
+
   test("null block keys drop from the guarded join like the plain join") {
     val left = Seq((1L, Some("aaa")), (2L, None), (3L, Some("bbb")))
       .toDF("l_id", "blk")
