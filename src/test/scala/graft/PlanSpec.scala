@@ -335,6 +335,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q177 union blocks: per-rule equi-joins + ONE pair-dedup exchange, no cross") {
+    // splink's multi-rule candidate union: each rule must stay a blocked
+    // equi-join (broadcast at fixture scale), and the cross-rule dedup
+    // is a single hash exchange on the (l, r) pair key — rules' unioned
+    // frames flow into one window, not K dedup shuffles
+    val p = plan("q177_union_blocks")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("metaphone"), p)
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q178 block profile: counts only — no join wider than key cardinalities") {
+    // the pre-flight must never materialize pairs: per-rule plan is two
+    // hash aggregates (map-side partial) joined on the block key, then a
+    // scalar aggregate; no window, no generator, no cross product
+    val p = plan("q178_block_profile")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q159 PQ ADC: encode per-row, one window exchange, queries broadcast") {
     // codebook seeding runs eagerly (bounded 64-row collect); the
     // RETURNED plan scores the BOUNDED query side against the encoded
