@@ -442,29 +442,34 @@ object Etl {
     // blocking: (nation, metaphone 3-prefix of the canon name) — the
     // reference's report_year + substr(plant_name_mphone,1,3) rule,
     // key-for-key since round 13 (native Metaphone expression; soundex
-    // held the slot in rounds ≤12) — plus an identity-digits rule; both
-    // pure equi-joins, best-match window resolves dual-rule duplicates.
-    // True-pair recall does not depend on the phonetic key at all: each
-    // pair's canon names are EQUAL (same metaphone) and ruleB's identity
-    // token blocks them independently.
-    // skew guard (round 14): the phonetic block key is degenerate-prone
-    // at corpus scale — a very common name prefix puts L·R pairs in ONE
-    // shuffle group (AQE splits skewed partitions, not a single giant
-    // key). saltBySize spreads any block with > maxBlock left rows over
-    // ceil(L/maxBlock) salts with the right side replicated per salt —
-    // pair-for-pair identical output (golden row counts unaffected), so
-    // it ships ON here; at fixture scale no block exceeds the cap and
-    // the guard costs one map-side count + an empty broadcast.
-    val ruleA = graft.linkage.Linkage.skewGuardedJoin(a, b,
-      Seq(col("l_nkey"),
-        substring(graft.plans.Metaphone(col("l_canon")), 1, 3)),
-      Seq(col("r_nkey"),
-        substring(graft.plans.Metaphone(col("r_canon")), 1, 3)),
+    // held the slot in rounds ≤12) — plus an identity-digits rule.
+    // Candidate generation goes through Linkage.unionBlocks (round 14):
+    // splink's blocking_rules_to_generate_predictions semantics — a pair
+    // matched by both rules is scored ONCE (cross-rule dedup before
+    // scoring, exactly the reference's candidate shape) instead of twice
+    // with the best-match window absorbing the duplicate. Output is
+    // bit-identical (duplicate rows were identical), golden row counts
+    // unaffected. True-pair recall does not depend on the phonetic key
+    // at all: each pair's canon names are EQUAL (same metaphone) and
+    // rule 1's identity token blocks them independently.
+    // skew guard stays ON (maxBlock inside unionBlocks): the phonetic
+    // block key is degenerate-prone at corpus scale — a very common name
+    // prefix puts L·R pairs in ONE shuffle group (AQE splits skewed
+    // partitions, not a single giant key). saltBySize spreads any block
+    // with > maxBlock left rows over ceil(L/maxBlock) salts with the
+    // right side replicated per salt — pair-for-pair identical; at
+    // fixture scale no block exceeds the cap and the guard costs one
+    // map-side count + an empty broadcast per rule.
+    val cand0 = graft.linkage.Linkage.unionBlocks(a, b, "l_id", "r_id",
+      Seq(
+        (Seq(col("l_nkey"),
+           substring(graft.plans.Metaphone(col("l_canon")), 1, 3)),
+         Seq(col("r_nkey"),
+           substring(graft.plans.Metaphone(col("r_canon")), 1, 3))),
+        (Seq(regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0)),
+         Seq(regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0)))),
       maxBlock = 100000)
-    val ruleB = a.join(b,
-      regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0) ===
-        regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))
-    val cand = addLevels(ruleA.unionByName(ruleB))
+    val cand = addLevels(cand0)
       .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
       .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))
     FS.bestMatch(cand, "r_id", "l_id")
