@@ -3052,6 +3052,20 @@ object SparkEntry {
     graft.linkage.Linkage.blockProfile(c, sup, q177Rules)
   }
 
+  // Fractional epoch upsampling — the LLaMA-recipe data-mixing step:
+  // per-language epoch targets (dyadic, so double arithmetic replays
+  // exactly), each doc emitted floor(e) times plus a deterministic
+  // portable-hash coin for the fractional epoch; copy_idx disambiguates
+  // repeats. One broadcast + one generator, the corpus never shuffles.
+  private val q179Epochs: Seq[(String, Double)] = Seq(
+    "en" -> 2.5, "zh" -> 1.25, "es" -> 0.75, "de" -> 1.0, "fr" -> 3.0)
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochUpsample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", q179Epochs.toMap)
+      .select(col("doc_id"), col("lang"), col("target_epochs"),
+        col("n_copies"), col("copy_idx"))
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3287,6 +3301,7 @@ object SparkEntry {
     "q176_pack_by_pieces" -> (q176 _),
     "q177_union_blocks" -> (q177 _),
     "q178_block_profile" -> (q178 _),
+    "q179_epoch_upsample" -> (q179 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8534,6 +8549,27 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |UNION ALL
         |SELECT CAST(1 AS INT), n_blocks, n_pairs, max_block_pairs
         |FROM r1""".stripMargin
+    },
+    "q179_epoch_upsample" -> {
+      val ev = q179Epochs
+        .map { case (l, e) => s"('$l', CAST($e AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH e(lang, target_epochs) AS (VALUES $ev),
+        |d AS (
+        |  SELECT doc_id, e.lang, e.target_epochs,
+        |    ('0x' || substr(md5('epoch_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents JOIN e USING (lang)),
+        |c AS (
+        |  SELECT doc_id, lang, target_epochs,
+        |    CAST(floor(target_epochs) + (CASE WHEN
+        |      u < target_epochs - floor(target_epochs)
+        |      THEN 1 ELSE 0 END) AS INT) AS n_copies
+        |  FROM d)
+        |SELECT doc_id, lang, target_epochs, n_copies,
+        |  CAST(g.ci AS INT) AS copy_idx
+        |FROM c, unnest(generate_series(0, n_copies - 1)) AS g(ci)
+        |WHERE n_copies > 0""".stripMargin
     },
   )
 }

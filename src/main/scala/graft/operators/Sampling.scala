@@ -371,4 +371,39 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }
+
+  /** Fractional epoch upsampling — the data-mixing step of LLaMA-style
+    * training recipes: each domain gets a target epoch count e (e.g.
+    * wikipedia 2.45 epochs), and every doc is emitted floor(e) times
+    * plus one extra copy with probability frac(e), decided by a
+    * deterministic per-doc coin (portable-hash uniform, the
+    * [[temperatureResample]] discipline) — so the domain's expected
+    * multiplicity is exactly e and every rerun/retry reproduces the
+    * identical corpus. `copy_idx` (0-based) disambiguates repeats for
+    * downstream position keys and shard shuffles; domains absent from
+    * `epochs` are dropped (epoch 0).
+    *
+    * Scale: one broadcast of the (tiny) epoch map + one generator — the
+    * corpus itself never shuffles; output volume is Σ_d e_d·|d| by
+    * construction. Dyadic epoch values (k/2^n) replay exactly in any
+    * engine's double arithmetic. */
+  def epochUpsample(df: DataFrame, idCol: String, domainCol: String,
+                    epochs: Map[String, Double],
+                    salt: String = "epoch"): DataFrame = {
+    require(epochs.values.forall(_ >= 0), "epoch targets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val eDf = epochs.toSeq.toDF(domainCol, "target_epochs")
+    val u = graft.functions.PortableHash.hex60(
+      concat(lit(s"${salt}_"), col(idCol).cast("string"))) /
+      lit(1152921504606846976.0) // 2^60
+    df.join(broadcast(eDf), Seq(domainCol))
+      .withColumn("n_copies",
+        (floor(col("target_epochs")) +
+          when(u < col("target_epochs") - floor(col("target_epochs")), 1L)
+            .otherwise(0L)).cast("int"))
+      .where(col("n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0), col("n_copies") - 1)))
+  }
 }

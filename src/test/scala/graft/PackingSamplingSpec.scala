@@ -409,4 +409,39 @@ class PackingSamplingSpec extends SparkSpec {
       (2L, 0L, 0L, ""),
       (3L, 1L, 3L, "a b </w>")))
   }
+
+  test("epochUpsample: integral epochs repeat exactly, fractional coin is deterministic") {
+    val docs = (1 to 600).map(i =>
+      (i.toLong, Seq("two", "half", "zero")(i % 3))).toDF("id", "dom")
+    val out = Sampling.epochUpsample(docs, "id", "dom",
+      Map("two" -> 2.0, "half" -> 0.5))
+    // integral domain: every doc exactly twice, copy_idx 0 and 1
+    val two = out.where(col("dom") === "two")
+      .groupBy("id").agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("copy_idx"))).as("ix"))
+    assert(two.where(col("n") =!= 2).count() === 0)
+    assert(two.where(col("ix") =!= array(lit(0), lit(1))).count() === 0)
+    // fractional domain: each doc 0 or 1 copies; aggregate rate near 0.5
+    val halfIds = out.where(col("dom") === "half")
+    assert(halfIds.groupBy("id").count().where(col("count") =!= 1)
+      .count() === 0)
+    val kept = halfIds.count()
+    assert(kept > 70 && kept < 130, s"kept $kept of 200 at p=0.5")
+    // domain absent from the map drops entirely
+    assert(out.where(col("dom") === "zero").count() === 0)
+    // deterministic: a rerun reproduces the identical multiset
+    val rerun = Sampling.epochUpsample(docs, "id", "dom",
+      Map("two" -> 2.0, "half" -> 0.5))
+      .select("id", "dom", "copy_idx").collect().toSet
+    assert(rerun === out.select("id", "dom", "copy_idx").collect().toSet)
+  }
+
+  test("epochUpsample multiplicity is floor(e) or ceil(e), expectation ~ e") {
+    val docs = (1 to 900).map(i => (i.toLong, "d")).toDF("id", "dom")
+    val out = Sampling.epochUpsample(docs, "id", "dom", Map("d" -> 2.25))
+    val perDoc = out.groupBy("id").count()
+    assert(perDoc.where(col("count") < 2 || col("count") > 3).count() === 0)
+    val total = out.count().toDouble / 900
+    assert(total > 2.1 && total < 2.4, s"mean multiplicity $total vs 2.25")
+  }
 }
