@@ -3066,6 +3066,31 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("target_epochs"),
         col("n_copies"), col("copy_idx"))
 
+  // splink NameComparison gamma ladder — the reference's name comparison
+  // config (jaro_winkler_thresholds=[0.9,0.8,0.7],
+  // eia_ferc1_model_config.py:35-42) replayed level-for-level: null side
+  // -> -1, exact -> 4, then 3/2/1 by threshold, else 0. Pairs are
+  // blocked (nation, key mod 100) with planted nulls on both sides so
+  // every level including the null lane appears in the output.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS}
+    def named(df: DataFrame, key: String, nkey: String, names: Seq[String],
+              keyOut: String, nkeyOut: String, nameOut: String, nullMod: Int) =
+      df.select(col(key).as(keyOut), col(nkey).as(nkeyOut),
+        when(col(key) % nullMod === 0, lit(null).cast("string"))
+          .otherwise(element_at(array(names.map(lit): _*),
+            (pmod(col(key), lit(names.size)) + 1).cast("int"))).as(nameOut))
+    val c = named(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+      q165CustNames, "c_custkey", "c_nkey", "c_name2", 19)
+    val sup = named(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+      q165SuppNames, "s_suppkey", "s_nkey", "s_name2", 23)
+    c.join(sup, col("c_nkey") === col("s_nkey") &&
+        pmod(col("c_custkey"), lit(100)) === pmod(col("s_suppkey"), lit(100)))
+      .select(col("c_custkey"), col("s_suppkey"),
+        FS.nameComparisonLevel(col("c_name2"), col("s_name2"),
+          Seq(0.9, 0.8, 0.7)).as("name_level"))
+  }
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3302,6 +3327,7 @@ object SparkEntry {
     "q177_union_blocks" -> (q177 _),
     "q178_block_profile" -> (q178 _),
     "q179_epoch_upsample" -> (q179 _),
+    "q180_name_levels" -> (q180 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8570,6 +8596,30 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  CAST(g.ci AS INT) AS copy_idx
         |FROM c, unnest(generate_series(0, n_copies - 1)) AS g(ci)
         |WHERE n_copies > 0""".stripMargin
+    },
+    "q180_name_levels" -> {
+      val cn = q165CustNames.map(s => "'" + s + "'").mkString(", ")
+      val sn = q165SuppNames.map(s => "'" + s + "'").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS c_nkey,
+        |    CASE WHEN c_custkey % 19 = 0 THEN NULL
+        |      ELSE ([$cn])[CAST(c_custkey % 12 AS INT) + 1] END AS c_name2
+        |  FROM customer),
+        |sup AS (
+        |  SELECT s_suppkey, s_nationkey AS s_nkey,
+        |    CASE WHEN s_suppkey % 23 = 0 THEN NULL
+        |      ELSE ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] END AS s_name2
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  CASE
+        |    WHEN c_name2 IS NULL OR s_name2 IS NULL THEN -1
+        |    WHEN c_name2 = s_name2 THEN 4
+        |    WHEN jaro_winkler_similarity(c_name2, s_name2) >= 0.9 THEN 3
+        |    WHEN jaro_winkler_similarity(c_name2, s_name2) >= 0.8 THEN 2
+        |    WHEN jaro_winkler_similarity(c_name2, s_name2) >= 0.7 THEN 1
+        |    ELSE 0 END AS name_level
+        |FROM c JOIN sup ON c_nkey = s_nkey
+        |  AND c_custkey % 100 = s_suppkey % 100""".stripMargin
     },
   )
 }

@@ -292,6 +292,27 @@ object FellegiSunter {
           .cast("long").as("tf_adj_nano"))
   }
 
+  /** splink `cl.NameComparison` gamma ladder — the reference's actual
+    * name comparison (`eia_ferc1_model_config.py:35-42`,
+    * `jaro_winkler_thresholds=[0.9, 0.8, 0.7]`): comparison-vector
+    * values count DOWN from the most specific level — either side null
+    * → -1, exact match → thresholds.size + 1, then one level per
+    * threshold in the given (descending) order, anything else → 0.
+    * The native [[graft.plans.JaroWinkler]] matches DuckDB bit-for-bit,
+    * so the whole ladder is oracle-replayable; per-row expression, no
+    * shuffle. */
+  def nameComparisonLevel(l: Column, r: Column,
+                          thresholds: Seq[Double]): Column = {
+    require(thresholds == thresholds.sorted.reverse,
+      "thresholds must be descending (splink level order)")
+    val jw = graft.plans.JaroWinkler(l, r)
+    val base = when(l.isNull || r.isNull, lit(-1))
+      .when(l === r, lit(thresholds.size + 1))
+    thresholds.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.when(jw >= t, lit(thresholds.size - i))
+    }.otherwise(lit(0))
+  }
+
   /** Acceptance threshold for match probability ≥ p, in weight nanos:
     * 2^w/(1+2^w) ≥ p  ⇔  w ≥ log2(p/(1−p)). Engine-side expression so
     * Spark and the oracle fold the identical double. */

@@ -160,4 +160,32 @@ class FellegiSunterSpec extends SparkSpec {
     val rej = rows.filterNot(_.getBoolean(6)).map(_.getLong(5))
     if (acc.nonEmpty && rej.nonEmpty) assert(acc.min > rej.max)
   }
+
+  test("nameComparisonLevel replays splink's NameComparison gamma ladder") {
+    import spark.implicits._
+    // DuckDB-probed JW values: MARTHA/MARHTA 0.9611 (level 3),
+    // DIXON/DICKSONX 0.8133 (2), DWAYNE/DUANE 0.84 (2), abc/xyz 0 (0)
+    val pairs = Seq(
+      ("acme corp", "acme corp"),        // exact -> 4
+      ("MARTHA", "MARHTA"),              // jw .961 -> 3
+      ("DIXON", "DICKSONX"),             // jw .813 -> 2
+      ("apple", "applf"),                // jw in [.7,.8) band check below
+      ("abc", "xyz"),                    // jw 0 -> 0
+      (null.asInstanceOf[String], "x"),  // null -> -1
+      ("x", null.asInstanceOf[String]))  // null -> -1
+      .toDF("l", "r")
+    val lv = pairs.select(
+      FS.nameComparisonLevel(col("l"), col("r"), Seq(0.9, 0.8, 0.7))
+        .as("lvl")).collect().map(_.getInt(0)).toSeq
+    // compute the apple/applf band from the pinned algorithm itself
+    val jwApple = graft.plans.JaroWinklerAlgo.compute("apple", "applf")
+    val expApple =
+      if (jwApple >= 0.9) 3 else if (jwApple >= 0.8) 2
+      else if (jwApple >= 0.7) 1 else 0
+    assert(lv === Seq(4, 3, 2, expApple, 0, -1, -1))
+    // descending-threshold precondition is enforced
+    intercept[IllegalArgumentException] {
+      FS.nameComparisonLevel(col("l"), col("r"), Seq(0.7, 0.9))
+    }
+  }
 }
