@@ -3091,6 +3091,18 @@ object SparkEntry {
           Seq(0.9, 0.8, 0.7)).as("name_level"))
   }
 
+  // Deterministic seeded training order — the data-loader contract:
+  // (shard, seeded-hash, id) permutation with a two-level global_pos
+  // (within-shard rank + broadcast shard offsets) so no global
+  // single-partition sort ever runs; the oracle replays the naive
+  // global ORDER BY the engine avoids.
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.trainOrder(
+        t(s, dir, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(32)).cast("long").as("shard")),
+        "shard", "doc_id", "ord")
+      .select("doc_id", "shard", "order_key", "global_pos")
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3328,6 +3340,7 @@ object SparkEntry {
     "q178_block_profile" -> (q178 _),
     "q179_epoch_upsample" -> (q179 _),
     "q180_name_levels" -> (q180 _),
+    "q181_train_order" -> (q181 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8621,5 +8634,15 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |FROM c JOIN sup ON c_nkey = s_nkey
         |  AND c_custkey % 100 = s_suppkey % 100""".stripMargin
     },
+    "q181_train_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    ('0x' || substr(md5('ord_' || (doc_id % 32)::VARCHAR
+        |      || '_' || doc_id::VARCHAR), 1, 15))::BIGINT AS order_key
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, order_key,
+        |  CAST(row_number() OVER (ORDER BY shard, order_key, doc_id) - 1
+        |    AS BIGINT) AS global_pos
+        |FROM d""".stripMargin,
   )
 }

@@ -356,6 +356,46 @@ object TextAnalysis {
           - col("chunk_id") + 1))
   }
 
+  /** Deterministic seeded training order — the data-loader contract:
+    * every rerun and every worker must see the SAME permutation of the
+    * training units, without any engine materializing a global
+    * single-partition sort. The order is (shard asc, seeded hash asc,
+    * unit asc): shards stay contiguous (workers stream whole shards, the
+    * shard assignment is already a content hash) and units are
+    * hash-permuted inside each shard — the distributed twin of a
+    * shard-level shuffle + per-shard shuffle buffer.
+    *
+    * global_pos is built two-level: a within-shard rank (window
+    * partitioned on the SHARD key — the only corpus-sized shuffle) plus
+    * the shard's cumulative start offset from an nShards-row count frame
+    * (the unpartitioned window there is bounded by the shard count, the
+    * mixtureSelect boundary-bucket discipline) broadcast back. The
+    * result EQUALS `row_number() over (order by shard, order_key,
+    * unit)` — the oracle may replay the naive global sort the engine
+    * never runs. */
+  def trainOrder(df: DataFrame, shardCol: String, unitCol: String,
+                 seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col("order_key").asc, col(unitCol).asc)
+    val ranked = df
+      .withColumn("order_key", graft.functions.PortableHash.hex60(
+        concat_ws("_", lit(seed), col(shardCol), col(unitCol))))
+      .withColumn("__rk", row_number().over(w))
+    val offs = ranked.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(shardCol))
+            .rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col(shardCol), col("__off"))
+    ranked.join(broadcast(offs), Seq(shardCol))
+      .withColumn("global_pos", col("__off") + col("__rk") - 1)
+      .drop("__rk", "__off")
+  }
+
   /** URL canonicalization — the web-corpus identity op (URL-level dedup,
     * domain mixing, provenance keys all hash the CANONICAL form, else the
     * same page counts once per cosmetic variant): lowercase scheme and

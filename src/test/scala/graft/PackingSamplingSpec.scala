@@ -436,6 +436,28 @@ class PackingSamplingSpec extends SparkSpec {
     assert(rerun === out.select("id", "dom", "copy_idx").collect().toSet)
   }
 
+  test("trainOrder: a permutation equal to the naive global sort, no global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 500).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "shard")
+    val out = TextAnalysis.trainOrder(docs, "shard", "id", "seedx")
+    // permutation: every position 0..n-1 exactly once
+    val pos = out.select("global_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq === (0L until 500L))
+    // equals the naive single-window global sort the operator avoids
+    val naive = out.withColumn("naive_pos",
+      row_number().over(Window.orderBy(
+        col("shard"), col("order_key"), col("id"))) - 1)
+    assert(naive.where(col("global_pos") =!= col("naive_pos")).count() === 0)
+    // deterministic across runs; different seed → different permutation
+    val rerun = TextAnalysis.trainOrder(docs, "shard", "id", "seedx")
+      .select("id", "global_pos").collect().toSet
+    assert(rerun === out.select("id", "global_pos").collect().toSet)
+    val other = TextAnalysis.trainOrder(docs, "shard", "id", "seedy")
+      .select("id", "global_pos").collect().toSet
+    assert(other !== rerun)
+  }
+
   test("epochUpsample multiplicity is floor(e) or ceil(e), expectation ~ e") {
     val docs = (1 to 900).map(i => (i.toLong, "d")).toDF("id", "dom")
     val out = Sampling.epochUpsample(docs, "id", "dom", Map("d" -> 2.25))

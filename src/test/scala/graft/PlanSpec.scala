@@ -348,6 +348,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("q181 train order: corpus window partitions on shard; ONE bounded single-partition exchange") {
+    // the data-sized window must be hash-partitioned on the shard key;
+    // the only SinglePartition exchange is the nShards-row offset frame
+    // (bounded by construction), and the offsets come back via broadcast
+    val p = plan("q181_train_order")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q178 block profile: counts only — no join wider than key cardinalities") {
     // the pre-flight must never materialize pairs: per-rule plan is two
     // hash aggregates (map-side partial) joined on the block key, then a
