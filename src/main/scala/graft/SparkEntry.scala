@@ -3103,6 +3103,18 @@ object SparkEntry {
         "shard", "doc_id", "ord")
       .select("doc_id", "shard", "order_key", "global_pos")
 
+  // Per-group equal-width binning — the reference's CURRENT load-factor
+  // binning (assign_groupwise_load_factor_bins, pandas.cut replay with
+  // the bins[0]-only pad and round-9-before-ceil edge discipline,
+  // operational_characteristics.py:182-268). q23/q74 cover the
+  // ntile/qcut shapes the module previously used; this is the cut twin.
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Binning.equalWidthBins(
+        t(s, dir, "events"), "user_id", "value", nBins = 10)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("bin_idx"), round(col("bin_lower"), 6).as("bin_lower"),
+        round(col("bin_upper"), 6).as("bin_upper"), col("bin_rank"))
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3341,6 +3353,7 @@ object SparkEntry {
     "q179_epoch_upsample" -> (q179 _),
     "q180_name_levels" -> (q180 _),
     "q181_train_order" -> (q181 _),
+    "q182_equal_width_bins" -> (q182 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8643,6 +8656,39 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, order_key,
         |  CAST(row_number() OVER (ORDER BY shard, order_key, doc_id) - 1
         |    AS BIGINT) AS global_pos
+        |FROM d""".stripMargin,
+    "q182_equal_width_bins" ->
+      """WITH s AS (
+        |  SELECT user_id, min(value) AS lo, max(value) AS hi,
+        |    count(DISTINCT value) AS nuniq
+        |  FROM events GROUP BY user_id),
+        |j AS (
+        |  SELECT e.user_id, e.event_id, e.value, s.lo,
+        |    s.hi - s.lo AS span, s.nuniq
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE s.nuniq > 1 AND e.value IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, event_id, value, lo,
+        |    CASE WHEN span = 0 THEN 0.001 ELSE span * 0.001 END AS pad,
+        |    CASE WHEN span = 0 THEN 0.0002 ELSE span / 10 END AS width
+        |  FROM j),
+        |c AS (
+        |  SELECT user_id, event_id, value, lo, pad, width,
+        |    CAST(least(greatest(
+        |      ceil(round((value - lo) / width, 9)), 1), 10) AS BIGINT)
+        |      AS bin_idx
+        |  FROM b),
+        |d AS (
+        |  SELECT user_id, event_id, value, bin_idx,
+        |    CASE WHEN bin_idx = 1 THEN lo - pad
+        |      ELSE lo + (bin_idx - 1) * width END AS lower_raw,
+        |    lo + bin_idx * width AS upper_raw
+        |  FROM c)
+        |SELECT user_id, event_id, value, bin_idx,
+        |  round(lower_raw, 6) AS bin_lower,
+        |  round(upper_raw, 6) AS bin_upper,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY lower_raw)
+        |    AS INT) AS bin_rank
         |FROM d""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group equal-width binning — the reference's CURRENT load-factor
+  * binning (`assign_groupwise_load_factor_bins`,
+  * `/root/reference/src/pudl/analysis/operational_characteristics.py:182-268`),
+  * which replays `pandas.cut(bins=10, right=True, include_lowest=False)`
+  * inside each unit group, pad rule for pad rule:
+  *
+  *   - bins span the group's OWN observed [min, max], width = span/nBins
+  *     (span 0 → width 0.002/nBins, pad 0.001 — pandas' zero-range rule);
+  *   - only the LOWEST bin's left edge is padded by 0.1% of the range so
+  *     the minimum lands inside the first right-closed bin (pandas shifts
+  *     `bins[0]` only, never redistributes the pad);
+  *   - bin index = ceil(round((x − lo)/width, 9)) clipped to [1, nBins] —
+  *     the reference's own round-before-ceil discipline for values landing
+  *     exactly on an edge, which also makes the arithmetic replay exactly
+  *     across engines (elementwise IEEE doubles, no folds);
+  *   - rows are eligible only when the group has > 1 distinct non-null
+  *     value and the value itself is non-null; ineligible rows drop;
+  *   - `bin_rank` densely ranks the group's occupied bins by lower edge.
+  *
+  * Scale shape: one map-side-combinable aggregate for the per-group
+  * (min, max, n-distinct) stats — broadcast back (group count is the dim
+  * cardinality) — then pure per-row arithmetic; the only corpus shuffle is
+  * the dense-rank window on the GROUP key. */
+object Binning {
+
+  def equalWidthBins(df: DataFrame, groupCol: String, valueCol: String,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(v).as("__lo"), max(v).as("__hi"),
+      countDistinct(v).as("__nuniq"))
+    val span = col("__hi") - col("__lo")
+    val pad = when(span === 0, lit(0.001)).otherwise(span * 0.001)
+    val width = when(span === 0, lit(0.002 / nBins))
+      .otherwise(span / nBins)
+    val idx = least(greatest(
+      ceil(round((v - col("__lo")) / width, 9)), lit(1L)), lit(nBins.toLong))
+    val lower = when(idx === 1, col("__lo") - pad)
+      .otherwise(col("__lo") + (idx - 1) * width)
+    val upper = col("__lo") + idx * width
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin_lower"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .where(col("__nuniq") > 1 && v.isNotNull)
+      .withColumn("bin_idx", idx)
+      .withColumn("bin_lower", lower)
+      .withColumn("bin_upper", upper)
+      .withColumn("bin_rank", dense_rank().over(w))
+      .drop("__lo", "__hi", "__nuniq")
+  }
+}

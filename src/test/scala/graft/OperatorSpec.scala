@@ -442,4 +442,34 @@ class OperatorSpec extends SparkSpec {
     val clash = Seq((1, 2)).toDF("a b", "a_b")
     intercept[IllegalArgumentException](Cleaning.simplifyColumns(clash))
   }
+
+  test("Binning.equalWidthBins replays pandas.cut per group, hand-checked") {
+    import spark.implicits._
+    // group g: values 0..10, lo=0 hi=10 width=1 pad=0.01
+    //   0 -> bin 1 (-0.01, 1]; 3 on the edge -> bin 3 (2, 3] (right-closed,
+    //   the round-9-before-ceil rule); 10 -> bin 10 (9, 10]
+    // group h: single distinct value -> ineligible, dropped
+    // group k: null value row dropped, others binned over k's own range
+    val df = Seq(
+      ("g", 1L, Some(0.0)), ("g", 2L, Some(3.0)), ("g", 3L, Some(7.5)),
+      ("g", 4L, Some(10.0)),
+      ("h", 5L, Some(4.0)), ("h", 6L, Some(4.0)),
+      ("k", 7L, Some(2.0)), ("k", 8L, Some(4.0)), ("k", 9L, None))
+      .toDF("grp", "id", "value")
+    val out = Binning.equalWidthBins(df, "grp", "value", nBins = 10)
+      .select(col("grp"), col("id"), col("bin_idx"),
+        round(col("bin_lower"), 6).as("lo"),
+        round(col("bin_upper"), 6).as("hi"), col("bin_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(out === Set(
+      ("g", 1L, 1L, -0.01, 1.0, 1),
+      ("g", 2L, 3L, 2.0, 3.0, 2),
+      ("g", 3L, 8L, 7.0, 8.0, 3),
+      ("g", 4L, 10L, 9.0, 10.0, 4),
+      // k: lo=2 hi=4 width=0.2 pad=0.002; 2 -> bin 1 (1.998, 2.2];
+      // 4 -> bin 10 (3.8, 4]
+      ("k", 7L, 1L, 1.998, 2.2, 1),
+      ("k", 8L, 10L, 3.8, 4.0, 2)))
+  }
 }
