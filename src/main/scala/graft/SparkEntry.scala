@@ -3115,6 +3115,27 @@ object SparkEntry {
         col("bin_idx"), round(col("bin_lower"), 6).as("bin_lower"),
         round(col("bin_upper"), 6).as("bin_upper"), col("bin_rank"))
 
+  // Imputation evaluation loop — the reference's simulate_nulls →
+  // impute → score harness (timeseries_evaluation.py:512-556) as one
+  // query: plant deterministic null runs (length 3, period 17, hashed
+  // per-series phase — the documented deterministic twin of the random
+  // placement), impute with the q27-style group median over surviving
+  // values, and score WMAPE on the planted rows in exact half-cent
+  // integers plus a single-division nano ratio.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import graft.impute.ImputationEval
+    val gapped = ImputationEval.simulateNullRuns(
+      t(s, dir, "events"), "user_id", Seq(col("ts"), col("event_id")),
+      "value", period = 17, runLen = 3, seed = "nulls")
+    val med = gapped.groupBy(col("user_id"))
+      .agg(median(col("v")).as("imputed"))
+    ImputationEval.scoreImputation(
+        gapped.join(broadcast(med), Seq("user_id")),
+        "user_id", "value", "imputed")
+      .select("user_id", "n_planted", "abs_err_hc", "truth_hc",
+        "wmape_nano")
+  }
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3354,6 +3375,7 @@ object SparkEntry {
     "q180_name_levels" -> (q180 _),
     "q181_train_order" -> (q181 _),
     "q182_equal_width_bins" -> (q182 _),
+    "q183_impute_eval" -> (q183 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8690,5 +8712,32 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY lower_raw)
         |    AS INT) AS bin_rank
         |FROM d""".stripMargin,
+    "q183_impute_eval" ->
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    ('0x' || substr(md5('nulls_' || user_id::VARCHAR), 1, 15))::BIGINT
+        |      % 17 AS phase
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, value,
+        |    ((rn - 1 + phase) % 17) < 3 AS planted,
+        |    CASE WHEN ((rn - 1 + phase) % 17) < 3 THEN NULL
+        |      ELSE value END AS v
+        |  FROM g),
+        |med AS (SELECT user_id, median(v) AS imputed FROM p GROUP BY user_id),
+        |sc AS (
+        |  SELECT p.user_id,
+        |    count(*) AS n_planted,
+        |    CAST(sum(CAST(abs(round(m.imputed * 200) - round(p.value * 200))
+        |      AS BIGINT)) AS BIGINT) AS abs_err_hc,
+        |    CAST(sum(CAST(abs(round(p.value * 200)) AS BIGINT)) AS BIGINT)
+        |      AS truth_hc
+        |  FROM p JOIN med m USING (user_id)
+        |  WHERE p.planted GROUP BY p.user_id)
+        |SELECT user_id, n_planted, abs_err_hc, truth_hc,
+        |  CAST(round(1e9 * abs_err_hc / truth_hc) AS BIGINT) AS wmape_nano
+        |FROM sc""".stripMargin,
   )
 }

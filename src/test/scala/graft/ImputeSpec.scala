@@ -105,4 +105,46 @@ class ImputeSpec extends SparkSpec {
     assert(out.where(col("was_missing")).count() > 0)
     assert(out.where(col("value").isNull).count() == 0)
   }
+
+  test("simulateNullRuns plants runs of exactly runLen per period, hashed phase") {
+    import spark.implicits._
+    import graft.impute.ImputationEval
+    val df = (1 to 340).map(i => ((i % 4).toLong, i.toLong, i * 0.25))
+      .toDF("k", "ord", "value")
+    val out = ImputationEval.simulateNullRuns(df, "k",
+      Seq(col("ord")), "value", period = 17, runLen = 3, seed = "t")
+    // per key: 85 positions = 5 full periods -> exactly 15 planted
+    val perKey = out.where(col("planted")).groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey.values.toSet === Set(15L))
+    // planted rows have v null, unplanted keep the value
+    assert(out.where(col("planted") && col("v").isNotNull).count() === 0)
+    assert(out.where(!col("planted") &&
+      (col("v").isNull || col("v") =!= col("value"))).count() === 0)
+    // runs are contiguous length-3: within a key, planted positions mod 17
+    // take exactly 3 consecutive residues
+    val res = out.where(col("planted") && col("k") === 0)
+      .select(pmod(col("rn") - 1, lit(17)).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(res.size === 3 &&
+      (res(2) - res(0) == 2 || res.toSet.subsetOf(Set(0, 1, 15, 16))),
+      s"residues $res")
+  }
+
+  test("scoreImputation: perfect imputation scores zero, known error exact") {
+    import spark.implicits._
+    import graft.impute.ImputationEval
+    val planted = Seq(
+      (1L, true, 10.00, 10.00), (1L, true, 5.00, 4.50),
+      (1L, false, 7.00, 0.0),
+      (2L, true, 8.00, 8.00), (2L, true, 2.00, 2.00))
+      .toDF("k", "planted", "value", "imputed")
+    val sc = ImputationEval.scoreImputation(planted, "k", "value", "imputed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // k=1: errors |10-10| + |4.5-5| = 0.5 dollars = 100 half-cents;
+    //      truth = 15.00 = 3000 hc; wmape = 100/3000 = 0.0333...
+    assert(sc(1L) === ((2L, 100L, 3000L, 33333333L)))
+    assert(sc(2L) === ((2L, 0L, 2000L, 0L)))
+  }
 }
