@@ -3136,6 +3136,19 @@ object SparkEntry {
         "wmape_nano")
   }
 
+  // Minimum stable load bin — compute_minimum_stable_bin
+  // (operational_characteristics.py:420-477): q182's pandas.cut bins →
+  // gaps-and-islands runs of consecutive same-bin hours → lowest bin
+  // above "off" with a run of >= 2 — the minimum load factor at which a
+  // unit demonstrably runs stable.
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Binning.minStableBin(
+        t(s, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), "value", nBins = 10, minRun = 2)
+      .select(col("user_id"), col("min_stable_bin_rank"),
+        col("min_stable_bin_idx"),
+        round(col("min_stable_load_factor"), 6).as("min_stable_load_factor"))
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3376,6 +3389,7 @@ object SparkEntry {
     "q181_train_order" -> (q181 _),
     "q182_equal_width_bins" -> (q182 _),
     "q183_impute_eval" -> (q183 _),
+    "q184_min_stable_bin" -> (q184 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8739,5 +8753,53 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |SELECT user_id, n_planted, abs_err_hc, truth_hc,
         |  CAST(round(1e9 * abs_err_hc / truth_hc) AS BIGINT) AS wmape_nano
         |FROM sc""".stripMargin,
+    "q184_min_stable_bin" ->
+      """WITH s AS (
+        |  SELECT user_id, min(value) AS lo, max(value) AS hi,
+        |    count(DISTINCT value) AS nuniq
+        |  FROM events GROUP BY user_id),
+        |j AS (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value, s.lo,
+        |    s.hi - s.lo AS span
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE s.nuniq > 1 AND e.value IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, event_id, ts, lo,
+        |    CASE WHEN span = 0 THEN 0.001 ELSE span * 0.001 END AS pad,
+        |    CASE WHEN span = 0 THEN 0.0002 ELSE span / 10 END AS width,
+        |    CAST(least(greatest(ceil(round((value - lo) /
+        |      (CASE WHEN span = 0 THEN 0.0002 ELSE span / 10 END), 9)),
+        |      1), 10) AS BIGINT) AS bin_idx
+        |  FROM j),
+        |c AS (
+        |  SELECT user_id, event_id, ts, bin_idx,
+        |    CASE WHEN bin_idx = 1 THEN lo - pad
+        |      ELSE lo + (bin_idx - 1) * width END AS lower_raw,
+        |    dense_rank() OVER (PARTITION BY user_id ORDER BY
+        |      CASE WHEN bin_idx = 1 THEN lo - pad
+        |        ELSE lo + (bin_idx - 1) * width END) AS bin_rank
+        |  FROM b),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(bin_idx) OVER w IS DISTINCT FROM bin_idx
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, bin_idx, bin_rank, lower_raw,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS rid
+        |  FROM r),
+        |rl AS (
+        |  SELECT user_id, bin_idx, bin_rank, lower_raw, rid,
+        |    count(*) AS run_length
+        |  FROM runs WHERE bin_rank > 1
+        |  GROUP BY user_id, bin_idx, bin_rank, lower_raw, rid)
+        |SELECT user_id, CAST(bin_rank AS INT) AS min_stable_bin_rank,
+        |  bin_idx AS min_stable_bin_idx,
+        |  round(lower_raw, 6) AS min_stable_load_factor
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY bin_rank, bin_idx, lower_raw) AS rn
+        |  FROM rl WHERE run_length >= 2)
+        |WHERE rn = 1""".stripMargin,
   )
 }

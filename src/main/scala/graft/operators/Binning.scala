@@ -54,4 +54,47 @@ object Binning {
       .withColumn("bin_rank", dense_rank().over(w))
       .drop("__lo", "__hi", "__nuniq")
   }
+
+  /** Minimum stable load bin — `compute_minimum_stable_bin`
+    * (`/root/reference/src/pudl/analysis/operational_characteristics.py:420-477`):
+    * bin the per-group series with [[equalWidthBins]], drop the lowest
+    * occupied bin (rank 1 = "effectively off"), find runs of consecutive
+    * rows (in `order`) that stay in the SAME bin, keep runs of at least
+    * `minRun` rows, and report each group's LOWEST-ranked such bin —
+    * the minimum load factor at which the unit demonstrably runs stable.
+    * Groups with no qualifying run are absent (the reference leaves them
+    * null in its output shell).
+    *
+    * Scale shape: the binning's one broadcast-stats aggregate, then two
+    * windows over the SAME group-key exchange (dense rank by bin edge,
+    * gaps-and-islands run ids by time), a map-side-combinable run-length
+    * count, and a 1-row-per-group min — nothing wider than the series
+    * shuffle the screens already pay. */
+  def minStableBin(df: DataFrame, groupCol: String, order: Seq[Column],
+                   valueCol: String, nBins: Int = 10,
+                   minRun: Int = 2): DataFrame = {
+    require(minRun >= 1, "minRun must be >= 1")
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    val binned = equalWidthBins(df, groupCol, valueCol, nBins)
+    val runs = binned
+      .withColumn("__chg",
+        when(lag(col("bin_idx"), 1).over(wT).isNull ||
+          lag(col("bin_idx"), 1).over(wT) =!= col("bin_idx"), 1)
+          .otherwise(0))
+      .withColumn("__run", sum(col("__chg")).over(
+        wT.rowsBetween(Long.MinValue, 0)))
+    runs.where(col("bin_rank") > 1)
+      .groupBy(col(groupCol), col("bin_idx"), col("bin_rank"),
+        col("bin_lower"), col("__run"))
+      .agg(count(lit(1)).as("run_length"))
+      .where(col("run_length") >= minRun)
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("bin_rank"), col("bin_idx"), col("bin_lower")))
+        .as("__s"))
+      .select(col(groupCol),
+        col("__s.bin_rank").as("min_stable_bin_rank"),
+        col("__s.bin_idx").as("min_stable_bin_idx"),
+        col("__s.bin_lower").as("min_stable_load_factor"))
+  }
 }

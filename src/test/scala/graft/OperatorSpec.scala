@@ -472,4 +472,26 @@ class OperatorSpec extends SparkSpec {
       ("k", 7L, 1L, 1.998, 2.2, 1),
       ("k", 8L, 10L, 3.8, 4.0, 2)))
   }
+
+  test("Binning.minStableBin: lowest above-off bin with a long-enough run") {
+    import spark.implicits._
+    // lo=0 hi=9 width=0.9; bins: 0->1, 5->6, 9->10, 2->3, 7->8
+    // runs in order: [1,1] [6,6,6] [10] [3,3] [10,10] [1] [8]
+    // rank>1 runs of >=2: bin6 (rank 3), bin3 (rank 2), bin10 (rank 5)
+    // -> lowest rank is bin 3: rank 2, lower = 1.8
+    val vals = Seq(0.0, 0.0, 5.0, 5.0, 5.0, 9.0, 2.0, 2.0, 9.0, 9.0, 0.0, 7.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      .toDF("grp", "ord", "value")
+    val out = Binning.minStableBin(df, "grp", Seq(col("ord")), "value",
+        nBins = 10, minRun = 2)
+      .select(col("grp"), col("min_stable_bin_rank"),
+        col("min_stable_bin_idx"),
+        round(col("min_stable_load_factor"), 6))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(("u", 2, 3L, 1.8)))
+    // raising the bar past every run drops the group entirely
+    assert(Binning.minStableBin(df, "grp", Seq(col("ord")), "value",
+      nBins = 10, minRun = 4).count() === 0)
+  }
 }
