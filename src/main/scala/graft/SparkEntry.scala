@@ -3149,6 +3149,60 @@ object SparkEntry {
         col("min_stable_bin_idx"),
         round(col("min_stable_load_factor"), 6).as("min_stable_load_factor"))
 
+  // The operational-characteristics headline assembly —
+  // estimate_operational_characteristics_by_unit
+  // (operational_characteristics.py:571-660): one row PER UNIT with max
+  // load, load-factor binning (value/max per the reference), minimum
+  // stable bin, median heat rate in the max-load bin and in the
+  // min-stable bin, and minimum up-time (shortest island of
+  // at-or-above-stable positions; the fixture's series index stands in
+  // for the reference's consecutive-hour test). Units lacking a stable
+  // bin keep the null shell (prep_output_df's left-join contract). The
+  // heat-rate twin is a deterministic integer function of event_id (the
+  // fixture has no fuel column); its medians land on the half-grid.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Binning
+    val ev = t(s, dir, "events")
+    val maxes = ev.groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_load"))
+    val lf = ev.join(broadcast(maxes), Seq("user_id"))
+      .withColumn("lf", col("value") / col("max_load"))
+      .withColumn("hr", (lit(8) + pmod(col("event_id"), lit(5))).cast("double"))
+    val binned = Binning.equalWidthBins(lf, "user_id", "lf", nBins = 10)
+    val stable = Binning.minStableBin(lf, "user_id",
+      Seq(col("ts"), col("event_id")), "lf", nBins = 10, minRun = 2)
+    val maxRank = binned.groupBy(col("user_id"))
+      .agg(max(col("bin_rank")).as("__mr"))
+    val hrMax = binned.join(broadcast(maxRank), Seq("user_id"))
+      .where(col("bin_rank") === col("__mr"))
+      .groupBy(col("user_id")).agg(median(col("hr")).as("hr_at_max_load"))
+    val stabIdx = stable.select(col("user_id"), col("min_stable_bin_idx"))
+    val hrStable = binned.join(broadcast(stabIdx), Seq("user_id"))
+      .where(col("bin_idx") === col("min_stable_bin_idx"))
+      .groupBy(col("user_id")).agg(median(col("hr")).as("hr_at_min_stable"))
+    val wT = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val up = binned.withColumn("rn", row_number().over(wT))
+      .join(broadcast(stabIdx), Seq("user_id"))
+      .where(col("bin_idx") >= col("min_stable_bin_idx"))
+      .withColumn("__isl", col("rn") - row_number().over(wT))
+      .groupBy(col("user_id"), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("user_id")).agg(min(col("__len")).as("min_up_time_hours"))
+    maxes
+      .join(stable, Seq("user_id"), "left")
+      .join(hrMax, Seq("user_id"), "left")
+      .join(hrStable, Seq("user_id"), "left")
+      .join(up, Seq("user_id"), "left")
+      .select(col("user_id"), round(col("max_load"), 2).as("max_load"),
+        col("min_stable_bin_rank"),
+        round(col("min_stable_load_factor"), 6).as("min_stable_load_factor"),
+        round(col("hr_at_max_load"), 6).as("hr_at_max_load"),
+        round(col("hr_at_min_stable"), 6).as("hr_at_min_stable"),
+        col("min_up_time_hours"))
+  }
+
   // Doc-level tokenizer accounting — the corpus capstone's stage 7 as an
   // oracle-graded query: train the q171 unigram vocab (seed + 2 EM
   // rounds) on the word dictionary, Viterbi-encode each DICTIONARY word
@@ -3390,6 +3444,7 @@ object SparkEntry {
     "q182_equal_width_bins" -> (q182 _),
     "q183_impute_eval" -> (q183 _),
     "q184_min_stable_bin" -> (q184 _),
+    "q185_unit_characteristics" -> (q185 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8801,5 +8856,90 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    ORDER BY bin_rank, bin_idx, lower_raw) AS rn
         |  FROM rl WHERE run_length >= 2)
         |WHERE rn = 1""".stripMargin,
+    "q185_unit_characteristics" ->
+      """WITH mload AS (
+        |  SELECT user_id, max(value) AS max_load FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT e.user_id, e.event_id, e.ts, e.value / m.max_load AS lf,
+        |    CAST(8 + e.event_id % 5 AS DOUBLE) AS hr
+        |  FROM events e JOIN mload m USING (user_id)),
+        |s AS (
+        |  SELECT user_id, min(lf) AS lo, max(lf) AS hi,
+        |    count(DISTINCT lf) AS nuniq
+        |  FROM base GROUP BY 1),
+        |j AS (
+        |  SELECT b.*, s.lo, s.hi - s.lo AS span
+        |  FROM base b JOIN s USING (user_id)
+        |  WHERE s.nuniq > 1 AND b.lf IS NOT NULL),
+        |bnd AS (
+        |  SELECT user_id, event_id, ts, hr, lo,
+        |    CASE WHEN span = 0 THEN 0.001 ELSE span * 0.001 END AS pad,
+        |    CASE WHEN span = 0 THEN 0.0002 ELSE span / 10 END AS width,
+        |    CAST(least(greatest(ceil(round((lf - lo) /
+        |      (CASE WHEN span = 0 THEN 0.0002 ELSE span / 10 END), 9)),
+        |      1), 10) AS BIGINT) AS bin_idx
+        |  FROM j),
+        |c AS (
+        |  SELECT *, CASE WHEN bin_idx = 1 THEN lo - pad
+        |      ELSE lo + (bin_idx - 1) * width END AS lower_raw,
+        |    dense_rank() OVER (PARTITION BY user_id ORDER BY
+        |      CASE WHEN bin_idx = 1 THEN lo - pad
+        |        ELSE lo + (bin_idx - 1) * width END) AS bin_rank,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM bnd),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(bin_idx) OVER w IS DISTINCT FROM bin_idx
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, bin_idx, bin_rank, lower_raw,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS rid
+        |  FROM r),
+        |rl AS (
+        |  SELECT user_id, bin_idx, bin_rank, lower_raw, rid,
+        |    count(*) AS run_length
+        |  FROM runs WHERE bin_rank > 1
+        |  GROUP BY user_id, bin_idx, bin_rank, lower_raw, rid),
+        |stab AS (
+        |  SELECT user_id, bin_rank AS ms_rank, bin_idx AS ms_idx,
+        |    lower_raw AS ms_lf
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY bin_rank, bin_idx, lower_raw) AS qn
+        |    FROM rl WHERE run_length >= 2)
+        |  WHERE qn = 1),
+        |mr AS (SELECT user_id, max(bin_rank) AS mrank FROM c GROUP BY 1),
+        |hrmax AS (
+        |  SELECT user_id, median(hr) AS hr_at_max_load
+        |  FROM c JOIN mr USING (user_id)
+        |  WHERE bin_rank = mrank GROUP BY user_id),
+        |hrstab AS (
+        |  SELECT user_id, median(hr) AS hr_at_min_stable
+        |  FROM c JOIN stab USING (user_id)
+        |  WHERE bin_idx = ms_idx GROUP BY user_id),
+        |upf AS (
+        |  SELECT user_id, rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS fn
+        |  FROM c JOIN stab USING (user_id)
+        |  WHERE bin_idx >= ms_idx),
+        |uplen AS (
+        |  SELECT user_id, rn - fn AS isl, count(*) AS len
+        |  FROM upf GROUP BY user_id, rn - fn),
+        |up AS (
+        |  SELECT user_id, min(len) AS min_up_time_hours
+        |  FROM uplen GROUP BY user_id)
+        |SELECT m.user_id, round(m.max_load, 2) AS max_load,
+        |  CAST(stab.ms_rank AS INT) AS min_stable_bin_rank,
+        |  round(stab.ms_lf, 6) AS min_stable_load_factor,
+        |  round(hrmax.hr_at_max_load, 6) AS hr_at_max_load,
+        |  round(hrstab.hr_at_min_stable, 6) AS hr_at_min_stable,
+        |  up.min_up_time_hours
+        |FROM mload m
+        |LEFT JOIN stab USING (user_id)
+        |LEFT JOIN hrmax USING (user_id)
+        |LEFT JOIN hrstab USING (user_id)
+        |LEFT JOIN up USING (user_id)""".stripMargin,
   )
 }
