@@ -3160,6 +3160,52 @@ object SparkEntry {
   // bin keep the null shell (prep_output_df's left-join contract). The
   // heat-rate twin is a deterministic integer function of event_id (the
   // fixture has no fuel column); its medians land on the half-grid.
+  // Ramp-rate summary — summarize_ramp_rates
+  // (operational_characteristics.py:269-325): per-unit ramp = Δgeneration
+  // per hour over consecutive observations; ramp_down = median of the
+  // steepest 5% downward ramps (k = n/20 smallest), ramp_up = median of
+  // the k largest. ramp is the single expression Δv·3.6e9/Δµs so both
+  // engines fold the identical IEEE double; selection ties break on the
+  // series position. Units with < 20 ramps drop (the reference's
+  // `having(len >= 20)`).
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ramps = t(s, dir, "events")
+      .withColumn("__dv", col("value") - lag(col("value"), 1).over(wT))
+      .withColumn("__dus",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wT))
+      .where(col("__dus") > 0 && col("__dv").isNotNull)
+      .withColumn("ramp", col("__dv") * lit(3.6e9) / col("__dus"))
+      .withColumn("rn", row_number().over(wT))
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ramp").asc, col("rn").asc)
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ramp").desc, col("rn").desc)
+    val ranked = ramps
+      .withColumn("up_rk", row_number().over(wDesc))
+      .withColumn("dn_rk", row_number().over(wAsc))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .where(col("__n") >= 20)
+      // explicit floor: a bare double->long cast truncates in Spark but
+      // ROUNDS in a DuckDB CAST — floor is the one spelling both agree on
+      // (and matches polars' truncating Int64 cast for positive n)
+      .withColumn("__k", floor(col("__n") / 20).cast("long"))
+    val down = ranked.where(col("dn_rk") <= col("__k"))
+      .groupBy(col("user_id"))
+      .agg(median(col("ramp")).as("ramp_down_rate"),
+        max(col("__n")).as("n_ramps"))
+    val upR = ranked.where(col("up_rk") <= col("__k"))
+      .groupBy(col("user_id"))
+      .agg(median(col("ramp")).as("ramp_up_rate"))
+    down.join(upR, Seq("user_id"))
+      .select(col("user_id"), col("n_ramps"),
+        round(col("ramp_down_rate"), 6).as("ramp_down_rate"),
+        round(col("ramp_up_rate"), 6).as("ramp_up_rate"))
+  }
+
   private def q185(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Binning
@@ -3445,6 +3491,7 @@ object SparkEntry {
     "q183_impute_eval" -> (q183 _),
     "q184_min_stable_bin" -> (q184 _),
     "q185_unit_characteristics" -> (q185 _),
+    "q186_ramp_rates_p5" -> (q186 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8941,5 +8988,37 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |LEFT JOIN hrmax USING (user_id)
         |LEFT JOIN hrstab USING (user_id)
         |LEFT JOIN up USING (user_id)""".stripMargin,
+    "q186_ramp_rates_p5" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    value - lag(value) OVER w AS dv,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dus
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |ramps AS (
+        |  SELECT user_id, ts, event_id, dv * 3.6e9 / dus AS ramp,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM d WHERE dus > 0 AND dv IS NOT NULL),
+        |ranked AS (
+        |  SELECT user_id, ramp,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ramp DESC, rn DESC) AS up_rk,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ramp ASC, rn ASC) AS dn_rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(floor(count(*) OVER (PARTITION BY user_id) / 20.0)
+        |      AS BIGINT) AS k
+        |  FROM ramps),
+        |dn AS (
+        |  SELECT user_id, median(ramp) AS ramp_down_rate, max(n) AS n_ramps
+        |  FROM ranked WHERE n >= 20 AND dn_rk <= k GROUP BY user_id),
+        |up AS (
+        |  SELECT user_id, median(ramp) AS ramp_up_rate
+        |  FROM ranked WHERE n >= 20 AND up_rk <= k GROUP BY user_id)
+        |SELECT user_id, n_ramps,
+        |  round(ramp_down_rate, 6) AS ramp_down_rate,
+        |  round(ramp_up_rate, 6) AS ramp_up_rate
+        |FROM dn JOIN up USING (user_id)""".stripMargin,
   )
 }
