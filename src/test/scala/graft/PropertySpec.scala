@@ -270,4 +270,113 @@ class PropertySpec extends SparkSpec {
       assert(local == dist, s"corpus=$docs\nlocal=$local\ndist=$dist")
     }
   }
+
+  // ---- round-14 operators -------------------------------------------------
+
+  private val pairFrameGen: Gen[(List[(Long, String)], List[(Long, String)])] = {
+    // skewed block keys: "hot" dominates, a few cold keys, so small caps
+    // genuinely split blocks
+    val key = Gen.frequency(6 -> Gen.const("hot"),
+      1 -> Gen.const("c1"), 1 -> Gen.const("c2"), 1 -> Gen.const("c3"))
+    for {
+      nl <- Gen.choose(5, 60)
+      nr <- Gen.choose(3, 30)
+      lk <- Gen.listOfN(nl, key)
+      rk <- Gen.listOfN(nr, key)
+    } yield (lk.zipWithIndex.map { case (k, i) => (i.toLong, k) },
+      rk.zipWithIndex.map { case (k, i) => (i.toLong + 1000, k) })
+  }
+
+  test("skewGuardedJoin == plain equi-join on random skewed frames (property)") {
+    import graft.linkage.Linkage
+    forAll(Gen.zip(pairFrameGen, Gen.choose(1, 8)), 10) { case ((ls, rs), cap) =>
+      val l = ls.toDF("l_id", "l_k")
+      val r = rs.toDF("r_id", "r_k")
+      val plain = l.join(r, col("l_k") === col("r_k"))
+        .select("l_id", "r_id").collect().toSet
+      val guarded = Linkage.skewGuardedJoin(l, r,
+          Seq(col("l_k")), Seq(col("r_k")), maxBlock = cap)
+        .select("l_id", "r_id").collect().toSet
+      assert(guarded === plain, s"cap=$cap nl=${ls.size} nr=${rs.size}")
+      // bound: no (key, salt) group on the salted left exceeds the cap
+      val (sl, _, keys) = Linkage.saltBySize(l, r,
+        Seq(col("l_k")), Seq(col("r_k")), cap)
+      val maxGroup = sl.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+      // hash split is uneven (small caps mean few rows per salt, where
+      // balls-in-bins variance bites); max(3·cap, 8) is a working bound
+      // that still fails on an unsplit hot block (hot >> cap here)
+      assert(maxGroup <= math.max(3L * cap, 8L),
+        s"cap=$cap maxGroup=$maxGroup")
+    }
+  }
+
+  test("unionBlocks == distinct OR-join; n_rules/match_key consistent (property)") {
+    import graft.linkage.Linkage
+    forAll(pairFrameGen, 8) { case (ls, rs) =>
+      // second key: parity of the id — rules genuinely overlap
+      val l = ls.toDF("l_id", "l_k")
+        .withColumn("l_p", pmod(col("l_id"), lit(2)))
+      val r = rs.toDF("r_id", "r_k")
+        .withColumn("r_p", pmod(col("r_id"), lit(2)))
+      val rules = Seq(
+        (Seq(col("l_k")), Seq(col("r_k"))),
+        (Seq(col("l_p")), Seq(col("r_p"))))
+      val ub = Linkage.unionBlocks(l, r, "l_id", "r_id", rules)
+        .select(col("l_id"), col("r_id"), col("match_key"), col("n_rules"))
+        .collect().map(x => ((x.getLong(0), x.getLong(1)),
+          (x.getInt(2), x.getLong(3)))).toMap
+      val inR0 = l.join(r, col("l_k") === col("r_k"))
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val inR1 = l.join(r, col("l_p") === col("r_p"))
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(ub.keySet === (inR0 ++ inR1))
+      ub.foreach { case (p, (mk, nr)) =>
+        val exp = (if (inR0(p)) 1 else 0) + (if (inR1(p)) 1 else 0)
+        assert(nr === exp.toLong, s"pair $p n_rules")
+        assert(mk === (if (inR0(p)) 0 else 1), s"pair $p match_key")
+      }
+    }
+  }
+
+  test("blockProfile n_pairs == materialized join count (property)") {
+    import graft.linkage.Linkage
+    forAll(pairFrameGen, 8) { case (ls, rs) =>
+      val l = ls.toDF("l_id", "l_k")
+      val r = rs.toDF("r_id", "r_k")
+      val prof = Linkage.blockProfile(l, r,
+          Seq((Seq(col("l_k")), Seq(col("r_k")))))
+        .head
+      val actual = l.join(r, col("l_k") === col("r_k")).count()
+      assert(prof.getLong(2) === actual)
+    }
+  }
+
+  test("equalWidthBins matches a driver-side pandas.cut twin (property)") {
+    import graft.operators.Binning
+    val valsGen = Gen.choose(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0.0, 500.0).map(v => math.rint(v * 100) / 100)))
+    forAll(valsGen, 10) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("grp", "id", "value")
+      val got = Binning.equalWidthBins(df, "grp", "value", nBins = 10)
+        .select("id", "bin_idx").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val lo = vs.min; val hi = vs.max; val span = hi - lo
+      if (vs.distinct.size > 1) {
+        val width = span / 10
+        vs.zipWithIndex.foreach { case (v, i) =>
+          // valueOf (shortest-decimal), NOT the exact-binary constructor —
+          // Spark's round() uses BigDecimal.valueOf semantics
+          val idx = math.min(10L, math.max(1L,
+            math.ceil(java.math.BigDecimal.valueOf((v - lo) / width)
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+              .doubleValue()).toLong))
+          assert(got(i.toLong) === idx, s"v=$v lo=$lo width=$width")
+        }
+      } else assert(got.isEmpty)
+    }
+  }
 }
