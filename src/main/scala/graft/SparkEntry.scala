@@ -3206,6 +3206,22 @@ object SparkEntry {
         round(col("ramp_up_rate"), 6).as("ramp_up_rate"))
   }
 
+  // Flag summary — the reference's summarize_flags
+  // (timeseries_evaluation.py:468-482, per-flag counts over the screen
+  // output): q71's flag pipeline rolled up per (series, flag) with the
+  // per-series total and an exact nano rate. The summary is one
+  // map-side-combinable count on top of the pipeline's windows.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    q71(s, dir)
+      .groupBy(col("user_id"), col("flag"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(w))
+      .withColumn("flag_rate_nano",
+        round(lit(1e9) * col("n") / col("n_total")).cast("long"))
+  }
+
   private def q185(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Binning
@@ -3492,7 +3508,42 @@ object SparkEntry {
     "q184_min_stable_bin" -> (q184 _),
     "q185_unit_characteristics" -> (q185 _),
     "q186_ramp_rates_p5" -> (q186 _),
+    "q187_flag_summary" -> (q187 _),
   )
+
+  /** q71's oracle, shared verbatim by q187's summary wrapper so the two
+    * can never drift. */
+  private val q71Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |b AS (
+      |  SELECT *, CAST(floor(v / 10) AS BIGINT) AS bucket,
+      |    lag(CAST(floor(v / 10) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_b,
+      |    v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dp,
+      |    lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) - v AS dn
+      |  FROM ev),
+      |runs AS (
+      |  SELECT *, sum(CASE WHEN prev_b IS DISTINCT FROM bucket THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM b),
+      |flags AS (
+      |  SELECT user_id, event_id, v,
+      |    (count(*) OVER (PARTITION BY user_id, run_id) >= 3
+      |      AND bucket IS NOT NULL) AS f_run,
+      |    (dp IS NOT NULL AND dn IS NOT NULL AND abs(dp) > 25.0
+      |      AND abs(dn) > 25.0 AND dp * dn < 0) AS f_spike
+      |  FROM runs)
+      |SELECT user_id, event_id, v,
+      |  CASE WHEN v IS NULL THEN 'missing'
+      |       WHEN NOT (v BETWEEN 0 AND 40) THEN 'oob'
+      |       WHEN f_run THEN 'identical_run'
+      |       WHEN f_spike THEN 'spike'
+      |       ELSE 'ok' END AS flag
+      |FROM flags""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4285,37 +4336,7 @@ object SparkEntry {
         |       THEN round(c_acctbal / 100.0, 4) / 100.0 END AS disc_ratio,
         |  CASE WHEN c_acctbal BETWEEN 0 AND 1e9 THEN c_acctbal END AS acctbal_pos
         |FROM customer""".stripMargin,
-    "q71_flag_pipeline" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS v
-        |  FROM events),
-        |b AS (
-        |  SELECT *, CAST(floor(v / 10) AS BIGINT) AS bucket,
-        |    lag(CAST(floor(v / 10) AS BIGINT))
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_b,
-        |    v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dp,
-        |    lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) - v AS dn
-        |  FROM ev),
-        |runs AS (
-        |  SELECT *, sum(CASE WHEN prev_b IS DISTINCT FROM bucket THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-        |  FROM b),
-        |flags AS (
-        |  SELECT user_id, event_id, v,
-        |    (count(*) OVER (PARTITION BY user_id, run_id) >= 3
-        |      AND bucket IS NOT NULL) AS f_run,
-        |    (dp IS NOT NULL AND dn IS NOT NULL AND abs(dp) > 25.0
-        |      AND abs(dn) > 25.0 AND dp * dn < 0) AS f_spike
-        |  FROM runs)
-        |SELECT user_id, event_id, v,
-        |  CASE WHEN v IS NULL THEN 'missing'
-        |       WHEN NOT (v BETWEEN 0 AND 40) THEN 'oob'
-        |       WHEN f_run THEN 'identical_run'
-        |       WHEN f_spike THEN 'spike'
-        |       ELSE 'ok' END AS flag
-        |FROM flags""".stripMargin,
+    "q71_flag_pipeline" -> q71Sql,
     "q72_date_merge_quarter" ->
       """WITH monthly AS (
         |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
@@ -9020,5 +9041,17 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  round(ramp_down_rate, 6) AS ramp_down_rate,
         |  round(ramp_up_rate, 6) AS ramp_up_rate
         |FROM dn JOIN up USING (user_id)""".stripMargin,
+    "q187_flag_summary" ->
+      s"""WITH base AS (
+        |$q71Sql),
+        |g AS (
+        |  SELECT user_id, flag, count(*) AS n
+        |  FROM base GROUP BY user_id, flag)
+        |SELECT user_id, flag, n,
+        |  CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total,
+        |  CAST(round(1e9 * n /
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)) AS BIGINT)
+        |    AS flag_rate_nano
+        |FROM g""".stripMargin,
   )
 }
