@@ -59,6 +59,15 @@ object Bench {
     // (e.g. capstones at sf1, SCALE.md round-14) where 176 queries of
     // suite time would dwarf the measurement of interest.
     val capsOnly = sys.env.get("SPARK_GRAFT_CAPSTONES").contains("only")
+    // SPARK_GRAFT_CAPSTONES=only + SPARK_GRAFT_ONLY used to measure
+    // NOTHING (capsOnly emptied the suite while only.nonEmpty skipped the
+    // capstones). capsOnly wins: the capstone lanes ignore
+    // SPARK_GRAFT_ONLY, with a warning so the operator knows the query
+    // filter was dropped.
+    if (capsOnly && only.nonEmpty)
+      System.err.println("[bench] WARNING: SPARK_GRAFT_CAPSTONES=only " +
+        "ignores SPARK_GRAFT_ONLY — timing capstones only")
+    val skipCapstones = only.nonEmpty && !capsOnly
     val selected =
       if (capsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -172,7 +181,7 @@ object Bench {
       (c, k, c1, k1)
     }
     val (capstoneCore, capstoneChecks, capstoneFpCore, capstoneFpChecks) =
-      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
+      if (skipCapstones) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("etl_capstone")(Etl.capstone(spark, sfDir, _))
     val capstoneSec =
       if (capstoneCore < 0) -1.0 else capstoneCore + capstoneChecks
@@ -181,7 +190,7 @@ object Bench {
     // the training-data pipeline twin: dedup → decontaminate → quality →
     // mixture → split → pack, one lineage, timed with write + checks
     val (corpusCore, corpusChecks, corpusFpCore, corpusFpChecks) =
-      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
+      if (skipCapstones) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("corpus_capstone")(Etl.corpusCapstone(spark, sfDir, _))
     val corpusSec = if (corpusCore < 0) -1.0 else corpusCore + corpusChecks
     val corpusFpSec =
@@ -189,7 +198,7 @@ object Bench {
     // the record-linkage twin: name canon -> phonetic blocking -> FS
     // train -> predict -> best match, one lineage, write + checks
     val (linkCore, linkChecks, linkFpCore, linkFpChecks) =
-      if (only.nonEmpty) (-1.0, 0.0, -1.0, 0.0)
+      if (skipCapstones) (-1.0, 0.0, -1.0, 0.0)
       else timeCapstone("linkage_capstone")(
         Etl.linkageCapstone(spark, sfDir, _))
     val linkSec = if (linkCore < 0) -1.0 else linkCore + linkChecks

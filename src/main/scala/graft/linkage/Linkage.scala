@@ -49,8 +49,17 @@ object Linkage {
   }
 
   /** Skew guard for blocked pair joins: salt oversized blocks into
-    * sub-blocks so no single shuffle group holds more than `maxBlock`
-    * left rows. SEMANTICS-PRESERVING — the classic manual skew-join
+    * sub-blocks so no single shuffle group holds more than ~`maxBlock`
+    * left rows in EXPECTATION (salts are hash-assigned, so a group can
+    * exceed the cap by a small factor from hash unevenness; the bound is
+    * statistical, not hard). The guard is ONE-SIDED: block sizes are
+    * measured on the LEFT side only and every right row of a hot block
+    * replicates to all of its salts, so per-task work is bounded by
+    * ~maxBlock·R for a block with R right rows — a key that is
+    * degenerate on the RIGHT alone is not split (put the skewed side on
+    * the left, or pick maxBlock from [[blockProfile]]'s per-side counts;
+    * a 2-D both-sides salt is the big-joins-big extension).
+    * SEMANTICS-PRESERVING — the classic manual skew-join
     * split, NOT a recall-lossy cap: a hot block of L left rows gets
     * ceil(L/maxBlock) salts, each left row lands in exactly one salt
     * (deterministic hash of the whole left row) and each right row is
@@ -121,7 +130,10 @@ object Linkage {
     * (leftId, rightId) pair key for the cross-rule dedup window. Pass
     * `maxBlock > 0` to route every rule's join through the
     * [[saltBySize]] skew guard. Left/right must have disjoint column
-    * names (including the id columns). */
+    * names (including the id columns), and `leftId` / `rightId` must each
+    * UNIQUELY identify their side's rows (splink's `unique_id` contract):
+    * the cross-rule dedup keeps one row per (leftId, rightId), so
+    * duplicate ids would silently collapse distinct candidate rows. */
   def unionBlocks(left: DataFrame, right: DataFrame,
                   leftId: String, rightId: String,
                   rules: Seq[(Seq[Column], Seq[Column])],
@@ -164,10 +176,19 @@ object Linkage {
       val rc = right
         .groupBy(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
         .agg(count(lit(1)).as("__nr"))
+      // per-block products and their sum are computed in decimal(38,0):
+      // at the 100 TB scale this tool exists for, a single hot block's
+      // nl*nr (or the rule total) can exceed Long and non-ANSI Long
+      // arithmetic would wrap SILENTLY NEGATIVE — garbage exactly when
+      // the budget matters. The final cast back to long (the driver's
+      // BIGINT oracle type) nulls on overflow instead of wrapping, so an
+      // over-budget rule reads as an obviously-broken null, never as a
+      // plausible small number.
       lc.join(rc, names.toSeq)
-        .select((col("__nl") * col("__nr")).as("__bp"))
-        .agg(count(lit(1)).as("n_blocks"), sum(col("__bp")).as("n_pairs"),
-          max(col("__bp")).as("max_block_pairs"))
+        .select((col("__nl").cast("decimal(38,0)") * col("__nr")).as("__bp"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("__bp")).cast("long").as("n_pairs"),
+          max(col("__bp")).cast("long").as("max_block_pairs"))
         .select(lit(i).as("match_key"), col("n_blocks"),
           col("n_pairs"), col("max_block_pairs"))
     }.reduce(_.unionByName(_))
