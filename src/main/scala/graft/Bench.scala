@@ -203,6 +203,30 @@ object Bench {
         Etl.linkageCapstone(spark, sfDir, _))
     val linkSec = if (linkCore < 0) -1.0 else linkCore + linkChecks
     val linkFpSec = if (linkFpCore < 0) -1.0 else linkFpCore + linkFpChecks
+    // Per-round imputer WMAPE gate (judge r14 brief #2): the LATC/tubal
+    // lanes are `no_oracle` by design (float-iterative), so their only
+    // quantitative regression signal is this recorded number — the
+    // reference gates its imputations the same way
+    // (timeseries_cleaning.py:2189-2240 MAPE thresholds). Runs the full
+    // simulate→impute→score loop (ImputationEval.latc/tubalEvalOnEvents)
+    // once per bench on the bench fixture; recorded in bench_full.json as
+    // wmape NANOS (exact half-cent integer scoring), not timed as a
+    // query. Skipped on filtered runs (SPARK_GRAFT_ONLY / capstones-only)
+    // — the gate belongs to the full per-round suite.
+    def wmapeOf(eval: => org.apache.spark.sql.DataFrame): Long =
+      if (skipCapstones || capsOnly) -1L
+      else try {
+        val (_, _, _, nano) = graft.impute.ImputationEval.overallWmape(eval)
+        graft.util.SessionHygiene.releaseAll(spark)
+        nano
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] imputer eval failed: ${e.getMessage}")
+        -1L
+      }
+    val latcWmapeNano = wmapeOf(graft.impute.ImputationEval
+      .latcEvalOnEvents(Tables.load(spark, sfDir, "events")))
+    val tubalWmapeNano = wmapeOf(graft.impute.ImputationEval
+      .tubalEvalOnEvents(Tables.load(spark, sfDir, "events")))
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -212,7 +236,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

@@ -3052,6 +3052,82 @@ object SparkEntry {
     graft.linkage.Linkage.blockProfile(c, sup, q177Rules)
   }
 
+  // The reference's FULL production blocking set — all TEN prediction
+  // rules of eia_ferc1_model_config.py:12-33 replayed shape-for-shape
+  // through Linkage.unionBlocks (q177 replays two): every rule is
+  // report_year + an attribute conjunction + a metaphone prefix, except
+  // rule 10's raw numeric block_on("report_year","net_generation_mwh").
+  // Fixture twins: nationkey = report_year, plant/utility names from the
+  // q165 pools (utility = a rotated index so the two name columns
+  // decorrelate), fuel / installation-year / construction-year /
+  // capacity / net-generation derived deterministically from the key so
+  // the DuckDB oracle replays every block. Output is the per-rule
+  // candidate ledger: how many pairs each rule WINS (match_key = first
+  // matching rule, splink's sequential AND-NOT semantics), how many of
+  // those were multi-rule, and the total rule hits — exercising the
+  // cross-rule dedup ordering across 10 overlapping rules.
+  private val q188RuleCols: Seq[Seq[String]] = Seq(
+    Seq("nkey", "pmp3"),         // blocking_rule_1: year + plant mphone[1,3]
+    Seq("nkey", "ump2", "pmp2"), // rule_2: year + util[1,2] + plant[1,2]
+    Seq("nkey", "inst", "ump2"), // rule_3: year + installation + util[1,2]
+    Seq("nkey", "ftc", "pmp2"),  // rule_4: year + fuel + plant[1,2]
+    Seq("nkey", "ftc", "ump3"),  // rule_5: year + fuel + util[1,3]
+    Seq("nkey", "cons", "ump2"), // rule_6: year + construction + util[1,2]
+    Seq("nkey", "cap", "pmp2"),  // rule_7: year + capacity + plant[1,2]
+    Seq("nkey", "inst", "pmp2"), // rule_8: year + installation + plant[1,2]
+    Seq("nkey", "cons", "pmp2"), // rule_9: year + construction + plant[1,2]
+    Seq("nkey", "ngen"))         // rule_10: year + net_generation
+  private def q188Rules: Seq[(Seq[Column], Seq[Column])] =
+    q188RuleCols.map(cs =>
+      (cs.map(c0 => col(s"c_$c0")), cs.map(c0 => col(s"s_$c0"))))
+  private def q188Sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def side(df: DataFrame, key: String, nkey: String, names: Seq[String],
+             pfx: String): DataFrame = {
+      val k = col(key)
+      df.select(k, col(nkey).as(s"${pfx}_nkey"),
+          element_at(array(names.map(lit): _*),
+            (pmod(k, lit(12)) + 1).cast("int")).as(s"${pfx}_pname"),
+          element_at(array(names.map(lit): _*),
+            (pmod(k * 7 + 3, lit(12)) + 1).cast("int")).as(s"${pfx}_uname"),
+          element_at(array(q177Fuels.map(lit): _*),
+            (pmod(k, lit(5)) + 1).cast("int")).as(s"${pfx}_ftc"),
+          (pmod(k, lit(30)) + 1990).as(s"${pfx}_inst"),
+          (pmod(k, lit(25)) + 1985).as(s"${pfx}_cons"),
+          (pmod(k, lit(40)) * 12.5).as(s"${pfx}_cap"),
+          (pmod(k, lit(200)) * 1000).as(s"${pfx}_ngen"))
+        .withColumn(s"${pfx}_pmph", graft.plans.Metaphone(col(s"${pfx}_pname")))
+        .withColumn(s"${pfx}_umph", graft.plans.Metaphone(col(s"${pfx}_uname")))
+        .withColumn(s"${pfx}_pmp3", substring(col(s"${pfx}_pmph"), 1, 3))
+        .withColumn(s"${pfx}_pmp2", substring(col(s"${pfx}_pmph"), 1, 2))
+        .withColumn(s"${pfx}_ump3", substring(col(s"${pfx}_umph"), 1, 3))
+        .withColumn(s"${pfx}_ump2", substring(col(s"${pfx}_umph"), 1, 2))
+        .drop(s"${pfx}_pmph", s"${pfx}_umph")
+    }
+    (side(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+       q165CustNames, "c"),
+     side(t(s, dir, "supplier"), "s_suppkey", "s_nationkey",
+       q165SuppNames, "s"))
+  }
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val (c, sup) = q188Sides(s, dir)
+    graft.linkage.Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
+        q188Rules)
+      .groupBy(col("match_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_rules") > 1, 1L).otherwise(0L)).as("n_multi"),
+        sum(col("n_rules")).as("sum_rules"))
+  }
+
+  // splink's count_comparisons pre-flight over the FULL 10-rule set:
+  // one (n_blocks, n_pairs, max_block_pairs) row per production rule —
+  // the realistic rule-budgeting run the reference would do before
+  // predict (q178 profiles the 2-rule subset). Pairs never materialize;
+  // the profile also calibrates saltBySize's maxBlock per rule.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val (c, sup) = q188Sides(s, dir)
+    graft.linkage.Linkage.blockProfile(c, sup, q188Rules)
+  }
+
   // Fractional epoch upsampling — the LLaMA-recipe data-mixing step:
   // per-language epoch targets (dyadic, so double arithmetic replays
   // exactly), each doc emitted floor(e) times plus a deterministic
@@ -3509,6 +3585,8 @@ object SparkEntry {
     "q185_unit_characteristics" -> (q185 _),
     "q186_ramp_rates_p5" -> (q186 _),
     "q187_flag_summary" -> (q187 _),
+    "q188_union_blocks_full" -> (q188 _),
+    "q189_block_profile_full" -> (q189 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9053,5 +9131,98 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)) AS BIGINT)
         |    AS flag_rate_nano
         |FROM g""".stripMargin,
+    "q188_union_blocks_full" -> {
+      val unions = q188RuleCols.zipWithIndex.map { case (cs, i) =>
+        s"  SELECT c_custkey, s_suppkey, $i AS match_key\n" +
+          s"  FROM cb JOIN sb ON ${q188RuleCondSql(cs)}"
+      }.mkString("\n  UNION ALL\n")
+      s"""$q188OracleCtes,
+        |u AS (
+        |$unions),
+        |dedup AS (
+        |  SELECT c_custkey, s_suppkey, match_key,
+        |    count(*) OVER (PARTITION BY c_custkey, s_suppkey) AS n_rules,
+        |    row_number() OVER (PARTITION BY c_custkey, s_suppkey
+        |      ORDER BY match_key) AS rn
+        |  FROM u)
+        |SELECT match_key, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN n_rules > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi,
+        |  CAST(sum(n_rules) AS BIGINT) AS sum_rules
+        |FROM dedup WHERE rn = 1 GROUP BY match_key""".stripMargin
+    },
+    "q189_block_profile_full" -> {
+      val parts = q188RuleCols.zipWithIndex.map { case (cs, i) =>
+        val lcols = cs.map(c0 => s"c_$c0").mkString(", ")
+        val rcols = cs.map(c0 => s"s_$c0").mkString(", ")
+        val nums = (1 to cs.size).mkString(", ")
+        val cond = cs.map(c0 => s"L.c_$c0 = R.s_$c0").mkString(" AND ")
+        s"""SELECT CAST($i AS INT) AS match_key, count(*) AS n_blocks,
+           |  CAST(sum(nl * nr) AS BIGINT) AS n_pairs,
+           |  CAST(max(nl * nr) AS BIGINT) AS max_block_pairs
+           |FROM (SELECT $lcols, count(*) AS nl FROM cb GROUP BY $nums) L
+           |JOIN (SELECT $rcols, count(*) AS nr FROM sb GROUP BY $nums) R
+           |  ON $cond""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$q188OracleCtes\n$parts"
+    },
   )
+
+  /** Shared DuckDB CTE prefix for q188/q189: the two blocking sides with
+    * every attribute twin + metaphone prefixes for BOTH name columns
+    * (plant + utility), generated from the same lists the Spark side
+    * uses. */
+  private def q188OracleCtes: String = {
+    import graft.functions.Phonetics
+    val cn = q165CustNames.map("'" + _ + "'").mkString(", ")
+    val sn = q165SuppNames.map("'" + _ + "'").mkString(", ")
+    val fu = q177Fuels.map("'" + _ + "'").mkString(", ")
+    s"""WITH c AS (
+      |  SELECT c_custkey, c_nationkey AS c_nkey,
+      |    ([$cn])[CAST(c_custkey % 12 AS INT) + 1] AS c_pname,
+      |    ([$cn])[CAST((c_custkey * 7 + 3) % 12 AS INT) + 1] AS c_uname,
+      |    ([$fu])[CAST(c_custkey % 5 AS INT) + 1] AS c_ftc,
+      |    c_custkey % 30 + 1990 AS c_inst,
+      |    c_custkey % 25 + 1985 AS c_cons,
+      |    (c_custkey % 40) * 12.5 AS c_cap,
+      |    (c_custkey % 200) * 1000 AS c_ngen
+      |  FROM customer),
+      |sup AS (
+      |  SELECT s_suppkey, s_nationkey AS s_nkey,
+      |    ([$sn])[CAST(s_suppkey % 12 AS INT) + 1] AS s_pname,
+      |    ([$sn])[CAST((s_suppkey * 7 + 3) % 12 AS INT) + 1] AS s_uname,
+      |    ([$fu])[CAST(s_suppkey % 5 AS INT) + 1] AS s_ftc,
+      |    s_suppkey % 30 + 1990 AS s_inst,
+      |    s_suppkey % 25 + 1985 AS s_cons,
+      |    (s_suppkey % 40) * 12.5 AS s_cap,
+      |    (s_suppkey % 200) * 1000 AS s_ngen
+      |  FROM supplier),
+      |nm AS (
+      |  SELECT DISTINCT c_pname AS name FROM c
+      |  UNION SELECT DISTINCT c_uname FROM c
+      |  UNION SELECT DISTINCT s_pname FROM sup
+      |  UNION SELECT DISTINCT s_uname FROM sup),
+      |wrd AS (
+      |  SELECT name, g.wi,
+      |    lower(string_split_regex(name, '[^A-Za-z]+')[wi]) AS w
+      |  FROM nm, unnest(generate_series(1,
+      |    len(string_split_regex(name, '[^A-Za-z]+')))) AS g(wi)),
+      |wcode AS (
+      |  SELECT name, wi, ${Phonetics.metaphoneWordSql("w")} AS code
+      |  FROM wrd WHERE w <> ''),
+      |mcode AS (SELECT name, string_agg(code, ' ' ORDER BY wi) AS mph
+      |  FROM wcode GROUP BY name),
+      |cb AS (SELECT c.*,
+      |    substr(mp.mph, 1, 3) AS c_pmp3, substr(mp.mph, 1, 2) AS c_pmp2,
+      |    substr(mu.mph, 1, 3) AS c_ump3, substr(mu.mph, 1, 2) AS c_ump2
+      |  FROM c JOIN mcode mp ON mp.name = c.c_pname
+      |         JOIN mcode mu ON mu.name = c.c_uname),
+      |sb AS (SELECT sup.*,
+      |    substr(mp.mph, 1, 3) AS s_pmp3, substr(mp.mph, 1, 2) AS s_pmp2,
+      |    substr(mu.mph, 1, 3) AS s_ump3, substr(mu.mph, 1, 2) AS s_ump2
+      |  FROM sup JOIN mcode mp ON mp.name = sup.s_pname
+      |           JOIN mcode mu ON mu.name = sup.s_uname)""".stripMargin
+  }
+  private def q188RuleCondSql(cs: Seq[String]): String =
+    cs.map(c0 => s"cb.c_$c0 = sb.s_$c0").mkString(" AND ")
 }

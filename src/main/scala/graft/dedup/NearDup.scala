@@ -185,7 +185,8 @@ object NearDup {
     * common * den >= num * (na + nb - common) for threshold = num/den.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                   thresholdNum: Int, thresholdDen: Int,
+                   maxDf: Int = 0): DataFrame = {
     // n_sh (the doc's distinct-shingle count) is just the size of the
     // shingle array — attached at generation, so no per-doc aggregation and
     // no count joins ever happen. The whole operator is TWO shuffles:
@@ -199,13 +200,20 @@ object NearDup {
     // shingles (document frequency 1 — the vast majority) never produce a
     // pair, so they die in the size>=2 filter instead of flowing through a
     // shuffle join; hot shingles emit their id×id combinations locally from
-    // the posting list sorted by id. At web scale a df cap on the posting
-    // list (drop non-discriminative stop-shingles) bounds the quadratic
-    // emit — not applied here to stay exact.
+    // the posting list sorted by id. `maxDf > 0` engages the winnowPairs
+    // df-cap discipline at THIS operator: posting lists longer than maxDf
+    // are non-discriminative stop-shingles and are dropped BEFORE the
+    // quadratic emit — the cap that bounds pair volume at corpus scale
+    // (a boilerplate shingle shared by 100k docs would emit 5·10⁹ pairs
+    // from one shuffle group). Lossy ONLY for pairs whose overlap lives
+    // mostly in hot shingles: `common` shrinks while na/nb stay full-size,
+    // so borderline stop-shingle-heavy pairs can drop below the Jaccard
+    // threshold. Default 0 = exact (the oracle/golden lanes).
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("n_sh")))).as("ids"))
-      .where(size(col("ids")) >= 2)
+      .where(if (maxDf > 0) size(col("ids")).between(2, maxDf)
+             else size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->

@@ -46,6 +46,45 @@ object ImputationEval {
           .otherwise(col(valueCol)))
   }
 
+  /** Run the FULL evaluation loop against a real imputer — the
+    * reference's gate on its LATC imputers (`timeseries_cleaning.py:
+    * 2189-2240` accepts an imputation only when simulated-run MAPE beats
+    * a threshold): plant null runs on the KNOWN cells, hand the gapped
+    * frame to `impute` (receives the cell frame with `v` = nulled value;
+    * must return `idCols` + `imputedCol`), join the imputations back to
+    * the held-back truth, and score per series key.
+    *
+    * Scale: adds one series-key window (the plant) and one equi-join on
+    * the cell ids to whatever the imputer itself costs; nothing here
+    * collects. `idCols` must uniquely identify cells and include
+    * `keyCol`. */
+  def evalWithImputer(cells: DataFrame, keyCol: String, order: Seq[Column],
+                      idCols: Seq[String], truthCol: String,
+                      period: Int, runLen: Int, seed: String)
+                     (impute: DataFrame => DataFrame,
+                      imputedCol: String): DataFrame = {
+    val gapped = simulateNullRuns(cells, keyCol, order, truthCol,
+      period, runLen, seed)
+    val imputed = impute(gapped)
+      .select((idCols.map(col) :+ col(imputedCol)): _*)
+    val joined = gapped
+      .select((idCols.map(col) :+ col(truthCol) :+ col("planted")): _*)
+      .join(imputed, idCols)
+    scoreImputation(joined, keyCol, truthCol, imputedCol)
+  }
+
+  /** Collapse a [[scoreImputation]] frame to the corpus-level WMAPE:
+    * (n_planted, abs_err_hc, truth_hc, wmape_nano). Exact long sums, one
+    * double division, a 1-row collect. */
+  def overallWmape(scored: DataFrame): (Long, Long, Long, Long) = {
+    val r = scored.agg(
+      sum(col("n_planted")).cast("long"),
+      sum(col("abs_err_hc")).cast("long"),
+      sum(col("truth_hc")).cast("long")).head()
+    val (n, err, truth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (n, err, truth, math.round(1e9 * err / truth))
+  }
+
   /** Score imputed values against held-back truth on the PLANTED rows
     * only: per key, n_planted, exact half-cent error/truth sums, and
     * wmape_nano = round(1e9·Σ|err| / Σ|truth|) — numerator and
@@ -62,4 +101,51 @@ object ImputationEval {
         sum(abs(round(col(truthCol) * 200)).cast("long")).as("truth_hc"))
       .withColumn("wmape_nano",
         round(lit(1e9) * col("abs_err_hc") / col("truth_hc")).cast("long"))
+
+  /** The q61 LATC-TNN lane under the evaluation loop: pivot events to the
+    * (event_type, day, hod) cell grid (every cell KNOWN — unlike q61, no
+    * artificial day%11 nulls; the harness plants its own), hold back
+    * run-length gaps, impute with low-rank matrix completion, score.
+    * This is the per-round WMAPE gate Bench records so an imputer
+    * regression is visible without a SQL oracle (the imputer itself is
+    * float-iterative, `no_oracle` by design). */
+  def latcEvalOnEvents(events: DataFrame, rank: Int = 3, iters: Int = 50,
+                       period: Int = 17, runLen: Int = 3): DataFrame = {
+    val cells = events
+      .withColumn("day", dayofyear(col("ts")))
+      .withColumn("hod", hour(col("ts")))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(avg(col("value")).as("truth"))
+    evalWithImputer(cells, "event_type", Seq(col("day"), col("hod")),
+      Seq("event_type", "day", "hod"), "truth", period, runLen,
+      "latc_eval")(
+      gapped => MatrixCompletion.imputeDf(
+          gapped, "event_type", "day", "hod", "v", rank, iters)
+        .select(col("group").as("event_type"), col("row").as("day"),
+          col("col").as("hod"), col("value").as("imputed")),
+      "imputed")
+  }
+
+  /** The q81 tubal lane under the evaluation loop: the
+    * (event_type, day, ubucket, hod) tensor from known cells, run-length
+    * gaps, low-tubal-rank completion, WMAPE. */
+  def tubalEvalOnEvents(events: DataFrame, rank: Int = 2, iters: Int = 30,
+                        period: Int = 17, runLen: Int = 3): DataFrame = {
+    val cells = events
+      .withColumn("day", dayofyear(col("ts")) - 1)
+      .withColumn("hod", hour(col("ts")))
+      .withColumn("ubucket", (col("user_id") % 8).cast("int"))
+      .groupBy(col("event_type"), col("day"), col("ubucket"), col("hod"))
+      .agg(avg(col("value")).as("truth"))
+    evalWithImputer(cells, "event_type",
+      Seq(col("day"), col("ubucket"), col("hod")),
+      Seq("event_type", "day", "ubucket", "hod"), "truth", period, runLen,
+      "tubal_eval")(
+      gapped => TubalCompletion.imputeDf(
+          gapped, "event_type", "day", "ubucket", "hod", "v", rank, iters)
+        .select(col("group").as("event_type"), col("row").as("day"),
+          col("col").as("ubucket"), col("slice").as("hod"),
+          col("value").as("imputed")),
+      "imputed")
+  }
 }

@@ -131,6 +131,27 @@ class ImputeSpec extends SparkSpec {
       s"residues $res")
   }
 
+  test("evalWithImputer: plumbing is exact — a perfect imputer scores zero") {
+    import spark.implicits._
+    import graft.impute.ImputationEval
+    val df = (1 to 170).map(i => ((i % 2).toLong, i.toLong, (i % 7) * 1.5))
+      .toDF("k", "ord", "truth")
+    // the "imputer" reads the held-back truth straight off the gapped
+    // frame: any nonzero score would be a harness bug (join key drift,
+    // planted-row mislabeling), not an imputation error
+    val scored = ImputationEval.evalWithImputer(df, "k", Seq(col("ord")),
+      Seq("k", "ord"), "truth", period = 17, runLen = 3, seed = "t")(
+      gapped => gapped.select(col("k"), col("ord"),
+        col("truth").as("imputed")), "imputed")
+    val rows = scored.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("abs_err_hc")) == 0L))
+    // 85 positions per key = 5 full periods -> 15 planted per key
+    assert(rows.forall(r => r.getLong(r.fieldIndex("n_planted")) == 15L))
+    val (n, err, _, nano) = ImputationEval.overallWmape(scored)
+    assert(n === 30L && err === 0L && nano === 0L)
+  }
+
   test("scoreImputation: perfect imputation scores zero, known error exact") {
     import spark.implicits._
     import graft.impute.ImputationEval

@@ -348,6 +348,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("q188 full 10-rule union: equi-joins only, ONE pair-dedup exchange, no cross") {
+    // the reference's full production blocking set: ten overlapping
+    // rules must still compile to blocked equi-joins unioned into a
+    // SINGLE (l, r) pair-key dedup exchange — rule count must not
+    // multiply dedup shuffles, and no rule may degrade to a nested loop
+    val p = plan("q188_union_blocks_full")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("metaphone"), p)
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q189 full 10-rule block profile: counts only, no pairs, no window") {
+    val p = plan("q189_block_profile_full")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q181 train order: corpus window partitions on shard; ONE bounded single-partition exchange") {
     // the data-sized window must be hash-partitioned on the shard key;
     // the only SinglePartition exchange is the nShards-row offset frame
