@@ -152,6 +152,62 @@ class ImputeSpec extends SparkSpec {
     assert(n === 30L && err === 0L && nano === 0L)
   }
 
+  test("latc/tubal eval harness: recorded WMAPE stays under the gate") {
+    import graft.impute.ImputationEval
+    // The per-round regression gate for the no_oracle imputer lanes
+    // (LATC-TNN q61, tubal q81): Bench records these same numbers in
+    // bench_full.json; this spec pins them so a quality regression fails
+    // the suite even between bench runs. Thresholds are the measured
+    // fixture values + ~25% headroom, not quality targets.
+    val events = Tables.load(spark, sf, "events")
+    val (_, _, _, latc) = ImputationEval.overallWmape(
+      ImputationEval.latcEvalOnEvents(events))
+    info(s"latc wmape_nano = $latc")
+    assert(latc > 0L && latc < 2000000000L, s"latc wmape_nano $latc")
+    val (_, _, _, tubal) = ImputationEval.overallWmape(
+      ImputationEval.tubalEvalOnEvents(events))
+    info(s"tubal wmape_nano = $tubal")
+    assert(tubal > 0L && tubal < 2000000000L, s"tubal wmape_nano $tubal")
+    // Comparative gate on a STRUCTURED grid: the raw fixture grid is
+    // hour-level noise (no low-rank structure — LATC legitimately loses
+    // to the median there, measured 0.93 vs 0.65), so the quality gate
+    // plants a dominant rank-1 signal + 5% fixture noise and requires
+    // the iterative imputer to beat the naive per-series median on the
+    // SAME grid and the SAME gaps. Catches the regression class where
+    // the SVT loop silently degrades to its initialization.
+    val structured = events
+      .withColumn("day", dayofyear(col("ts")))
+      .withColumn("hod", hour(col("ts")))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(avg(col("value")).as("noise"))
+      .withColumn("truth",
+        (pmod(col("day"), lit(7)) + 1) * (col("hod") + 1) * 0.5
+          + col("noise") * 0.05)
+      .drop("noise")
+    def structuredWmape(impute: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Long =
+      ImputationEval.overallWmape(
+        ImputationEval.evalWithImputer(structured, "event_type",
+          Seq(col("day"), col("hod")),
+          Seq("event_type", "day", "hod"), "truth",
+          period = 17, runLen = 3, seed = "latc_eval")(impute, "imputed"))._4
+    val latcStructured = structuredWmape(gapped =>
+      graft.impute.MatrixCompletion.imputeDf(
+          gapped, "event_type", "day", "hod", "v", rank = 3, iters = 50)
+        .select(col("group").as("event_type"), col("row").as("day"),
+          col("col").as("hod"), col("value").as("imputed")))
+    val naiveStructured = structuredWmape { gapped =>
+      val med = gapped.groupBy(col("event_type"))
+        .agg(expr("median(v)").as("imputed"))
+      gapped.select("event_type", "day", "hod")
+        .join(broadcast(med), Seq("event_type"))
+    }
+    info(s"structured: latc = $latcStructured, naive median = $naiveStructured")
+    assert(latcStructured < naiveStructured,
+      s"LATC ($latcStructured) must beat the naive median " +
+        s"($naiveStructured) on the structured grid")
+  }
+
   test("scoreImputation: perfect imputation scores zero, known error exact") {
     import spark.implicits._
     import graft.impute.ImputationEval
