@@ -214,15 +214,19 @@ object Etl {
     * supplier-of-training-batches shaped (split-partitioned parquet).
     * The Bench entry `corpus_capstone` times build + write + validation
     * end-to-end — the data-pipeline twin of [[capstone]]. */
-  def buildCorpusWide(spark: SparkSession, sfDir: String): DataFrame = {
+  def buildCorpusWide(spark: SparkSession, sfDir: String,
+                      dedupMaxDf: Int = 0): DataFrame = {
     import graft.dedup.NearDup
     import graft.text.TextAnalysis
     import graft.operators.Sampling
     val docs = Tables.load(spark, sfDir, "documents")
 
-    // 1. near-dup canonicalization: keep each cluster's minimum doc id
+    // 1. near-dup canonicalization: keep each cluster's minimum doc id.
+    //    dedupMaxDf > 0 engages the stop-shingle df cap (jaccardPairs
+    //    discipline) — the 100 TB posting-list bound; 0 = exact (the
+    //    default, and what the golden counts pin)
     val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
-      n = 3, thresholdNum = 1, thresholdDen = 4)
+      n = 3, thresholdNum = 1, thresholdDen = 4, maxDf = dedupMaxDf)
     val cc = graft.graph.ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       "src", "dst")
@@ -325,8 +329,17 @@ object Etl {
     * `corpus_capstone` (= core + checks) plus the two parts. */
   def corpusCapstone(spark: SparkSession, sfDir: String,
                      outDir: String): (Double, Double, Long) = {
+    // SPARK_GRAFT_CORPUS_MAXDF > 0 engages the stage-1 stop-shingle cap —
+    // the scale-measurement lane (SCALE.md capped-vs-uncapped exponents);
+    // unset/0 = exact, the per-round default. Announced on stderr so no
+    // recorded number can silently carry a cap.
+    val maxDf = sys.env.get("SPARK_GRAFT_CORPUS_MAXDF")
+      .map(_.trim.toInt).getOrElse(0)
+    if (maxDf > 0)
+      System.err.println(
+        s"[capstone] corpus near-dup df cap ENGAGED: maxDf=$maxDf")
     val t0 = System.nanoTime()
-    val out = buildCorpusWide(spark, sfDir)
+    val out = buildCorpusWide(spark, sfDir, dedupMaxDf = maxDf)
     ParquetSink.write(out, corpusWide, s"$outDir/${corpusWide.name}",
       partitionBy = Seq("split"))
     val coreSec = (System.nanoTime() - t0) / 1e9

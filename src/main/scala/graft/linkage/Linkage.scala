@@ -104,6 +104,73 @@ object Linkage {
     (saltedL, saltedR, names :+ "__salt")
   }
 
+  /** Two-dimensional skew guard for big-joins-big: [[saltBySize]]'s
+    * bound is one-sided (left block size), so a key degenerate on BOTH
+    * sides still concentrates maxBlock·R pairs in each salt. This
+    * variant sizes BOTH sides and decomposes each hot block's L×R pair
+    * matrix into a grid of ~maxBlock×maxBlock tiles: the left side
+    * hashes into one of ceil(L/maxBlock) row-salts and replicates across
+    * the ceil(R/maxBlock) column-salts, the right side symmetrically, and
+    * the join key gains (row-salt, column-salt) — every tile is its own
+    * shuffle group, every (l, r) pair meets in EXACTLY one tile, so the
+    * output is pair-for-pair identical to the plain equi-join while no
+    * task holds more than ~maxBlock rows of either side (in expectation;
+    * salts are hash-assigned).
+    *
+    * Cost: hot-block rows replicate ceil(other-side/maxBlock) times —
+    * the classic blocked-matrix trade (total replicated volume
+    * L·ceil(R/m) + R·ceil(L/m), vs the unguarded single task doing L·R
+    * work serially). Cold keys pay one broadcast-probe each and a
+    * 1-element generator. The hot-key frame broadcasts: at most
+    * N/maxBlock keys per side by construction. */
+  def saltBySize2D(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[Column], rightKeys: Seq[Column],
+                   maxBlock: Int): (DataFrame, DataFrame, Seq[String]) = {
+    require(maxBlock >= 1, "maxBlock must be >= 1")
+    require(leftKeys.size == rightKeys.size, "key lists must align")
+    val names = leftKeys.indices.map(i => s"__bk$i")
+    val l = left.select(
+      left.columns.map(col) ++ leftKeys.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val r = right.select(
+      right.columns.map(col) ++ rightKeys.zip(names).map { case (c, n) => c.as(n) }: _*)
+    def sizes(side: DataFrame, out: String) = side
+      .groupBy(names.map(col): _*)
+      .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).cast("int").as(out))
+      .where(col(out) > 1)
+    // per-key salt grid (nsl row-salts × nsr column-salts); keys hot on
+    // neither side are absent (grid 1×1)
+    val hot = sizes(l, "__nsl").join(sizes(r, "__nsr"), names.toSeq, "full")
+      .select(names.map(col) :+
+        coalesce(col("__nsl"), lit(1)).as("__nsl") :+
+        coalesce(col("__nsr"), lit(1)).as("__nsr"): _*)
+    val saltedL = l.join(broadcast(hot), names, "left")
+      .withColumn("__sl",
+        when(col("__nsl").isNull, lit(0)).otherwise(
+          pmod(xxhash64(left.columns.map(col): _*),
+            col("__nsl").cast("long")).cast("int")))
+      .withColumn("__sr", explode(
+        sequence(lit(0), coalesce(col("__nsr"), lit(1)) - 1)))
+      .drop("__nsl", "__nsr")
+    val saltedR = r.join(broadcast(hot), names, "left")
+      .withColumn("__sr",
+        when(col("__nsr").isNull, lit(0)).otherwise(
+          pmod(xxhash64(right.columns.map(col): _*),
+            col("__nsr").cast("long")).cast("int")))
+      .withColumn("__sl", explode(
+        sequence(lit(0), coalesce(col("__nsl"), lit(1)) - 1)))
+      .drop("__nsl", "__nsr")
+    (saltedL, saltedR, names ++ Seq("__sl", "__sr"))
+  }
+
+  /** Equi-join with the [[saltBySize2D]] both-sides guard; output equals
+    * the plain equi-join pair-for-pair. */
+  def skewGuardedJoin2D(left: DataFrame, right: DataFrame,
+                        leftKeys: Seq[Column], rightKeys: Seq[Column],
+                        maxBlock: Int): DataFrame = {
+    val (l, r, names) = saltBySize2D(left, right, leftKeys, rightKeys, maxBlock)
+    l.join(r, names).drop(names: _*)
+  }
+
   /** Equi-join `left` and `right` on aligned key expressions with the
     * [[saltBySize]] skew guard; output carries all left + right columns
     * (internal key/salt columns dropped). Pair-for-pair identical to

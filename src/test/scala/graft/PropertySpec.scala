@@ -311,6 +311,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skewGuardedJoin2D == plain equi-join on random skewed frames (property)") {
+    import graft.linkage.Linkage
+    forAll(Gen.zip(pairFrameGen, Gen.choose(1, 8)), 10) { case ((ls, rs), cap) =>
+      val l = ls.toDF("l_id", "l_k")
+      val r = rs.toDF("r_id", "r_k")
+      val plain = l.join(r, col("l_k") === col("r_k"))
+        .select("l_id", "r_id").collect().toSet
+      val guarded = Linkage.skewGuardedJoin2D(l, r,
+          Seq(col("l_k")), Seq(col("r_k")), maxBlock = cap)
+        .select("l_id", "r_id").collect().toSet
+      assert(guarded === plain, s"2D cap=$cap nl=${ls.size} nr=${rs.size}")
+      // exactly-once: multiset sizes must also agree (a tile-overlap bug
+      // would duplicate pairs without changing the distinct set)
+      val plainN = l.join(r, col("l_k") === col("r_k")).count()
+      val guardN = Linkage.skewGuardedJoin2D(l, r,
+        Seq(col("l_k")), Seq(col("r_k")), maxBlock = cap).count()
+      assert(guardN === plainN, s"2D multiset cap=$cap")
+    }
+  }
+
   test("unionBlocks == distinct OR-join; n_rules/match_key consistent (property)") {
     import graft.linkage.Linkage
     forAll(pairFrameGen, 8) { case (ls, rs) =>

@@ -106,6 +106,85 @@ class SkewGuardSpec extends SparkSpec {
     assert(plain.exceptAll(guarded).count() === 0)
   }
 
+  // ---- saltBySize2D: the both-sides guard for big-joins-big -------------
+  // (round-15 ADVICE: saltBySize's bound is one-sided; a key degenerate
+  // on BOTH sides needs the 2-D tile decomposition)
+
+  // both sides degenerate on "aaa": 300 left x 200 right = 60k pairs in
+  // one key; plus cold keys on each side
+  private def bigLeft = (1 to 360).map { i =>
+    (i.toLong, if (i <= 300) "aaa" else s"b${i % 6}", s"lv$i")
+  }.toDF("l_id", "blk", "l_v")
+  private def bigRight = (1 to 240).map { i =>
+    (i.toLong, if (i <= 200) "aaa" else s"b${i % 6}", s"rv$i")
+  }.toDF("r_id", "rblk", "r_v")
+
+  test("skewGuardedJoin2D equals the plain equi-join on a both-sides hot key") {
+    val plain = bigLeft.join(bigRight, col("blk") === col("rblk"))
+      .select("l_id", "r_id")
+    val guarded = Linkage.skewGuardedJoin2D(bigLeft, bigRight,
+        Seq(col("blk")), Seq(col("rblk")), maxBlock = 50)
+      .select("l_id", "r_id")
+    assert(guarded.count() === plain.count()) // exactly-once per pair
+    assert(guarded.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(guarded).count() === 0)
+  }
+
+  test("saltBySize2D bounds BOTH sides' tile occupancy") {
+    val (l, r, keys) = Linkage.saltBySize2D(bigLeft, bigRight,
+      Seq(col("blk")), Seq(col("rblk")), maxBlock = 50)
+    // per (key, sl, sr) tile: left rows ~<= maxBlock (2x slack for hash
+    // unevenness), right rows likewise — THE property saltBySize can't
+    // give when the right side is also degenerate
+    val lMax = l.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    val rMax = r.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(lMax <= 100, s"left tile too big: $lMax")
+    assert(rMax <= 100, s"right tile too big: $rMax")
+    // hot block grid: ceil(300/50)=6 row-salts x ceil(200/50)=4 col-salts
+    val grid = l.where(col(keys.head) === "aaa")
+      .select(col("__sl"), col("__sr")).distinct().count()
+    assert(grid === 24L, s"expected 6x4 tile grid, got $grid")
+  }
+
+  test("saltBySize2D leaves cold keys on the (0,0) tile, no replication") {
+    val (l, r, keys) = Linkage.saltBySize2D(bigLeft, bigRight,
+      Seq(col("blk")), Seq(col("rblk")), maxBlock = 50)
+    assert(l.where(col(keys.head) =!= "aaa" &&
+      (col("__sl") =!= 0 || col("__sr") =!= 0)).count() === 0)
+    val coldOnce = r.where(col(keys.head) =!= "aaa")
+      .groupBy(col("r_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 1).count()
+    assert(coldOnce === 0)
+    // hot-key left rows replicate across the 4 column-salts exactly
+    val lRepl = l.where(col(keys.head) === "aaa")
+      .groupBy(col("l_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 4).count()
+    assert(lRepl === 0)
+  }
+
+  test("2D guard: one-side-hot and null keys degrade to the 1-D behavior") {
+    // hotLeft/hotRight: only the LEFT side of "aaa" is big
+    val plain = hotLeft.join(hotRight, col("blk") === col("rblk"))
+      .select("l_id", "r_id")
+    val guarded = Linkage.skewGuardedJoin2D(hotLeft, hotRight,
+        Seq(col("blk")), Seq(col("rblk")), maxBlock = 50)
+      .select("l_id", "r_id")
+    assert(guarded.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(guarded).count() === 0)
+    val left = Seq((1L, Some("aaa")), (2L, None), (3L, Some("bbb")))
+      .toDF("l_id", "blk")
+    val right = Seq((10L, Some("aaa")), (11L, None))
+      .toDF("r_id", "rblk")
+    val p2 = left.join(right, col("blk") === col("rblk"))
+      .select("l_id", "r_id")
+    val g2 = Linkage.skewGuardedJoin2D(left, right,
+        Seq(col("blk")), Seq(col("rblk")), maxBlock = 1)
+      .select("l_id", "r_id")
+    assert(g2.collect().toSet === p2.collect().toSet)
+  }
+
   // ---- unionBlocks: splink's blocking_rules_to_generate_predictions ----
   // (reference eia_ferc1_model_config.py:12-33 ORs 10 rules; splink keeps
   // each pair once, labeled with the first rule that matched)

@@ -40,6 +40,30 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("jaccardPairs maxDf cap drops stop-shingle pairs, keeps rare-shingle pairs") {
+    // 6 docs all share one boilerplate opening (hot shingles, df = 6);
+    // docs 1/2 additionally share rare content. With maxDf = 4 the
+    // boilerplate posting lists (df 6 > 4) die before the pair emit, so
+    // pairs held together ONLY by boilerplate vanish while the 1-2 pair
+    // survives on its rare shingles. maxDf = 0 stays exact.
+    val boiler = "standard header text common to all"
+    val df = (1L to 6L).map { i =>
+      val tail = if (i <= 2) "unique shared payload sentence here"
+                 else s"filler body number $i distinct words ${i * 7}"
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val exact = NearDup.jaccardPairs(df, "doc_id", "text", 3, 1, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = NearDup.jaccardPairs(df, "doc_id", "text", 3, 1, 4,
+        maxDf = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)))
+    assert(capped.contains((1L, 2L)), s"rare-shingle pair lost: $capped")
+    assert(capped.subsetOf(exact), s"cap invented pairs: ${capped.diff(exact)}")
+    assert(capped.size < exact.size,
+      s"cap dropped nothing (exact=${exact.size}, capped=${capped.size})")
+  }
+
   test("minhashLsh recalls exact-jaccard pairs on the fixture corpus") {
     val docs = Tables.load(spark, sf, "documents")
     val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 2, 5)
