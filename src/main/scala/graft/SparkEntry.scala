@@ -3128,6 +3128,50 @@ object SparkEntry {
     graft.linkage.Linkage.blockProfile(c, sup, q188Rules)
   }
 
+  // The reference's full PREDICT shape assembled end-to-end — splink
+  // predict over the production model config: the 10-rule candidate
+  // union (q188) -> comparison vector (NameComparison gamma ladders
+  // [0.9,0.8,0.7] on BOTH name columns, eia_ferc1_model_config.py:35-46,
+  // + exact fuel-type match, :47-50) -> Fellegi-Sunter match weight from
+  // plan-literal per-level log2(m/u) integer nanos -> acceptance -> best
+  // match per right record (sort desc + first, :245). q168-q170 verify
+  // the FS train/predict machinery with in-engine-estimated weights;
+  // this is the assembled production query over ALL ten blocking rules.
+  // Weights are literal longs (no float path anywhere: gammas are
+  // integer levels, the weight is a long sum, acceptance is a long
+  // compare at 3169925001 = round(log2(0.9/0.1)*1e9), precomputed so
+  // neither engine evaluates a transcendental).
+  private val q190NameW: Seq[(Int, Long)] = Seq(
+    -1 -> 0L,                // splink null level: Bayes factor 1
+    0 -> -4000000000L, 1 -> 1500000000L, 2 -> 3000000000L,
+    3 -> 5000000000L, 4 -> 7000000000L)
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS, Linkage}
+    val (c, sup) = q188Sides(s, dir)
+    def nameW(g: Column): Column =
+      q190NameW.tail.foldLeft(when(g === q190NameW.head._1,
+          lit(q190NameW.head._2))) {
+        case (acc, (k, v)) => acc.when(g === k, lit(v))
+      }
+    val scored = Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
+        q188Rules)
+      .withColumn("g_pname", FS.nameComparisonLevel(
+        col("c_pname"), col("s_pname"), Seq(0.9, 0.8, 0.7)))
+      .withColumn("g_uname", FS.nameComparisonLevel(
+        col("c_uname"), col("s_uname"), Seq(0.9, 0.8, 0.7)))
+      .withColumn("g_ftc",
+        when(col("c_ftc") === col("s_ftc"), 1).otherwise(0))
+      .withColumn("weight_nano",
+        lit(-6000000000L) + nameW(col("g_pname")) + nameW(col("g_uname"))
+          + when(col("g_ftc") === 1, lit(2000000000L))
+            .otherwise(lit(-1000000000L)))
+    FS.bestMatch(scored, "s_suppkey", "c_custkey")
+      .select(col("s_suppkey"), col("c_custkey"), col("match_key"),
+        col("n_rules"), col("g_pname"), col("g_uname"), col("g_ftc"),
+        col("weight_nano"),
+        (col("weight_nano") >= 3169925001L).as("accepted"))
+  }
+
   // Fractional epoch upsampling — the LLaMA-recipe data-mixing step:
   // per-language epoch targets (dyadic, so double arithmetic replays
   // exactly), each doc emitted floor(e) times plus a deterministic
@@ -3587,6 +3631,7 @@ object SparkEntry {
     "q187_flag_summary" -> (q187 _),
     "q188_union_blocks_full" -> (q188 _),
     "q189_block_profile_full" -> (q189 _),
+    "q190_splink_predict" -> (q190 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9165,6 +9210,57 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
            |  ON $cond""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"$q188OracleCtes\n$parts"
+    },
+    "q190_splink_predict" -> {
+      val unions = q188RuleCols.zipWithIndex.map { case (cs, i) =>
+        s"  SELECT c_custkey, s_suppkey, $i AS match_key\n" +
+          s"  FROM cb JOIN sb ON ${q188RuleCondSql(cs)}"
+      }.mkString("\n  UNION ALL\n")
+      def gamma(l: String, r: String): String =
+        s"CASE WHEN $l IS NULL OR $r IS NULL THEN -1 " +
+          s"WHEN $l = $r THEN 4 " +
+          s"WHEN jaro_winkler_similarity($l, $r) >= 0.9 THEN 3 " +
+          s"WHEN jaro_winkler_similarity($l, $r) >= 0.8 THEN 2 " +
+          s"WHEN jaro_winkler_similarity($l, $r) >= 0.7 THEN 1 ELSE 0 END"
+      def wcase(g: String): String =
+        q190NameW.map { case (k, v) => s"WHEN $g = $k THEN $v" }
+          .mkString("CASE ", " ", " ELSE NULL END")
+      s"""$q188OracleCtes,
+        |u AS (
+        |$unions),
+        |dedup AS (
+        |  SELECT c_custkey, s_suppkey, match_key,
+        |    count(*) OVER (PARTITION BY c_custkey, s_suppkey) AS n_rules,
+        |    row_number() OVER (PARTITION BY c_custkey, s_suppkey
+        |      ORDER BY match_key) AS rn
+        |  FROM u),
+        |pairs AS (
+        |  SELECT d.c_custkey, d.s_suppkey, d.match_key, d.n_rules,
+        |    cb.c_pname, cb.c_uname, cb.c_ftc,
+        |    sb.s_pname, sb.s_uname, sb.s_ftc
+        |  FROM dedup d
+        |  JOIN cb ON cb.c_custkey = d.c_custkey
+        |  JOIN sb ON sb.s_suppkey = d.s_suppkey
+        |  WHERE d.rn = 1),
+        |g AS (
+        |  SELECT *,
+        |    ${gamma("c_pname", "s_pname")} AS g_pname,
+        |    ${gamma("c_uname", "s_uname")} AS g_uname,
+        |    CASE WHEN c_ftc = s_ftc THEN 1 ELSE 0 END AS g_ftc
+        |  FROM pairs),
+        |w AS (
+        |  SELECT c_custkey, s_suppkey, match_key, n_rules,
+        |    g_pname, g_uname, g_ftc,
+        |    -6000000000 + ${wcase("g_pname")} + ${wcase("g_uname")}
+        |      + CASE WHEN g_ftc = 1 THEN 2000000000
+        |             ELSE -1000000000 END AS weight_nano
+        |  FROM g)
+        |SELECT s_suppkey, c_custkey, match_key, n_rules,
+        |  g_pname, g_uname, g_ftc, weight_nano,
+        |  weight_nano >= 3169925001 AS accepted
+        |FROM (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+        |        ORDER BY weight_nano DESC, c_custkey ASC) AS rk FROM w)
+        |WHERE rk = 1""".stripMargin
     },
   )
 

@@ -361,6 +361,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("q190 splink predict: no cross, ONE pair-dedup + ONE best-match exchange") {
+    // the assembled production predict: ten blocked equi-joins -> one
+    // pair-key dedup window -> plan-literal weight arithmetic (no
+    // transcendentals, no float) -> one right-id top-1 window. Exactly
+    // two data-sized hash exchanges beyond the per-rule joins.
+    val p = plan("q190_splink_predict")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning\\(s_suppkey".r.findAllIn(p).size == 1, p)
+    assert(!p.toLowerCase.contains("log("), p) // weights are literals
+  }
+
   test("q189 full 10-rule block profile: counts only, no pairs, no window") {
     val p = plan("q189_block_profile_full")
     assert(!p.contains("CartesianProduct"), p)
