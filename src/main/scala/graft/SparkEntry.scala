@@ -3394,7 +3394,8 @@ object SparkEntry {
   // trained surface is vocabulary-bounded.
   /** Shared q175/q176 accounting frame: (doc_id, lang, n_tokens,
     * n_pieces) under the q171-trained unigram vocab. */
-  private def unigramDocPieces(s: SparkSession, dir: String): DataFrame = {
+  private def unigramDocPieces(s: SparkSession, dir: String,
+                               withScore: Boolean = false): DataFrame = {
     import graft.text.Unigram
     val unk = -23025850930L
     val docs = t(s, dir, "documents")
@@ -3409,19 +3410,47 @@ object SparkEntry {
       .localCheckpoint()
     val r2 = Unigram.emRound(words, "word", "cnt", r1, 4, unk)
       .localCheckpoint()
-    val wp = Unigram.viterbiSegment(
-        Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
-      .select(col("word"), size(col("pieces")).cast("long").as("__wp"))
-    docs.select(col("doc_id"), col("lang"),
+    val seg = Unigram.viterbiSegment(
+      Unigram.scoreArrays(words, "word", r2, 4, unk), "word", 4)
+    val wp =
+      if (withScore) seg.select(col("word"),
+        size(col("pieces")).cast("long").as("__wp"),
+        col("score_nano").as("__ws"))
+      else seg.select(col("word"),
+        size(col("pieces")).cast("long").as("__wp"))
+    val grouped = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .join(wp, Seq("word"))
       .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__wp")).as("n_pieces"))
+    if (withScore)
+      grouped.agg(count(lit(1)).as("n_tokens"),
+        sum(col("__wp")).as("n_pieces"), sum(col("__ws")).as("score_nano"))
+    else
+      grouped.agg(count(lit(1)).as("n_tokens"),
+        sum(col("__wp")).as("n_pieces"))
   }
 
   private def q175(s: SparkSession, dir: String): DataFrame =
     unigramDocPieces(s, dir).orderBy("doc_id")
+
+  // Per-doc language-model quality under the corpus-trained unigram —
+  // the PERPLEXITY FILTER stage (CCNet's "keep docs whose LM perplexity
+  // is low" discipline, a staple of LLaMA-class data pipelines): each
+  // doc's Viterbi path log-prob total (exact integer nanos from the
+  // trained scores), pieces count, NLL per piece = -score/n_pieces (one
+  // double division of exact longs — both engines fold the identical
+  // IEEE value), and the keep flag at a literal threshold. Costs ONE
+  // extra sum over the q175 accounting join — the LM itself stays
+  // dictionary-bounded (the q171 SentencePiece reduction), so the stage
+  // is corpus-linear with a vocabulary-sized state no matter the scale.
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    unigramDocPieces(s, dir, withScore = true)
+      .withColumn("nll_per_piece_nano",
+        round(-col("score_nano").cast("double") / col("n_pieces"))
+          .cast("long"))
+      .withColumn("kept", col("nll_per_piece_nano") <= lit(3500000000L))
+      .orderBy("doc_id")
 
   // Context-window packing by TRAINED-TOKENIZER budget — the production
   // packer: windows are budgeted in model tokens (q175's n_pieces under
@@ -3632,6 +3661,7 @@ object SparkEntry {
     "q188_union_blocks_full" -> (q188 _),
     "q189_block_profile_full" -> (q189 _),
     "q190_splink_predict" -> (q190 _),
+    "q191_lm_quality" -> (q191 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -3670,6 +3700,164 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared recursive-CTE prefix for the trained-unigram oracles
+    * (q175/q191): word dictionary -> seed vocab -> 2 EM rounds ->
+    * per-word Viterbi DP; dp3's terminal rows carry the best path `p0`
+    * AND its total score `s0`. */
+  private def q175UnigramDpSql: String =
+    """WITH RECURSIVE wdict AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |sub AS MATERIALIZED (
+        |  SELECT word, j, l,
+        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
+        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
+        |    unnest(generate_series(1, 4)) AS gl(l)),
+        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
+        |picked AS (
+        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
+        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
+        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM picked),
+        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp1 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr1
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp1 WHERE i < n)),
+        |seg1 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
+        |cnt1 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab0) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt1),
+        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp2 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr2
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp2 WHERE i < n)),
+        |seg2 AS MATERIALIZED (
+        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
+        |cnt2 AS MATERIALIZED (SELECT vp.piece,
+        |    coalesce(u.cnt, 0) AS cnt
+        |  FROM (SELECT piece FROM vocab1) vp
+        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
+        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
+        |    ON u.piece = vp.piece),
+        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
+        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
+        |      * 1e9) AS BIGINT) AS score_nano
+        |  FROM cnt2),
+        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
+        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
+        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
+        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
+        |      ORDER BY sub.j, sub.l) AS arr
+        |  FROM wdict w JOIN sub ON sub.word = w.word
+        |  LEFT JOIN vocab2 v ON v.piece = sub.piece
+        |  GROUP BY w.word, w.cnt, w.n),
+        |dp3 AS (
+        |  SELECT word, cnt, n, arr, 0 AS i,
+        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
+        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
+        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+        |  FROM arr3
+        |  UNION ALL
+        |  SELECT word, cnt, n, arr, i + 1,
+        |    greatest(c1, c2, c3, c4), s0, s1, s2,
+        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p3, substr(word, i - 2, 4))
+        |         WHEN c3 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p2, substr(word, i - 1, 3))
+        |         WHEN c2 = greatest(c1, c2, c3, c4)
+        |           THEN list_append(p1, substr(word, i, 2))
+        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
+        |    p0, p1, p2
+        |  FROM (SELECT *,
+        |      coalesce(s0 + arr[i * 4 + 1],
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
+        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
+        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
+        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
+        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
+        |    FROM dp3 WHERE i < n))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -8391,159 +8579,7 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     // q175: stage-7 accounting replay — the q172 recursive-CTE encode
     // oracle extended with the per-doc piece-count join (no new DP
     // instances; sums CAST to BIGINT so no HUGEINT reaches the hash).
-    "q175_doc_pieces" ->
-      """WITH RECURSIVE wdict AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, len(word) AS n
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE len(word) >= 1 GROUP BY word),
-        |sub AS MATERIALIZED (
-        |  SELECT word, j, l,
-        |    CASE WHEN j + l - 1 <= len(word) THEN substr(word, j, l) END AS piece
-        |  FROM wdict, unnest(generate_series(1, n)) AS gj(j),
-        |    unnest(generate_series(1, 4)) AS gl(l)),
-        |occ AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
-        |  FROM sub JOIN wdict USING (word) WHERE piece IS NOT NULL GROUP BY 1),
-        |picked AS (
-        |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
-        |  UNION ALL
-        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE len(piece) > 1
-        |    ORDER BY cnt DESC, piece ASC LIMIT 24)),
-        |vocab0 AS MATERIALIZED (SELECT piece, cnt,
-        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
-        |      * 1e9) AS BIGINT) AS score_nano
-        |  FROM picked),
-        |arr1 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
-        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
-        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
-        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
-        |      ORDER BY sub.j, sub.l) AS arr
-        |  FROM wdict w JOIN sub ON sub.word = w.word
-        |  LEFT JOIN vocab0 v ON v.piece = sub.piece
-        |  GROUP BY w.word, w.cnt, w.n),
-        |dp1 AS (
-        |  SELECT word, cnt, n, arr, 0 AS i,
-        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
-        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
-        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
-        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
-        |  FROM arr1
-        |  UNION ALL
-        |  SELECT word, cnt, n, arr, i + 1,
-        |    greatest(c1, c2, c3, c4), s0, s1, s2,
-        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p3, substr(word, i - 2, 4))
-        |         WHEN c3 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p2, substr(word, i - 1, 3))
-        |         WHEN c2 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p1, substr(word, i, 2))
-        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
-        |    p0, p1, p2
-        |  FROM (SELECT *,
-        |      coalesce(s0 + arr[i * 4 + 1],
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
-        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
-        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
-        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
-        |    FROM dp1 WHERE i < n)),
-        |seg1 AS MATERIALIZED (
-        |  SELECT word, cnt, p0 AS pieces FROM dp1 WHERE i = n),
-        |cnt1 AS MATERIALIZED (SELECT vp.piece,
-        |    coalesce(u.cnt, 0) AS cnt
-        |  FROM (SELECT piece FROM vocab0) vp
-        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
-        |    FROM seg1 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
-        |    ON u.piece = vp.piece),
-        |vocab1 AS MATERIALIZED (SELECT piece, cnt,
-        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
-        |      * 1e9) AS BIGINT) AS score_nano
-        |  FROM cnt1),
-        |arr2 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
-        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
-        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
-        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
-        |      ORDER BY sub.j, sub.l) AS arr
-        |  FROM wdict w JOIN sub ON sub.word = w.word
-        |  LEFT JOIN vocab1 v ON v.piece = sub.piece
-        |  GROUP BY w.word, w.cnt, w.n),
-        |dp2 AS (
-        |  SELECT word, cnt, n, arr, 0 AS i,
-        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
-        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
-        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
-        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
-        |  FROM arr2
-        |  UNION ALL
-        |  SELECT word, cnt, n, arr, i + 1,
-        |    greatest(c1, c2, c3, c4), s0, s1, s2,
-        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p3, substr(word, i - 2, 4))
-        |         WHEN c3 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p2, substr(word, i - 1, 3))
-        |         WHEN c2 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p1, substr(word, i, 2))
-        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
-        |    p0, p1, p2
-        |  FROM (SELECT *,
-        |      coalesce(s0 + arr[i * 4 + 1],
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
-        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
-        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
-        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
-        |    FROM dp2 WHERE i < n)),
-        |seg2 AS MATERIALIZED (
-        |  SELECT word, cnt, p0 AS pieces FROM dp2 WHERE i = n),
-        |cnt2 AS MATERIALIZED (SELECT vp.piece,
-        |    coalesce(u.cnt, 0) AS cnt
-        |  FROM (SELECT piece FROM vocab1) vp
-        |  LEFT JOIN (SELECT p.piece, CAST(sum(s.cnt) AS BIGINT) AS cnt
-        |    FROM seg2 s, unnest(s.pieces) AS p(piece) GROUP BY 1) u
-        |    ON u.piece = vp.piece),
-        |vocab2 AS MATERIALIZED (SELECT piece, cnt,
-        |    CAST(round(ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ()))
-        |      * 1e9) AS BIGINT) AS score_nano
-        |  FROM cnt2),
-        |arr3 AS MATERIALIZED (SELECT w.word, w.cnt, w.n,
-        |    list(CASE WHEN sub.l = 1 AND sub.piece IS NOT NULL
-        |        THEN coalesce(v.score_nano, CAST(-23025850930 AS BIGINT))
-        |        ELSE CASE WHEN sub.piece IS NOT NULL THEN v.score_nano END END
-        |      ORDER BY sub.j, sub.l) AS arr
-        |  FROM wdict w JOIN sub ON sub.word = w.word
-        |  LEFT JOIN vocab2 v ON v.piece = sub.piece
-        |  GROUP BY w.word, w.cnt, w.n),
-        |dp3 AS (
-        |  SELECT word, cnt, n, arr, 0 AS i,
-        |    CAST(0 AS BIGINT) AS s0, CAST(NULL AS BIGINT) AS s1,
-        |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS s3,
-        |    CAST([] AS VARCHAR[]) AS p0, CAST(NULL AS VARCHAR[]) AS p1,
-        |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
-        |  FROM arr3
-        |  UNION ALL
-        |  SELECT word, cnt, n, arr, i + 1,
-        |    greatest(c1, c2, c3, c4), s0, s1, s2,
-        |    CASE WHEN c4 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p3, substr(word, i - 2, 4))
-        |         WHEN c3 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p2, substr(word, i - 1, 3))
-        |         WHEN c2 = greatest(c1, c2, c3, c4)
-        |           THEN list_append(p1, substr(word, i, 2))
-        |         ELSE list_append(p0, substr(word, i + 1, 1)) END,
-        |    p0, p1, p2
-        |  FROM (SELECT *,
-        |      coalesce(s0 + arr[i * 4 + 1],
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c1,
-        |      coalesce(CASE WHEN i >= 1 THEN s1 + arr[(i - 1) * 4 + 2] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c2,
-        |      coalesce(CASE WHEN i >= 2 THEN s2 + arr[(i - 2) * 4 + 3] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c3,
-        |      coalesce(CASE WHEN i >= 3 THEN s3 + arr[(i - 3) * 4 + 4] END,
-        |        CAST(-4611686018427387904 AS BIGINT)) AS c4
-        |    FROM dp3 WHERE i < n)),
+    "q175_doc_pieces" -> (q175UnigramDpSql + "," + """
         |wp AS MATERIALIZED (
         |  SELECT word, CAST(len(p0) AS BIGINT) AS np FROM dp3 WHERE i = n),
         |docw AS (
@@ -8552,7 +8588,26 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(np) AS BIGINT) AS n_pieces
         |FROM docw JOIN wp USING (word) WHERE len(word) >= 1
-        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+    "q191_lm_quality" -> (q175UnigramDpSql + "," + """
+        |wp AS MATERIALIZED (
+        |  SELECT word, CAST(len(p0) AS BIGINT) AS np, s0 AS ws
+        |  FROM dp3 WHERE i = n),
+        |docw AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(np) AS BIGINT) AS n_pieces,
+        |    CAST(sum(ws) AS BIGINT) AS score_nano
+        |  FROM docw JOIN wp USING (word) WHERE len(word) >= 1
+        |  GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, n_pieces, score_nano,
+        |  CAST(round(-(CAST(score_nano AS DOUBLE)) / n_pieces) AS BIGINT)
+        |    AS nll_per_piece_nano,
+        |  CAST(round(-(CAST(score_nano AS DOUBLE)) / n_pieces) AS BIGINT)
+        |    <= 3500000000 AS kept
+        |FROM base ORDER BY doc_id""".stripMargin),
     // q176: the q175 accounting packed into 512-PIECE context windows
     // (window-sum replay; every sum/offset CAST to BIGINT so no
     // HUGEINT reaches the hash).
