@@ -227,6 +227,48 @@ object Bench {
       .latcEvalOnEvents(Tables.load(spark, sfDir, "events")))
     val tubalWmapeNano = wmapeOf(graft.impute.ImputationEval
       .tubalEvalOnEvents(Tables.load(spark, sfDir, "events")))
+    // Per-round ANN recall@10 gate (judge r14 brief #6, the WMAPE twin
+    // for the index lanes): the five ANN queries (q43/q85/q125/q159/q162)
+    // are hash-exact vs an oracle that REPLAYS the same algorithm, so a
+    // recall regression — a config or hash-family change that silently
+    // prunes true neighbors — is invisible to the correctness gate.
+    // Recorded here as Similarity.recallAtK (|approx ∩ exact| / |exact|,
+    // exact integer ratio ×1e9) of each index at ITS GRADED CONFIG
+    // against brute-force cosineTopK on the same bounded query set
+    // (vec_id < 20, k = 10). Not timed as a query; skipped on filtered /
+    // capstones-only runs like the WMAPE gate. RecallGateSpec holds the
+    // absolute per-index floors on the test fixture.
+    def recall10Of(
+        ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+          => org.apache.spark.sql.DataFrame): Long =
+      if (skipCapstones || capsOnly) -1L
+      else try {
+        import graft.similarity.Similarity
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val qs = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+        val exact = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
+        val nano = Similarity.recallAtK(exact, ann(qs, emb), 10)
+          .select((org.apache.spark.sql.functions.col("recall") * 1e9)
+            .cast("long")).head.getLong(0)
+        graft.util.SessionHygiene.releaseAll(spark)
+        nano
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall gate failed: ${e.getMessage}")
+        -1L
+      }
+    import graft.similarity.Similarity
+    val recallLshNano = recall10Of((q, c) => Similarity.lshTopK(q, c,
+      "vec_id", "embedding", 10, nBits = 6, dim = 64, tables = 8,
+      portable = true))
+    val recallIvfNano = recall10Of((q, c) => Similarity.ivfTopKSeeded(q, c,
+      "vec_id", "embedding", 10, nCells = 16, nProbe = 4))
+    val recallSq8Nano = recall10Of((q, c) => Similarity.sq8TopK(q, c,
+      "vec_id", "embedding", 10))
+    val recallPqNano = recall10Of((q, c) => Similarity.pqTopKSeeded(q, c,
+      "vec_id", "embedding", 10, m = 16, nCodes = 64))
+    val recallIvfPqNano = recall10Of((q, c) => Similarity.ivfPqTopKSeeded(q,
+      c, "vec_id", "embedding", 10, nCells = 16, nProbe = 4, m = 16,
+      nCodes = 64))
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -236,7 +278,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"recall10_lsh_nano":$recallLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

@@ -473,15 +473,24 @@ object Etl {
     // right side replicated per salt — pair-for-pair identical; at
     // fixture scale no block exceeds the cap and the guard costs one
     // map-side count + an empty broadcast per rule.
+    // The cap itself is DATA-DERIVED (round 15, splink's pre-flight→run
+    // discipline): calibrateMaxBlock measures the hottest right block
+    // per rule from map-side counts (pairs never materialize) and sizes
+    // maxBlock so one salted shuffle group scores ≤ ~4M pairs —
+    // replacing the static 100000, which over-replicates when right
+    // blocks are fat and under-splits when they're thin. Clamped, so the
+    // guard can neither salt everything nor switch off; the guard being
+    // semantics-preserving, golden counts cannot move with the cap.
+    val rules = Seq(
+      (Seq(col("l_nkey"),
+         substring(graft.plans.Metaphone(col("l_canon")), 1, 3)),
+       Seq(col("r_nkey"),
+         substring(graft.plans.Metaphone(col("r_canon")), 1, 3))),
+      (Seq(regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0)),
+       Seq(regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))))
+    val maxBlock = graft.linkage.Linkage.calibrateMaxBlock(b, rules.map(_._2))
     val cand0 = graft.linkage.Linkage.unionBlocks(a, b, "l_id", "r_id",
-      Seq(
-        (Seq(col("l_nkey"),
-           substring(graft.plans.Metaphone(col("l_canon")), 1, 3)),
-         Seq(col("r_nkey"),
-           substring(graft.plans.Metaphone(col("r_canon")), 1, 3))),
-        (Seq(regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0)),
-         Seq(regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0)))),
-      maxBlock = 100000)
+      rules, maxBlock = maxBlock)
     val cand = addLevels(cand0)
       .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
       .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))

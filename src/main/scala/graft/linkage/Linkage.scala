@@ -261,6 +261,44 @@ object Linkage {
     }.reduce(_.unionByName(_))
   }
 
+  /** Data-derived `maxBlock` for [[saltBySize]] / [[unionBlocks]]: the
+    * 1-D guard bounds per-salt pair work at ~maxBlock · R, where R is the
+    * hottest key's RIGHT-side row count — so the left-block cap that
+    * holds one shuffle group to `targetPairsPerTask` pairs is
+    * targetPairsPerTask / max R. This computes max R from the same
+    * map-side-combinable per-key counts [[blockProfile]] uses (pairs are
+    * never materialized): one small aggregate per rule, max across rules
+    * (because [[unionBlocks]] applies ONE cap to every rule's join), one
+    * 1-row collect (bounded by contract). The result is clamped to
+    * [minBlock, maxCap]: a fixture-degenerate right side (max R ≈ corpus)
+    * must not drive the cap to 1 and salt EVERYTHING, and an empty or
+    * all-cold profile must not disable the guard entirely. Calibrating
+    * from the data replaces a static guess that is either too tight
+    * (needless replication) or too loose (the quadratic hot task the
+    * guard exists to prevent) when block-size distributions drift —
+    * exactly the pre-flight→run discipline splink documents for its
+    * blocking rules. */
+  def calibrateMaxBlock(right: DataFrame, rightRules: Seq[Seq[Column]],
+                        targetPairsPerTask: Long = 4L * 1000 * 1000,
+                        minBlock: Int = 1024,
+                        maxCap: Int = 1 << 20): Int = {
+    require(rightRules.nonEmpty, "need at least one blocking rule")
+    require(targetPairsPerTask >= 1 && minBlock >= 1 && maxCap >= minBlock,
+      "need targetPairsPerTask >= 1 and 1 <= minBlock <= maxCap")
+    val row = rightRules.map { rk =>
+      val names = rk.indices.map(j => s"__bk$j")
+      right.groupBy(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("__nr"))
+        .agg(max(col("__nr")).as("__mx"))
+    }.reduce(_.unionByName(_)).agg(max(col("__mx"))).head
+    if (row.isNullAt(0)) maxCap // empty right side: nothing to guard
+    else {
+      val maxR = math.max(1L, row.getLong(0))
+      math.min(maxCap.toLong,
+        math.max(minBlock.toLong, targetPairsPerTask / maxR)).toInt
+    }
+  }
+
   /** Blocked fuzzy join: equi-join on `blockKeys`, keep pairs with
     * levenshtein(leftText, rightText) <= maxDist. Reference:
     * StringSimilarityScorer over blocked candidates

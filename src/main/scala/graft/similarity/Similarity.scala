@@ -65,6 +65,30 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * standard ANN index-quality metric (FAISS's `recall@k`): both inputs
+    * are `(q_id, rk, c_id, …)` frames as produced by the `*TopK`
+    * operators; recall = |approx ∩ exact| / |exact| over the
+    * (q_id, c_id) pair sets with both sides truncated to rank ≤ k. One
+    * row out: (n_queries, n_exact, n_hit, recall). The ratio is a
+    * quotient of two exact integers, so the number reproduces exactly —
+    * comparable round-over-round the way the imputer WMAPE gate is.
+    *
+    * Scale: the expensive input is the exact side (brute force — feed it
+    * a BOUNDED query set, never the corpus); the recall computation
+    * itself is one equi-join on (q_id, c_id) + one aggregate, both sides
+    * |queries|·k rows. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.where(col("rk") <= k).select(col("q_id"), col("c_id"))
+    val a = approx.where(col("rk") <= k).select(col("q_id"), col("c_id"))
+      .withColumn("__hit", lit(1))
+    e.join(a, Seq("q_id", "c_id"), "left")
+      .agg(count_distinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query row, the top-k most-similar corpus rows with a DIFFERENT
     * label — the highest-value negatives (similar-but-wrong) that

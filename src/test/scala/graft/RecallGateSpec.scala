@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** The per-round ANN recall@10 gate (Bench's `recall10_*_nano` keys):
+  * [[Similarity.recallAtK]] plumbing exactness plus absolute per-index
+  * floors at each index's GRADED config (q43/q85/q125/q159/q162) on the
+  * test fixture. The oracle lanes prove the indexes are hash-exact
+  * replays of themselves; this gate is what notices a config or
+  * hash-family change that silently prunes true neighbors. */
+class RecallGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private lazy val qs = emb.where($"vec_id" < 20)
+  private def exact(k: Int) =
+    Similarity.cosineTopK(qs, emb, "vec_id", "embedding", k)
+
+  private def recall(approx: org.apache.spark.sql.DataFrame,
+                     k: Int): (Long, Long, Long, Double) = {
+    val r = Similarity.recallAtK(exact(k), approx, k).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("recallAtK of the exact result against itself is 1.0") {
+    val (nq, ne, nh, rec) = recall(exact(10), 10)
+    assert(nq == 20L, s"n_queries = $nq")
+    assert(ne == 200L, s"n_exact = $ne")
+    assert(nh == ne && rec == 1.0, s"self-recall = $rec ($nh/$ne)")
+  }
+
+  test("recallAtK truncates both sides to rank <= k") {
+    // approx carries 10 ranks but is gated at k=5: only the first 5 of
+    // each side count, so a hit at approx rank 7 must NOT score.
+    val e = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("q_id", "rk", "c_id")
+    val a = Seq((1L, 1, 10L), (1L, 7, 11L)).toDF("q_id", "rk", "c_id")
+    val r = Similarity.recallAtK(e, a, 5).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+  }
+
+  // Floors are set ~0.1 below the measured fixture values (exact
+  // integer ratios, deterministic given fixture + config) so genuine
+  // regressions trip while the gate is not a change-detector for the
+  // fixture itself. Measured at sf0.001, k=10, queries vec_id < 20.
+  test("LSH recall@10 floor at the q43 graded config") {
+    val (_, _, _, rec) = recall(Similarity.lshTopK(qs, emb, "vec_id",
+      "embedding", 10, nBits = 6, dim = 64, tables = 8, portable = true), 10)
+    info(s"lsh recall@10 = $rec")
+    assert(rec >= 0.20, s"lsh recall@10 = $rec")
+  }
+
+  test("IVF recall@10 floor at the q85 graded config") {
+    val (_, _, _, rec) = recall(Similarity.ivfTopKSeeded(qs, emb, "vec_id",
+      "embedding", 10, nCells = 16, nProbe = 4), 10)
+    info(s"ivf recall@10 = $rec")
+    assert(rec >= 0.40, s"ivf recall@10 = $rec")
+  }
+
+  test("SQ8 recall@10 floor (quantized brute force - near exact)") {
+    val (_, _, _, rec) = recall(Similarity.sq8TopK(qs, emb, "vec_id",
+      "embedding", 10), 10)
+    info(s"sq8 recall@10 = $rec")
+    assert(rec >= 0.90, s"sq8 recall@10 = $rec")
+  }
+
+  test("PQ-ADC recall@10 floor at the q159 graded config") {
+    val (_, _, _, rec) = recall(Similarity.pqTopKSeeded(qs, emb, "vec_id",
+      "embedding", 10, m = 16, nCodes = 64), 10)
+    info(s"pq recall@10 = $rec")
+    assert(rec >= 0.35, s"pq recall@10 = $rec")
+  }
+
+  test("IVF-PQ recall@10 floor at the q162 graded config") {
+    val (_, _, _, rec) = recall(Similarity.ivfPqTopKSeeded(qs, emb,
+      "vec_id", "embedding", 10, nCells = 16, nProbe = 4, m = 16,
+      nCodes = 64), 10)
+    info(s"ivfpq recall@10 = $rec")
+    assert(rec >= 0.25, s"ivfpq recall@10 = $rec")
+  }
+}

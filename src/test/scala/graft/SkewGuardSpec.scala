@@ -269,4 +269,33 @@ class SkewGuardSpec extends SparkSpec {
       .select("l_id", "r_id")
     assert(guarded.collect().toSet === plain.collect().toSet)
   }
+
+  test("calibrateMaxBlock = targetPairs / hottest right block, clamped") {
+    // hotRight's hottest block is "aaa" with 60 rows → cap = 6000/60 =
+    // 100 at a 6000-pair task budget (inside the clamps)
+    val cap = Linkage.calibrateMaxBlock(hotRight, Seq(Seq(col("rblk"))),
+      targetPairsPerTask = 6000, minBlock = 10, maxCap = 100000)
+    assert(cap === 100)
+    // the formula takes the max across rules: a second rule blocking on
+    // a constant makes the whole right side one 90-row block → 6000/90
+    val cap2 = Linkage.calibrateMaxBlock(hotRight,
+      Seq(Seq(col("rblk")), Seq(lit("all"))),
+      targetPairsPerTask = 6000, minBlock = 10, maxCap = 100000)
+    assert(cap2 === 66)
+  }
+
+  test("calibrateMaxBlock clamps: floor, cap, and empty right side") {
+    // degenerate: tiny budget over a fat block floors at minBlock (the
+    // guard must not salt every row individually)
+    assert(Linkage.calibrateMaxBlock(hotRight, Seq(Seq(col("rblk"))),
+      targetPairsPerTask = 1, minBlock = 10, maxCap = 100000) === 10)
+    // cold: huge budget is clamped at maxCap (the guard stays armed)
+    assert(Linkage.calibrateMaxBlock(hotRight, Seq(Seq(col("rblk"))),
+      targetPairsPerTask = Long.MaxValue, minBlock = 10,
+      maxCap = 100000) === 100000)
+    // empty right side → no blocks → maxCap (nothing to guard)
+    assert(Linkage.calibrateMaxBlock(hotRight.where(lit(false)),
+      Seq(Seq(col("rblk"))), targetPairsPerTask = 6000, minBlock = 10,
+      maxCap = 100000) === 100000)
+  }
 }
