@@ -3452,6 +3452,26 @@ object SparkEntry {
       .withColumn("kept", col("nll_per_piece_nano") <= lit(3500000000L))
       .orderBy("doc_id")
 
+  // ---- ANN index-quality: oracle-checked recall@10 of the LSH index ----
+  // The recall metric itself under the DuckDB oracle (the Bench
+  // recall10_* gate's oracle-green twin): Similarity.recallAtK of the
+  // q43-config portable LSH against brute-force cosineTopK, both at
+  // k = 10 on the bounded query set. The oracle rebuilds BOTH inputs
+  // from the same parameterized SQL the graded q42/q43 lanes use
+  // (annExactTopkSql/annLshTopkSql at k = 10 — drift between the graded
+  // lanes and the recall baseline is impossible by construction) and
+  // replays the left-join + aggregate. recall = n_hit / n_exact is one
+  // division of two exact integers — identical IEEE double both engines.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 20)
+    Similarity.recallAtK(
+      Similarity.cosineTopK(qs, emb, "vec_id", "embedding", 10),
+      Similarity.lshTopK(qs, emb, "vec_id", "embedding", 10, nBits = 6,
+        dim = 64, tables = 8, portable = true),
+      10)
+  }
+
   // Context-window packing by TRAINED-TOKENIZER budget — the production
   // packer: windows are budgeted in model tokens (q175's n_pieces under
   // the corpus-trained unigram vocab), not whitespace words (q134's
@@ -3662,6 +3682,7 @@ object SparkEntry {
     "q189_block_profile_full" -> (q189 _),
     "q190_splink_predict" -> (q190 _),
     "q191_lm_quality" -> (q191 _),
+    "q192_ann_recall" -> (q192 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -3697,6 +3718,73 @@ object SparkEntry {
       |       WHEN f_spike THEN 'spike'
       |       ELSE 'ok' END AS flag
       |FROM flags""".stripMargin
+
+  /** Exact brute-force cosine top-k oracle, parameterized by k: the q42
+    * graded lane uses k = 5 and q192's recall baseline uses k = 10 from
+    * the SAME text — drift between them is impossible by construction
+    * (the q188 rule-descriptor discipline). */
+  private def annExactTopkSql(k: Int): String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+      |scored AS (
+      |  SELECT q_id, c_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(q_emb, c_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q_emb,
+      |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(c_emb,
+      |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosine
+      |  FROM q, c WHERE q_id <> c_id)
+      |SELECT q_id, rk, c_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cosine DESC, c_id ASC) AS rk
+      |  FROM scored) WHERE rk <= KK""".stripMargin
+      .replace("KK", k.toString)
+
+  /** Portable-LSH ANN oracle (all 8 hash tables, buckets, candidates and
+    * the final ranking), parameterized by k: q43 grades at k = 5, q192's
+    * recall subject runs the same index at k = 10. */
+  private def annLshTopkSql(k: Int): String =
+    """WITH signs AS (
+      |  SELECT g, list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5(g::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+      |           % 2 = 0
+      |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+      |  FROM range(0, 48) t(g)),
+      |proj AS (
+      |  SELECT e.vec_id, s.g // 6 AS tbl, s.g % 6 AS i,
+      |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+      |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+      |  FROM embeddings e CROSS JOIN signs s),
+      |buck AS (
+      |  SELECT vec_id, tbl,
+      |    sum(CASE WHEN p > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      |  FROM buck q JOIN buck c
+      |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20),
+      |norms AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q_id, c_id,
+      |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n), 4)
+      |      AS cosine
+      |  FROM cand
+      |  JOIN norms a ON a.vec_id = q_id
+      |  JOIN norms b ON b.vec_id = c_id)
+      |SELECT q_id, rk, c_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cosine DESC, c_id ASC) AS rk
+      |  FROM scored) WHERE rk <= KK""".stripMargin
+      .replace("KK", k.toString)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4270,24 +4358,7 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE common * 4 >= 1 * (ca.n_sh + cb.n_sh - common)""".stripMargin,
-    "q42_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
-        |scored AS (
-        |  SELECT q_id, c_id,
-        |    round(
-        |      list_sum(list_transform(list_zip(q_emb, c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(q_emb,
-        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(c_emb,
-        |            e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) AS cosine
-        |  FROM q, c WHERE q_id <> c_id)
-        |SELECT q_id, rk, c_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cosine DESC, c_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q42_cosine_topk" -> annExactTopkSql(5),
     "q44_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -5286,44 +5357,7 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  FROM bb a JOIN bb b
         |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
-    "q43_lsh_ann" ->
-      """WITH signs AS (
-        |  SELECT g, list_transform(range(0, 64), d ->
-        |    CASE WHEN ('0x' || substr(md5(g::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
-        |           % 2 = 0
-        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
-        |  FROM range(0, 48) t(g)),
-        |proj AS (
-        |  SELECT e.vec_id, s.g // 6 AS tbl, s.g % 6 AS i,
-        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
-        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
-        |  FROM embeddings e CROSS JOIN signs s),
-        |buck AS (
-        |  SELECT vec_id, tbl,
-        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bucket
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-        |  FROM buck q JOIN buck c
-        |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 20),
-        |norms AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q_id, c_id,
-        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n), 4)
-        |      AS cosine
-        |  FROM cand
-        |  JOIN norms a ON a.vec_id = q_id
-        |  JOIN norms b ON b.vec_id = c_id)
-        |SELECT q_id, rk, c_id, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cosine DESC, c_id ASC) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q43_lsh_ann" -> annLshTopkSql(5),
     "q94_fips_tz" ->
       """WITH dim(state_name, code, tz) AS (VALUES
         |  ('algeria','012','Africa/Algiers'),
@@ -8608,6 +8642,27 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  CAST(round(-(CAST(score_nano AS DOUBLE)) / n_pieces) AS BIGINT)
         |    <= 3500000000 AS kept
         |FROM base ORDER BY doc_id""".stripMargin),
+    // q192: recall@10 of the portable LSH vs brute force — both inputs
+    // are the SAME parameterized SQL the q42/q43 graded lanes use, at
+    // k = 10 (nested WITH inside each CTE keeps their internal names
+    // from colliding); the metric is a left join + one aggregate.
+    "q192_ann_recall" ->
+      s"""WITH exact10 AS (
+         |${annExactTopkSql(10)}
+         |),
+         |approx10 AS (
+         |${annLshTopkSql(10)}
+         |),
+         |j AS (
+         |  SELECT e.q_id, e.c_id,
+         |    CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact10 e LEFT JOIN approx10 a
+         |    ON e.q_id = a.q_id AND e.c_id = a.c_id)
+         |SELECT count(DISTINCT q_id) AS n_queries,
+         |  count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM j""".stripMargin,
     // q176: the q175 accounting packed into 512-PIECE context windows
     // (window-sum replay; every sum/offset CAST to BIGINT so no
     // HUGEINT reaches the hash).
