@@ -3145,7 +3145,10 @@ object SparkEntry {
     -1 -> 0L,                // splink null level: Bayes factor 1
     0 -> -4000000000L, 1 -> 1500000000L, 2 -> 3000000000L,
     3 -> 5000000000L, 4 -> 7000000000L)
-  private def q190(s: SparkSession, dir: String): DataFrame = {
+  /** The full scored predict frame (10-rule union → gamma vector → FS
+    * weight), shared by q190 (best-match shape) and q193 (splink's
+    * clustering shape). */
+  private def q190Scored(s: SparkSession, dir: String): DataFrame = {
     import graft.linkage.{FellegiSunter => FS, Linkage}
     val (c, sup) = q188Sides(s, dir)
     def nameW(g: Column): Column =
@@ -3153,8 +3156,7 @@ object SparkEntry {
           lit(q190NameW.head._2))) {
         case (acc, (k, v)) => acc.when(g === k, lit(v))
       }
-    val scored = Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey",
-        q188Rules)
+    Linkage.unionBlocks(c, sup, "c_custkey", "s_suppkey", q188Rules)
       .withColumn("g_pname", FS.nameComparisonLevel(
         col("c_pname"), col("s_pname"), Seq(0.9, 0.8, 0.7)))
       .withColumn("g_uname", FS.nameComparisonLevel(
@@ -3165,11 +3167,41 @@ object SparkEntry {
         lit(-6000000000L) + nameW(col("g_pname")) + nameW(col("g_uname"))
           + when(col("g_ftc") === 1, lit(2000000000L))
             .otherwise(lit(-1000000000L)))
-    FS.bestMatch(scored, "s_suppkey", "c_custkey")
+  }
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.{FellegiSunter => FS}
+    FS.bestMatch(q190Scored(s, dir), "s_suppkey", "c_custkey")
       .select(col("s_suppkey"), col("c_custkey"), col("match_key"),
         col("n_rules"), col("g_pname"), col("g_uname"), col("g_ftc"),
         col("weight_nano"),
         (col("weight_nano") >= 3169925001L).as("accepted"))
+  }
+
+  // splink's cluster_pairwise_predictions_at_threshold — the step after
+  // predict in splink's standard flow (the reference takes best-match
+  // 1:1 instead, eia_ferc1_record_linkage.py:245; this completes the
+  // splink API surface): accepted pairs become edges in a bipartite
+  // graph over BOTH record sets (customer → 2k, supplier → 2k+1, the
+  // q45 node mapping), connected components assign cluster_id = min
+  // node id, and unlinked records keep their own node as a singleton
+  // cluster — exactly splink's semantics. Scale: edge volume is the
+  // accepted-pair volume (bounded by blocking + threshold);
+  // ConnectedComponents.run picks driver union-find below 5M edges and
+  // the O(log n) large/small-star contraction above it.
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val edges = q190Scored(s, dir)
+      .where(col("weight_nano") >= 3169925001L)
+      .select((col("c_custkey") * 2).cast("long").as("src"),
+        (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+    val (c, sup) = q188Sides(s, dir)
+    val verts = c.select((col("c_custkey") * 2).cast("long").as("node"))
+      .unionByName(
+        sup.select((col("s_suppkey") * 2 + 1).cast("long").as("node")))
+    val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
+    verts.join(cc, verts("node") === cc("v"), "left")
+      .select(col("node"), (col("node") % 2 === 0).as("is_left"),
+        floor(col("node") / 2).cast("long").as("rec_id"),
+        coalesce(col("component"), col("node")).as("cluster_id"))
   }
 
   // Fractional epoch upsampling — the LLaMA-recipe data-mixing step:
@@ -3683,6 +3715,7 @@ object SparkEntry {
     "q190_splink_predict" -> (q190 _),
     "q191_lm_quality" -> (q191 _),
     "q192_ann_recall" -> (q192 _),
+    "q193_splink_cluster" -> (q193 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9321,58 +9354,88 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
       }.mkString("\nUNION ALL\n")
       s"$q188OracleCtes\n$parts"
     },
-    "q190_splink_predict" -> {
-      val unions = q188RuleCols.zipWithIndex.map { case (cs, i) =>
-        s"  SELECT c_custkey, s_suppkey, $i AS match_key\n" +
-          s"  FROM cb JOIN sb ON ${q188RuleCondSql(cs)}"
-      }.mkString("\n  UNION ALL\n")
-      def gamma(l: String, r: String): String =
-        s"CASE WHEN $l IS NULL OR $r IS NULL THEN -1 " +
-          s"WHEN $l = $r THEN 4 " +
-          s"WHEN jaro_winkler_similarity($l, $r) >= 0.9 THEN 3 " +
-          s"WHEN jaro_winkler_similarity($l, $r) >= 0.8 THEN 2 " +
-          s"WHEN jaro_winkler_similarity($l, $r) >= 0.7 THEN 1 ELSE 0 END"
-      def wcase(g: String): String =
-        q190NameW.map { case (k, v) => s"WHEN $g = $k THEN $v" }
-          .mkString("CASE ", " ", " ELSE NULL END")
-      s"""$q188OracleCtes,
-        |u AS (
-        |$unions),
-        |dedup AS (
-        |  SELECT c_custkey, s_suppkey, match_key,
-        |    count(*) OVER (PARTITION BY c_custkey, s_suppkey) AS n_rules,
-        |    row_number() OVER (PARTITION BY c_custkey, s_suppkey
-        |      ORDER BY match_key) AS rn
-        |  FROM u),
-        |pairs AS (
-        |  SELECT d.c_custkey, d.s_suppkey, d.match_key, d.n_rules,
-        |    cb.c_pname, cb.c_uname, cb.c_ftc,
-        |    sb.s_pname, sb.s_uname, sb.s_ftc
-        |  FROM dedup d
-        |  JOIN cb ON cb.c_custkey = d.c_custkey
-        |  JOIN sb ON sb.s_suppkey = d.s_suppkey
-        |  WHERE d.rn = 1),
-        |g AS (
-        |  SELECT *,
-        |    ${gamma("c_pname", "s_pname")} AS g_pname,
-        |    ${gamma("c_uname", "s_uname")} AS g_uname,
-        |    CASE WHEN c_ftc = s_ftc THEN 1 ELSE 0 END AS g_ftc
-        |  FROM pairs),
-        |w AS (
-        |  SELECT c_custkey, s_suppkey, match_key, n_rules,
-        |    g_pname, g_uname, g_ftc,
-        |    -6000000000 + ${wcase("g_pname")} + ${wcase("g_uname")}
-        |      + CASE WHEN g_ftc = 1 THEN 2000000000
-        |             ELSE -1000000000 END AS weight_nano
-        |  FROM g)
+    "q190_splink_predict" ->
+      s"""$q190PredictSql
         |SELECT s_suppkey, c_custkey, match_key, n_rules,
         |  g_pname, g_uname, g_ftc, weight_nano,
         |  weight_nano >= 3169925001 AS accepted
         |FROM (SELECT *, row_number() OVER (PARTITION BY s_suppkey
         |        ORDER BY weight_nano DESC, c_custkey ASC) AS rk FROM w)
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+    // q193: splink's cluster_pairwise_predictions_at_threshold — the
+    // SAME predict CTE chain q190 uses (shared q190PredictSql, so the
+    // two stages cannot drift), accepted pairs as bipartite edges, the
+    // q45 recursive-CTE connected components, singletons seeded from
+    // both sides so unlinked records keep their own cluster.
+    "q193_splink_cluster" -> {
+      val rec = q190PredictSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$rec,
+        |edges AS (
+        |  SELECT c_custkey * 2 AS a, s_suppkey * 2 + 1 AS b
+        |  FROM w WHERE weight_nano >= 3169925001),
+        |verts AS (
+        |  SELECT c_custkey * 2 AS v FROM cb
+        |  UNION SELECT s_suppkey * 2 + 1 FROM sb),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        |reach(v, c2) AS (
+        |  SELECT v, v AS c2 FROM verts
+        |  UNION
+        |  SELECT sym.a AS v, reach.c2 FROM sym JOIN reach ON sym.b = reach.v)
+        |SELECT v AS node, v % 2 = 0 AS is_left,
+        |  CAST(v // 2 AS BIGINT) AS rec_id,
+        |  CAST(min(c2) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v""".stripMargin
     },
   )
+
+  /** The q190 predict oracle's CTE chain (candidate union → dedup →
+    * gamma vector → FS weight), ending at CTE `w` — the shared prefix of
+    * the q190 (best-match) and q193 (clustering) oracles. */
+  private def q190PredictSql: String = {
+    val unions = q188RuleCols.zipWithIndex.map { case (cs, i) =>
+      s"  SELECT c_custkey, s_suppkey, $i AS match_key\n" +
+        s"  FROM cb JOIN sb ON ${q188RuleCondSql(cs)}"
+    }.mkString("\n  UNION ALL\n")
+    def gamma(l: String, r: String): String =
+      s"CASE WHEN $l IS NULL OR $r IS NULL THEN -1 " +
+        s"WHEN $l = $r THEN 4 " +
+        s"WHEN jaro_winkler_similarity($l, $r) >= 0.9 THEN 3 " +
+        s"WHEN jaro_winkler_similarity($l, $r) >= 0.8 THEN 2 " +
+        s"WHEN jaro_winkler_similarity($l, $r) >= 0.7 THEN 1 ELSE 0 END"
+    def wcase(g: String): String =
+      q190NameW.map { case (k, v) => s"WHEN $g = $k THEN $v" }
+        .mkString("CASE ", " ", " ELSE NULL END")
+    s"""$q188OracleCtes,
+      |u AS (
+      |$unions),
+      |dedup AS (
+      |  SELECT c_custkey, s_suppkey, match_key,
+      |    count(*) OVER (PARTITION BY c_custkey, s_suppkey) AS n_rules,
+      |    row_number() OVER (PARTITION BY c_custkey, s_suppkey
+      |      ORDER BY match_key) AS rn
+      |  FROM u),
+      |pairs AS (
+      |  SELECT d.c_custkey, d.s_suppkey, d.match_key, d.n_rules,
+      |    cb.c_pname, cb.c_uname, cb.c_ftc,
+      |    sb.s_pname, sb.s_uname, sb.s_ftc
+      |  FROM dedup d
+      |  JOIN cb ON cb.c_custkey = d.c_custkey
+      |  JOIN sb ON sb.s_suppkey = d.s_suppkey
+      |  WHERE d.rn = 1),
+      |g AS (
+      |  SELECT *,
+      |    ${gamma("c_pname", "s_pname")} AS g_pname,
+      |    ${gamma("c_uname", "s_uname")} AS g_uname,
+      |    CASE WHEN c_ftc = s_ftc THEN 1 ELSE 0 END AS g_ftc
+      |  FROM pairs),
+      |w AS (
+      |  SELECT c_custkey, s_suppkey, match_key, n_rules,
+      |    g_pname, g_uname, g_ftc,
+      |    -6000000000 + ${wcase("g_pname")} + ${wcase("g_uname")}
+      |      + CASE WHEN g_ftc = 1 THEN 2000000000
+      |             ELSE -1000000000 END AS weight_nano
+      |  FROM g)""".stripMargin
+  }
 
   /** Shared DuckDB CTE prefix for q188/q189: the two blocking sides with
     * every attribute twin + metaphone prefixes for BOTH name columns
