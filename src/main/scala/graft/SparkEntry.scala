@@ -3504,6 +3504,19 @@ object SparkEntry {
       10)
   }
 
+  // ---- training-data pipeline: T5/UL2 span corruption ---------------------
+  // Denoising-objective data construction (Raffel et al. JMLR'20
+  // §3.1.4): fixed-length token blocks, deterministic portable-hash
+  // coin at 15%, masked blocks collapse to <extra_id_K> sentinels in
+  // the input and expand to sentinel + tokens in the target with the
+  // terminal sentinel appended — T5's exact sentinel numbering. Pure
+  // integer/string arithmetic on the shared 60-bit MD5-prefix hash, so
+  // the oracle replays masks, sentinel ranks, and both assembled
+  // strings verbatim. One exchange on doc_id (window + reassembly).
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanCorruption.spanCorrupt(
+      t(s, dir, "documents"), "doc_id", "text")
+
   // Context-window packing by TRAINED-TOKENIZER budget — the production
   // packer: windows are budgeted in model tokens (q175's n_pieces under
   // the corpus-trained unigram vocab), not whitespace words (q134's
@@ -3716,6 +3729,7 @@ object SparkEntry {
     "q191_lm_quality" -> (q191 _),
     "q192_ann_recall" -> (q192 _),
     "q193_splink_cluster" -> (q193 _),
+    "q194_span_corrupt" -> (q194 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9386,6 +9400,44 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |  CAST(min(c2) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v""".stripMargin
     },
+    // q194: T5 span corruption — masks, sentinel ranks and both
+    // assembled strings replayed from the shared 60-bit MD5-prefix
+    // coin; string_agg(... ORDER BY pos) is the oracle's reassembly.
+    "q194_span_corrupt" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |words AS (
+        |  SELECT doc_id, g.wi - 1 AS pos, w[wi] AS tok
+        |  FROM ws, unnest(generate_series(1, len(w))) AS g(wi)
+        |  WHERE w[wi] <> ''),
+        |blocked AS (
+        |  SELECT doc_id, pos, tok,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || '_' ||
+        |        (pos // 3)::VARCHAR), 1, 15))::BIGINT % 20) < 3 AS masked,
+        |    pos % 3 = 0 AS first
+        |  FROM words),
+        |ks AS (
+        |  SELECT *, CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS k
+        |  FROM blocked),
+        |toks AS (
+        |  SELECT doc_id, pos, masked, first,
+        |    CASE WHEN NOT masked THEN tok
+        |         WHEN first THEN '<extra_id_' || k || '>' END AS in_tok,
+        |    CASE WHEN masked AND first THEN '<extra_id_' || k || '> ' || tok
+        |         WHEN masked THEN tok END AS tg_tok
+        |  FROM ks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(in_tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE in_tok IS NOT NULL), '') AS input_text,
+        |  ltrim(coalesce(string_agg(tg_tok, ' ' ORDER BY pos)
+        |      FILTER (WHERE tg_tok IS NOT NULL), '')
+        |    || ' <extra_id_' ||
+        |    CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+        |      AS BIGINT) || '>') AS target_text
+        |FROM toks GROUP BY doc_id""".stripMargin,
   )
 
   /** The q190 predict oracle's CTE chain (candidate union → dedup →
