@@ -374,6 +374,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("log("), p) // weights are literals
   }
 
+  test("q193 splink clustering: no cartesian anywhere in the pipeline") {
+    // predict subtree (q190's) + accepted-edge CC + singleton left join:
+    // edges are always blocked equi-joins, the CC tier under 5M edges is
+    // the driver union-find (one collect bounded by the edge contract).
+    val p = plan("q193_splink_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("log("), p)
+  }
+
+  test("q194 span corruption: one doc-key exchange, window + agg share it") {
+    // posexplode -> window on doc_id -> groupBy doc_id: the aggregation
+    // must REUSE the window's hash partitioning, so exactly one
+    // data-sized exchange on doc_id appears (plus none anywhere else —
+    // the hash coin and sentinel strings are per-row expressions).
+    val p = plan("q194_span_corrupt")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("q189 full 10-rule block profile: counts only, no pairs, no window") {
     val p = plan("q189_block_profile_full")
     assert(!p.contains("CartesianProduct"), p)
