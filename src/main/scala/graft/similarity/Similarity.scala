@@ -80,7 +80,12 @@ object Similarity {
     * |queries|·k rows. */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val e = exact.where(col("rk") <= k).select(col("q_id"), col("c_id"))
+    // *TopK frames are rank-unique per (q_id, c_id) already; the distinct
+    // (over ≤ |queries|·k rows) makes the metric robust to a malformed
+    // approx input, which would otherwise double-count hits and report
+    // recall > 1 instead of failing loudly.
     val a = approx.where(col("rk") <= k).select(col("q_id"), col("c_id"))
+      .distinct()
       .withColumn("__hit", lit(1))
     e.join(a, Seq("q_id", "c_id"), "left")
       .agg(count_distinct(col("q_id")).as("n_queries"),
