@@ -3517,6 +3517,18 @@ object SparkEntry {
     graft.text.SpanCorruption.spanCorrupt(
       t(s, dir, "documents"), "doc_id", "text")
 
+  // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
+  // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
+  // ONE denoiser — R (15%/span 3, weight 2/4), S (PrefixLM split, 1/4),
+  // X (extreme 50%/span 8, 1/4) — and the input gains the paradigm
+  // token. Docs filter to their lane BEFORE construction, so the corpus
+  // is processed once; the oracle replays all three constructions (the
+  // shared spanCorruptSql at each lane's parameters + the list-slice
+  // prefix split) over the same hash assignment.
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanCorruption.ul2Mixture(
+      t(s, dir, "documents"), "doc_id", "text")
+
   // Context-window packing by TRAINED-TOKENIZER budget — the production
   // packer: windows are budgeted in model tokens (q175's n_pieces under
   // the corpus-trained unigram vocab), not whitespace words (q134's
@@ -3730,6 +3742,7 @@ object SparkEntry {
     "q192_ann_recall" -> (q192 _),
     "q193_splink_cluster" -> (q193 _),
     "q194_span_corrupt" -> (q194 _),
+    "q195_ul2_mixture" -> (q195 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9403,42 +9416,97 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     // q194: T5 span corruption — masks, sentinel ranks and both
     // assembled strings replayed from the shared 60-bit MD5-prefix
     // coin; string_agg(... ORDER BY pos) is the oracle's reassembly.
-    "q194_span_corrupt" ->
-      """WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |words AS (
-        |  SELECT doc_id, g.wi - 1 AS pos, w[wi] AS tok
-        |  FROM ws, unnest(generate_series(1, len(w))) AS g(wi)
-        |  WHERE w[wi] <> ''),
-        |blocked AS (
-        |  SELECT doc_id, pos, tok,
-        |    (('0x' || substr(md5(doc_id::VARCHAR || '_' ||
-        |        (pos // 3)::VARCHAR), 1, 15))::BIGINT % 20) < 3 AS masked,
-        |    pos % 3 = 0 AS first
-        |  FROM words),
-        |ks AS (
-        |  SELECT *, CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS k
-        |  FROM blocked),
-        |toks AS (
-        |  SELECT doc_id, pos, masked, first,
-        |    CASE WHEN NOT masked THEN tok
-        |         WHEN first THEN '<extra_id_' || k || '>' END AS in_tok,
-        |    CASE WHEN masked AND first THEN '<extra_id_' || k || '> ' || tok
-        |         WHEN masked THEN tok END AS tg_tok
-        |  FROM ks)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_spans,
-        |  coalesce(string_agg(in_tok, ' ' ORDER BY pos)
-        |    FILTER (WHERE in_tok IS NOT NULL), '') AS input_text,
-        |  ltrim(coalesce(string_agg(tg_tok, ' ' ORDER BY pos)
-        |      FILTER (WHERE tg_tok IS NOT NULL), '')
-        |    || ' <extra_id_' ||
-        |    CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
-        |      AS BIGINT) || '>') AS target_text
-        |FROM toks GROUP BY doc_id""".stripMargin,
+    "q194_span_corrupt" -> spanCorruptSql("documents", 3, 3, 20),
+    // q195: UL2 mixture — the hash assignment plus all three lane
+    // constructions (the SAME parameterized spanCorruptSql at R/X
+    // parameters, nested WITHs keep their CTE names apart, and the
+    // list-slice prefix split for S), paradigm tokens prefixed.
+    "q195_ul2_mixture" -> {
+      def lane(cond: String) =
+        s"(SELECT doc_id, text FROM den WHERE d $cond)"
+      // the lane SQL is spliced in AFTER stripMargin: its own lines
+      // contain leading `||` concat operators that a second stripMargin
+      // pass would truncate to `|`
+      """WITH den AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('ul2_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 4 AS d
+        |  FROM documents),
+        |r AS (
+        |@R_LANE@
+        |),
+        |x AS (
+        |@X_LANE@
+        |),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens, CAST(1 AS BIGINT) AS n_spans,
+        |    array_to_string(w[1 : CAST(sp AS INT)], ' ') AS input_text,
+        |    array_to_string(w[CAST(sp + 1 AS INT) : len(w)], ' ')
+        |      AS target_text
+        |  FROM (
+        |    SELECT doc_id, w,
+        |      greatest(1, least(len(w) - 1,
+        |        (len(w) * (('0x' || substr(md5('plm_' || doc_id::VARCHAR),
+        |           1, 15))::BIGINT % 50 + 25)) // 100)) AS sp
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |          FROM den WHERE d = 2)))
+        |SELECT doc_id, 'R' AS denoiser, n_tokens, n_spans,
+        |  '[R] ' || input_text AS input_text, target_text FROM r
+        |UNION ALL
+        |SELECT doc_id, 'S', n_tokens, n_spans,
+        |  '[S] ' || input_text, target_text FROM s
+        |UNION ALL
+        |SELECT doc_id, 'X', n_tokens, n_spans,
+        |  '[X] ' || input_text, target_text FROM x""".stripMargin
+        .replace("@R_LANE@", spanCorruptSql(lane("<= 1"), 3, 3, 20))
+        .replace("@X_LANE@", spanCorruptSql(lane("= 3"), 8, 10, 20))
+    },
   )
+
+  /** T5 span-corruption oracle, parameterized by source relation and
+    * (spanLen, rateNum, rateDen) — q194 replays the default lane over
+    * `documents`; q195's R and X lanes replay the same text over their
+    * hash-filtered doc subsets at UL2's parameters, so the mixture and
+    * the single-lane query cannot drift. */
+  private def spanCorruptSql(src: String, spanLen: Int, rateNum: Int,
+                             rateDen: Int): String =
+    s"""WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+      |words AS (
+      |  SELECT doc_id, g.wi - 1 AS pos, w[wi] AS tok
+      |  FROM ws, unnest(generate_series(1, len(w))) AS g(wi)
+      |  WHERE w[wi] <> ''),
+      |blocked AS (
+      |  SELECT doc_id, pos, tok,
+      |    (('0x' || substr(md5(doc_id::VARCHAR || '_' ||
+      |        (pos // $spanLen)::VARCHAR), 1, 15))::BIGINT % $rateDen)
+      |      < $rateNum AS masked,
+      |    pos % $spanLen = 0 AS first
+      |  FROM words),
+      |ks AS (
+      |  SELECT *, CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS k
+      |  FROM blocked),
+      |toks AS (
+      |  SELECT doc_id, pos, masked, first,
+      |    CASE WHEN NOT masked THEN tok
+      |         WHEN first THEN '<extra_id_' || k || '>' END AS in_tok,
+      |    CASE WHEN masked AND first THEN '<extra_id_' || k || '> ' || tok
+      |         WHEN masked THEN tok END AS tg_tok
+      |  FROM ks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_spans,
+      |  coalesce(string_agg(in_tok, ' ' ORDER BY pos)
+      |    FILTER (WHERE in_tok IS NOT NULL), '') AS input_text,
+      |  ltrim(coalesce(string_agg(tg_tok, ' ' ORDER BY pos)
+      |      FILTER (WHERE tg_tok IS NOT NULL), '')
+      |    || ' <extra_id_' ||
+      |    CAST(sum(CASE WHEN masked AND first THEN 1 ELSE 0 END)
+      |      AS BIGINT) || '>') AS target_text
+      |FROM toks GROUP BY doc_id""".stripMargin
 
   /** The q190 predict oracle's CTE chain (candidate union → dedup →
     * gamma vector → FS weight), ending at CTE `w` — the shared prefix of

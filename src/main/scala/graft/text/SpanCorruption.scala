@@ -76,4 +76,54 @@ object SpanCorruption {
           lit(">"))))
       .drop("tg")
   }
+
+  /** PrefixLM split — UL2's S-denoiser (sequential denoising): the doc
+    * splits at a deterministic per-doc fraction (hash-drawn from
+    * 25–74% of its length), input = prefix, target = suffix. Pure
+    * per-row array arithmetic (split/slice/array_join) — ZERO shuffle;
+    * the one-token floor and the n−1 ceiling keep both sides non-empty
+    * for docs of ≥ 2 tokens (a 1-token doc gets an empty target,
+    * deterministically on both engines). Output schema matches
+    * [[spanCorrupt]] with n_spans = 1. */
+  def prefixLmSplit(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val n = size(words)
+    val coin = pmod(graft.functions.PortableHash.hex60(
+      concat(lit("plm_"), col(idCol).cast("string"))), lit(50L)) + 25
+    val splitN = greatest(lit(1L),
+      least((n - 1).cast("long"), (n * coin / lit(100)).cast("long")))
+    docs.select(col(idCol),
+      n.cast("long").as("n_tokens"), lit(1L).as("n_spans"),
+      array_join(slice(words, lit(1), splitN.cast("int")), " ")
+        .as("input_text"),
+      array_join(slice(words, (splitN + 1).cast("int"),
+        greatest(lit(0), n - splitN.cast("int"))), " ").as("target_text"))
+  }
+
+  /** UL2 mixture-of-denoisers (Tay et al. 2022): each doc is assigned
+    * ONE denoiser by a deterministic hash draw — R (regular span
+    * corruption, 15% / span 3) at weight 2/4, S (PrefixLM split) at
+    * 1/4, X (extreme: 50% / span 8) at 1/4 — and its input gains the
+    * paradigm token (`[R] `/`[S] `/`[X] `) UL2 conditions on. Docs are
+    * FILTERED to their denoiser before construction (the hash predicate
+    * prunes at the scan), so each doc is processed exactly once; the
+    * union is three independent map-shaped lanes. */
+  def ul2Mixture(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val den = pmod(graft.functions.PortableHash.hex60(
+      concat(lit("ul2_"), col(idCol).cast("string"))), lit(4L))
+    def branded(df: DataFrame, tag: String) = df
+      .withColumn("denoiser", lit(tag))
+      .withColumn("input_text",
+        concat(lit(s"[$tag] "), col("input_text")))
+      .select(col(idCol), col("denoiser"), col("n_tokens"),
+        col("n_spans"), col("input_text"), col("target_text"))
+    branded(spanCorrupt(docs.where(den <= 1), idCol, textCol,
+        spanLen = 3, rateNum = 3, rateDen = 20), "R")
+      .unionByName(branded(prefixLmSplit(docs.where(den === 2),
+        idCol, textCol), "S"))
+      .unionByName(branded(spanCorrupt(docs.where(den === 3), idCol,
+        textCol, spanLen = 8, rateNum = 10, rateDen = 20), "X"))
+  }
 }

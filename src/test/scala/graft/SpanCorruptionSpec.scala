@@ -74,6 +74,40 @@ class SpanCorruptionSpec extends SparkSpec {
     assert(share > 0.08 && share < 0.25, s"masked share = $share")
   }
 
+  test("prefixLmSplit: prefix + suffix reconstruct the doc, split in band") {
+    val rows = SpanCorruption.prefixLmSplit(
+        Tables.load(spark, sf, "documents").limit(200), "doc_id", "text")
+      .join(Tables.load(spark, sf, "documents"), "doc_id")
+      .collect()
+    rows.foreach { r =>
+      val (in, tg, orig) = (r.getAs[String]("input_text"),
+        r.getAs[String]("target_text"), r.getAs[String]("text"))
+      val rebuilt = (in + " " + tg).trim
+      assert(rebuilt === orig.split(" ").filter(_.nonEmpty).mkString(" "))
+      val (nIn, n) = (in.split(" ").count(_.nonEmpty),
+        r.getAs[Long]("n_tokens").toInt)
+      assert(nIn >= 1 && (n < 2 || nIn < n), s"doc ${r.getLong(0)}")
+      if (n >= 4) // hash band 25-74% holds once the floor/ceiling clamps
+        assert(nIn >= n / 4 && nIn <= 3 * n / 4 + 1, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ul2Mixture: every doc exactly once, paradigm token matches lane") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val out = SpanCorruption.ul2Mixture(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet.size === out.length)
+    assert(out.length === docs.count())
+    val byLane = out.groupBy(_.getAs[String]("denoiser"))
+    assert(byLane.keySet === Set("R", "S", "X"))
+    out.foreach { r =>
+      assert(r.getAs[String]("input_text")
+        .startsWith(s"[${r.getAs[String]("denoiser")}] "))
+    }
+    // hash weights 2:1:1 — wide band on a 200-doc sample
+    assert(byLane("R").length > byLane("S").length)
+    assert(byLane("R").length > byLane("X").length)
+  }
+
   test("output is identical under a different input partitioning") {
     val base = corrupted.orderBy("doc_id").collect().toSeq
     val repart = SpanCorruption.spanCorrupt(
