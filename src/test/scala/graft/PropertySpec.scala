@@ -399,4 +399,82 @@ class PropertySpec extends SparkSpec {
       } else assert(got.isEmpty)
     }
   }
+
+  // ---- round-15 operators -------------------------------------------------
+
+  private val wordListGen: Gen[List[String]] =
+    Gen.choose(1, 50).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.choose('a', 'f')).map(_.mkString))))
+
+  test("spanCorrupt reconstructs every random doc at several span lengths") {
+    val sentinel = "<extra_id_(\\d+)>".r
+    forAll(Gen.listOfN(8, wordListGen), 6) { docLists =>
+      val docs = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      Seq(1, 3, 5).foreach { spanLen =>
+        graft.text.SpanCorruption
+          .spanCorrupt(docs, "doc_id", "text", spanLen = spanLen)
+          .collect().foreach { r =>
+            val orig = docLists(r.getLong(0).toInt).mkString(" ")
+            val target = r.getAs[String]("target_text")
+            val ids = sentinel.findAllMatchIn(target)
+              .map(_.group(1).toInt).toSeq
+            val parts = sentinel.split(target).map(_.trim)
+            val spans = ids.zip(parts.drop(1).padTo(ids.size, "")).toMap
+            val rebuilt = r.getAs[String]("input_text").split(" ").toSeq
+              .flatMap { s =>
+                if (sentinel.matches(s))
+                  spans(sentinel.findFirstMatchIn(s).get.group(1).toInt)
+                    .split(" ").filter(_.nonEmpty).toSeq
+                else Seq(s)
+              }.mkString(" ")
+            assert(rebuilt === orig, s"doc ${r.getLong(0)} span $spanLen")
+          }
+      }
+    }
+  }
+
+  test("recallAtK equals brute-force pair-set intersection") {
+    val topkGen: Gen[List[(Long, Int, Long)]] =
+      Gen.listOfN(5, Gen.choose(1, 8)).flatMap { ks =>
+        Gen.sequence[List[List[(Long, Int, Long)]], List[(Long, Int, Long)]](
+          ks.zipWithIndex.map { case (k, q) =>
+            Gen.pick(k, 0L until 20L).map(cs =>
+              cs.toList.zipWithIndex.map { case (c, i) =>
+                (q.toLong, i + 1, c) })
+          }).map(_.flatten)
+      }
+    forAll(Gen.zip(topkGen, topkGen), 10) { case (e, a) =>
+      val k = 5
+      val exact = e.toDF("q_id", "rk", "c_id")
+      val approx = a.toDF("q_id", "rk", "c_id")
+      val row = graft.similarity.Similarity.recallAtK(exact, approx, k).head()
+      val eSet = e.filter(_._2 <= k).map(t => (t._1, t._3)).toSet
+      val aSet = a.filter(_._2 <= k).map(t => (t._1, t._3)).toSet
+      assert(row.getLong(1) === eSet.size.toLong)
+      assert(row.getLong(2) === eSet.intersect(aSet).size.toLong)
+      assert(row.getDouble(3) ===
+        eSet.intersect(aSet).size.toDouble / eSet.size)
+    }
+  }
+
+  test("calibrateMaxBlock equals the clamped brute-force formula") {
+    val distGen: Gen[List[(String, Int)]] =
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.identifier.map(_.take(4)), Gen.choose(1, 300))))
+    forAll(Gen.zip(distGen, Gen.choose(100L, 20000L)), 10) {
+      case (dist, target) =>
+        val right = dist.flatMap { case (key, c) =>
+          (1 to c).map(i => (key, i)) }.toDF("blk", "row_id")
+        val got = graft.linkage.Linkage.calibrateMaxBlock(right,
+          Seq(Seq(col("blk"))), targetPairsPerTask = target,
+          minBlock = 5, maxCap = 50000)
+        // duplicate keys in the generated dist merge into one block
+        val maxR = dist.groupBy(_._1).map(_._2.map(_._2).sum).max
+        val exp = math.min(50000L, math.max(5L, target / maxR)).toInt
+        assert(got === exp, s"dist=$dist target=$target maxR=$maxR")
+    }
+  }
 }
