@@ -337,6 +337,88 @@ object BinaryOps {
     }
   }
 
+  /** REAL animated-GIF frame sampling — the second moving-image container
+    * a pure JDK decodes end to end (after MJPEG AVI,
+    * [[decodeVideoFrames]]): ImageIO's bundled GIF reader exposes every
+    * frame (`getNumImages(true)` / `read(i)`), and the per-frame delay
+    * rides the `GraphicControlExtension` node of each frame's metadata
+    * tree (`javax_imageio_gif_image_1.0`, delayTime in centiseconds —
+    * fps = 100 / delay of frame 0, null when absent or zero, the same
+    * best-effort contract as AVI's µs-per-frame header). Output contract
+    * identical to [[decodeVideoFrames]]: one [[DecodedFrame]] row per
+    * SAMPLED frame (`frame_idx % everyK == 0`), declared frame count +
+    * fps on each row, one null-metadata row for undecodable bytes. Note
+    * GIF frames may legally be sub-rectangle patches of the logical
+    * screen — width/height/luma describe the STORED frame raster, not a
+    * composited canvas (compositing is a disposal-method state machine;
+    * the training-pipeline feature contract here is per-stored-frame,
+    * matching the AVI lane's per-chunk decode). One clip in memory at a
+    * time inside `mapPartitions`; partitioning preserved. */
+  def decodeGifFrames(df: DataFrame, idCol: String, blobCol: String,
+                      everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it =>
+        it.flatMap { r => decodeOneGif(r.id, r.blob, everyK) }
+      }
+      .toDF()
+  }
+
+  /** Decode one animated-GIF blob; sampled-frame rows or the null row. */
+  private def decodeOneGif(id: Long, b: Array[Byte],
+                           everyK: Int): Seq[DecodedFrame] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no reader")
+      reader = readers.next()
+      require(reader.getFormatName.equalsIgnoreCase("gif"), "not a gif")
+      reader.setInput(iis, false, false)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "no frames")
+      val fps: java.lang.Double = try {
+        val tree = reader.getImageMetadata(0)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val gce = tree.getElementsByTagName("GraphicControlExtension")
+        if (gce.getLength > 0) {
+          val d = gce.item(0).getAttributes.getNamedItem("delayTime")
+            .getNodeValue.toInt
+          if (d > 0) 100.0 / d else null
+        } else null
+      } catch { case _: Exception => null }
+      (0 until n).collect {
+        case idx if idx % everyK == 0 =>
+          val im = reader.read(idx)
+          var sum = 0.0
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val rgb = im.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(id, idx, im.getWidth, im.getHeight,
+            sum / (im.getWidth.toLong * im.getHeight), n.toLong, fps)
+      }
+    } catch { case _: Exception =>
+      Seq(DecodedFrame(id, null, null, null, null, null, null))
+    } finally {
+      if (reader != null) try reader.dispose() catch { case _: Exception => }
+      if (iis != null) try iis.close() catch { case _: Exception => }
+    }
+  }
+
   /** Batched per-partition media transform — the Scala twin of the
     * `mapInPandas` batch shape: rows stream through `mapPartitions` in
     * groups of `batchSize`, so a real codec/model gets amortized batch

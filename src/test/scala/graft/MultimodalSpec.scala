@@ -202,4 +202,80 @@ class MultimodalSpec extends SparkSpec {
     val bad = out((3L, null))
     assert(bad.isNullAt(2) && bad.isNullAt(4) && bad.isNullAt(5))
   }
+
+  private def rgbImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    im
+  }
+
+  /** Animated GIF via the JDK's own ImageIO sequence writer, per-frame
+    * delay set through the GraphicControlExtension metadata node
+    * (delayTime in centiseconds — what decodeGifFrames reads back). */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage],
+                          delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    writer.prepareWriteSequence(null)
+    frames.foreach { im =>
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(im), param)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val existing = root.getElementsByTagName("GraphicControlExtension")
+      val gce =
+        if (existing.getLength > 0)
+          existing.item(0).asInstanceOf[IIOMetadataNode]
+        else {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(im, null, meta), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames samples animated-GIF frames; corrupt blobs yield null") {
+    // clip 1: 4 gray-ramp frames at 10 cs -> 10 fps; clip 2: one frame,
+    // delay 0 -> fps null; clip 3: junk
+    val gif1 = animatedGif(
+      Seq(0, 60, 120, 180).map(v => rgbImage(32, 24, 0x010101 * v)), 10)
+    val gif2 = animatedGif(Seq(rgbImage(16, 8, 0xffffff)), 0)
+    val df = Seq((1L, gif1), (2L, gif2),
+      (3L, "definitely not a gif".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = BinaryOps.decodeGifFrames(df, "id", "blob", everyK = 2)
+      .collect().map(r => (r.getLong(0), r.get(1)) -> r).toMap
+    // clip 1: frames 0 and 2 sampled of 4; container meta on every row
+    val c1 = Seq(0, 2).map(i => out((1L, i)))
+    assert(!out.contains((1L, 1)) && !out.contains((1L, 3)))
+    assert(c1.forall(r => r.getInt(2) == 32 && r.getInt(3) == 24))
+    assert(c1.forall(r => r.getLong(5) == 4L &&
+      math.abs(r.getDouble(6) - 10.0) < 1e-9))
+    // luma rises along the gray ramp (GIF palettizes; solid grays exact-ish)
+    val lumas = c1.map(_.getDouble(4))
+    assert(lumas == lumas.sorted && lumas.distinct.length == lumas.length)
+    assert(math.abs(lumas.head - 0.0) < 2.0)
+    // clip 2: single white frame, zero delay -> fps null
+    val c2 = out((2L, 0))
+    assert(c2.getInt(2) == 16 && math.abs(c2.getDouble(4) - 255.0) < 2.0)
+    assert(c2.getLong(5) == 1L && c2.isNullAt(6))
+    // corrupt lane: one all-null row
+    val bad = out((3L, null))
+    assert(bad.isNullAt(2) && bad.isNullAt(4) && bad.isNullAt(5))
+  }
 }
