@@ -2001,6 +2001,20 @@ object SparkEntry {
       "doc_id", "text", n = 4)
   }
 
+  // ---- training-data pipeline: contamination overlap report ---------------
+  // The GPT-3 appendix-C analysis on q128's machinery: per training doc,
+  // its distinct 4-gram count, eval hits, the overlap share in exact
+  // integer nanos, and the 10% dirty flag — the triage report between
+  // any-hit dropping and keeping everything. Same train/eval split and
+  // broadcast shape as q128.
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.NearDup.contaminationReport(
+      docs.where(col("doc_id") % 37 =!= 0),
+      docs.where(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 4)
+  }
+
   // ---- training-data pipeline: leakage-safe split ------------------------
   // Split assignment keyed on the near-dup cluster canonical (3-gram
   // Jaccard >= 1/4, same edge semantics as q69), so no near-duplicate pair
@@ -3743,6 +3757,7 @@ object SparkEntry {
     "q193_splink_cluster" -> (q193 _),
     "q194_span_corrupt" -> (q194 _),
     "q195_ul2_mixture" -> (q195 _),
+    "q196_contamination_report" -> (q196 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9463,6 +9478,35 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         .replace("@R_LANE@", spanCorruptSql(lane("<= 1"), 3, 3, 20))
         .replace("@X_LANE@", spanCorruptSql(lane("= 3"), 8, 10, 20))
     },
+    // q196: the fraction-based contamination report over q128's shingle
+    // machinery — n_grams, hits, floor(1e9*hits/grams), dirty at 10%.
+    "q196_contamination_report" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' || wl[i+3] AS shingle
+        |  FROM words, unnest(range(1, len(wl) - 2)) t(i)
+        |  WHERE len(wl) >= 4),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+        |st AS (
+        |  SELECT s.doc_id, count(*) AS n_grams,
+        |    count(ev.shingle) AS n_eval_hits
+        |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+        |  WHERE s.doc_id % 37 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_grams, 0) AS n_grams,
+        |  coalesce(st.n_eval_hits, 0) AS n_eval_hits,
+        |  CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0
+        |       ELSE CAST((1000000000 * st.n_eval_hits) // st.n_grams
+        |         AS BIGINT) END AS overlap_nano,
+        |  CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0
+        |       ELSE CAST((1000000000 * st.n_eval_hits) // st.n_grams
+        |         AS BIGINT) END >= 100000000 AS dirty
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |WHERE d.doc_id % 37 <> 0""".stripMargin,
   )
 
   /** T5 span-corruption oracle, parameterized by source relation and

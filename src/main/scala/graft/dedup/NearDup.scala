@@ -114,6 +114,42 @@ object NearDup {
       .withColumn("contaminated", col("n_eval_hits") >= 1)
   }
 
+  /** Contamination REPORT — the fraction-based analysis published with
+    * GPT-3 (arXiv:2005.14165 appendix C reports the PERCENTAGE of each
+    * doc's n-grams found in the benchmarks, not just membership): per
+    * training doc, its distinct-gram count, the eval-hit count, the
+    * overlap share as exact integer nanos (1e9·hits/grams, floor), and
+    * the `dirty` flag at `dirtyAtNano` (default 10%) — the triage knob
+    * between [[decontaminate]]'s any-hit drop (recall-safe, over-drops
+    * boilerplate) and keeping everything. Same scale shape as
+    * [[decontaminate]]: the eval gram dim broadcasts, corpus shingles
+    * never shuffle by gram, one hash aggregation on the doc id. The
+    * nano share divides two exact integers ≤ 1e9·doc-length — floor of
+    * a double quotient whose distance from any integer is ≥ 1/n_grams,
+    * far above double error, so both engines floor identically. */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, n: Int,
+                          dirtyAtNano: Long = 100000000L): DataFrame = {
+    val evalGrams = eval
+      .select(explode(graft.plans.WordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val stats = wordShingles(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_eval_hits"))
+    train.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_eval_hits", coalesce(col("n_eval_hits"), lit(0L)))
+      .withColumn("overlap_nano",
+        when(col("n_grams") === 0, lit(0L)).otherwise(
+          floor(lit(1000000000L) * col("n_eval_hits") / col("n_grams"))
+            .cast("long")))
+      .withColumn("dirty", col("overlap_nano") >= dirtyAtNano)
+  }
+
   /** Span-level repeated-substring detection — the SPAN analogue of
     * document near-dup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499: removing repeated
