@@ -3531,6 +3531,17 @@ object SparkEntry {
     graft.text.SpanCorruption.spanCorrupt(
       t(s, dir, "documents"), "doc_id", "text")
 
+  // ---- training-data pipeline: fill-in-the-middle --------------------------
+  // The FIM transform (arXiv:2207.14255): a 75% hash coin selects docs,
+  // two hash-drawn token points split a selected doc, and it
+  // re-serializes as <PRE> prefix <SUF> suffix <MID> middle (PSM);
+  // unselected docs pass through verbatim — the paper's joint-training
+  // recipe. Pure per-row list-slice arithmetic (zero shuffle); every
+  // draw replays in the oracle from the shared MD5-prefix hash.
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanCorruption.fimTransform(
+      t(s, dir, "documents"), "doc_id", "text")
+
   // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
   // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
   // ONE denoiser — R (15%/span 3, weight 2/4), S (PrefixLM split, 1/4),
@@ -3758,6 +3769,7 @@ object SparkEntry {
     "q194_span_corrupt" -> (q194 _),
     "q195_ul2_mixture" -> (q195 _),
     "q196_contamination_report" -> (q196 _),
+    "q197_fim_transform" -> (q197 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9507,6 +9519,37 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |         AS BIGINT) END >= 100000000 AS dirty
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         |WHERE d.doc_id % 37 <> 0""".stripMargin,
+    // q197: FIM — the 75% coin, the two modular split draws and the PSM
+    // re-serialization all replay from the shared MD5-prefix hash;
+    // empty segments concatenate as empty strings on both engines.
+    "q197_fim_transform" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w,
+        |    ('0x' || substr(md5('fimr_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 4 AS cr,
+        |    ('0x' || substr(md5('fima_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS ha,
+        |    ('0x' || substr(md5('fimb_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS hb
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    len(w) >= 1 AND cr < 3 AS applied,
+        |    CAST(ha % (len(w) + 1) AS INT) AS i
+        |  FROM base),
+        |pts2 AS (
+        |  SELECT *, CAST(i + hb % (n - i + 1) AS INT) AS j
+        |  FROM (SELECT p.*, b.hb FROM pts p JOIN base b USING (doc_id)))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, applied AS fim_applied,
+        |  CASE WHEN applied THEN CAST(i AS BIGINT) END AS split_i,
+        |  CASE WHEN applied THEN CAST(j AS BIGINT) END AS split_j,
+        |  CASE WHEN applied THEN
+        |    '<PRE> ' || coalesce(array_to_string(w[1 : i], ' '), '') ||
+        |    ' <SUF> ' || coalesce(array_to_string(w[j + 1 : n], ' '), '') ||
+        |    ' <MID> ' || coalesce(array_to_string(w[i + 1 : j], ' '), '')
+        |  ELSE array_to_string(w, ' ') END AS fim_text
+        |FROM pts2""".stripMargin,
   )
 
   /** T5 span-corruption oracle, parameterized by source relation and

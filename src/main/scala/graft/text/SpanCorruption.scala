@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,43 @@ object SpanCorruption {
         .as("input_text"),
       array_join(slice(words, (splitN + 1).cast("int"),
         greatest(lit(0), n - splitN.cast("int"))), " ").as("target_text"))
+  }
+
+  /** Fill-in-the-middle (Bavarian et al. 2022, arXiv:2207.14255 — the
+    * code-model pretraining transform): a `rateNum/rateDen` hash coin
+    * selects docs; a selected doc splits at two hash-drawn token points
+    * 0 ≤ i ≤ j ≤ n and re-serializes in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so the model learns to
+    * infill; unselected docs pass through verbatim (the paper's
+    * joint-training recipe). All draws are hash(doc) integer arithmetic
+    * (uniform over the valid (i, j) grid via two modular draws), so any
+    * engine reproduces the same splits; the whole operator is per-row
+    * array slicing — ZERO shuffle, a map-shaped corpus pass at any
+    * scale. Output: (id, n_tokens, fim_applied, split_i, split_j,
+    * fim_text). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   rateNum: Int = 3, rateDen: Int = 4): DataFrame = {
+    require(rateNum >= 0 && rateDen >= 1 && rateNum <= rateDen,
+      "need 0 <= rateNum <= rateDen, rateDen >= 1")
+    def coin(seed: String, mod: Column): Column =
+      pmod(graft.functions.PortableHash.hex60(
+        concat(lit(seed), col(idCol).cast("string"))), mod)
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val n = size(words)
+    val applied = n >= 1 && coin("fimr_", lit(rateDen.toLong)) < rateNum
+    val i = coin("fima_", (n + 1).cast("long")).cast("int")
+    val j = (i + coin("fimb_", (n - i + 1).cast("long"))).cast("int")
+    def seg(from: Column, to: Column) =
+      array_join(slice(words, from, greatest(lit(0), to - from + 1)), " ")
+    docs.select(col(idCol), n.cast("long").as("n_tokens"),
+      applied.as("fim_applied"),
+      when(applied, i.cast("long")).as("split_i"),
+      when(applied, j.cast("long")).as("split_j"),
+      when(applied, concat(
+          lit("<PRE> "), seg(lit(1), i),
+          lit(" <SUF> "), seg(j + 1, n),
+          lit(" <MID> "), seg(i + 1, j)))
+        .otherwise(array_join(words, " ")).as("fim_text"))
   }
 
   /** UL2 mixture-of-denoisers (Tay et al. 2022): each doc is assigned

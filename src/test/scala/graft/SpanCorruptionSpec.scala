@@ -108,6 +108,33 @@ class SpanCorruptionSpec extends SparkSpec {
     assert(byLane("R").length > byLane("X").length)
   }
 
+  test("fimTransform: PSM reorder reconstructs; pass-through verbatim") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val rows = SpanCorruption.fimTransform(docs, "doc_id", "text")
+      .join(docs, "doc_id").collect()
+    val applied = rows.count(_.getAs[Boolean]("fim_applied"))
+    // 75% hash coin: wide band on 200 docs
+    assert(applied > rows.length / 2 && applied < rows.length)
+    rows.foreach { r =>
+      val orig = r.getAs[String]("text").split(" ")
+        .filter(_.nonEmpty).mkString(" ")
+      val t = r.getAs[String]("fim_text")
+      if (!r.getAs[Boolean]("fim_applied")) {
+        assert(t === orig)
+        assert(r.isNullAt(r.fieldIndex("split_i")))
+      } else {
+        val (i, j, n) = (r.getAs[Long]("split_i"), r.getAs[Long]("split_j"),
+          r.getAs[Long]("n_tokens"))
+        assert(0 <= i && i <= j && j <= n, s"doc ${r.getLong(0)}")
+        val m = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+          .findFirstMatchIn(t).get
+        val rebuilt = Seq(m.group(1), m.group(3), m.group(2))
+          .flatMap(_.split(" ")).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt === orig, s"doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("output is identical under a different input partitioning") {
     val base = corrupted.orderBy("doc_id").collect().toSeq
     val repart = SpanCorruption.spanCorrupt(
