@@ -238,23 +238,49 @@ object Bench {
     // (vec_id < 20, k = 10). Not timed as a query; skipped on filtered /
     // capstones-only runs like the WMAPE gate. RecallGateSpec holds the
     // absolute per-index floors on the test fixture.
+    // The exact brute-force baseline is the expensive side of the gate and
+    // identical for all five indexes — compute it ONCE and pin the result
+    // (|queries|·k = 200 rows) as a local relation the gates reuse, instead
+    // of re-running the brute force per index.
+    val recallExact: Option[org.apache.spark.sql.DataFrame] =
+      if (skipCapstones || capsOnly) None
+      else try {
+        import graft.similarity.Similarity
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val qs = emb.where(col("vec_id") < 20)
+        val base = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("rk"), col("c_id"))
+        val rows = base.collect()
+        Some(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), base.schema))
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] recall exact baseline failed: ${e.getMessage}")
+        None
+      } finally graft.util.SessionHygiene.releaseAll(spark)
     def recall10Of(
         ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
           => org.apache.spark.sql.DataFrame): Long =
-      if (skipCapstones || capsOnly) -1L
-      else try {
-        import graft.similarity.Similarity
-        val emb = Tables.load(spark, sfDir, "embeddings")
-        val qs = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
-        val exact = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
-        val nano = Similarity.recallAtK(exact, ann(qs, emb), 10)
-          .select((org.apache.spark.sql.functions.col("recall") * 1e9)
-            .cast("long")).head.getLong(0)
-        graft.util.SessionHygiene.releaseAll(spark)
-        nano
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] recall gate failed: ${e.getMessage}")
-        -1L
+      recallExact match {
+        case None => -1L
+        case Some(exact) =>
+          // releaseAll in finally: a failure mid-gate must not leave cached
+          // blocks alive for the rest of the benchmark run
+          try {
+            import graft.similarity.Similarity
+            import org.apache.spark.sql.functions.col
+            val emb = Tables.load(spark, sfDir, "embeddings")
+            val qs = emb.where(col("vec_id") < 20)
+            val row = Similarity.recallAtK(exact, ann(qs, emb), 10)
+              .select((col("recall") * 1e9).cast("long")).head
+            // recallAtK reports an explicit 0.0 on an empty exact side;
+            // a null here is a genuinely malformed result → sentinel
+            if (row.isNullAt(0)) -1L else row.getLong(0)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] recall gate failed: ${e.getMessage}")
+            -1L
+          } finally graft.util.SessionHygiene.releaseAll(spark)
       }
     import graft.similarity.Similarity
     val recallLshNano = recall10Of((q, c) => Similarity.lshTopK(q, c,

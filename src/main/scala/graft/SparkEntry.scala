@@ -3203,14 +3203,17 @@ object SparkEntry {
   // ConnectedComponents.run picks driver union-find below 5M edges and
   // the O(log n) large/small-star contraction above it.
   private def q193(s: SparkSession, dir: String): DataFrame = {
+    // cast BEFORE doubling: a 32-bit key above 2^30 would wrap negative
+    // under non-ANSI int arithmetic (the silent-wrap class blockProfile
+    // guards against); DuckDB's oracle promotes to BIGINT first
     val edges = q190Scored(s, dir)
       .where(col("weight_nano") >= 3169925001L)
-      .select((col("c_custkey") * 2).cast("long").as("src"),
-        (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+      .select((col("c_custkey").cast("long") * 2).as("src"),
+        (col("s_suppkey").cast("long") * 2 + 1).as("dst"))
     val (c, sup) = q188Sides(s, dir)
-    val verts = c.select((col("c_custkey") * 2).cast("long").as("node"))
+    val verts = c.select((col("c_custkey").cast("long") * 2).as("node"))
       .unionByName(
-        sup.select((col("s_suppkey") * 2 + 1).cast("long").as("node")))
+        sup.select((col("s_suppkey").cast("long") * 2 + 1).as("node")))
     val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
     verts.join(cc, verts("node") === cc("v"), "left")
       .select(col("node"), (col("node") % 2 === 0).as("is_left"),
@@ -9562,7 +9565,11 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     s"""WITH ws AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |words AS (
-      |  SELECT doc_id, g.wi - 1 AS pos, w[wi] AS tok
+      |  -- positions are dense ranks AFTER the empty-token filter (repeated
+      |  -- whitespace), mirroring the Spark side's post-filter row_number
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY g.wi) - 1 AS pos,
+      |    w[wi] AS tok
       |  FROM ws, unnest(generate_series(1, len(w))) AS g(wi)
       |  WHERE w[wi] <> ''),
       |blocked AS (

@@ -287,7 +287,14 @@ object Linkage {
       "need targetPairsPerTask >= 1 and 1 <= minBlock <= maxCap")
     val row = rightRules.map { rk =>
       val names = rk.indices.map(j => s"__bk$j")
-      right.groupBy(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
+      // rows with ANY null key component never join (the equi-joins
+      // unionBlocks performs are null-unsafe), so they must not count
+      // toward the hottest block: a mostly-null blocking key (Metaphone
+      // of null names) would otherwise drive max R toward the corpus
+      // size and collapse the cap to minBlock, over-salting every rule
+      right.select(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
+        .where(names.map(n => col(n).isNotNull).reduce(_ && _))
+        .groupBy(names.map(col): _*)
         .agg(count(lit(1)).as("__nr"))
         .agg(max(col("__nr")).as("__mx"))
     }.reduce(_.unionByName(_)).agg(max(col("__mx"))).head

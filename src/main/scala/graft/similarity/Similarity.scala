@@ -79,11 +79,13 @@ object Similarity {
     * itself is one equi-join on (q_id, c_id) + one aggregate, both sides
     * |queries|·k rows. */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    // BOTH sides dedup to their (q_id, c_id) pair sets: the *TopK frames
+    // are rank-unique per pair already, but a malformed approx input would
+    // double-count hits (recall > 1) and a malformed exact input would
+    // inflate n_exact and silently DEFLATE recall — the distincts (over
+    // ≤ |queries|·k rows each) make the metric a true set ratio either way.
     val e = exact.where(col("rk") <= k).select(col("q_id"), col("c_id"))
-    // *TopK frames are rank-unique per (q_id, c_id) already; the distinct
-    // (over ≤ |queries|·k rows) makes the metric robust to a malformed
-    // approx input, which would otherwise double-count hits and report
-    // recall > 1 instead of failing loudly.
+      .distinct()
     val a = approx.where(col("rk") <= k).select(col("q_id"), col("c_id"))
       .distinct()
       .withColumn("__hit", lit(1))
@@ -91,7 +93,12 @@ object Similarity {
       .agg(count_distinct(col("q_id")).as("n_queries"),
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
-      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      // empty exact side: an explicit 0.0 instead of a null that callers
+      // would have to NPE on — an all-empty gate reads as an obvious
+      // recall failure, never as a silently-dropped row
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_exact")))
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each

@@ -35,8 +35,19 @@ object SpanCorruption {
       "need 0 <= rateNum <= rateDen, rateDen >= 1")
     val words = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")))
-      .toDF(idCol, "pos", "tok")
+      .toDF(idCol, "raw_pos", "tok")
       .where(col("tok") =!= "")
+      // block positions are assigned AFTER dropping the empty tokens a
+      // repeated-whitespace split produces: on raw positions, a block
+      // whose first slot (raw_pos % spanLen == 0) fell on an empty token
+      // would have no "first" row — no <extra_id_K> sentinel in the input
+      // while its surviving tokens still move to the target, silently
+      // breaking the reconstruction invariant. row_number shares the
+      // doc-key exchange the k/reassembly windows already pay.
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("raw_pos"))) - 1)
+      .drop("raw_pos")
     val blocked = words
       .withColumn("blk", floor(col("pos") / spanLen).cast("long"))
       .withColumn("masked",

@@ -135,6 +135,47 @@ class SpanCorruptionSpec extends SparkSpec {
     }
   }
 
+  test("repeated whitespace: sentinel/reconstruction invariants still hold") {
+    // single-space split turns doubled/leading/trailing spaces into empty
+    // tokens; positions must be assigned AFTER the empty filter or a
+    // block whose first raw slot was empty emits no input sentinel while
+    // its tokens still move to the target (ADVICE r15, medium)
+    val docs = Seq(
+      (1L, "a  b c d  e f g h i j k l"),
+      (2L, "  lead double  gap and   triple   gap tokens x y z  "),
+      (3L, " x "),
+      (4L, "a b  c d e f  g h i j  k l m n o p  q r s t"),
+      (5L, "solo"),
+      (6L, "gap  " + (1 to 40).map(i => s"t$i").mkString("  "))
+    ).toDF("doc_id", "text")
+    val rows = SpanCorruption.spanCorrupt(docs, "doc_id", "text")
+      .join(docs, "doc_id").collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (input, target, orig) = (r.getAs[String]("input_text"),
+        r.getAs[String]("target_text"), r.getAs[String]("text"))
+      val cleanToks = orig.split(" ").filter(_.nonEmpty).toSeq
+      assert(r.getAs[Long]("n_tokens") === cleanToks.length,
+        s"doc ${r.getLong(0)}")
+      // every masked span surfaces as a sentinel in BOTH input and target,
+      // numbered densely from 0
+      val n = r.getAs[Long]("n_spans").toInt
+      val inIds = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      assert(inIds === (0 until n), s"doc ${r.getLong(0)}")
+      // splice reconstruction over the whitespace-normalized doc
+      val parts = sentinel.split(target).map(_.trim)
+      val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      val spans = ids.zip(parts.drop(1).padTo(ids.size, "")).toMap
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap { s =>
+        if (sentinel.matches(s)) {
+          val k = sentinel.findFirstMatchIn(s).get.group(1).toInt
+          spans(k).split(" ").filter(_.nonEmpty).toSeq
+        } else Seq(s)
+      }.mkString(" ")
+      assert(rebuilt === cleanToks.mkString(" "), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("output is identical under a different input partitioning") {
     val base = corrupted.orderBy("doc_id").collect().toSeq
     val repart = SpanCorruption.spanCorrupt(
