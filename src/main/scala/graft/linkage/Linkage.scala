@@ -475,21 +475,32 @@ object Linkage {
       .withColumnRenamed("v", idCol)
     // 3. re-split clusters that chained duplicate years together
     val clustered = ids.join(cc, Seq(idCol))
-    // (id, label) pairs are reused by three downstream branches (orphan
-    // scoring, the singleton anti-join, the final union); localCheckpoint
-    // materializes them once instead of re-running the split window per
-    // occurrence. Linkage labels are ids+longs — tiny relative to the
-    // embedding corpus at any scale.
+    // (id, label) pairs are reused by two downstream branches (orphan
+    // scoring, the final union); the lazy persist below shares the split
+    // window's result between them without its own materialization round.
+    // Linkage labels are ids+longs — tiny relative to the embedding
+    // corpus at any scale.
     val split = agglomerativeSplit match {
       case Some(t) => NearDup.splitClustersAgglomerative(
         clustered, "component", idCol, yearCol, embCol, t)
       case None => NearDup.splitClusters(clustered, "component", idCol, yearCol)
     }
+    // CONTENTION SHAPE: every eager materialization here is a driver
+    // barrier whose cost is the slowest straggler's — under host
+    // contention the lane's wall time multiplies by the number of
+    // barriers, not by its work (driver-vs-quiet gaps of 2-5× over three
+    // rounds with untouched code). So `labeled` is persisted LAZILY (the
+    // orphan-scoring branch and the final union both read it, but its
+    // blocks materialize inside the one final job instead of in a
+    // dedicated round), and the assigned/singleton split is a single
+    // left join on the top-1 frame rather than an eager checkpoint plus
+    // an anti-join round. The whole stage-3/4 composition now runs in
+    // ONE blocking job (the returned frame's localCheckpoint).
     val labeled = split
       .withColumn("record_label", min(col(idCol)).over(
         Window.partitionBy(col("component"), col("sub_cluster"))))
       .select(col(idCol), col("record_label"))
-      .localCheckpoint()
+      .persist()
     // 4. orphans: nearest clustered neighbor if close enough, else singleton
     val orphans = ids.join(cc.select(idCol), Seq(idCol), "left_anti")
     val labeledRows = ids.join(labeled, Seq(idCol))
@@ -498,21 +509,25 @@ object Linkage {
         orphans, labeledRows, idCol, embCol, "record_label", dim, nBits, bands)
       else Similarity.nearestAssign(
         orphans, labeledRows, idCol, embCol, "record_label")
-    val assigned = nearest
-      .where(col("cosine") >= assignThreshold)
-      .select(col("orphan_id").as(idCol),
-        col("assigned_cluster").as("record_label"))
-      .localCheckpoint()
-    val singletons = orphans.join(assigned.select(idCol), Seq(idCol), "left_anti")
-      .select(col(idCol), col(idCol).cast("long").as("record_label"))
-    // materialize the (small: ids + labels) result eagerly, then release the
-    // two intermediate checkpoints — nothing persisted outlives the call
-    // except the returned frame's own blocks (harness-released per query)
+    // nearest is top-1 per orphan, so the left join matches ≤ 1 row: an
+    // orphan whose best cosine clears the threshold takes its neighbor's
+    // label, every other orphan keeps its own id as a singleton label —
+    // same pair set as the old eager assigned-checkpoint + anti-join,
+    // without the two extra blocking rounds
+    val orphanLabels = orphans.select(col(idCol))
+      .join(nearest.where(col("cosine") >= assignThreshold)
+          .select(col("orphan_id").as(idCol),
+            col("assigned_cluster").as("__asg")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__asg"), col(idCol).cast("long")).as("record_label"))
+    // materialize the (small: ids + labels) result eagerly, then release
+    // the shared intermediate — nothing persisted outlives the call except
+    // the returned frame's own blocks (harness-released per query)
     val out = ids.select(col(idCol), col(yearCol))
-      .join(labeled.unionByName(assigned).unionByName(singletons), Seq(idCol))
+      .join(labeled.unionByName(orphanLabels), Seq(idCol))
       .localCheckpoint()
-    graft.util.SessionHygiene.releaseCheckpoint(labeled)
-    graft.util.SessionHygiene.releaseCheckpoint(assigned)
+    labeled.unpersist(blocking = false)
     out
   }
 }
