@@ -489,8 +489,19 @@ object Etl {
       (Seq(regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0)),
        Seq(regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))))
     val maxBlock = graft.linkage.Linkage.calibrateMaxBlock(b, rules.map(_._2))
+    // Both-sides-hot routing (round 16): a rule whose hottest block
+    // exceeds maxBlock on BOTH sides is the big-joins-big regime where
+    // the 1-D salt still leaves ~maxBlock·R pairs per salted group —
+    // those rules take the saltBySize2D tile decomposition instead
+    // (pair-for-pair identical, so golden counts cannot move). At
+    // fixture scale no rule trips the detector (one tiny single-job
+    // collect, 2 rows per rule) and the plan is byte-identical to the
+    // 1-D path; the oracle-checked q198 lane exercises the 2-D path
+    // end-to-end on a planted both-sides-degenerate key.
+    val hot2d = graft.linkage.Linkage.detectBothSidesHot(a, b, rules,
+      maxBlock)
     val cand0 = graft.linkage.Linkage.unionBlocks(a, b, "l_id", "r_id",
-      rules, maxBlock = maxBlock)
+      rules, maxBlock = maxBlock, rules2D = hot2d)
     val cand = addLevels(cand0)
       .withColumn("weight_nano", FS.matchWeight(comps, wMap, priorNano))
       .withColumn("accepted", col("weight_nano") >= FS.acceptAt(0.9))

@@ -3545,6 +3545,33 @@ object SparkEntry {
     graft.text.SpanCorruption.fimTransform(
       t(s, dir, "documents"), "doc_id", "text")
 
+  // ---- §2.3 both-sides skew-guarded join (2-D tile decomposition) --------
+  // The big-joins-big regime the 1-D saltBySize guard cannot bound: the
+  // planted (key % 5) blocking key makes EVERY block hot on BOTH sides,
+  // so each per-salt group of the 1-D guard would still hold
+  // ~maxBlock · R pairs. skewGuardedJoin2D decomposes each block's L×R
+  // pair matrix into ~maxBlock×maxBlock tiles — (row-salt, col-salt)
+  // shuffle groups, every pair meeting in exactly one tile — and
+  // maxBlock = 4 forces real multi-salt grids at every graded scale.
+  // The guard is pair-for-pair identical to the plain equi-join, which
+  // is precisely what the oracle replays: the exact pair count plus an
+  // integer checksum over ALL pairs would expose any pair the tiling
+  // lost or duplicated.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_custkey") % 100 < 20)
+      .select(col("c_custkey"), pmod(col("c_custkey"), lit(5)).as("blk"),
+        round(col("c_acctbal") * 100).cast("long").as("l_cents"))
+    val sup = t(s, dir, "supplier").where(col("s_suppkey") % 10 < 3)
+      .select(col("s_suppkey"),
+        pmod(col("s_suppkey"), lit(5)).as("__rblk"),
+        round(col("s_acctbal") * 100).cast("long").as("r_cents"))
+    graft.linkage.Linkage.skewGuardedJoin2D(c, sup,
+        Seq(col("blk")), Seq(col("__rblk")), maxBlock = 4)
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_cents") * 7 + col("r_cents")).as("sum_chk"))
+  }
+
   // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
   // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
   // ONE denoiser — R (15%/span 3, weight 2/4), S (PrefixLM split, 1/4),
@@ -3773,6 +3800,7 @@ object SparkEntry {
     "q195_ul2_mixture" -> (q195 _),
     "q196_contamination_report" -> (q196 _),
     "q197_fim_transform" -> (q197 _),
+    "q198_skew2d_join" -> (q198 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -9553,6 +9581,21 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |    ' <MID> ' || coalesce(array_to_string(w[i + 1 : j], ' '), '')
         |  ELSE array_to_string(w, ' ') END AS fim_text
         |FROM pts2""".stripMargin,
+    // q198: the 2-D skew-guarded join is pair-for-pair identical to the
+    // plain equi-join, so the oracle IS the plain join — the exact pair
+    // count and the integer checksum over every pair expose any pair
+    // the tile decomposition lost or duplicated.
+    "q198_skew2d_join" ->
+      """SELECT c.c_custkey % 5 AS blk, count(*) AS n_pairs,
+        |  CAST(sum(c.lc * 7 + s.rc) AS BIGINT) AS sum_chk
+        |FROM (SELECT c_custkey,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS lc
+        |      FROM customer WHERE c_custkey % 100 < 20) c
+        |JOIN (SELECT s_suppkey,
+        |        CAST(round(s_acctbal * 100) AS BIGINT) AS rc
+        |      FROM supplier WHERE s_suppkey % 10 < 3) s
+        |  ON c.c_custkey % 5 = s.s_suppkey % 5
+        |GROUP BY 1""".stripMargin,
   )
 
   /** T5 span-corruption oracle, parameterized by source relation and

@@ -182,6 +182,39 @@ object Linkage {
     l.join(r, names).drop(names: _*)
   }
 
+  /** Per-rule both-sides-hot detection for [[unionBlocks]] routing: a
+    * rule whose hottest block exceeds `maxBlock` rows on BOTH sides is
+    * in the big-joins-big regime where the 1-D guard's per-salt bound
+    * (~maxBlock · R) is itself quadratic — those rules should take the
+    * [[saltBySize2D]] tile decomposition instead. Null-key groups are
+    * excluded (they never equi-join, same discipline as
+    * [[calibrateMaxBlock]]). Cost: one map-side-combinable count per
+    * side per rule, all 1-row maxima unioned into a SINGLE job and one
+    * 2·rules-row collect (bounded by contract). */
+  def detectBothSidesHot(left: DataFrame, right: DataFrame,
+                         rules: Seq[(Seq[Column], Seq[Column])],
+                         maxBlock: Int): Seq[Boolean] = {
+    require(rules.nonEmpty, "need at least one blocking rule")
+    require(maxBlock >= 1, "maxBlock must be >= 1")
+    def hottest(side: DataFrame, keys: Seq[Column], rule: Int,
+                sideIdx: Int): DataFrame = {
+      val names = keys.indices.map(j => s"__bk$j")
+      side.select(keys.zip(names).map { case (c, n) => c.as(n) }: _*)
+        .where(names.map(n => col(n).isNotNull).reduce(_ && _))
+        .groupBy(names.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L)).as("__mx"))
+        .select(lit(rule).as("__rule"), lit(sideIdx).as("__side"),
+          col("__mx"))
+    }
+    val rows = rules.zipWithIndex.flatMap { case ((lk, rk), i) =>
+      Seq(hottest(left, lk, i, 0), hottest(right, rk, i, 1))
+    }.reduce(_.unionByName(_)).collect()
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rules.indices.map(i =>
+      m.getOrElse((i, 0), 0L) > maxBlock && m.getOrElse((i, 1), 0L) > maxBlock)
+  }
+
   /** Multi-rule candidate generation — splink's
     * `blocking_rules_to_generate_predictions` union semantics, the
     * reference's actual candidate shape (it ORs 10 blocking rules,
@@ -200,15 +233,25 @@ object Linkage {
     * names (including the id columns), and `leftId` / `rightId` must each
     * UNIQUELY identify their side's rows (splink's `unique_id` contract):
     * the cross-rule dedup keeps one row per (leftId, rightId), so
-    * duplicate ids would silently collapse distinct candidate rows. */
+    * duplicate ids would silently collapse distinct candidate rows.
+    *
+    * `rules2D(i)` routes rule i through the [[saltBySize2D]] tile guard
+    * instead of the 1-D guard (same pair set either way) — feed it
+    * [[detectBothSidesHot]] so rules whose hottest block is degenerate
+    * on BOTH sides get the blocked-matrix decomposition the 1-D salt
+    * cannot bound. Shorter-than-rules (or empty) vectors default the
+    * remaining rules to the 1-D guard. */
   def unionBlocks(left: DataFrame, right: DataFrame,
                   leftId: String, rightId: String,
                   rules: Seq[(Seq[Column], Seq[Column])],
-                  maxBlock: Int = 0): DataFrame = {
+                  maxBlock: Int = 0,
+                  rules2D: Seq[Boolean] = Nil): DataFrame = {
     require(rules.nonEmpty, "need at least one blocking rule")
     val perRule = rules.zipWithIndex.map { case ((lk, rk), i) =>
       val j =
-        if (maxBlock > 0) skewGuardedJoin(left, right, lk, rk, maxBlock)
+        if (maxBlock > 0 && rules2D.lift(i).getOrElse(false))
+          skewGuardedJoin2D(left, right, lk, rk, maxBlock)
+        else if (maxBlock > 0) skewGuardedJoin(left, right, lk, rk, maxBlock)
         else left.join(right,
           lk.zip(rk).map { case (a, b) => a === b }.reduce(_ && _))
       j.withColumn("match_key", lit(i))

@@ -395,6 +395,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("q198 2-D skew-guarded join: tile salts in the join key, no cross") {
+    // both-sides-hot planted key: the join must stay an equi-join whose
+    // key carries BOTH tile salts (row-salt __sl + col-salt __sr), with
+    // the per-side replication expressed as a Generate (explode of the
+    // salt sequence) — never a cartesian/nested-loop fallback
+    val p = plan("q198_skew2d_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__sl"), p)
+    assert(p.contains("__sr"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q189 full 10-rule block profile: counts only, no pairs, no window") {
     val p = plan("q189_block_profile_full")
     assert(!p.contains("CartesianProduct"), p)

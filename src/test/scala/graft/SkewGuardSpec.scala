@@ -185,6 +185,49 @@ class SkewGuardSpec extends SparkSpec {
     assert(g2.collect().toSet === p2.collect().toSet)
   }
 
+  test("detectBothSidesHot flags only rules hot on BOTH sides") {
+    // bigLeft/bigRight: "aaa" holds 300 left + 200 right rows → hot at
+    // maxBlock 50; hotLeft/hotRight: 400 left but only 60 right → NOT
+    // both-sides-hot at maxBlock 100
+    assert(Linkage.detectBothSidesHot(bigLeft, bigRight,
+      Seq((Seq(col("blk")), Seq(col("rblk")))), maxBlock = 50)
+      === Seq(true))
+    assert(Linkage.detectBothSidesHot(hotLeft, hotRight,
+      Seq((Seq(col("blk")), Seq(col("rblk")))), maxBlock = 100)
+      === Seq(false))
+    // per-rule: rule 0 both-hot, rule 1 (distinct ids) cold
+    assert(Linkage.detectBothSidesHot(bigLeft, bigRight,
+      Seq((Seq(col("blk")), Seq(col("rblk"))),
+        (Seq(col("l_id")), Seq(col("r_id")))), maxBlock = 50)
+      === Seq(true, false))
+  }
+
+  test("detectBothSidesHot ignores null-key groups (they never join)") {
+    // a mostly-null key must not read as hot: null rows never match the
+    // null-unsafe equi-join, so they are excluded before the max
+    val nl = (1 to 300).map(i =>
+      (i.toLong, if (i <= 290) None else Some(s"k${i % 3}")))
+      .toDF("l_id", "blk")
+    val nr = (1 to 300).map(i =>
+      (i.toLong, if (i <= 290) None else Some(s"k${i % 3}")))
+      .toDF("r_id", "rblk")
+    assert(Linkage.detectBothSidesHot(nl, nr,
+      Seq((Seq(col("blk")), Seq(col("rblk")))), maxBlock = 50)
+      === Seq(false))
+  }
+
+  test("unionBlocks with a 2-D-routed rule equals the unguarded union") {
+    val rules = Seq((Seq(col("blk")), Seq(col("rblk"))))
+    val plain = Linkage.unionBlocks(bigLeft, bigRight, "l_id", "r_id",
+      rules).select("l_id", "r_id", "match_key", "n_rules")
+    val routed = Linkage.unionBlocks(bigLeft, bigRight, "l_id", "r_id",
+        rules, maxBlock = 50,
+        rules2D = Linkage.detectBothSidesHot(bigLeft, bigRight, rules, 50))
+      .select("l_id", "r_id", "match_key", "n_rules")
+    assert(routed.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(routed).count() === 0)
+  }
+
   // ---- unionBlocks: splink's blocking_rules_to_generate_predictions ----
   // (reference eia_ferc1_model_config.py:12-33 ORs 10 rules; splink keeps
   // each pair once, labeled with the first rule that matched)
