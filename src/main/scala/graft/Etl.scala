@@ -196,12 +196,29 @@ object Etl {
     Field("n_pieces", FieldType.Integer, min = Some(1.0))),
     primaryKey = Seq("doc_id"))
 
+  /** Corpus capstone stage-8 output: the model-ready denoising pairs
+    * (T5 span corruption over every kept doc, with its split and packed
+    * placement). n_spans may be 0 — a doc whose every block drew an
+    * unmasked coin trains as (identity input, terminal-sentinel target). */
+  val corpusPairs: Resource = Resource("out_corpus_pairs", Seq(
+    Field("doc_id", FieldType.Integer, required = true),
+    Field("split", FieldType.Str,
+      enum = Some(Seq("train", "val", "test"))),
+    Field("shard", FieldType.Integer, min = Some(0.0)),
+    Field("chunk_id", FieldType.Integer, min = Some(0.0)),
+    Field("n_tokens", FieldType.Integer, min = Some(1.0)),
+    Field("n_spans", FieldType.Integer, min = Some(0.0)),
+    Field("input_text", FieldType.Str, required = true),
+    Field("target_text", FieldType.Str, required = true)),
+    primaryKey = Seq("doc_id"))
+
   /** The training-corpus capstone: the WHOLE LLM-data pipeline as one
     * lazy lineage over the documents fixture —
     *
     *   near-dup canonicalization (3-gram Jaccard pairs → connected
-    *   components → keep cluster minimum) → decontamination against a
-    *   planted benchmark slice (4-gram overlap, broadcast eval grams) →
+    *   components → keep cluster minimum) → FRACTION-based
+    *   decontamination against a planted benchmark slice (4-gram overlap
+    *   share ≥ 10% drops, GPT-3 appendix C; broadcast eval grams) →
     *   quality filter (composite score) → domain-mixture selection to
     *   per-language token budgets (half of each language's surviving
     *   tokens, deterministic hash order) → leakage-stable deterministic
@@ -215,7 +232,14 @@ object Etl {
     * The Bench entry `corpus_capstone` times build + write + validation
     * end-to-end — the data-pipeline twin of [[capstone]]. */
   def buildCorpusWide(spark: SparkSession, sfDir: String,
-                      dedupMaxDf: Int = 0): DataFrame = {
+                      dedupMaxDf: Int = 0): DataFrame =
+    buildCorpusOutputs(spark, sfDir, dedupMaxDf)(corpusWide.name)
+
+  /** Both corpus capstone outputs as one shared lineage:
+    * `out_corpus_wide` (per-doc accounting) and `out_corpus_pairs` (the
+    * model-ready span-corruption (input, target) pairs — stage 8). */
+  def buildCorpusOutputs(spark: SparkSession, sfDir: String,
+                         dedupMaxDf: Int = 0): Map[String, DataFrame] = {
     import graft.dedup.NearDup
     import graft.text.TextAnalysis
     import graft.operators.Sampling
@@ -235,13 +259,20 @@ object Etl {
       .where(col("component").isNull || col("doc_id") === col("component"))
       .drop("v", "component")
 
-    // 2. decontamination: docs sharing any 4-gram with the planted
-    //    benchmark slice (doc_id % 37 == 0) are dropped from training
+    // 2. decontamination — the FRACTION-based production discipline
+    //    (GPT-3 appendix C, the q196 lane): per doc, the share of its
+    //    distinct 4-grams found in the planted benchmark slice
+    //    (doc_id % 37 == 0); docs at >= 10% dirty overlap drop, docs
+    //    with incidental boilerplate overlap below the flag survive —
+    //    replacing the any-hit drop (round 15 and earlier), which
+    //    over-dropped exactly those boilerplate docs. Same 100 TB
+    //    shape: the eval gram dim broadcasts, the corpus never
+    //    shuffles by gram.
     val eval = docs.where(col("doc_id") % 37 === 0)
     val train = canonical.where(col("doc_id") % 37 =!= 0)
     val clean = train.join(
-      NearDup.decontaminate(train, eval, "doc_id", "text", n = 4)
-        .where(!col("contaminated")).select("doc_id"),
+      NearDup.contaminationReport(train, eval, "doc_id", "text", n = 4)
+        .where(!col("dirty")).select("doc_id"),
       Seq("doc_id"))
 
     // 3. quality floor + token counts
@@ -306,7 +337,7 @@ object Etl {
       .join(wordPieces, Seq("word"))
       .groupBy("doc_id").agg(sum(col("__wp")).as("n_pieces"))
 
-    mixed.select("doc_id", "lang", "n_tokens")
+    val wide = mixed.select("doc_id", "lang", "n_tokens")
       .join(split.select("doc_id", "split"), Seq("doc_id"))
       .join(packed.select("doc_id", "shard", "chunk_id"), Seq("doc_id"))
       // inner join: the quality floor (qualityScore >= 0.05 forces
@@ -319,6 +350,25 @@ object Etl {
       .join(docPieces, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
         col("shard"), col("chunk_id"), col("n_pieces"))
+
+    // 8. objective construction (round 16): the capstone ends at the
+    //    MODEL-READY (input, target) pairs a denoising pretraining run
+    //    consumes — T5 span corruption (the q194 operator, 15% / span 3)
+    //    over every kept doc, carrying its split and packed placement.
+    //    Map-shaped over the kept corpus (one doc-key exchange inside
+    //    spanCorrupt, shared by its window and reassembly), so the
+    //    capstone's scale exponent is unchanged by the stage.
+    //    n_tokens here is spanCorrupt's own post-filter count — the
+    //    pair-construction ground truth the sentinel ranks derive from.
+    val pairsOut = graft.text.SpanCorruption.spanCorrupt(
+        mixed.select("doc_id", "text"), "doc_id", "text")
+      .join(split.select("doc_id", "split"), Seq("doc_id"))
+      .join(packed.select("doc_id", "shard", "chunk_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("shard"), col("chunk_id"),
+        col("n_tokens"), col("n_spans"), col("input_text"),
+        col("target_text"))
+
+    Map(corpusWide.name -> wide, corpusPairs.name -> pairsOut)
   }
 
   /** Run the corpus chain end-to-end — split-partitioned parquet write +
@@ -338,18 +388,49 @@ object Etl {
     if (maxDf > 0)
       System.err.println(
         s"[capstone] corpus near-dup df cap ENGAGED: maxDf=$maxDf")
+    System.err.println("[capstone] corpus stages: neardup-canonical -> " +
+      "fraction-decontaminate(10%) -> quality -> mixture -> split -> " +
+      "pack -> tokenizer-accounting -> span-corruption pairs")
     val t0 = System.nanoTime()
-    val out = buildCorpusWide(spark, sfDir, dedupMaxDf = maxDf)
-    ParquetSink.write(out, corpusWide, s"$outDir/${corpusWide.name}",
-      partitionBy = Seq("split"))
+    val outputs = buildCorpusOutputs(spark, sfDir, dedupMaxDf = maxDf)
+    ParquetSink.write(outputs(corpusWide.name), corpusWide,
+      s"$outDir/${corpusWide.name}", partitionBy = Seq("split"))
+    ParquetSink.write(outputs(corpusPairs.name), corpusPairs,
+      s"$outDir/${corpusPairs.name}", partitionBy = Seq("split"))
     val coreSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val failed = CheckRunner.run(
-        spark.read.parquet(s"$outDir/${corpusWide.name}"),
-        CheckRunner.fromResource(corpusWide))
-      .where(!col("passed")).count()
-    (coreSec, (System.nanoTime() - t1) / 1e9, failed)
+    val checkFailed = Seq(corpusWide, corpusPairs).map { res =>
+      CheckRunner.run(spark.read.parquet(s"$outDir/${res.name}"),
+          CheckRunner.fromResource(res))
+        .where(!col("passed")).count()
+    }.sum
+    // golden row-count regression (same machinery as the ETL capstone):
+    // per-(table × split) counts against the committed manifest slice.
+    // SKIPPED when the df cap is engaged — the cap is lossy by contract,
+    // so its counts are measurement-lane artifacts, never golden.
+    val sfLabel = new java.io.File(sfDir).getName
+    val golden = loadRowCountGoldens(spark).where(col("sf") === sfLabel &&
+      col("table_name").isin(corpusWide.name, corpusPairs.name))
+    val driftFailed =
+      if (maxDf > 0 || golden.isEmpty) 0L
+      else {
+        val drift = rowCountDrift(corpusRowCounts(spark, outDir), golden)
+        val n = drift.count()
+        if (n > 0) drift.show(50, false)
+        n
+      }
+    (coreSec, (System.nanoTime() - t1) / 1e9, checkFailed + driftFailed)
   }
+
+  /** Per-(table × split) row counts of the written corpus capstone
+    * outputs — the corpus twin of [[capstoneRowCounts]]. */
+  def corpusRowCounts(spark: SparkSession, outDir: String): DataFrame =
+    Seq(corpusWide, corpusPairs).map { res =>
+      spark.read.parquet(s"$outDir/${res.name}")
+        .groupBy(col("split").cast("string").as("partition"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("table_name", lit(res.name))
+    }.reduce(_.unionByName(_)).select("table_name", "partition", "n_rows")
 
   // ---- record-linkage capstone --------------------------------------------
 
@@ -603,7 +684,10 @@ object Etl {
     // manifest pins (sf label = fixture dir basename); any
     // (table × partition) drift is a failed check
     val sfLabel = new java.io.File(sfDir).getName
-    val golden = loadRowCountGoldens(spark).where(col("sf") === sfLabel)
+    // own-table slice only: the manifest also pins the corpus capstone's
+    // tables, which this capstone does not write
+    val golden = loadRowCountGoldens(spark).where(col("sf") === sfLabel &&
+      col("table_name").isin(supplierMetrics.name, plantParts.name))
     val driftFailed =
       if (golden.isEmpty) 0L
       else {
@@ -711,9 +795,10 @@ object Etl {
       f"core $coreSec%.2f s + checks $checkSec%.2f s, failed: $wideFailed")
     val (corpusSec, corpusCheckSec, corpusFailed) =
       corpusCapstone(spark, sfDir, s"$outDir/corpus")
-    println(f"Corpus capstone (dedup->decontaminate->quality->mixture->" +
-      f"split->pack->checks): core $corpusSec%.2f s + checks " +
-      f"$corpusCheckSec%.2f s, failed: $corpusFailed")
+    println(f"Corpus capstone (dedup->fraction-decontaminate->quality->" +
+      f"mixture->split->pack->tokenize->objective-pairs->checks): core " +
+      f"$corpusSec%.2f s + checks $corpusCheckSec%.2f s, failed: " +
+      f"$corpusFailed")
     val (linkSec, linkCheckSec, linkFailed) =
       linkageCapstone(spark, sfDir, s"$outDir/linkage")
     println(f"Linkage capstone (canon->block->FS-train->predict->" +
@@ -740,8 +825,16 @@ object CapstoneGoldens {
         partitionBy = Seq("order_year"))
       graft.sources.ParquetSink.write(outputs(Etl.plantParts.name),
         Etl.plantParts, s"$out/${Etl.plantParts.name}")
+      // corpus capstone outputs (uncapped — the golden basis by contract)
+      val corpusOuts = Etl.buildCorpusOutputs(spark, sfDir)
+      Seq(Etl.corpusWide, Etl.corpusPairs).foreach { res =>
+        graft.sources.ParquetSink.write(corpusOuts(res.name), res,
+          s"$out/${res.name}", partitionBy = Seq("split"))
+      }
       val sfLabel = new java.io.File(sfDir).getName
-      Etl.capstoneRowCounts(spark, out).orderBy("table_name", "partition")
+      Etl.capstoneRowCounts(spark, out)
+        .unionByName(Etl.corpusRowCounts(spark, out))
+        .orderBy("table_name", "partition")
         .collect()
         .map(r => s"$sfLabel,${r.getString(0)},${r.getString(1)},${r.getLong(2)}")
     }

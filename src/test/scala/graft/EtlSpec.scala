@@ -103,6 +103,33 @@ class EtlSpec extends SparkSpec {
     val pieceRows = result.select("n_tokens", "n_pieces").collect()
     assert(pieceRows.forall(r => r.getLong(1) >= r.getLong(0)),
       "n_pieces must be >= n_tokens (each word >= 1 piece)")
+    // stage 8: model-ready pairs — one (input, target) row per kept doc,
+    // same split/placement, T5 sentinel contract held
+    val pairs = spark.read.parquet(s"$out/${Etl.corpusPairs.name}")
+    assert(pairs.count() === n)
+    assert(pairs.join(result, Seq("doc_id", "split", "shard", "chunk_id"))
+      .count() === n, "pairs must carry the wide frame's placement")
+    val sentinel = "<extra_id_(\\d+)>".r
+    pairs.collect().foreach { r =>
+      val ns = r.getAs[Long]("n_spans").toInt
+      val inIds = sentinel.findAllMatchIn(r.getAs[String]("input_text"))
+        .map(_.group(1).toInt).toSeq
+      assert(inIds === (0 until ns), s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("target_text").endsWith(s"<extra_id_$ns>"))
+    }
+    // fraction-based decontamination keeps a superset of the any-hit
+    // survivors: dirty (>= 10% overlap) implies contaminated (any hit)
+    val eval = docs.where(col("doc_id") % 37 === 0)
+    val train = docs.where(col("doc_id") % 37 =!= 0)
+    val anyHitSurvivors = graft.dedup.NearDup.decontaminate(
+        train, eval, "doc_id", "text", n = 4)
+      .where(!col("contaminated")).select("doc_id")
+    assert(anyHitSurvivors.join(
+        graft.dedup.NearDup.contaminationReport(
+            train, eval, "doc_id", "text", n = 4)
+          .where(col("dirty")).select("doc_id"),
+        Seq("doc_id"), "left_semi").count() === 0,
+      "a doc with zero eval hits can never be dirty")
   }
 
   test("capstone golden row counts: manifest matches, any drift fails") {
