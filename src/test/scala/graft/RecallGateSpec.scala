@@ -79,4 +79,39 @@ class RecallGateSpec extends SparkSpec {
     info(s"ivfpq recall@10 = $rec")
     assert(rec >= 0.25, s"ivfpq recall@10 = $rec")
   }
+
+  // Round-16 gates for the two other approximate lanes (Bench's
+  // `recall1_orphan_nano` / `recall5_hardneg_nano`): recall of the
+  // LSH-blocked path against its brute-force exact twin, same pair-set
+  // metric as the index gates.
+
+  test("orphan-assign recall@1 floor at the q99 graded config") {
+    val orphans = emb.where($"vec_id" < 50)
+    val clustered = emb.where($"vec_id" >= 50)
+      .withColumn("cluster", $"vec_id" % 7)
+    def top1(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("orphan_id").as("q_id"), lit(1).as("rk"),
+      col("neighbor_id").as("c_id"))
+    val r = Similarity.recallAtK(
+      top1(Similarity.nearestAssign(orphans, clustered, "vec_id",
+        "embedding", "cluster")),
+      top1(Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
+        "embedding", "cluster", dim = 64, nBits = 24, bands = 4)), 1)
+      .head()
+    val rec = r.getDouble(3)
+    info(s"orphan-assign recall@1 = $rec")
+    assert(r.getLong(1) === 50L, s"n_exact = ${r.getLong(1)}")
+    assert(rec >= 0.12, s"orphan recall@1 = $rec")
+  }
+
+  test("hard-negative recall@5 floor at the narrow-band scale config") {
+    val q = emb.where($"vec_id" < 20)
+    val exactHn = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+      "label", 5)
+    val banded = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+      "label", 5, bandedDim = Some(64), nBits = 24, bands = 12)
+    val rec = Similarity.recallAtK(exactHn, banded, 5).head().getDouble(3)
+    info(s"hard-negative recall@5 = $rec")
+    assert(rec >= 0.85, s"hardneg recall@5 = $rec")
+  }
 }
