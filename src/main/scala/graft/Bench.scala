@@ -342,6 +342,51 @@ object Bench {
        Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label", 5,
          bandedDim = Some(64), nBits = 24, bands = 12))
     }
+    // q96's p-stable euclidean LSH vs the exact eps-pair twin (pairs
+    // touching the bounded query set; the twin mirrors the lane's exact
+    // |a-b|² expression term-for-term so the boundary filter agrees).
+    val recallEucNano = recallGateOf(1) {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val eps = 1.1
+      val e = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("__n2",
+          Similarity.dotFast(col("embedding"), col("embedding")))
+      val ea = e.select(col("vec_id").as("id_a"),
+        col("embedding").as("__ea"), col("__n2").as("__na2"))
+      val eb = e.select(col("vec_id").as("id_b"),
+        col("embedding").as("__eb"), col("__n2").as("__nb2"))
+      val exactPairs = ea.where(col("id_a") < 20).crossJoin(eb)
+        .where(col("id_a") < col("id_b"))
+        .withColumn("__d2",
+          col("__na2")
+            - lit(2.0) * Similarity.dotFast(col("__ea"), col("__eb"))
+            + col("__nb2"))
+        .where(col("__d2") <= eps * eps)
+        .select(col("id_a").as("q_id"), lit(1).as("rk"),
+          col("id_b").as("c_id"))
+      val approx = Similarity.euclideanNearPairs(emb, "vec_id",
+          "embedding", dim = 64, eps = eps, w = 2.0, tables = 8,
+          portable = true)
+        .where(col("id_a") < 20)
+        .select(col("id_a").as("q_id"), lit(1).as("rk"),
+          col("id_b").as("c_id"))
+      (exactPairs, approx)
+    }
+    // q130's banded SemDeDup vs its exact all-pairs twin: set recall of
+    // the flagged-duplicate ids (c_id pinned — recallAtK degenerates to
+    // |banded ∩ exact| / |exact| over the dup sets).
+    val recallSemDedupNano = recallGateOf(1) {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      def dups(bandedDim: Option[Int]) =
+        Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
+            tau = 0.4, bandedDim = bandedDim)
+          .where(col("is_dup"))
+          .select(col("vec_id").as("q_id"), lit(1).as("rk"),
+            lit(0L).as("c_id"))
+      (dups(None), dups(Some(64)))
+    }
     val recallLshNano = recall10Of((q, c) => Similarity.lshTopK(q, c,
       "vec_id", "embedding", 10, nBits = 6, dim = 64, tables = 8,
       portable = true))
@@ -363,7 +408,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall5_hardneg_nano":$recallHardNegNano,"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall5_hardneg_nano":$recallHardNegNano,"recall_eucpairs_nano":$recallEucNano,"recall_semdedup_nano":$recallSemDedupNano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

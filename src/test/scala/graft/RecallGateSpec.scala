@@ -114,4 +114,44 @@ class RecallGateSpec extends SparkSpec {
     info(s"hard-negative recall@5 = $rec")
     assert(rec >= 0.85, s"hardneg recall@5 = $rec")
   }
+
+  test("euclidean eps-pair recall floor at the q96 graded config") {
+    // exact twin mirrors the lane's |a-b|² expression term-for-term
+    val eps = 1.1
+    val e = emb.select($"vec_id", $"embedding")
+      .withColumn("__n2",
+        Similarity.dotFast($"embedding", $"embedding"))
+    val ea = e.select($"vec_id".as("id_a"), $"embedding".as("__ea"),
+      $"__n2".as("__na2"))
+    val eb = e.select($"vec_id".as("id_b"), $"embedding".as("__eb"),
+      $"__n2".as("__nb2"))
+    val exactPairs = ea.where($"id_a" < 20).crossJoin(eb)
+      .where($"id_a" < $"id_b")
+      .withColumn("__d2",
+        $"__na2" - lit(2.0) * Similarity.dotFast($"__ea", $"__eb")
+          + $"__nb2")
+      .where($"__d2" <= eps * eps)
+      .select($"id_a".as("q_id"), lit(1).as("rk"), $"id_b".as("c_id"))
+    val approx = Similarity.euclideanNearPairs(emb, "vec_id", "embedding",
+        dim = 64, eps = eps, w = 2.0, tables = 8, portable = true)
+      .where($"id_a" < 20)
+      .select($"id_a".as("q_id"), lit(1).as("rk"), $"id_b".as("c_id"))
+    val r = Similarity.recallAtK(exactPairs, approx, 1).head()
+    val rec = r.getDouble(3)
+    info(s"euclidean eps-pair recall = $rec (n_exact = ${r.getLong(1)})")
+    assert(r.getLong(1) > 0L, "twin produced no exact pairs")
+    assert(rec >= 0.85, s"euclidean recall = $rec")
+  }
+
+  test("semDedup dup-set recall floor at the q130 graded config") {
+    def dups(bandedDim: Option[Int]) =
+      Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
+          tau = 0.4, bandedDim = bandedDim)
+        .where($"is_dup")
+        .select($"vec_id".as("q_id"), lit(1).as("rk"), lit(0L).as("c_id"))
+    val r = Similarity.recallAtK(dups(None), dups(Some(64)), 1).head()
+    val rec = r.getDouble(3)
+    info(s"semDedup dup-set recall = $rec (n_exact = ${r.getLong(1)})")
+    assert(rec >= 0.10, s"semdedup recall = $rec")
+  }
 }
