@@ -367,9 +367,94 @@ object BinaryOps {
       .toDF()
   }
 
+  case class GifTimelineRow(id: Long, frame_idx: java.lang.Integer,
+                            delay_cs: java.lang.Integer,
+                            t_start_cs: java.lang.Integer,
+                            width: java.lang.Integer,
+                            height: java.lang.Integer)
+
+  /** Per-frame GIF timeline — the full delay LIST, not just frame 0's:
+    * each frame's GraphicControlExtension delay (centiseconds; 0 when
+    * absent) and its cumulative start time. Variable-delay GIFs are the
+    * norm in the wild (the [[decodeGifFrames]] fps contract is frame-0
+    * best-effort); this is the metadata a duration-aware sampler or a
+    * real fps estimate needs. Metadata-only — no pixel decode, so it is
+    * cheap even on large clips. One null row for undecodable bytes. */
+  def gifTimeline(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it => it.flatMap { r => timelineOneGif(r.id, r.blob) } }
+      .toDF()
+  }
+
+  /** Duration-aware GIF frame sampling: instead of the index stride
+    * (`everyK`), sample on the TIME grid — keep each frame that is the
+    * first to start at or past the next `strideCs` boundary (frame 0
+    * always qualifies at boundary 0). A clip alternating 5 cs and 50 cs
+    * delays gets sampled by wall-clock coverage, where the index stride
+    * over-samples the fast spans and under-samples the slow ones. Same
+    * output contract as [[decodeGifFrames]]. */
+  def sampleGifByTime(df: DataFrame, idCol: String, blobCol: String,
+                      strideCs: Int): DataFrame = {
+    require(strideCs >= 1, "strideCs must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .as[BlobRow]
+      .mapPartitions { it =>
+        it.flatMap { r => decodeOneGif(r.id, r.blob, 1, strideCs) }
+      }
+      .toDF()
+  }
+
+  private def gifFrameDelayCs(reader: javax.imageio.ImageReader,
+                              idx: Int): Int =
+    try {
+      val tree = reader.getImageMetadata(idx)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      if (gce.getLength > 0)
+        gce.item(0).getAttributes.getNamedItem("delayTime")
+          .getNodeValue.toInt
+      else 0
+    } catch { case _: Exception => 0 }
+
+  private def timelineOneGif(id: Long,
+                             b: Array[Byte]): Seq[GifTimelineRow] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no reader")
+      reader = readers.next()
+      require(reader.getFormatName.equalsIgnoreCase("gif"), "not a gif")
+      reader.setInput(iis, false, false)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "no frames")
+      var t = 0
+      (0 until n).map { idx =>
+        val d = gifFrameDelayCs(reader, idx)
+        val row = GifTimelineRow(id, idx, d, t,
+          reader.getWidth(idx), reader.getHeight(idx))
+        t += d
+        row
+      }
+    } catch { case _: Exception =>
+      Seq(GifTimelineRow(id, null, null, null, null, null))
+    } finally {
+      if (reader != null) try reader.dispose() catch { case _: Exception => }
+      if (iis != null) try iis.close() catch { case _: Exception => }
+    }
+  }
+
   /** Decode one animated-GIF blob; sampled-frame rows or the null row. */
-  private def decodeOneGif(id: Long, b: Array[Byte],
-                           everyK: Int): Seq[DecodedFrame] = {
+  private def decodeOneGif(id: Long, b: Array[Byte], everyK: Int,
+                           strideCs: Int = 0): Seq[DecodedFrame] = {
     var iis: javax.imageio.stream.ImageInputStream = null
     var reader: javax.imageio.ImageReader = null
     try {
@@ -393,8 +478,26 @@ object BinaryOps {
           if (d > 0) 100.0 / d else null
         } else null
       } catch { case _: Exception => null }
+      // frame selection: index stride (strideCs = 0) or time stride —
+      // keep each frame that is the FIRST to start at or past the next
+      // strideCs boundary (its start time = sum of prior frames' delays)
+      val selected: Set[Int] =
+        if (strideCs <= 0) (0 until n).filter(_ % everyK == 0).toSet
+        else {
+          var t = 0
+          var nextBoundary = 0
+          val keep = Set.newBuilder[Int]
+          (0 until n).foreach { idx =>
+            if (t >= nextBoundary) {
+              keep += idx
+              nextBoundary = (t / strideCs + 1) * strideCs
+            }
+            t += gifFrameDelayCs(reader, idx)
+          }
+          keep.result()
+        }
       (0 until n).collect {
-        case idx if idx % everyK == 0 =>
+        case idx if selected(idx) =>
           val im = reader.read(idx)
           var sum = 0.0
           var y = 0

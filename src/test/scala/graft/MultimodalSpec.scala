@@ -214,7 +214,13 @@ class MultimodalSpec extends SparkSpec {
     * delay set through the GraphicControlExtension metadata node
     * (delayTime in centiseconds — what decodeGifFrames reads back). */
   private def animatedGif(frames: Seq[java.awt.image.BufferedImage],
-                          delayCs: Int): Array[Byte] = {
+                          delayCs: Int): Array[Byte] =
+    animatedGifVar(frames.map(f => (f, delayCs)))
+
+  /** Variable-delay variant: per-frame (image, delayCs) pairs. */
+  private def animatedGifVar(
+      framesWithDelay: Seq[(java.awt.image.BufferedImage, Int)]): Array[Byte] = {
+    val frames = framesWithDelay
     import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
     import javax.imageio.metadata.IIOMetadataNode
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -223,7 +229,7 @@ class MultimodalSpec extends SparkSpec {
     writer.setOutput(ios)
     val param = writer.getDefaultWriteParam
     writer.prepareWriteSequence(null)
-    frames.foreach { im =>
+    frames.foreach { case (im, delayCs) =>
       val meta = writer.getDefaultImageMetadata(
         ImageTypeSpecifier.createFromRenderedImage(im), param)
       val fmt = meta.getNativeMetadataFormatName
@@ -277,5 +283,34 @@ class MultimodalSpec extends SparkSpec {
     // corrupt lane: one all-null row
     val bad = out((3L, null))
     assert(bad.isNullAt(2) && bad.isNullAt(4) && bad.isNullAt(5))
+  }
+
+  test("gifTimeline records the per-frame delay list; sampleGifByTime is duration-aware") {
+    // variable-delay clip: delays [5, 20, 5, 20] cs -> starts [0, 5, 25, 30]
+    val gif = animatedGifVar(
+      Seq(0, 60, 120, 180).map(v => rgbImage(32, 24, 0x010101 * v))
+        .zip(Seq(5, 20, 5, 20)))
+    val df = Seq((1L, gif),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "blob")
+    val tl = BinaryOps.gifTimeline(df, "id", "blob").collect()
+      .map(r => (r.getLong(0), r.get(1)) -> r).toMap
+    val rows = Seq(0, 1, 2, 3).map(i => tl((1L, i)))
+    assert(rows.map(_.getInt(2)) === Seq(5, 20, 5, 20), "delay list")
+    assert(rows.map(_.getInt(3)) === Seq(0, 5, 25, 30), "start times")
+    assert(rows.forall(r => r.getInt(4) == 32 && r.getInt(5) == 24))
+    assert(tl((2L, null)).isNullAt(2)) // corrupt -> null lane
+    // time-stride 25: boundaries 0, 25, 50 -> first frames at/past each
+    // are idx 0 (t=0) and idx 2 (t=25); the 20 cs frames do NOT
+    // over-sample the way everyK=2 would (which picks idx 0 and 2 too)
+    // nor does the slow tail get skipped the way everyK=3 would
+    val sampled = BinaryOps.sampleGifByTime(df.where($"id" === 1L),
+        "id", "blob", strideCs = 25)
+      .collect().map(_.getInt(1)).sorted
+    assert(sampled === Array(0, 2), s"sampled ${sampled.toSeq}")
+    // stride 5 keeps every frame (all starts are multiples of 5 apart)
+    val all = BinaryOps.sampleGifByTime(df.where($"id" === 1L),
+        "id", "blob", strideCs = 5)
+      .collect().map(_.getInt(1)).sorted
+    assert(all === Array(0, 1, 2, 3))
   }
 }
