@@ -3572,6 +3572,55 @@ object SparkEntry {
         sum(col("l_cents") * 7 + col("r_cents")).as("sum_chk"))
   }
 
+  // ---- similarity search: multi-probe LSH ANN (the recall lever that is
+  // cheap at 100 TB). Same portable index as q43 — identical corpus-side
+  // (tbl, bucket) memberships, so one persisted bucket index serves both —
+  // but each query ALSO probes its 3 best single-bit-flip neighbor buckets
+  // per table (smallest |projection| margin first, Lv et al. VLDB 2007).
+  // Extra tables replicate the CORPUS side of the equi-join; extra probes
+  // only replicate the bounded QUERY side. The DuckDB oracle replays the
+  // margins (bit-exact: in-order ±1 double sums), the probe ORDER, the
+  // flipped buckets, candidates and the final ranking.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshMultiProbeTopK(emb.where(col("vec_id") < 20), emb,
+      idCol = "vec_id", embCol = "embedding", k = 5, nBits = 6, dim = 64,
+      tables = 8, probes = 4, portable = true)
+  }
+
+  /** q200's eval query set — the SINGLE descriptor both the Spark lane and
+    * the generated oracle SQL are built from (the q188 rule-descriptor
+    * discipline: drift between engine and oracle impossible by
+    * construction). Term mix: qa = q138's graded 3-term query, qb = a
+    * 4-term conjunction (sparser relevance), qc includes the one rare
+    * fixture token (`dup`) so recall@10 is exercised away from 1.0. */
+  private val q200Queries: Seq[(String, Seq[String])] = Seq(
+    "qa" -> Seq("spark", "window", "merge"),
+    "qb" -> Seq("hash", "join", "stream", "batch"),
+    "qc" -> Seq("dup", "vector"))
+
+  // ---- training-data pipeline: retrieval-quality eval ---------------------
+  // MRR / precision@10 / recall@10 of BM25 runs against boolean-AND
+  // relevance (doc relevant iff it contains every query term) — the eval
+  // half of a retrieval pipeline. Metrics are exact integer nanos (one
+  // integer division each; nothing float past the BM25 ranking), so the
+  // whole row set replays bit-for-bit in the oracle.
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.retrievalEval(t(s, dir, "documents"), "doc_id", "text",
+      q200Queries, k = 50, cutoff = 10)
+
+  // ---- training-data pipeline: bigram LM quality (stupid backoff) --------
+  // The n > 1 member of the LM-filter family next to q191's unigram
+  // (CCNet trains KenLM n-grams for exactly this): train bigram + unigram
+  // MLE tables on the EVEN doc_ids, score EVERY doc under stupid backoff
+  // (Brants et al. 2007) — the train/apply split is what makes the backoff
+  // path reachable. Scores are per-TYPE integer nanos, doc score an exact
+  // integer sum; the oracle replays the stream, both tables, the backoff
+  // coalesce and the sums.
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.text.BigramLm.scoreDocs(t(s, dir, "documents"), "doc_id", "text",
+      trainPred = col("doc_id") % 2 === 0)
+
   // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
   // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
   // ONE denoiser — R (15%/span 3, weight 2/4), S (PrefixLM split, 1/4),
@@ -3801,6 +3850,9 @@ object SparkEntry {
     "q196_contamination_report" -> (q196 _),
     "q197_fim_transform" -> (q197 _),
     "q198_skew2d_join" -> (q198 _),
+    "q199_multiprobe_lsh" -> (q199 _),
+    "q200_retrieval_eval" -> (q200 _),
+    "q201_bigram_lm" -> (q201 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -3903,6 +3955,126 @@ object SparkEntry {
       |    ORDER BY cosine DESC, c_id ASC) AS rk
       |  FROM scored) WHERE rk <= KK""".stripMargin
       .replace("KK", k.toString)
+
+  /** Multi-probe portable-LSH oracle (q199 grades at k = 5, probes = 4;
+    * the recall gate runs the same index at k = 10): annLshTopkSql's hash
+    * tables plus, per (query, table), the `probes − 1` single-bit-flip
+    * neighbor buckets in ascending |projection|-margin order. The ±1-plane
+    * projections are in-order double sums on both engines, so the margins
+    * — and therefore the probe ORDER — replay bit-exactly. */
+  private def annMultiProbeLshTopkSql(k: Int, probes: Int): String =
+    """WITH signs AS (
+      |  SELECT g, list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5(g::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+      |           % 2 = 0
+      |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+      |  FROM range(0, 48) t(g)),
+      |proj AS (
+      |  SELECT e.vec_id, s.g // 6 AS tbl, s.g % 6 AS i,
+      |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+      |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+      |  FROM embeddings e CROSS JOIN signs s),
+      |buck AS (
+      |  SELECT vec_id, tbl,
+      |    sum(CASE WHEN p > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |margins AS (
+      |  SELECT vec_id, tbl, i,
+      |    row_number() OVER (PARTITION BY vec_id, tbl
+      |      ORDER BY abs(p) ASC, i ASC) AS r
+      |  FROM proj WHERE vec_id < 20),
+      |qprobe AS (
+      |  SELECT vec_id, tbl, bucket FROM buck WHERE vec_id < 20
+      |  UNION ALL
+      |  SELECT m.vec_id, m.tbl, xor(b.bucket, 1::BIGINT << m.i) AS bucket
+      |  FROM margins m JOIN buck b ON b.vec_id = m.vec_id AND b.tbl = m.tbl
+      |  WHERE m.r <= PP - 1),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      |  FROM qprobe q JOIN buck c
+      |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |norms AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q_id, c_id,
+      |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n), 4)
+      |      AS cosine
+      |  FROM cand
+      |  JOIN norms a ON a.vec_id = q_id
+      |  JOIN norms b ON b.vec_id = c_id)
+      |SELECT q_id, rk, c_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cosine DESC, c_id ASC) AS rk
+      |  FROM scored) WHERE rk <= KK""".stripMargin
+      .replace("KK", k.toString).replace("PP", probes.toString)
+
+  /** q200 oracle, GENERATED from [[q200Queries]]: per query, the q138 BM25
+    * replay at that query's terms (shared toks/stats CTEs — the corpus is
+    * tokenized once), boolean-AND relevance, then the integer-nano metric
+    * row. Built with @BLOCKS@ substitution per the q195 placeholder
+    * discipline (never stripMargin over interpolated SQL). */
+  private def q200OracleSql: String = {
+    val blocks = q200Queries.map { case (qid, terms) =>
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val relPred = terms.map(t =>
+        s"list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$t')")
+        .mkString("\n    AND ")
+      s"""f_$qid AS (
+SELECT doc_id, tok, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE tok IN ($termList) GROUP BY doc_id, tok),
+d_$qid AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f_$qid GROUP BY tok),
+run_$qid AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT f.doc_id,
+        round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+          * (tf * (1.2 + 1))
+          / (tf + 1.2 * (1 - 0.75
+              + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score
+      FROM f_$qid f JOIN d_$qid d USING (tok) CROSS JOIN stats
+      GROUP BY f.doc_id))
+  WHERE rank <= 50),
+rel_$qid AS (SELECT doc_id FROM documents
+  WHERE $relPred),
+met_$qid AS (
+  SELECT '$qid' AS query_id,
+    (SELECT CAST(count(*) AS BIGINT) FROM rel_$qid) AS n_rel,
+    CAST(sum(CASE WHEN rel.doc_id IS NOT NULL AND run.rank <= 10
+      THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+    min(CASE WHEN rel.doc_id IS NOT NULL THEN run.rank END) AS first_rel_rank
+  FROM run_$qid run LEFT JOIN rel_$qid rel ON run.doc_id = rel.doc_id)"""
+    }
+    val unions = q200Queries.map { case (qid, _) =>
+      s"SELECT * FROM met_$qid" }.mkString("\n  UNION ALL ")
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+      |      AS sumdl
+      |  FROM documents),
+      |@BLOCKS@
+      |SELECT query_id, n_rel, hits, first_rel_rank,
+      |  coalesce(CAST(1000000000 AS BIGINT) // first_rel_rank,
+      |    CAST(0 AS BIGINT)) AS rr_nano,
+      |  hits * CAST(1000000000 AS BIGINT) // 10 AS p_nano,
+      |  CASE WHEN n_rel > 0 THEN hits * CAST(1000000000 AS BIGINT) // n_rel
+      |       ELSE CAST(0 AS BIGINT) END AS r_nano
+      |FROM (@UNIONS@)
+      |ORDER BY query_id""".stripMargin
+      .replace("@BLOCKS@", blocks.mkString(",\n"))
+      .replace("@UNIONS@", unions)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -9596,6 +9768,56 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |      FROM supplier WHERE s_suppkey % 10 < 3) s
         |  ON c.c_custkey % 5 = s.s_suppkey % 5
         |GROUP BY 1""".stripMargin,
+    "q199_multiprobe_lsh" -> annMultiProbeLshTopkSql(5, 4),
+    "q200_retrieval_eval" -> q200OracleSql,
+    // q201: bigram stupid-backoff LM — train tables on even doc_ids, score
+    // all docs; per-type ln nanos, exact integer doc sums (q175 discipline).
+    // Both engines compute ln(0.4) themselves; -23025850930 is the shared
+    // ln(1e-10) unk floor.
+    "q201_bigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, g.wi - 1 AS pos, w[wi] AS tok
+        |  FROM ws, unnest(generate_series(1, len(w))) AS g(wi)
+        |  WHERE w[wi] <> ''),
+        |bg AS (
+        |  SELECT doc_id, pos,
+        |    coalesce(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      '<s>') AS prev,
+        |    tok AS cur
+        |  FROM toks),
+        |tr AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |bcnt AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tr GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS ctx
+        |  FROM bcnt GROUP BY 1),
+        |bscore AS (
+        |  SELECT prev, cur,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS score_nano
+        |  FROM bcnt JOIN ctx USING (prev)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |uscore AS (
+        |  SELECT cur,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS uni_nano
+        |  FROM tr CROSS JOIN tot GROUP BY cur, n),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    coalesce(b.score_nano, CAST(round(ln(0.4) * 1e9) AS BIGINT)
+        |      + coalesce(u.uni_nano, CAST(-23025850930 AS BIGINT))) AS s,
+        |    CASE WHEN b.score_nano IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg
+        |  LEFT JOIN bscore b ON b.prev = bg.prev AND b.cur = bg.cur
+        |  LEFT JOIN uscore u ON u.cur = bg.cur)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(count(s.s), 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sum(s.bo), 0) AS BIGINT) AS n_backoff,
+        |  CAST(coalesce(sum(s.s), 0) AS BIGINT) AS score_nano
+        |FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
   )
 
   /** T5 span-corruption oracle, parameterized by source relation and

@@ -852,6 +852,83 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cosine")
   }
 
+  /** Per-(table) probe memberships for multi-probe LSH: the base bucket
+    * plus the `probes − 1` single-bit-flip neighbor buckets whose planes
+    * have the smallest projection margin |emb · plane| — the buckets a true
+    * neighbor most likely fell into when it landed just across a hyperplane
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007; this is the step-wise probing
+    * sequence truncated at Hamming radius 1).
+    *
+    * Margins come from [[PlaneProjections]] — the same in-order double
+    * accumulation as [[PlaneSignBits]] — so in the portable (Rademacher ±1)
+    * family every margin, and therefore the probe ORDER, is bit-identical
+    * to the DuckDB oracle's `list_sum` replay. Ties break toward the lower
+    * plane index (struct sort on (margin, bit)). `probes = 1` degrades to
+    * exactly the base memberships of [[lshTopK]]. */
+  private def multiProbeMemberships(emb: Column, nBits: Int, tables: Int,
+                                    dim: Int, probes: Int,
+                                    portable: Boolean): Column = {
+    require(probes >= 1 && probes <= nBits + 1,
+      s"probes must be in [1, nBits + 1 = ${nBits + 1}], got $probes")
+    val pow2 = array((0 until nBits).map(i => lit(1L << i)): _*)
+    val allPortable =
+      if (portable) rademacherPlanes(tables * nBits, dim) else Seq.empty
+    flatten(array((0 until tables).map { t =>
+      val flat: Array[Float] =
+        if (portable) (0 until nBits).flatMap(i => allPortable(t * nBits + i)).toArray
+        else hyperplanes(nBits, dim, seed = 42L + t).flatMap(_.map(_.toFloat)).toArray
+      val base = graft.plans.PlaneSignBits(emb, flat, dim)
+      val proj = graft.plans.PlaneProjections(emb, flat, dim)
+      // (|margin|, bit) ascending: the cheapest hyperplanes to cross first
+      val margins = array_sort(transform(proj, (p, i) =>
+        struct(abs(p).as("m"), i.as("bit"))))
+      val flips = transform(slice(margins, 1, probes - 1), s =>
+        base.bitwiseXOR(element_at(pow2, s.getField("bit") + 1)))
+      transform(concat(array(base), flips), b =>
+        struct(lit(t).as("tbl"), b.as("bucket")))
+    }: _*))
+  }
+
+  /** Multi-probe LSH approximate top-k (Lv et al., VLDB 2007): candidates
+    * share EITHER the query's base bucket or one of its `probes − 1` best
+    * single-bit-flip neighbor buckets in any of `tables` hash tables, then
+    * exact cosine rank within candidates — same scoring/ranking contract as
+    * [[lshTopK]] (`probes = 1` IS lshTopK).
+    *
+    * This is the recall lever that is cheap at 100 TB: extra TABLES
+    * replicate the CORPUS side of the (tbl, bucket) equi-join — `tables`×
+    * the index storage and shuffle volume — while extra PROBES only
+    * replicate the bounded QUERY side (probes× a few hundred rows). The
+    * corpus memberships here are identical to lshTopK's, so one persisted
+    * bucket index serves both operators; recall per table rises from
+    * P(all nBits signs agree) to P(≥ nBits−1 of the low-margin signs
+    * agree), which is what moves recall@10 without touching index cost. */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        embCol: String, k: Int, nBits: Int, dim: Int,
+                        tables: Int = 4, probes: Int = 3,
+                        portable: Boolean = false): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      explode(multiProbeMemberships(col(embCol), nBits, tables, dim, probes,
+        portable)).as("bb"))
+      .select(col("q_id"), col("q_emb"), col("bb.tbl"), col("bb.bucket"))
+      .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+      explode(bucketMemberships(col(embCol), nBits, tables, dim, portable)).as("bb"))
+      .select(col("c_id"), col("c_emb"), col("bb.tbl"), col("bb.bucket"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    val cand = q.join(c, Seq("tbl", "bucket")).where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_emb", "__qn", "c_id", "c_emb", "__cn")
+      .dropDuplicates("q_id", "c_id")
+    cand
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cosine")
+  }
+
   /** SemDeDup — semantic deduplication via clustered embeddings (Abbas et
     * al., arXiv:2303.09540): k-means the corpus embeddings, then search for
     * near-duplicates ONLY within each cluster, dropping every member that

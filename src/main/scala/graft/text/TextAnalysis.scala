@@ -566,6 +566,56 @@ object TextAnalysis {
         .orderBy(col("score").desc, col(idCol).asc)).cast("long").as("rank"))
   }
 
+  /** Retrieval-quality evaluation of [[bm25TopK]] runs against boolean-AND
+    * relevance (a doc is relevant to a query iff it contains EVERY query
+    * term) — the eval half of a retrieval pipeline: MRR, precision@cutoff
+    * and recall@cutoff per query, as EXACT integer nanos (one integer
+    * division each; no float accumulation anywhere past the BM25 ranking,
+    * so the whole metric row replays bit-for-bit in any engine).
+    *
+    * One output row per named query: `(query_id, n_rel, hits, first_rel_rank,
+    * rr_nano, p_nano, r_nano)` where `rr_nano = 1e9 // first_rel_rank` (0 if
+    * no relevant doc reached the top-k run), `p_nano = hits·1e9 // cutoff`,
+    * `r_nano = hits·1e9 // n_rel` (0 if n_rel = 0).
+    *
+    * Scale shape: per query, the corpus pays the single bm25TopK pass (its
+    * one token-explode shuffle) plus one filtered relevance COUNT; metrics
+    * aggregate k-row runs. The per-query union suits bounded eval sets
+    * (dozens); a thousand-query eval batches the term-match join instead. */
+  def retrievalEval(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], k: Int = 50,
+                    cutoff: Int = 10): DataFrame = {
+    require(queries.nonEmpty && cutoff >= 1 && k >= cutoff,
+      "need queries and k >= cutoff >= 1")
+    val perQuery = queries.map { case (qid, terms) =>
+      val t = terms.distinct.map(_.toLowerCase)
+      // boolean-AND relevance: every query term appears in the doc
+      val rel = df.select(col(idCol),
+          tokens(col(textCol)).as("__toks"))
+        .where(t.map(term => array_contains(col("__toks"), term))
+          .reduce(_ && _))
+        .select(col(idCol).as("__rel_id"))
+      val run = bm25TopK(df, idCol, textCol, t, k)
+        .join(rel, col(idCol) === col("__rel_id"), "left")
+        .select(col("rank"), col("__rel_id").isNotNull.as("__is_rel"))
+      val nRel = rel.agg(count(lit(1)).as("__n_rel"))
+      run.agg(
+          min(when(col("__is_rel"), col("rank"))).as("first_rel_rank"),
+          sum(when(col("__is_rel") && col("rank") <= cutoff, 1L)
+            .otherwise(0L)).as("hits"))
+        .crossJoin(nRel)
+        .select(lit(qid).as("query_id"),
+          col("__n_rel").as("n_rel"), col("hits"), col("first_rel_rank"),
+          coalesce(expr("CAST(1000000000 AS BIGINT) div first_rel_rank"),
+            lit(0L)).as("rr_nano"),
+          expr(s"hits * CAST(1000000000 AS BIGINT) div $cutoff").as("p_nano"),
+          when(col("__n_rel") > 0,
+            expr("hits * CAST(1000000000 AS BIGINT) div __n_rel"))
+            .otherwise(lit(0L)).as("r_nano"))
+    }
+    perQuery.reduce(_.unionByName(_)).orderBy("query_id")
+  }
+
   /** BPE merge-table training (Sennrich, Haddow & Birch, *Neural Machine
     * Translation of Rare Words with Subword Units*, ACL 2016 §3.2): start
     * from per-word character symbols + an end-of-word marker, and `merges`

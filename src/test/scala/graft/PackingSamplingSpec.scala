@@ -341,6 +341,36 @@ class PackingSamplingSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEval: boolean-AND relevance, exact integer-nano metrics") {
+    val rows = Seq(
+      (1L, "spark window merge spark"),
+      (2L, "window window window agg join"),
+      (3L, "merge"),
+      (4L, "scan filter agg join group sort"),
+      (5L, "spark spark spark spark spark spark spark spark"),
+      (6L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.retrievalEval(df, "doc_id", "text",
+        Seq("qa" -> Seq("spark", "window", "merge"),
+            "qz" -> Seq("spark", "zebra")), k = 10, cutoff = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // qa: only doc 1 contains all three terms
+    val qa = out("qa")
+    assert(qa.getLong(1) == 1L && qa.getLong(2) == 1L,
+      s"n_rel/hits = ${qa.getLong(1)}/${qa.getLong(2)}")
+    val rank1 = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        Seq("spark", "window", "merge"), 10)
+      .where($"doc_id" === 1L).select("rank").as[Long].head()
+    assert(qa.getLong(3) == rank1, "first_rel_rank must be doc 1's BM25 rank")
+    assert(qa.getLong(4) == 1000000000L / rank1)
+    assert(qa.getLong(5) == 100000000L) // 1 hit over cutoff 10
+    assert(qa.getLong(6) == 1000000000L) // 1 hit over 1 relevant doc
+    // qz: no doc contains 'zebra' -> zero relevance, run still non-empty
+    val qz = out("qz")
+    assert(qz.getLong(1) == 0L && qz.getLong(2) == 0L && qz.isNullAt(3))
+    assert(qz.getLong(4) == 0L && qz.getLong(5) == 0L && qz.getLong(6) == 0L)
+  }
+
   test("bpeMergeTable: hand-computed merges, overlap counting, greedy-leftmost") {
     // vocab: aaa ×3, aab ×2, ba ×1
     // symbols: [a,a,a,</w>]×3  [a,a,b,</w>]×2  [b,a,</w>]×1

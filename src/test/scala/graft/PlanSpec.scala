@@ -408,6 +408,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q199 multi-probe LSH: candidates stay an equi-join; probes query-side") {
+    // corpus side carries BASE memberships only (same 8 structs as q43 —
+    // one persisted index serves both); the probe expansion (margins,
+    // bit flips) lives entirely in the bounded QUERY side's Generate.
+    // Candidate generation must stay a hash equi-join on (tbl, bucket).
+    val p = plan("q199_multiprobe_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("plane_sign_bits"), p)
+    // exactly one side expands probes: the flip XOR appears once per table
+    // (query side), never in the corpus side's membership Generate
+    val gens = p.linesIterator.filter(_.contains("plane_projections")).size
+    assert(gens >= 1, "query-side margin projections missing:\n" + p)
+  }
+
+  test("q201 bigram LM: bcnt shuffle reused across all model tables") {
+    // train tables (conditional, context, unigram, total) all derive from
+    // the ONE bigram-type aggregate; the always-true guard pins its
+    // columns so every branch's copy canonicalizes identically and AQE
+    // reuses the stage — without it the corpus explode runs 3x.
+    val df = SparkEntry.queries("q201_bigram_lm")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedQueryStage") || fp.contains("ReusedExchange"),
+      "bcnt exchange not reused — corpus explode would run 3x:\n" + fp)
+  }
+
   test("q189 full 10-rule block profile: counts only, no pairs, no window") {
     val p = plan("q189_block_profile_full")
     assert(!p.contains("CartesianProduct"), p)

@@ -51,6 +51,18 @@ class RecallGateSpec extends SparkSpec {
     assert(rec >= 0.20, s"lsh recall@10 = $rec")
   }
 
+  test("multi-probe LSH recall@10 floor and dominance at the q199 config") {
+    val (_, _, _, base) = recall(Similarity.lshTopK(qs, emb, "vec_id",
+      "embedding", 10, nBits = 6, dim = 64, tables = 8, portable = true), 10)
+    val (_, _, _, mp) = recall(Similarity.lshMultiProbeTopK(qs, emb,
+      "vec_id", "embedding", 10, nBits = 6, dim = 64, tables = 8,
+      probes = 4, portable = true), 10)
+    info(s"mplsh recall@10 = $mp (single-probe = $base)")
+    assert(mp >= base,
+      "multi-probe candidates are a superset — recall cannot drop")
+    assert(mp >= 0.60, s"mplsh recall@10 = $mp")
+  }
+
   test("IVF recall@10 floor at the q85 graded config") {
     val (_, _, _, rec) = recall(Similarity.ivfTopKSeeded(qs, emb, "vec_id",
       "embedding", 10, nCells = 16, nProbe = 4), 10)

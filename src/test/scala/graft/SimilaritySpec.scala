@@ -37,6 +37,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@5 = $recall")
   }
 
+  test("lshMultiProbeTopK: probes=1 IS lshTopK; recall monotone in probes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where($"vec_id" < 20)
+    // probes = 1 degrades to exactly the single-probe operator, in BOTH
+    // plane families (same planes, same buckets, same ranking)
+    for (portable <- Seq(true, false)) {
+      val base = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5,
+          nBits = 6, dim = 64, tables = 8, portable = portable)
+        .collect().map(_.toSeq).toSet
+      val mp1 = Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding",
+          5, nBits = 6, dim = 64, tables = 8, probes = 1,
+          portable = portable)
+        .collect().map(_.toSeq).toSet
+      assert(mp1 == base, s"probes=1 must equal lshTopK (portable=$portable)")
+    }
+    // candidate sets grow with probes, and with identical (cosine, c_id)
+    // ranking keys a true top-k member can only be displaced by another
+    // true top-k member - so recall@k is monotone in probes by construction
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    def rec(probes: Int): Double = {
+      val a = Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding", 5,
+          nBits = 6, dim = 64, tables = 8, probes = probes, portable = true)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      exact.intersect(a).size.toDouble / exact.size
+    }
+    val r1 = rec(1); val r4 = rec(4); val r7 = rec(7)
+    info(s"recall@5 probes 1/4/7 = $r1 / $r4 / $r7")
+    assert(r4 >= r1 && r7 >= r4, s"recall not monotone: $r1 / $r4 / $r7")
+    // radius-1 probing must buy real recall on the fixture, not just tie
+    assert(r7 > r1, "full radius-1 probing bought no recall on the fixture")
+    intercept[IllegalArgumentException] {
+      Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding", 5,
+        nBits = 6, dim = 64, tables = 8, probes = 8, portable = true)
+    }
+  }
+
   test("pqTopK: trained codebooks keep recall vs exact euclidean; encode deterministic") {
     // sf0.01: at sf0.001 the corpus is 50 near-uniform vectors whose
     // neighbor gaps sit inside PQ's quantization distortion; the graded
