@@ -376,16 +376,23 @@ object Bench {
     // q130's banded SemDeDup vs its exact all-pairs twin: set recall of
     // the flagged-duplicate ids (c_id pinned — recallAtK degenerates to
     // |banded ∩ exact| / |exact| over the dup sets).
-    val recallSemDedupNano = recallGateOf(1) {
+    def semDedupDups(bandedDim: Option[Int], probed: Boolean) = {
       import org.apache.spark.sql.functions._
       val emb = Tables.load(spark, sfDir, "embeddings")
-      def dups(bandedDim: Option[Int]) =
-        Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
-            tau = 0.4, bandedDim = bandedDim)
-          .where(col("is_dup"))
-          .select(col("vec_id").as("q_id"), lit(1).as("rk"),
-            lit(0L).as("c_id"))
-      (dups(None), dups(Some(64)))
+      Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
+          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed)
+        .where(col("is_dup"))
+        .select(col("vec_id").as("q_id"),
+          org.apache.spark.sql.functions.lit(1).as("rk"),
+          org.apache.spark.sql.functions.lit(0L).as("c_id"))
+    }
+    val recallSemDedupNano = recallGateOf(1) {
+      (semDedupDups(None, probed = false), semDedupDups(Some(64), probed = false))
+    }
+    // q202's radius-1 band probing vs the same exact twin: the recorded
+    // answer to the 0.27 banding gap at unchanged blocked-side cost.
+    val recallSemDedupProbedNano = recallGateOf(1) {
+      (semDedupDups(None, probed = false), semDedupDups(Some(64), probed = true))
     }
     val recallLshNano = recall10Of((q, c) => Similarity.lshTopK(q, c,
       "vec_id", "embedding", 10, nBits = 6, dim = 64, tables = 8,
@@ -413,7 +420,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_mplsh_nano":$recallMpLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall5_hardneg_nano":$recallHardNegNano,"recall_eucpairs_nano":$recallEucNano,"recall_semdedup_nano":$recallSemDedupNano,"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_mplsh_nano":$recallMpLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall5_hardneg_nano":$recallHardNegNano,"recall_eucpairs_nano":$recallEucNano,"recall_semdedup_nano":$recallSemDedupNano,"recall_semdedup_probed_nano":$recallSemDedupProbedNano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

@@ -3621,6 +3621,29 @@ object SparkEntry {
     graft.text.BigramLm.scoreDocs(t(s, dir, "documents"), "doc_id", "text",
       trainPred = col("doc_id") % 2 === 0)
 
+  // ---- training-data pipeline: batched multi-query BM25 -------------------
+  // The scale form q200's Scaladoc promises: ONE corpus pass serves every
+  // query — terms union-filtered before any shuffle, (term -> query) rides
+  // a broadcast, per-query top-k is a rank-capped window. Same q200Queries
+  // descriptor generates the oracle, and scoring is bit-identical per
+  // query to q138's single-query operator (spec-pinned).
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
+      q200Queries, k = 50)
+
+  // ---- training-data pipeline: SemDeDup with radius-1 band probing --------
+  // The q199 multi-probe lever transferred to the near-dup banding gap the
+  // recall gate records (recall_semdedup_nano 0.27 at the graded q130
+  // config): ONE side of the within-cluster self-join also probes every
+  // single-bit-flip neighbor of each 6-bit band, so pairs within Hamming
+  // distance 1 of a band match become candidates — 7x probe-side volume,
+  // UNCHANGED blocked-side cost. Same Lloyd trace, same tau; the oracle
+  // replays the flips on top of the q130 replay (shared template).
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4,
+      bandedDim = Some(64), bandProbe1 = true)
+
   // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
   // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
   // ONE denoiser — R (15%/span 3, weight 2/4), S (PrefixLM split, 1/4),
@@ -3853,6 +3876,8 @@ object SparkEntry {
     "q199_multiprobe_lsh" -> (q199 _),
     "q200_retrieval_eval" -> (q200 _),
     "q201_bigram_lm" -> (q201 _),
+    "q202_semdedup_probed" -> (q202 _),
+    "q203_bm25_batch" -> (q203 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4012,6 +4037,135 @@ object SparkEntry {
       |  FROM scored) WHERE rk <= KK""".stripMargin
       .replace("KK", k.toString).replace("PP", probes.toString)
 
+  /** SemDeDup oracle shared by q130 (base banding) and q202 (radius-1 band
+    * probing): the full integer-grid Lloyd trace, the 4×6-bit portable
+    * sign-bit bands, the within-cluster banded candidate join and the
+    * rounded-cosine dup rule. `probed = true` swaps the x side of the
+    * candidate join for the base-plus-single-bit-flip probe memberships —
+    * the ONLY difference, by construction (placeholder substitution after
+    * stripMargin, the q195 discipline). */
+  private def semDedupOracleSql(probed: Boolean): String = {
+    val probeCte = if (!probed) "" else
+      """xprobe AS (
+        |  SELECT vec_id, band, bits FROM sbits
+        |  UNION ALL
+        |  SELECT vec_id, band, xor(bits, 1::BIGINT << f) AS bits
+        |  FROM sbits, unnest(range(0, 6)) t(f)),
+        |""".stripMargin
+    val xRel = if (probed) "xprobe" else "sbits"
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |signs AS (
+      |  SELECT i, list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+      |           % 2 = 0
+      |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+      |  FROM range(0, 24) t(i)),
+      |proj AS (
+      |  SELECT e.vec_id, s.i,
+      |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+      |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+      |  FROM embeddings e CROSS JOIN signs s),
+      |sbits AS (
+      |  SELECT vec_id, i // 6 AS band,
+      |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+      |  FROM proj GROUP BY 1, 2),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, qe, cl FROM (
+      |    SELECT q.vec_id, q.qe, c.j AS cl,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qe, c.ce),
+      |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
+      |    FROM q CROSS JOIN c0 c) s WHERE rk = 1),
+      |c1 AS (
+      |  SELECT cl AS j, array_agg(s ORDER BY d) AS ce FROM (
+      |    SELECT cl, i AS d,
+      |      CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS s
+      |    FROM a1, unnest(range(1, 65)) t(i)
+      |    GROUP BY cl, i) sub
+      |  GROUP BY cl),
+      |a2 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT q.vec_id, c.j AS cl,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qe, c.ce),
+      |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
+      |    FROM q CROSS JOIN c1 c) s WHERE rk = 1),
+      |@PROBE_CTE@cand AS (
+      |  SELECT DISTINCT xa.vec_id AS id_a, xb.vec_id AS id_b
+      |  FROM @XREL@ xa JOIN sbits xb
+      |    ON xa.band = xb.band AND xa.bits = xb.bits
+      |      AND xb.vec_id < xa.vec_id
+      |  JOIN a2 ca ON ca.vec_id = xa.vec_id
+      |  JOIN a2 cb ON cb.vec_id = xb.vec_id AND cb.cl = ca.cl),
+      |dup AS (
+      |  SELECT DISTINCT c.id_a AS vec_id
+      |  FROM cand c
+      |  JOIN q ea ON ea.vec_id = c.id_a
+      |  JOIN q eb ON eb.vec_id = c.id_b
+      |  WHERE round(
+      |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(ea.embedding,
+      |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(eb.embedding,
+      |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) >= 0.4)
+      |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
+      |  (dup.vec_id IS NOT NULL) AS is_dup
+      |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id""".stripMargin
+      .replace("@PROBE_CTE@", probeCte)
+      .replace("@XREL@", xRel)
+  }
+
+  /** q203 oracle, GENERATED from [[q200Queries]] (the same descriptor the
+    * Spark lane and q200 use): one toks/stats/df pass over the term union,
+    * the (term, query) VALUES table joined in, per-(query, doc) scores and
+    * the rank-capped window — the batched twin of the q138 replay. */
+  private def q203OracleSql: String = {
+    val valuesList = q200Queries.flatMap { case (qid, terms) =>
+      terms.distinct.map(t => s"('$qid', '${t.toLowerCase}')")
+    }.mkString(", ")
+    """WITH qt(query_id, tok) AS (VALUES @VALUES@),
+      |toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, tok, max(dl) AS dl,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN (SELECT tok FROM qt)
+      |  GROUP BY doc_id, tok),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+      |      AS sumdl
+      |  FROM documents),
+      |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY tok),
+      |s AS (
+      |  SELECT qt.query_id, f.doc_id,
+      |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+      |      * (tf * (1.2 + 1))
+      |      / (tf + 1.2 * (1 - 0.75
+      |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit
+      |  FROM f JOIN d USING (tok) JOIN qt USING (tok) CROSS JOIN stats
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score, n_terms_hit, rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+      |WHERE rank <= 50""".stripMargin
+      .replace("@VALUES@", valuesList)
+  }
+
   /** q200 oracle, GENERATED from [[q200Queries]]: per query, the q138 BM25
     * replay at that query's terms (shared toks/stats CTEs — the corpus is
     * tokenized once), boolean-AND relevance, then the integer-nano metric
@@ -4064,11 +4218,14 @@ met_$qid AS (
       |      AS sumdl
       |  FROM documents),
       |@BLOCKS@
-      |SELECT query_id, n_rel, hits, first_rel_rank,
+      |SELECT query_id, n_rel,
+      |  coalesce(hits, CAST(0 AS BIGINT)) AS hits, first_rel_rank,
       |  coalesce(CAST(1000000000 AS BIGINT) // first_rel_rank,
       |    CAST(0 AS BIGINT)) AS rr_nano,
-      |  hits * CAST(1000000000 AS BIGINT) // 10 AS p_nano,
-      |  CASE WHEN n_rel > 0 THEN hits * CAST(1000000000 AS BIGINT) // n_rel
+      |  coalesce(hits, CAST(0 AS BIGINT))
+      |    * CAST(1000000000 AS BIGINT) // 10 AS p_nano,
+      |  CASE WHEN n_rel > 0 THEN coalesce(hits, CAST(0 AS BIGINT))
+      |      * CAST(1000000000 AS BIGINT) // n_rel
       |       ELSE CAST(0 AS BIGINT) END AS r_nano
       |FROM (@UNIONS@)
       |ORDER BY query_id""".stripMargin
@@ -6643,73 +6800,9 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |       WHEN split_bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM bkt""".stripMargin,
-    "q130_semdedup" ->
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_transform(embedding,
-        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |signs AS (
-        |  SELECT i, list_transform(range(0, 64), d ->
-        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
-        |           % 2 = 0
-        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
-        |  FROM range(0, 24) t(i)),
-        |proj AS (
-        |  SELECT e.vec_id, s.i,
-        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
-        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
-        |  FROM embeddings e CROSS JOIN signs s),
-        |sbits AS (
-        |  SELECT vec_id, i // 6 AS band,
-        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
-        |  FROM proj GROUP BY 1, 2),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
-        |  FROM q ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        |  SELECT vec_id, qe, cl FROM (
-        |    SELECT q.vec_id, q.qe, c.j AS cl,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.qe, c.ce),
-        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
-        |    FROM q CROSS JOIN c0 c) s WHERE rk = 1),
-        |c1 AS (
-        |  SELECT cl AS j, array_agg(s ORDER BY d) AS ce FROM (
-        |    SELECT cl, i AS d,
-        |      CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS s
-        |    FROM a1, unnest(range(1, 65)) t(i)
-        |    GROUP BY cl, i) sub
-        |  GROUP BY cl),
-        |a2 AS (
-        |  SELECT vec_id, cl FROM (
-        |    SELECT q.vec_id, c.j AS cl,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.qe, c.ce),
-        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.j ASC) AS rk
-        |    FROM q CROSS JOIN c1 c) s WHERE rk = 1),
-        |cand AS (
-        |  SELECT DISTINCT xa.vec_id AS id_a, xb.vec_id AS id_b
-        |  FROM sbits xa JOIN sbits xb
-        |    ON xa.band = xb.band AND xa.bits = xb.bits
-        |      AND xb.vec_id < xa.vec_id
-        |  JOIN a2 ca ON ca.vec_id = xa.vec_id
-        |  JOIN a2 cb ON cb.vec_id = xb.vec_id AND cb.cl = ca.cl),
-        |dup AS (
-        |  SELECT DISTINCT c.id_a AS vec_id
-        |  FROM cand c
-        |  JOIN q ea ON ea.vec_id = c.id_a
-        |  JOIN q eb ON eb.vec_id = c.id_b
-        |  WHERE round(
-        |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(ea.embedding,
-        |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(eb.embedding,
-        |          e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4) >= 0.4)
-        |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
-        |  (dup.vec_id IS NOT NULL) AS is_dup
-        |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id""".stripMargin,
+    "q130_semdedup" -> semDedupOracleSql(probed = false),
+    "q202_semdedup_probed" -> semDedupOracleSql(probed = true),
+    "q203_bm25_batch" -> q203OracleSql,
     "q131_bloom_manifest" ->
       """WITH bits AS (
         |  SELECT DISTINCT doc_id % 8 AS shard,

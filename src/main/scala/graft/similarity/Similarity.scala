@@ -490,6 +490,29 @@ object Similarity {
     }
   }
 
+  /** [[bandedSignStructs]] plus Hamming-radius-1 probing: per band, the
+    * base bucket AND all `w` single-bit flips — the near-dup transfer of
+    * multi-probe LSH ([[lshMultiProbeTopK]]): a pair whose band signatures
+    * differ in ONE bit now meets in that band. Meant for ONE side of a
+    * self-join only (the other side keeps base memberships), so candidate
+    * volume grows (w+1)× on the probe side while the blocked side — the
+    * thing that is index-sized at 100 TB — stays put. */
+  private def bandedSignStructsProbed(embCol: String, dim: Int, nBits: Int,
+                                      bands: Int): Seq[Column] = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val w = nBits / bands
+    val flat = rademacherPlanes(nBits, dim).flatten.toArray
+    val sig = graft.plans.PlaneSignBits(col(embCol), flat, dim)
+    (0 until bands).flatMap { b =>
+      val bits = shiftright(sig, b * w).bitwiseAND(lit((1L << w) - 1))
+      struct(lit(b).as("band"), bits.as("bits")) +:
+        (0 until w).map { i =>
+          struct(lit(b).as("band"),
+            bits.bitwiseXOR(lit(1L << i)).as("bits"))
+        }
+    }
+  }
+
   /** Single-row frame of per-dimension corpus (min, max) — the SQ8
     * codebook. Dim-bounded metadata (64 doubles per array here), computed
     * with one explode + hash agg and collapsed to aligned arrays, so it
@@ -963,11 +986,19 @@ object Similarity {
     * still millions of rows (k is bounded by the plan-time `array_min`
     * arity), and an unbanded within-cluster self-join is a quadratic
     * blowup. With `bandedDim = None` the exact all-pairs form runs — the
-    * oracle/verification twin, only for bounded inputs. */
+    * oracle/verification twin, only for bounded inputs.
+    *
+    * `bandProbe1 = true` additionally probes, on ONE side of the
+    * within-cluster self-join, every single-bit-flip neighbor bucket of
+    * each band ([[bandedSignStructsProbed]]) — pairs within Hamming
+    * distance 1 of agreeing on a band become candidates, the multi-probe
+    * recall lever at (w+1)× probe-side candidate volume and UNCHANGED
+    * blocked-side/index cost. The banded dup set grows monotonically
+    * (candidate superset), never past the exact twin's. */
   def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
                iters: Int, tau: Double, quantScale: Int = 1000,
                bandedDim: Option[Int] = None, nBits: Int = 24,
-               bands: Int = 4): DataFrame = {
+               bands: Int = 4, bandProbe1: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val q = df.select(col(idCol), col(embCol), expr(
       s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * $quantScale)" +
@@ -1019,7 +1050,16 @@ object Similarity {
         val buckets = fin.select(col(idCol), col("cluster"),
             explode(array(bandStructs: _*)).as("bb"))
           .select(col(idCol), col("cluster"), col("bb.band"), col("bb.bits"))
-        val cand = buckets.as("x")
+        // probe side: base memberships, or base + radius-1 flips — the
+        // y (blocked) side always stays at base memberships
+        val xBuckets = if (!bandProbe1) buckets
+          else fin.select(col(idCol), col("cluster"),
+              explode(array(
+                bandedSignStructsProbed(embCol, dim, nBits, bands): _*))
+                .as("bb"))
+            .select(col(idCol), col("cluster"), col("bb.band"),
+              col("bb.bits"))
+        val cand = xBuckets.as("x")
           .join(buckets.as("y"), Seq("cluster", "band", "bits"))
           .where(col(s"y.$idCol") < col(s"x.$idCol"))
           .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))

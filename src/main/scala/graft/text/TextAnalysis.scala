@@ -566,6 +566,64 @@ object TextAnalysis {
         .orderBy(col("score").desc, col(idCol).asc)).cast("long").as("rank"))
   }
 
+  /** Batched multi-query BM25 — the scale form of [[bm25TopK]]: ONE corpus
+    * pass serves every query. The corpus explodes to tokens once, filtered
+    * to the union of all query terms BEFORE any shuffle; per-term df and
+    * corpus stats are computed once and broadcast; the (term → query)
+    * mapping joins in as a broadcast dimension, per-(query, doc) scores
+    * aggregate on the same tf shuffle, and the per-query top-k is a
+    * rank-filtered window on the query key (Spark's WindowGroupLimit caps
+    * it map-side) — never a global sort, never a per-query corpus pass.
+    * Scoring is bit-identical to [[bm25TopK]] per query (same idf/length
+    * math, same round-4 + (score desc, id asc) contract).
+    *
+    * Output: `(query_id, idCol, score, n_terms_hit, rank)`, rank ≤ k per
+    * query. At 100 TB this is how a thousand-query eval or a query-log
+    * replay runs: corpus cost is paid once, query cost rides a broadcast. */
+  def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t.toLowerCase))
+    }
+    val allTerms = qt.map(_._2).distinct
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qtDf = qt.toDF("query_id", "__tok")
+    val toks = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("__dl"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .where(col("__tok").isin(allTerms: _*))
+    val tf = toks.groupBy(col(idCol), col("__tok"))
+      .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+    val stats = df.agg(count(lit(1)).as("__n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("__sumdl"))
+    // same always-true guard as bm25TopK: both consumers of the tf shuffle
+    // keep identical column sets so the exchange reuses at runtime
+    val dfreq = tf.where(col("__dl") >= 0L && col("__tf") >= 1L)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__tok")
+      .join(broadcast(qtDf), "__tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__n"))
+      .withColumn("__s", col("__idf") * (col("__tf") * (k1 + 1)) /
+        (col("__tf") + lit(k1) * (lit(1.0) - b +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"),
+        col("n_terms_hit"), col("rank"))
+  }
+
   /** Retrieval-quality evaluation of [[bm25TopK]] runs against boolean-AND
     * relevance (a doc is relevant to a query iff it contains EVERY query
     * term) — the eval half of a retrieval pipeline: MRR, precision@cutoff
@@ -578,42 +636,66 @@ object TextAnalysis {
     * no relevant doc reached the top-k run), `p_nano = hits·1e9 // cutoff`,
     * `r_nano = hits·1e9 // n_rel` (0 if n_rel = 0).
     *
-    * Scale shape: per query, the corpus pays the single bm25TopK pass (its
-    * one token-explode shuffle) plus one filtered relevance COUNT; metrics
-    * aggregate k-row runs. The per-query union suits bounded eval sets
-    * (dozens); a thousand-query eval batches the term-match join instead. */
+    * Scale shape: ALL queries ride ONE [[bm25TopKBatch]] corpus pass, and
+    * relevance for every query comes from one more corpus pass (doc-term
+    * containment joined against the broadcast (term → query) table, AND
+    * expressed as a distinct-term count match) — eval cost is two corpus
+    * passes total regardless of query count, plus k-row metric
+    * aggregations per query. Per-query results are identical to running
+    * [[bm25TopK]] per query (spec-pinned via the batch operator). */
   def retrievalEval(df: DataFrame, idCol: String, textCol: String,
                     queries: Seq[(String, Seq[String])], k: Int = 50,
                     cutoff: Int = 10): DataFrame = {
     require(queries.nonEmpty && cutoff >= 1 && k >= cutoff,
       "need queries and k >= cutoff >= 1")
-    val perQuery = queries.map { case (qid, terms) =>
-      val t = terms.distinct.map(_.toLowerCase)
-      // boolean-AND relevance: every query term appears in the doc
-      val rel = df.select(col(idCol),
-          tokens(col(textCol)).as("__toks"))
-        .where(t.map(term => array_contains(col("__toks"), term))
-          .reduce(_ && _))
-        .select(col(idCol).as("__rel_id"))
-      val run = bm25TopK(df, idCol, textCol, t, k)
-        .join(rel, col(idCol) === col("__rel_id"), "left")
-        .select(col("rank"), col("__rel_id").isNotNull.as("__is_rel"))
-      val nRel = rel.agg(count(lit(1)).as("__n_rel"))
-      run.agg(
-          min(when(col("__is_rel"), col("rank"))).as("first_rel_rank"),
-          sum(when(col("__is_rel") && col("rank") <= cutoff, 1L)
-            .otherwise(0L)).as("hits"))
-        .crossJoin(nRel)
-        .select(lit(qid).as("query_id"),
-          col("__n_rel").as("n_rel"), col("hits"), col("first_rel_rank"),
-          coalesce(expr("CAST(1000000000 AS BIGINT) div first_rel_rank"),
-            lit(0L)).as("rr_nano"),
-          expr(s"hits * CAST(1000000000 AS BIGINT) div $cutoff").as("p_nano"),
-          when(col("__n_rel") > 0,
-            expr("hits * CAST(1000000000 AS BIGINT) div __n_rel"))
-            .otherwise(lit(0L)).as("r_nano"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val norm = queries.map { case (qid, ts) =>
+      (qid, ts.distinct.map(_.toLowerCase))
     }
-    perQuery.reduce(_.unionByName(_)).orderBy("query_id")
+    val qt = norm.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "__tok")
+    val qSize = norm.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("query_id", "__n_terms")
+    // boolean-AND relevance for EVERY query in one corpus pass: a doc is
+    // relevant iff it contains all |q| distinct terms of the query
+    val rel = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("__tok"))
+      .join(broadcast(qt), "__tok")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("__hit_terms"))
+      .join(broadcast(qSize), "query_id")
+      .where(col("__hit_terms") === col("__n_terms"))
+      .select(col("query_id"), col(idCol).as("__rel_id"))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n_rel"))
+    val relKeyed = rel.select(col("query_id").as("__rq"), col("__rel_id"))
+    val run = bm25TopKBatch(df, idCol, textCol, norm, k)
+      .join(relKeyed, col("__rq") === col("query_id") &&
+        col("__rel_id") === col(idCol), "left")
+      .select(col("query_id"), col("rank"),
+        col("__rel_id").isNotNull.as("__is_rel"))
+    // every query produces a metrics row even with an empty run/relevance
+    val base = norm.map(_._1).toDF("query_id")
+    base
+      .join(run.groupBy(col("query_id")).agg(
+        min(when(col("__is_rel"), col("rank"))).as("first_rel_rank"),
+        sum(when(col("__is_rel") && col("rank") <= cutoff, 1L)
+          .otherwise(0L)).as("__hits")), Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        col("first_rel_rank"),
+        coalesce(expr("CAST(1000000000 AS BIGINT) div first_rel_rank"),
+          lit(0L)).as("rr_nano"),
+        expr(s"coalesce(__hits, CAST(0 AS BIGINT)) * " +
+          s"CAST(1000000000 AS BIGINT) div $cutoff").as("p_nano"),
+        when(coalesce(col("__n_rel"), lit(0L)) > 0,
+          expr("coalesce(__hits, CAST(0 AS BIGINT)) * " +
+            "CAST(1000000000 AS BIGINT) div __n_rel"))
+          .otherwise(lit(0L)).as("r_nano"))
+      .orderBy("query_id")
   }
 
   /** BPE merge-table training (Sennrich, Haddow & Birch, *Neural Machine

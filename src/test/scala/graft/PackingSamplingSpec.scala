@@ -341,6 +341,29 @@ class PackingSamplingSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBatch: per-query slice identical to single-query bm25TopK") {
+    val df = Tables.load(spark, sf, "documents")
+    val queries = Seq(
+      "qa" -> Seq("spark", "window", "merge"),
+      "qb" -> Seq("hash", "join", "stream", "batch"),
+      "qc" -> Seq("dup", "vector"))
+    val batch = TextAnalysis.bm25TopKBatch(df, "doc_id", "text", queries,
+        k = 20)
+      .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+      .as[(String, Long, Double, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.map(r => (r._2, r._3, r._4, r._5)).toSet
+      }
+    for ((qid, terms) <- queries) {
+      val single = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, 20)
+        .select("doc_id", "score", "n_terms_hit", "rank")
+        .as[(Long, Double, Long, Long)].collect().toSet
+      assert(batch(qid) == single,
+        s"$qid: batch slice != single-query run " +
+          s"(batch ${batch(qid).size}, single ${single.size})")
+    }
+  }
+
   test("retrievalEval: boolean-AND relevance, exact integer-nano metrics") {
     val rows = Seq(
       (1L, "spark window merge spark"),

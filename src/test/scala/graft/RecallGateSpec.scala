@@ -156,14 +156,27 @@ class RecallGateSpec extends SparkSpec {
   }
 
   test("semDedup dup-set recall floor at the q130 graded config") {
-    def dups(bandedDim: Option[Int]) =
+    def dups(bandedDim: Option[Int], probed: Boolean = false) =
       Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
-          tau = 0.4, bandedDim = bandedDim)
+          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed)
         .where($"is_dup")
         .select($"vec_id".as("q_id"), lit(1).as("rk"), lit(0L).as("c_id"))
     val r = Similarity.recallAtK(dups(None), dups(Some(64)), 1).head()
     val rec = r.getDouble(3)
     info(s"semDedup dup-set recall = $rec (n_exact = ${r.getLong(1)})")
     assert(rec >= 0.10, s"semdedup recall = $rec")
+    // q202: radius-1 band probing — candidate superset, so the dup set can
+    // only grow toward the exact twin's, never past it
+    val base = dups(Some(64)).select("q_id").as[Long].collect().toSet
+    val probed = dups(Some(64), probed = true)
+      .select("q_id").as[Long].collect().toSet
+    val exact = dups(None).select("q_id").as[Long].collect().toSet
+    assert(base.subsetOf(probed), "probing dropped a base dup")
+    assert(probed.subsetOf(exact), "banded dups must stay within the exact set")
+    val recP = Similarity.recallAtK(dups(None),
+      dups(Some(64), probed = true), 1).head().getDouble(3)
+    info(s"semDedup probed dup-set recall = $recP (base $rec)")
+    assert(recP >= rec, "probed recall cannot drop below base")
+    assert(recP >= 0.30, s"probed semdedup recall = $recP")
   }
 }
