@@ -3631,6 +3631,24 @@ object SparkEntry {
     TextAnalysis.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
       q200Queries, k = 50)
 
+  // ---- training-data pipeline: hybrid retrieval (RRF fusion) --------------
+  // Reciprocal-rank fusion of the two retrieval families the engine
+  // already runs — lexical BM25 (q138's operator at q200's qa terms) and
+  // embedding cosine top-k (q42's operator for query vector 0) — the
+  // standard hybrid-search combiner. Each run contributes
+  // 1e9 // (60 + rank) integer nanos; the fused score is an exact integer
+  // sum, so the whole lane replays over the two runs' existing replays.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val lexical = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", q200Queries.head._2, k = 50)
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val semantic = Similarity.cosineTopK(emb.where(col("vec_id") === 0),
+        emb, "vec_id", "embedding", k = 50)
+      .select(col("c_id").as("id"), col("rk").cast("long").as("rank"))
+    TextAnalysis.rrfFuse(Seq(lexical, semantic), "id", k = 20)
+  }
+
   // ---- training-data pipeline: SemDeDup with radius-1 band probing --------
   // The q199 multi-probe lever transferred to the near-dup banding gap the
   // recall gate records (recall_semdedup_nano 0.27 at the graded q130
@@ -3878,6 +3896,7 @@ object SparkEntry {
     "q201_bigram_lm" -> (q201 _),
     "q202_semdedup_probed" -> (q202 _),
     "q203_bm25_batch" -> (q203 _),
+    "q204_rrf_fusion" -> (q204 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4164,6 +4183,76 @@ object SparkEntry {
       |  ORDER BY score DESC, doc_id ASC) AS rank FROM s)
       |WHERE rank <= 50""".stripMargin
       .replace("@VALUES@", valuesList)
+  }
+
+  /** q204 oracle: the q138 BM25 replay at [[q200Queries]]'s qa terms
+    * (shared descriptor) + the q42 exact-cosine replay for query vector 0,
+    * fused with the exact integer RRF arithmetic — nothing here is new to
+    * the oracle beyond two integer divisions and a sum. */
+  private def q204OracleSql: String = {
+    val termList = q200Queries.head._2.distinct
+      .map(t => s"'${t.toLowerCase}'").mkString(", ")
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, tok, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN (@TERMS@) GROUP BY doc_id, tok),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+      |      AS sumdl
+      |  FROM documents),
+      |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY tok),
+      |run_lex AS (
+      |  SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM (
+      |    SELECT fx.doc_id,
+      |      round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+      |        * (tf * (1.2 + 1))
+      |        / (tf + 1.2 * (1 - 0.75
+      |            + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score
+      |    FROM f fx JOIN d USING (tok) CROSS JOIN stats
+      |    GROUP BY fx.doc_id)
+      |  QUALIFY rank <= 50),
+      |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id = 0),
+      |run_sem AS (
+      |  SELECT c_id AS id,
+      |    row_number() OVER (ORDER BY cosine DESC, c_id ASC) AS rank
+      |  FROM (
+      |    SELECT c.vec_id AS c_id,
+      |      round(
+      |        list_sum(list_transform(list_zip(q.q_emb, c.embedding),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(q.q_emb,
+      |              e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(c.embedding,
+      |              e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))), 4)
+      |        AS cosine
+      |    FROM qv q, embeddings c WHERE c.vec_id <> q.q_id)
+      |  QUALIFY rank <= 50),
+      |u AS (
+      |  SELECT id,
+      |    CAST(1000000000 AS BIGINT) // (CAST(60 AS BIGINT) + rank) AS rrf
+      |  FROM run_lex
+      |  UNION ALL
+      |  SELECT id,
+      |    CAST(1000000000 AS BIGINT) // (CAST(60 AS BIGINT) + rank) AS rrf
+      |  FROM run_sem),
+      |fz AS (
+      |  SELECT id, CAST(sum(rrf) AS BIGINT) AS rrf_nano,
+      |    CAST(count(*) AS BIGINT) AS n_runs_hit
+      |  FROM u GROUP BY id)
+      |SELECT id, rrf_nano, n_runs_hit, rank FROM (
+      |  SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, id ASC) AS rank
+      |  FROM fz) WHERE rank <= 20""".stripMargin
+      .replace("@TERMS@", termList)
   }
 
   /** q200 oracle, GENERATED from [[q200Queries]]: per query, the q138 BM25
@@ -6803,6 +6892,7 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     "q130_semdedup" -> semDedupOracleSql(probed = false),
     "q202_semdedup_probed" -> semDedupOracleSql(probed = true),
     "q203_bm25_batch" -> q203OracleSql,
+    "q204_rrf_fusion" -> q204OracleSql,
     "q131_bloom_manifest" ->
       """WITH bits AS (
         |  SELECT DISTINCT doc_id % 8 AS shard,

@@ -624,6 +624,34 @@ object TextAnalysis {
         col("n_terms_hit"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+    * standard hybrid-search combiner for heterogeneous retrieval runs
+    * (lexical BM25 + embedding ANN being the canonical pair): each run
+    * contributes `1e9 // (kRrf + rank)` integer nanos per doc it ranked,
+    * fused score is the exact integer SUM across runs (absent-from-run
+    * contributes nothing), ties broken by id. No floats anywhere — the
+    * fusion replays bit-for-bit over any runs whose ranks replay.
+    *
+    * Scale shape: each run is already top-k-bounded (k rows per query per
+    * run), so fusion is an aggregation over |runs|·k rows — nothing
+    * corpus-sized is touched; the heavy lifting happened inside the runs. */
+  def rrfFuse(runs: Seq[DataFrame], idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty && k >= 1 && kRrf >= 0, "need runs, k, kRrf >= 0")
+    val tagged = runs.map(_.select(col(idCol),
+      expr(s"CAST(1000000000 AS BIGINT) div (CAST($kRrf AS BIGINT) + rank)")
+        .as("__rrf")))
+    tagged.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("__rrf")).as("rrf_nano"),
+        count(lit(1)).as("n_runs_hit"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_nano").desc, col(idCol).asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rrf_nano"), col("n_runs_hit"), col("rank"))
+  }
+
   /** Retrieval-quality evaluation of [[bm25TopK]] runs against boolean-AND
     * relevance (a doc is relevant to a query iff it contains EVERY query
     * term) — the eval half of a retrieval pipeline: MRR, precision@cutoff

@@ -364,6 +364,25 @@ class PackingSamplingSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: exact integer contributions, overlap wins, id tiebreak") {
+    val runA = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val runB = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(runA, runB), "id", k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    val r61 = 1000000000L / 61 // rank 1 at kRrf = 60
+    val r62 = 1000000000L / 62 // rank 2
+    // id 2 hit by both runs (rank 2 + rank 1) and must fuse on top
+    assert(out(0) == ((2L, r61 + r62, 2L, 1L)), out(0).toString)
+    assert(out(1) == ((1L, r61, 1L, 2L)), out(1).toString)
+    assert(out(2) == ((3L, r62, 1L, 3L)), out(2).toString)
+    // equal-score tie (same single-run rank) breaks by ascending id
+    val tieA = Seq((5L, 1L)).toDF("id", "rank")
+    val tieB = Seq((4L, 1L)).toDF("id", "rank")
+    val tied = TextAnalysis.rrfFuse(Seq(tieA, tieB), "id", k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(tied(0)._1 == 4L && tied(1)._1 == 5L)
+  }
+
   test("retrievalEval: boolean-AND relevance, exact integer-nano metrics") {
     val rows = Seq(
       (1L, "spark window merge spark"),

@@ -460,6 +460,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall is monotone in probes on random embeddings") {
+    import graft.similarity.Similarity
+    val dim = 8
+    val embGen: Gen[List[Double]] = Gen.choose(30, 50).flatMap(n =>
+      Gen.listOfN(n * dim, Gen.choose(-1.0, 1.0)))
+    forAll(embGen, 4) { vals =>
+      val rows = vals.grouped(dim).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }.toSeq
+      val df = rows.toDF("vec_id", "embedding")
+      val q = df.where($"vec_id" < 5)
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      val exact = ids(Similarity.cosineTopK(q, df, "vec_id", "embedding", 3))
+      def hits(p: Int): Int = {
+        val a = ids(Similarity.lshMultiProbeTopK(q, df, "vec_id",
+          "embedding", 3, nBits = 4, dim = dim, tables = 2, probes = p,
+          portable = true))
+        exact.intersect(a).size
+      }
+      val r = Seq(1, 3, 5).map(hits)
+      assert(r(0) <= r(1) && r(1) <= r(2), s"recall not monotone: $r")
+    }
+  }
+
+  test("bigram LM self-trained score: per-doc sums equal per-type cnt*score") {
+    import graft.text.BigramLm
+    val docGen: Gen[List[String]] = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))))
+    forAll(docGen, 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val scored = BigramLm.scoreDocs(df, "doc_id", "text",
+        trainPred = lit(true))
+      // self-trained: every bigram is in its own model — zero backoff
+      assert(scored.agg(sum($"n_backoff")).head().getLong(0) == 0L)
+      val docTotal = scored.agg(sum($"score_nano")).head().getLong(0)
+      // independent arithmetic path: aggregate counts per TYPE, then
+      // multiply by the type score — equals the per-row sum ONLY because
+      // scores are exact per-type integers (floats would drift here)
+      val bg = BigramLm.bigramStream(df, "doc_id", "text")
+      val (bscore, _) = BigramLm.trainFromStream(bg)
+      val typeTotal = bg.groupBy($"prev", $"cur")
+        .agg(count(lit(1)).as("cnt"))
+        .join(bscore, Seq("prev", "cur"))
+        .agg(sum($"cnt" * $"score_nano")).head().getLong(0)
+      assert(docTotal == typeTotal, s"doc $docTotal != type $typeTotal")
+      // token conservation: n_bigrams sums to the token count
+      val nTok = bg.count()
+      assert(scored.agg(sum($"n_bigrams")).head().getLong(0) == nTok)
+    }
+  }
+
+  test("batched BM25 equals per-query runs on random term subsets") {
+    import graft.text.TextAnalysis
+    val vocab = Seq("scan", "merge", "join", "agg", "sort", "dup")
+    val qGen: Gen[List[List[String]]] = Gen.listOfN(2,
+      Gen.choose(1, 3).flatMap(m => Gen.pick(m, vocab).map(_.toList)))
+    val docGen: Gen[List[String]] = Gen.choose(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 8).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+    forAll(Gen.zip(docGen, qGen), 4) { case (texts, qs) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val queries = qs.zipWithIndex.map { case (ts, i) => (s"q$i", ts) }
+      val batch = TextAnalysis.bm25TopKBatch(df, "doc_id", "text",
+          queries, k = 5)
+        .select("query_id", "doc_id", "score", "n_terms_hit", "rank")
+        .as[(String, Long, Double, Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rows) =>
+          q -> rows.map(r => (r._2, r._3, r._4, r._5)).toSet
+        }
+      for ((qid, terms) <- queries) {
+        val single = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, 5)
+          .select("doc_id", "score", "n_terms_hit", "rank")
+          .as[(Long, Double, Long, Long)].collect().toSet
+        assert(batch.getOrElse(qid, Set.empty) == single,
+          s"$qid: batch != single on ${texts.size} docs")
+      }
+    }
+  }
+
   test("calibrateMaxBlock equals the clamped brute-force formula") {
     val distGen: Gen[List[(String, Int)]] =
       Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
