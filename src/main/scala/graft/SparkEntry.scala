@@ -1468,6 +1468,21 @@ object SparkEntry {
       "embedding", "cluster", dim = 64, nBits = 24, bands = 4)
   }
 
+  // ---- §2.11 orphan assignment with radius-1 band probing ----------------
+  // The multi-probe lever in its best-case placement: orphans are the
+  // BOUNDED side of the (band, bits) join, so probing every single-bit
+  // band flip costs 7x on a 50-row frame while the clustered index is
+  // untouched. Same q99 oracle with the flip CTE added (shared template).
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val orphans = emb.where(col("vec_id") < 50)
+    val clustered = emb.where(col("vec_id") >= 50)
+      .withColumn("cluster", col("vec_id") % 7)
+    Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
+      "embedding", "cluster", dim = 64, nBits = 24, bands = 4,
+      bandProbe1 = true)
+  }
+
   // ---- training-data pipeline: incremental batch-vs-history dedup -------
   // The production dedup shape: a new ingest batch screened against the
   // historical corpus (exact fingerprint probe, then MinHash band-bucket
@@ -3897,6 +3912,7 @@ object SparkEntry {
     "q202_semdedup_probed" -> (q202 _),
     "q203_bm25_batch" -> (q203 _),
     "q204_rrf_fusion" -> (q204 _),
+    "q205_orphan_probed" -> (q205 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4183,6 +4199,61 @@ object SparkEntry {
       |  ORDER BY score DESC, doc_id ASC) AS rank FROM s)
       |WHERE rank <= 50""".stripMargin
       .replace("@VALUES@", valuesList)
+  }
+
+  /** Orphan-assignment oracle shared by q99 (base banding) and q205
+    * (radius-1 probing on the ORPHAN side): portable sign-bit bands,
+    * banded candidate join, rounded-cosine top-1. `probed = true` swaps
+    * the orphan side of the candidate join for base-plus-flip probe
+    * memberships — the only difference, by construction. */
+  private def orphanAssignOracleSql(probed: Boolean): String = {
+    val probeCte = if (!probed) "" else
+      """oprobe AS (
+        |  SELECT vec_id, band, bits FROM bits WHERE vec_id < 50
+        |  UNION ALL
+        |  SELECT vec_id, band, xor(bits, 1::BIGINT << f) AS bits
+        |  FROM bits, unnest(range(0, 6)) t(f) WHERE vec_id < 50),
+        |""".stripMargin
+    val oRel = if (probed) "oprobe" else "bits"
+    """WITH signs AS (
+      |  SELECT i, list_transform(range(0, 64), d ->
+      |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+      |           % 2 = 0
+      |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+      |  FROM range(0, 24) t(i)),
+      |proj AS (
+      |  SELECT e.vec_id, s.i,
+      |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+      |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
+      |  FROM embeddings e CROSS JOIN signs s),
+      |bits AS (
+      |  SELECT vec_id, i // 6 AS band,
+      |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
+      |  FROM proj GROUP BY 1, 2),
+      |@PROBE_CTE@cand AS (
+      |  SELECT DISTINCT o.vec_id AS orphan_id, c.vec_id AS neighbor_id
+      |  FROM @OREL@ o JOIN bits c ON o.band = c.band AND o.bits = c.bits
+      |  WHERE o.vec_id < 50 AND c.vec_id >= 50),
+      |norms AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT orphan_id, neighbor_id,
+      |    round(list_sum(list_transform(list_zip(o.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (o.n * c.n),
+      |      4) AS cosine
+      |  FROM cand
+      |  JOIN norms o ON o.vec_id = orphan_id
+      |  JOIN norms c ON c.vec_id = neighbor_id)
+      |SELECT orphan_id, neighbor_id, cosine,
+      |  neighbor_id % 7 AS assigned_cluster
+      |FROM (SELECT *, row_number() OVER (PARTITION BY orphan_id
+      |        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+      |WHERE rk = 1""".stripMargin
+      .replace("@PROBE_CTE@", probeCte)
+      .replace("@OREL@", oRel)
   }
 
   /** q204 oracle: the q138 BM25 replay at [[q200Queries]]'s qa terms
@@ -6116,44 +6187,8 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
         |WHERE jaro_winkler_similarity(c_name, s_name) >= 0.77""".stripMargin,
     // Blocked orphan assignment: same portable 24-plane / 6-bit-band
     // blocking as q95, then exact-cosine top-1 inside candidate buckets.
-    "q99_orphan_assign_lsh" ->
-      """WITH signs AS (
-        |  SELECT i, list_transform(range(0, 64), d ->
-        |    CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
-        |           % 2 = 0
-        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
-        |  FROM range(0, 24) t(i)),
-        |proj AS (
-        |  SELECT e.vec_id, s.i,
-        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
-        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p
-        |  FROM embeddings e CROSS JOIN signs s),
-        |bits AS (
-        |  SELECT vec_id, i // 6 AS band,
-        |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT o.vec_id AS orphan_id, c.vec_id AS neighbor_id
-        |  FROM bits o JOIN bits c ON o.band = c.band AND o.bits = c.bits
-        |  WHERE o.vec_id < 50 AND c.vec_id >= 50),
-        |norms AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT orphan_id, neighbor_id,
-        |    round(list_sum(list_transform(list_zip(o.embedding, c.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (o.n * c.n),
-        |      4) AS cosine
-        |  FROM cand
-        |  JOIN norms o ON o.vec_id = orphan_id
-        |  JOIN norms c ON c.vec_id = neighbor_id)
-        |SELECT orphan_id, neighbor_id, cosine,
-        |  neighbor_id % 7 AS assigned_cluster
-        |FROM (SELECT *, row_number() OVER (PARTITION BY orphan_id
-        |        ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
-        |WHERE rk = 1""".stripMargin,
+    "q99_orphan_assign_lsh" -> orphanAssignOracleSql(probed = false),
+    "q205_orphan_probed" -> orphanAssignOracleSql(probed = true),
     // Incremental batch-vs-history dedup: exact fingerprint probe (q39's
     // normalization), then the q41 MinHash machinery restricted to
     // new-batch survivors × history, best match by (est DESC, hist id ASC).

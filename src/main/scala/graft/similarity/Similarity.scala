@@ -183,18 +183,28 @@ object Similarity {
     * default 6-bit bands match the near-dup blocking. An orphan whose every
     * band bucket is empty gets no assignment (stays a singleton upstream) —
     * the approximation the cross join avoids, traded for never
-    * materializing the product at 100 TB. */
+    * materializing the product at 100 TB.
+    *
+    * `bandProbe1 = true` additionally probes, on the ORPHAN side only,
+    * every single-bit-flip neighbor bucket of each band
+    * ([[bandedSignStructsProbed]]) — the multi-probe recall lever in its
+    * best-case placement: orphans are the BOUNDED side of this join, so
+    * the (w+1)× membership growth lands on a few-thousand-row frame while
+    * the clustered corpus index stays untouched. */
   def nearestAssignBlocked(orphans: DataFrame, clustered: DataFrame,
                            idCol: String, embCol: String, clusterCol: String,
                            dim: Int, nBits: Int = 24,
-                           bands: Int = 4): DataFrame = {
+                           bands: Int = 4,
+                           bandProbe1: Boolean = false): DataFrame = {
     val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
-    def buckets(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bb"))
+    def buckets(df: DataFrame, as: String, structs: Seq[Column]) =
+      df.select(col(idCol).as(as), explode(array(structs: _*)).as("bb"))
         .select(col(as), col("bb.band"), col("bb.bits"))
-    val cand = buckets(orphans, "orphan_id")
-      .join(buckets(clustered.select(idCol, embCol), "neighbor_id"),
-        Seq("band", "bits"))
+    val oStructs = if (bandProbe1)
+      bandedSignStructsProbed(embCol, dim, nBits, bands) else bandStructs
+    val cand = buckets(orphans, "orphan_id", oStructs)
+      .join(buckets(clustered.select(idCol, embCol), "neighbor_id",
+        bandStructs), Seq("band", "bits"))
       .select("orphan_id", "neighbor_id").distinct()
     val o = orphans.select(col(idCol).as("orphan_id"), col(embCol).as("o_emb"))
       .withColumn("__on", sqrt(dotFast(col("o_emb"), col("o_emb"))))

@@ -104,9 +104,9 @@ class RecallGateSpec extends SparkSpec {
     def top1(df: org.apache.spark.sql.DataFrame) = df.select(
       col("orphan_id").as("q_id"), lit(1).as("rk"),
       col("neighbor_id").as("c_id"))
-    val r = Similarity.recallAtK(
-      top1(Similarity.nearestAssign(orphans, clustered, "vec_id",
-        "embedding", "cluster")),
+    val exactTop1 = top1(Similarity.nearestAssign(orphans, clustered,
+      "vec_id", "embedding", "cluster"))
+    val r = Similarity.recallAtK(exactTop1,
       top1(Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
         "embedding", "cluster", dim = 64, nBits = 24, bands = 4)), 1)
       .head()
@@ -114,6 +114,16 @@ class RecallGateSpec extends SparkSpec {
     info(s"orphan-assign recall@1 = $rec")
     assert(r.getLong(1) === 50L, s"n_exact = ${r.getLong(1)}")
     assert(rec >= 0.12, s"orphan recall@1 = $rec")
+    // q205: radius-1 probing on the orphan (bounded) side — candidate
+    // superset, so top-1 agreement with the brute force cannot drop
+    val recP = Similarity.recallAtK(exactTop1,
+      top1(Similarity.nearestAssignBlocked(orphans, clustered, "vec_id",
+        "embedding", "cluster", dim = 64, nBits = 24, bands = 4,
+        bandProbe1 = true)), 1)
+      .head().getDouble(3)
+    info(s"orphan-assign probed recall@1 = $recP (base $rec)")
+    assert(recP >= rec, "probed recall cannot drop below base")
+    assert(recP >= 0.65, s"probed orphan recall@1 = $recP")
   }
 
   test("hard-negative recall@5 floor at the narrow-band scale config") {
