@@ -3664,6 +3664,21 @@ object SparkEntry {
     TextAnalysis.rrfFuse(Seq(lexical, semantic), "id", k = 20)
   }
 
+  // ---- similarity search: PQ shortlist + exact re-rank --------------------
+  // FAISS's standard two-stage serving shape: the q159 compressed index
+  // produces a 50-candidate ADC shortlist per query, raw vectors are
+  // fetched ONLY for those pairs and re-scored with the exact rounded
+  // cosine, top-10 kept — the ADC quantization distortion is removed
+  // entirely, recall becomes shortlist-coverage-bounded. Oracle = the
+  // parameterized q159 replay at k = 50 embedded as the rerank's CTE.
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 20)
+    val shortlist = Similarity.pqTopKSeeded(q, emb, "vec_id", "embedding",
+      k = 50, m = 16, nCodes = 64)
+    Similarity.rerankExact(shortlist, q, emb, "vec_id", "embedding", k = 10)
+  }
+
   // ---- training-data pipeline: SemDeDup with radius-1 band probing --------
   // The q199 multi-probe lever transferred to the near-dup banding gap the
   // recall gate records (recall_semdedup_nano 0.27 at the graded q130
@@ -3913,6 +3928,7 @@ object SparkEntry {
     "q203_bm25_batch" -> (q203 _),
     "q204_rrf_fusion" -> (q204 _),
     "q205_orphan_probed" -> (q205 _),
+    "q206_pq_rerank" -> (q206 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4199,6 +4215,75 @@ object SparkEntry {
       |  ORDER BY score DESC, doc_id ASC) AS rank FROM s)
       |WHERE rank <= 50""".stripMargin
       .replace("@VALUES@", valuesList)
+  }
+
+  /** PQ-ADC oracle (q159's full replay — seeded codebooks, encode, norms,
+    * ADC distances, ranking), parameterized by k: the graded q159 lane
+    * reads it at k = 5; q206 embeds it at k = 50 as the shortlist its
+    * exact re-rank consumes — drift between the graded index and the
+    * rerank's first stage impossible by construction. */
+  private def pqAdcOracleSql(k: Int): String = {
+    def chain(inner: String) = (0 until 16)
+      .map(mi => s"sum(CASE WHEN m = $mi THEN $inner END)")
+      .mkString("\n    + ")
+    s"""WITH hashed AS (
+      |  SELECT vec_id, embedding,
+      |    ('0x' || substr(md5('pq_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT embedding AS s_emb,
+      |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS j
+      |  FROM hashed ORDER BY h, vec_id::VARCHAR LIMIT 64),
+      |cd AS (
+      |  SELECT e.vec_id, mm.m, s.j,
+      |    round(
+      |      list_sum(list_transform(s.s_emb[mm.m*4+1 : mm.m*4+4],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |      - 2 * list_sum(list_transform(
+      |          list_zip(e.embedding[mm.m*4+1 : mm.m*4+4],
+      |                   s.s_emb[mm.m*4+1 : mm.m*4+4]),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS d
+      |  FROM embeddings e, (SELECT unnest(range(16)) AS m) mm, seeds s),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY d, j) AS rn FROM cd) WHERE rn = 1),
+      |cw AS (
+      |  SELECT co.vec_id, co.m, s.s_emb
+      |  FROM codes co JOIN seeds s ON s.j = co.code),
+      |cn AS (
+      |  SELECT vec_id, ${chain("n2")} AS cn2sum FROM (
+      |    SELECT vec_id, m,
+      |      list_sum(list_transform(s_emb[m*4+1 : m*4+4],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |    FROM cw) GROUP BY vec_id),
+      |qn AS (
+      |  SELECT vec_id, ${chain("n2")} AS qn2tot FROM (
+      |    SELECT e.vec_id, mm.m,
+      |      list_sum(list_transform(e.embedding[mm.m*4+1 : mm.m*4+4],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |    FROM embeddings e, (SELECT unnest(range(16)) AS m) mm
+      |    WHERE e.vec_id < 20) GROUP BY vec_id),
+      |ds AS (
+      |  SELECT q_id, c_id, ${chain("dt")} AS dotsum FROM (
+      |    SELECT q.vec_id AS q_id, w.vec_id AS c_id, w.m,
+      |      list_sum(list_transform(
+      |        list_zip(q.embedding[w.m*4+1 : w.m*4+4],
+      |                 w.s_emb[w.m*4+1 : w.m*4+4]),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dt
+      |    FROM embeddings q, cw w
+      |    WHERE q.vec_id < 20 AND q.vec_id <> w.vec_id)
+      |  GROUP BY q_id, c_id),
+      |adc AS (
+      |  SELECT ds.q_id, ds.c_id,
+      |    round(qn.qn2tot + cn.cn2sum - 2 * ds.dotsum, 4) AS adc_dist
+      |  FROM ds
+      |  JOIN qn ON qn.vec_id = ds.q_id
+      |  JOIN cn ON cn.vec_id = ds.c_id)
+      |SELECT q_id, rk, c_id, adc_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= KK"""
+      .stripMargin.replace("KK", k.toString)
   }
 
   /** Orphan-assignment oracle shared by q99 (base banding) and q205
@@ -7408,68 +7493,31 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     // |q|² + Σ|c|² − 2·Σ q_m·c_m with every Σ an explicit fixed-order
     // chain (CASE pivot — a bare sum() would not pin float addition
     // order), |q|² folded once per query and Σ|c|² once per corpus row.
-    "q159_pq_adc" -> {
-      def chain(inner: String) = (0 until 16)
-        .map(mi => s"sum(CASE WHEN m = $mi THEN $inner END)")
-        .mkString("\n    + ")
-      s"""WITH hashed AS (
+    "q159_pq_adc" -> pqAdcOracleSql(5),
+    // q206: the q159 ADC run widened to a 50-candidate shortlist (same
+    // replay, parameterized k), then the exact-cosine re-rank — FAISS's
+    // two-stage serving shape, fully oracle-replayable.
+    "q206_pq_rerank" -> {
+      """WITH run AS (
+        |@RUN@),
+        |norms AS (
         |  SELECT vec_id, embedding,
-        |    ('0x' || substr(md5('pq_' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        |    sqrt(list_sum(list_transform(embedding,
+        |      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS n
         |  FROM embeddings),
-        |seeds AS (
-        |  SELECT embedding AS s_emb,
-        |    row_number() OVER (ORDER BY h, vec_id::VARCHAR) - 1 AS j
-        |  FROM hashed ORDER BY h, vec_id::VARCHAR LIMIT 64),
-        |cd AS (
-        |  SELECT e.vec_id, mm.m, s.j,
-        |    round(
-        |      list_sum(list_transform(s.s_emb[mm.m*4+1 : mm.m*4+4],
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |      - 2 * list_sum(list_transform(
-        |          list_zip(e.embedding[mm.m*4+1 : mm.m*4+4],
-        |                   s.s_emb[mm.m*4+1 : mm.m*4+4]),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS d
-        |  FROM embeddings e, (SELECT unnest(range(16)) AS m) mm, seeds s),
-        |codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY d, j) AS rn FROM cd) WHERE rn = 1),
-        |cw AS (
-        |  SELECT co.vec_id, co.m, s.s_emb
-        |  FROM codes co JOIN seeds s ON s.j = co.code),
-        |cn AS (
-        |  SELECT vec_id, ${chain("n2")} AS cn2sum FROM (
-        |    SELECT vec_id, m,
-        |      list_sum(list_transform(s_emb[m*4+1 : m*4+4],
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
-        |    FROM cw) GROUP BY vec_id),
-        |qn AS (
-        |  SELECT vec_id, ${chain("n2")} AS qn2tot FROM (
-        |    SELECT e.vec_id, mm.m,
-        |      list_sum(list_transform(e.embedding[mm.m*4+1 : mm.m*4+4],
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
-        |    FROM embeddings e, (SELECT unnest(range(16)) AS m) mm
-        |    WHERE e.vec_id < 20) GROUP BY vec_id),
-        |ds AS (
-        |  SELECT q_id, c_id, ${chain("dt")} AS dotsum FROM (
-        |    SELECT q.vec_id AS q_id, w.vec_id AS c_id, w.m,
-        |      list_sum(list_transform(
-        |        list_zip(q.embedding[w.m*4+1 : w.m*4+4],
-        |                 w.s_emb[w.m*4+1 : w.m*4+4]),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dt
-        |    FROM embeddings q, cw w
-        |    WHERE q.vec_id < 20 AND q.vec_id <> w.vec_id)
-        |  GROUP BY q_id, c_id),
-        |adc AS (
-        |  SELECT ds.q_id, ds.c_id,
-        |    round(qn.qn2tot + cn.cn2sum - 2 * ds.dotsum, 4) AS adc_dist
-        |  FROM ds
-        |  JOIN qn ON qn.vec_id = ds.q_id
-        |  JOIN cn ON cn.vec_id = ds.c_id)
-        |SELECT q_id, rk, c_id, adc_dist FROM (
+        |scored AS (
+        |  SELECT run.q_id, run.c_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.n * b.n),
+        |      4) AS cosine
+        |  FROM run
+        |  JOIN norms a ON a.vec_id = run.q_id
+        |  JOIN norms b ON b.vec_id = run.c_id)
+        |SELECT q_id, rk, c_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= 5"""
-        .stripMargin
+        |    ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin
+        .replace("@RUN@", pqAdcOracleSql(50))
     },
     // dbt macros part 2 replay: the exceed counts and functional-
     // dependency violation counts recomputed directly.

@@ -922,6 +922,37 @@ object Similarity {
     }: _*))
   }
 
+  /** Exact re-rank of an ANN shortlist — the second stage of FAISS's
+    * standard two-stage serving shape: a compressed/coarse index produces
+    * a `shortlist` of candidates per query (rows carrying `q_id`, `c_id`),
+    * raw vectors are fetched ONLY for those pairs and re-scored with the
+    * exact rounded cosine, top `k` kept. Removes the compressed index's
+    * METRIC distortion entirely (ADC/SQ quantization error) — recall
+    * becomes bounded by shortlist coverage alone, which is the half of
+    * the gap the shortlist size controls.
+    *
+    * At 100 TB the raw-vector fetch is a |queries|·shortlistK-row join
+    * against the corpus — bounded by the query set, never corpus-shaped;
+    * the compressed index remains the only thing the full corpus scan
+    * ever touched. Same scoring/tiebreak contract as [[cosineTopK]]. */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame,
+                  corpus: DataFrame, idCol: String, embCol: String,
+                  k: Int): DataFrame = {
+    val cand = shortlist.select(col("q_id"), col("c_id")).distinct()
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("__qn", sqrt(dotFast(col("q_emb"), col("q_emb"))))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("__cn", sqrt(dotFast(col("c_emb"), col("c_emb"))))
+    cand.join(q, "q_id").join(c, "c_id")
+      .withColumn("cosine", round(safeCosine(
+        dotFast(col("q_emb"), col("c_emb")), col("__qn") * col("__cn")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id").asc)))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cosine")
+  }
+
   /** Multi-probe LSH approximate top-k (Lv et al., VLDB 2007): candidates
     * share EITHER the query's base bucket or one of its `probes − 1` best
     * single-bit-flip neighbor buckets in any of `tables` hash tables, then

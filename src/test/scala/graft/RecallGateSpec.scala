@@ -84,6 +84,16 @@ class RecallGateSpec extends SparkSpec {
     assert(rec >= 0.35, s"pq recall@10 = $rec")
   }
 
+  test("PQ shortlist + exact re-rank: recall floor and dominance (q206)") {
+    val (_, _, _, base) = recall(Similarity.pqTopKSeeded(qs, emb, "vec_id",
+      "embedding", 10, m = 16, nCodes = 64), 10)
+    val (_, _, _, rr) = recall(Similarity.rerankExact(
+      Similarity.pqTopKSeeded(qs, emb, "vec_id", "embedding", 50, m = 16,
+        nCodes = 64), qs, emb, "vec_id", "embedding", 10), 10)
+    info(s"pq-rerank recall@10 = $rr (ADC-only = $base)")
+    assert(rr >= 0.80, s"pq-rerank recall@10 = $rr")
+  }
+
   test("IVF-PQ recall@10 floor at the q162 graded config") {
     val (_, _, _, rec) = recall(Similarity.ivfPqTopKSeeded(qs, emb,
       "vec_id", "embedding", 10, nCells = 16, nProbe = 4, m = 16,
