@@ -437,6 +437,34 @@ class PlanSpec extends SparkSpec {
       "bcnt exchange not reused — corpus explode would run 3x:\n" + fp)
   }
 
+  test("q203 batched BM25: tf exchange reused, rank-capped window") {
+    val df = SparkEntry.queries("q203_bm25_batch")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // per-query top-k is a rank-capped window, pushed map-side
+    assert(p.contains("WindowGroupLimit"), p)
+    // ONE corpus token explode feeds both the df aggregate and scoring
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedQueryStage") || fp.contains("ReusedExchange"),
+      "tf exchange not reused — corpus explode would run twice:\n" + fp)
+  }
+
+  test("q202/q205/q206: probed and rerank lanes stay equi-join shaped") {
+    for (q <- Seq("q202_semdedup_probed", "q205_orphan_probed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // q206's FIRST stage is PQ-ADC, which scans all corpus codes per query
+    // BY DESIGN (the corpus rides as m-byte codes; the bounded query side
+    // broadcasts) — so a broadcast nested loop there is the operator, not
+    // a regression. The rerank stage itself must stay hash-join shaped.
+    val p = plan("q206_pq_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "rerank vector fetch:\n" + p)
+  }
+
   test("q189 full 10-rule block profile: counts only, no pairs, no window") {
     val p = plan("q189_block_profile_full")
     assert(!p.contains("CartesianProduct"), p)
