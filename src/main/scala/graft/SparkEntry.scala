@@ -3664,6 +3664,16 @@ object SparkEntry {
     TextAnalysis.rrfFuse(Seq(lexical, semantic), "id", k = 20)
   }
 
+  // ---- training-data pipeline: pseudo-relevance feedback ------------------
+  // Rocchio-family query expansion (the PRF half of RM3): seed BM25 run
+  // (q200's qa terms), harvest the 3 most frequent terms of the top-10
+  // feedback docs (exact integer tf, term tiebreak, seed excluded), re-run
+  // BM25 on the expanded set. The classic lexical recall lever; the oracle
+  // replays BOTH runs and the expansion selection.
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Prf(t(s, dir, "documents"), "doc_id", "text",
+      q200Queries.head._2, fbDocs = 10, expandM = 3, k = 20)
+
   // ---- similarity search: PQ shortlist + exact re-rank --------------------
   // FAISS's standard two-stage serving shape: the q159 compressed index
   // produces a 50-candidate ADC shortlist per query, raw vectors are
@@ -3929,6 +3939,7 @@ object SparkEntry {
     "q204_rrf_fusion" -> (q204 _),
     "q205_orphan_probed" -> (q205 _),
     "q206_pq_rerank" -> (q206 _),
+    "q207_bm25_prf" -> (q207 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4339,6 +4350,70 @@ object SparkEntry {
       |WHERE rk = 1""".stripMargin
       .replace("@PROBE_CTE@", probeCte)
       .replace("@OREL@", oRel)
+  }
+
+  /** q207 oracle, GENERATED from [[q200Queries]]'s qa terms: the feedback
+    * BM25 run (k = 10), the exact-integer expansion pick (Σtf DESC, term
+    * ASC, seed excluded, top 3), and the final BM25 run over the UNION
+    * term set — both runs the q138 replay, the second one filtered by the
+    * computed `terms` CTE instead of a literal list. */
+  private def q207OracleSql: String = {
+    val seed = q200Queries.head._2.distinct.map(_.toLowerCase)
+    val termList = seed.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+      |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+      |      AS sumdl
+      |  FROM documents),
+      |f0 AS (
+      |  SELECT doc_id, tok, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN ($termList) GROUP BY doc_id, tok),
+      |d0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f0 GROUP BY tok),
+      |fb AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |    FROM (
+      |      SELECT f.doc_id,
+      |        round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+      |          * (tf * (1.2 + 1))
+      |          / (tf + 1.2 * (1 - 0.75
+      |              + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score
+      |      FROM f0 f JOIN d0 USING (tok) CROSS JOIN stats
+      |      GROUP BY f.doc_id))
+      |  WHERE rank <= 10),
+      |expn AS (
+      |  SELECT tok FROM (
+      |    SELECT t.tok, CAST(count(*) AS BIGINT) AS xtf
+      |    FROM toks t JOIN fb ON fb.doc_id = t.doc_id
+      |    WHERE t.tok <> '' AND t.tok NOT IN ($termList)
+      |    GROUP BY t.tok ORDER BY xtf DESC, t.tok ASC LIMIT 3)),
+      |terms AS (
+      |  SELECT unnest([$termList]) AS tok UNION SELECT tok FROM expn),
+      |f1 AS (
+      |  SELECT doc_id, tok, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN (SELECT tok FROM terms)
+      |  GROUP BY doc_id, tok),
+      |d1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM f1 GROUP BY tok),
+      |s1 AS (
+      |  SELECT f.doc_id,
+      |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+      |      * (tf * (1.2 + 1))
+      |      / (tf + 1.2 * (1 - 0.75
+      |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))), 4) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit
+      |  FROM f1 f JOIN d1 USING (tok) CROSS JOIN stats
+      |  GROUP BY f.doc_id)
+      |SELECT doc_id, score, n_terms_hit,
+      |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |FROM s1 ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
   /** q204 oracle: the q138 BM25 replay at [[q200Queries]]'s qa terms
@@ -7013,6 +7088,7 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     "q202_semdedup_probed" -> semDedupOracleSql(probed = true),
     "q203_bm25_batch" -> q203OracleSql,
     "q204_rrf_fusion" -> q204OracleSql,
+    "q207_bm25_prf" -> q207OracleSql,
     "q131_bloom_manifest" ->
       """WITH bits AS (
         |  SELECT DISTINCT doc_id % 8 AS shard,

@@ -624,6 +624,37 @@ object TextAnalysis {
         col("n_terms_hit"), col("rank"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio-family query expansion, the PRF
+    * half of RM3): run the seed query, harvest the `expandM` most frequent
+    * terms of the top-`fbDocs` feedback documents (total term frequency,
+    * ties by term; seed terms excluded), and re-run BM25 with the expanded
+    * term set. The classic lexical recall lever — no model, no floats
+    * beyond the two BM25 runs themselves.
+    *
+    * Determinism: expansion selection is (Σtf DESC, term ASC) over exact
+    * integer counts — replayable in SQL. The `expandM`-row collect is
+    * bounded by contract (the codebook/centroid class: model state, not
+    * data). Scale shape: feedback run + one token aggregate over fbDocs
+    * documents + the final run — three corpus-bounded passes, the middle
+    * one over only the feedback docs. */
+  def bm25Prf(df: DataFrame, idCol: String, textCol: String,
+              seedTerms: Seq[String], fbDocs: Int = 10, expandM: Int = 3,
+              k: Int = 20): DataFrame = {
+    require(seedTerms.nonEmpty && fbDocs >= 1 && expandM >= 0 && k >= 1,
+      "need seed terms, fbDocs >= 1, expandM >= 0, k >= 1")
+    val seed = seedTerms.distinct.map(_.toLowerCase)
+    val fb = bm25TopK(df, idCol, textCol, seed, fbDocs)
+      .select(col(idCol).as("__fb_id"))
+    val expansion: Seq[String] = df
+      .join(fb, col(idCol) === col("__fb_id"))
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .where(col("__tok") =!= "" && !col("__tok").isin(seed: _*))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+      .orderBy(col("__tf").desc, col("__tok").asc).limit(expandM)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(df, idCol, textCol, seed ++ expansion, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
     * standard hybrid-search combiner for heterogeneous retrieval runs
     * (lexical BM25 + embedding ANN being the canonical pair): each run

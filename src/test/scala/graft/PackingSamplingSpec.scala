@@ -364,6 +364,33 @@ class PackingSamplingSpec extends SparkSpec {
     }
   }
 
+  test("bm25Prf: expansion picks top-tf non-seed terms of feedback docs") {
+    val rows = Seq(
+      (1L, "spark window merge extra extra"),
+      (2L, "spark window foo"),
+      (3L, "bar bar bar baz"), // no seed term -> never feedback
+      (4L, "spark extra foo"))
+    val df = rows.toDF("doc_id", "text")
+    val seed = Seq("spark", "window", "merge")
+    // feedback docs = 1, 2, 4; non-seed tf: extra 3, foo 2, (bar/baz 0)
+    val got = TextAnalysis.bm25Prf(df, "doc_id", "text", seed,
+        fbDocs = 10, expandM = 2, k = 10)
+      .select("doc_id", "score", "n_terms_hit", "rank")
+      .as[(Long, Double, Long, Long)].collect().toSet
+    val expect = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        seed ++ Seq("extra", "foo"), 10)
+      .select("doc_id", "score", "n_terms_hit", "rank")
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+    // expandM = 0 degrades to the plain seed run
+    val noExp = TextAnalysis.bm25Prf(df, "doc_id", "text", seed,
+        fbDocs = 10, expandM = 0, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    val plain = TextAnalysis.bm25TopK(df, "doc_id", "text", seed, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(noExp == plain)
+  }
+
   test("rrfFuse: exact integer contributions, overlap wins, id tiebreak") {
     val runA = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
     val runB = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
