@@ -3664,6 +3664,33 @@ object SparkEntry {
     TextAnalysis.rrfFuse(Seq(lexical, semantic), "id", k = 20)
   }
 
+  // ---- §2.10 triangle counting (degree-ordered, skew-proof) ---------------
+  // Compact-forward exact triangle counts on a non-bipartite projection of
+  // lineitem (part/supplier keys folded into one mod-997 id space, sparse
+  // quantity slice). Orientation from the (deg, id)-smaller endpoint
+  // bounds every out-degree by ~sqrt(2m) — wedge volume O(m^1.5) total, no
+  // hub blowup — and the oracle replays degrees, orientation, wedges and
+  // the closing probe exactly.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .select((col("l_partkey") % 997).as("src"),
+        (col("l_suppkey") % 997).as("dst"))
+    graft.graph.Triangles.countPerVertex(edges, "src", "dst")
+  }
+
+  // ---- §2.10 community detection (synchronous label propagation) ---------
+  // Deterministic LPA (Raghavan et al. 2007, sync variant, min-label tie
+  // break) over the q208 edge fixture — 2 fixed rounds; the oracle unrolls
+  // both rounds (neighbor-label counts, per-vertex argmax) exactly.
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .select((col("l_partkey") % 997).as("src"),
+        (col("l_suppkey") % 997).as("dst"))
+    graft.graph.Communities.labelPropagation(edges, "src", "dst", iters = 2)
+  }
+
   // ---- training-data pipeline: pseudo-relevance feedback ------------------
   // Rocchio-family query expansion (the PRF half of RM3): seed BM25 run
   // (q200's qa terms), harvest the 3 most frequent terms of the top-10
@@ -3940,6 +3967,8 @@ object SparkEntry {
     "q205_orphan_probed" -> (q205 _),
     "q206_pq_rerank" -> (q206 _),
     "q207_bm25_prf" -> (q207 _),
+    "q208_triangles" -> (q208 _),
+    "q209_label_prop" -> (q209 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -7089,6 +7118,70 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     "q203_bm25_batch" -> q203OracleSql,
     "q204_rrf_fusion" -> q204OracleSql,
     "q207_bm25_prf" -> q207OracleSql,
+    // q208: the SAME degree-ordered algorithm replayed — normalize,
+    // degrees, (deg, id) orientation, apex wedges, closing probe, corner
+    // explode. Exact integers end to end.
+    "q208_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
+        |         greatest(l_partkey % 997, l_suppkey % 997) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |  GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+        |         THEN e0.a ELSE e0.b END AS u,
+        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+        |         THEN e0.b ELSE e0.a END AS w,
+        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+        |         THEN gb.deg ELSE ga.deg END AS dw
+        |  FROM e0
+        |  JOIN deg ga ON ga.v = e0.a
+        |  JOIN deg gb ON gb.v = e0.b),
+        |tri AS (
+        |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |    AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
+        |  JOIN o o3 ON o3.u = o1.w AND o3.w = o2.w),
+        |crn AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS v FROM tri UNION ALL
+        |    SELECT y AS v FROM tri UNION ALL
+        |    SELECT z AS v FROM tri)
+        |  GROUP BY v)
+        |SELECT deg.v AS vertex,
+        |  coalesce(crn.t, CAST(0 AS BIGINT)) AS n_triangles
+        |FROM deg LEFT JOIN crn ON crn.v = deg.v""".stripMargin,
+    // q209: two synchronous LPA rounds unrolled — neighbor-label counts,
+    // per-vertex argmax (count DESC, label ASC) each round.
+    "q209_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
+        |         greatest(l_partkey % 997, l_suppkey % 997) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997),
+        |sym AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM sym),
+        |n1 AS (
+        |  SELECT s.a AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym s JOIN l0 l ON l.v = s.b GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY v
+        |      ORDER BY c DESC, lbl ASC) AS rn FROM n1) WHERE rn = 1),
+        |n2 AS (
+        |  SELECT s.a AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym s JOIN l1 l ON l.v = s.b GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY v
+        |      ORDER BY c DESC, lbl ASC) AS rn FROM n2) WHERE rn = 1)
+        |SELECT v AS vertex, lbl AS community FROM l2""".stripMargin,
     "q131_bloom_manifest" ->
       """WITH bits AS (
         |  SELECT DISTINCT doc_id % 8 AS shard,

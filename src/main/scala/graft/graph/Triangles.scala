@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting via degree-ordered edge orientation — the
+  * "compact-forward" algorithm (Latapy, TCS 2008; the distributed form is
+  * Suri & Vassilvitskii's GP partitioning, WWW 2011). §2.10's graph family
+  * member for clustering-coefficient / community-density analytics.
+  *
+  * Why orientation matters at 100 TB: a naive wedge join pays Σ deg(v)² —
+  * a single celebrity hub with 10M neighbors yields 10¹⁴ wedges. Orienting
+  * every edge from its (degree, id)-SMALLER endpoint bounds every
+  * out-degree by ~√(2m), so wedge volume is O(m^1.5) TOTAL regardless of
+  * hubs — the textbook skew-proof shape; the wedge join and its closing
+  * probe are plain equi-joins that shuffle on vertex keys.
+  *
+  * Determinism: degrees are exact integers; the orientation total order
+  * (deg, id) and every join are engine-portable, so the whole count
+  * replays in SQL.
+  */
+object Triangles {
+
+  /** Per-vertex triangle counts over an undirected simple graph given as
+    * (src, dst) rows — self-loops, duplicates and reversed duplicates are
+    * normalized away first. Every triangle {x ≺ y ≺ z} (≺ = (deg, id)) is
+    * found exactly once at its apex x via the wedge (x→y, x→z) closed by
+    * the oriented edge y→z. Output: `(vertex, n_triangles)`, one row per
+    * distinct vertex of the normalized graph, zero-participation vertices
+    * included at 0. */
+  def countPerVertex(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge from its (deg, id)-smaller endpoint; carry the
+    // head's (deg, id) so wedge endpoints can be ≺-compared without a
+    // global vertex rank (a single-partition window at graph scale)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+        .as("e"))
+      .select(col("e.u"), col("e.w"), col("e.dw"))
+    // wedges at apex u with y ≺ z, closed by the oriented edge y→z
+    val o1 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val o2 = oriented.select(col("u"), col("w").as("z"), col("dw").as("dz"))
+    val tris = o1.join(o2, "u")
+      .where(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .join(oriented.select(col("u").as("y"), col("w").as("z")),
+        Seq("y", "z"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val corner = tris.select(col("x").as("v"))
+      .unionAll(tris.select(col("y").as("v")))
+      .unionAll(tris.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("__t"))
+    deg.select(col("v"))
+      .join(corner, Seq("v"), "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+  }
+}
