@@ -3679,6 +3679,18 @@ object SparkEntry {
     graft.graph.Triangles.countPerVertex(edges, "src", "dst")
   }
 
+  // ---- §2.10 local clustering coefficient (integer nanos) ----------------
+  // Watts–Strogatz local density on q208's counts: cc_nano =
+  // 2·T(v)·1e9 // (deg·(deg−1)), 0 below degree 2 — one integer division
+  // per vertex, shared oracle template with q208.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .select((col("l_partkey") % 997).as("src"),
+        (col("l_suppkey") % 997).as("dst"))
+    graft.graph.Triangles.clusteringCoefficient(edges, "src", "dst")
+  }
+
   // ---- §2.10 community detection (synchronous label propagation) ---------
   // Deterministic LPA (Raghavan et al. 2007, sync variant, min-label tie
   // break) over the q208 edge fixture — 2 fixed rounds; the oracle unrolls
@@ -3969,6 +3981,7 @@ object SparkEntry {
     "q207_bm25_prf" -> (q207 _),
     "q208_triangles" -> (q208 _),
     "q209_label_prop" -> (q209 _),
+    "q210_clustering_coeff" -> (q210 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4324,6 +4337,59 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY adc_dist ASC, c_id ASC) AS rk FROM adc) WHERE rk <= KK"""
       .stripMargin.replace("KK", k.toString)
+  }
+
+  /** Triangle-count oracle shared by q208 (counts) and q210 (+ the
+    * integer-nano local clustering coefficient): degrees, (deg, id)
+    * orientation, apex wedges, closing probe — one template, the cc
+    * wrapper the only difference. */
+  private def trianglesOracleSql(withCc: Boolean): String = {
+    val base = """WITH e0 AS (
+      |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
+      |         greatest(l_partkey % 997, l_suppkey % 997) AS b
+      |  FROM lineitem
+      |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+      |  GROUP BY v),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+      |         THEN e0.a ELSE e0.b END AS u,
+      |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+      |         THEN e0.b ELSE e0.a END AS w,
+      |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
+      |         THEN gb.deg ELSE ga.deg END AS dw
+      |  FROM e0
+      |  JOIN deg ga ON ga.v = e0.a
+      |  JOIN deg gb ON gb.v = e0.b),
+      |tri AS (
+      |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+      |    AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
+      |  JOIN o o3 ON o3.u = o1.w AND o3.w = o2.w),
+      |crn AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+      |    SELECT x AS v FROM tri UNION ALL
+      |    SELECT y AS v FROM tri UNION ALL
+      |    SELECT z AS v FROM tri)
+      |  GROUP BY v),
+      |base AS (
+      |  SELECT deg.v AS vertex, deg.deg AS degree,
+      |    coalesce(crn.t, CAST(0 AS BIGINT)) AS n_triangles
+      |  FROM deg LEFT JOIN crn ON crn.v = deg.v)
+      |""".stripMargin
+    val tail =
+      if (!withCc) "SELECT vertex, degree, n_triangles FROM base"
+      else
+        """SELECT vertex, degree, n_triangles,
+          |  CASE WHEN degree >= 2
+          |       THEN 2 * n_triangles * CAST(1000000000 AS BIGINT)
+          |            // (degree * (degree - 1))
+          |       ELSE CAST(0 AS BIGINT) END AS cc_nano
+          |FROM base""".stripMargin
+    base + tail
   }
 
   /** Orphan-assignment oracle shared by q99 (base banding) and q205
@@ -7118,44 +7184,12 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     "q203_bm25_batch" -> q203OracleSql,
     "q204_rrf_fusion" -> q204OracleSql,
     "q207_bm25_prf" -> q207OracleSql,
-    // q208: the SAME degree-ordered algorithm replayed — normalize,
+    // q208/q210: the SAME degree-ordered algorithm replayed — normalize,
     // degrees, (deg, id) orientation, apex wedges, closing probe, corner
-    // explode. Exact integers end to end.
-    "q208_triangles" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
-        |         greatest(l_partkey % 997, l_suppkey % 997) AS b
-        |  FROM lineitem
-        |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997),
-        |deg AS (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
-        |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
-        |  GROUP BY v),
-        |o AS (
-        |  SELECT
-        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
-        |         THEN e0.a ELSE e0.b END AS u,
-        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
-        |         THEN e0.b ELSE e0.a END AS w,
-        |    CASE WHEN ga.deg < gb.deg OR (ga.deg = gb.deg AND e0.a < e0.b)
-        |         THEN gb.deg ELSE ga.deg END AS dw
-        |  FROM e0
-        |  JOIN deg ga ON ga.v = e0.a
-        |  JOIN deg gb ON gb.v = e0.b),
-        |tri AS (
-        |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
-        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
-        |    AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
-        |  JOIN o o3 ON o3.u = o1.w AND o3.w = o2.w),
-        |crn AS (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
-        |    SELECT x AS v FROM tri UNION ALL
-        |    SELECT y AS v FROM tri UNION ALL
-        |    SELECT z AS v FROM tri)
-        |  GROUP BY v)
-        |SELECT deg.v AS vertex,
-        |  coalesce(crn.t, CAST(0 AS BIGINT)) AS n_triangles
-        |FROM deg LEFT JOIN crn ON crn.v = deg.v""".stripMargin,
+    // explode; q210 adds the integer-nano coefficient on top. Exact
+    // integers end to end, one shared template.
+    "q208_triangles" -> trianglesOracleSql(withCc = false),
+    "q210_clustering_coeff" -> trianglesOracleSql(withCc = true),
     // q209: two synchronous LPA rounds unrolled — neighbor-label counts,
     // per-vertex argmax (count DESC, label ASC) each round.
     "q209_label_prop" ->

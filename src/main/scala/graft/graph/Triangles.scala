@@ -66,9 +66,23 @@ object Triangles {
       .unionAll(tris.select(col("y").as("v")))
       .unionAll(tris.select(col("z").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("__t"))
-    deg.select(col("v"))
+    deg
       .join(corner, Seq("v"), "left")
-      .select(col("v").as("vertex"),
+      .select(col("v").as("vertex"), col("deg").as("degree"),
         coalesce(col("__t"), lit(0L)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per vertex as EXACT integer nanos:
+    * `cc_nano = 2·T(v)·1e9 // (deg(v)·(deg(v)−1))`, 0 for degree < 2 —
+    * the standard graph-density signal (Watts–Strogatz 1998) on top of
+    * [[countPerVertex]], one integer division per vertex, fully
+    * oracle-replayable. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame =
+    countPerVertex(edges, srcCol, dstCol)
+      .select(col("vertex"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * CAST(1000000000 AS BIGINT)" +
+            " div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_nano"))
 }

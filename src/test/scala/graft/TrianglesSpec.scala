@@ -20,9 +20,20 @@ class TrianglesSpec extends SparkSpec {
       (2L, 1L), (3L, 1L), (1L, 1L), (4L, 2L), (1L, 2L))
       .toDF("src", "dst")
     val got = Triangles.countPerVertex(edges, "src", "dst")
+      .select("vertex", "n_triangles")
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L),
       got.toString)
+    // degrees on the normalized graph (pendant edge + K4)
+    val degs = Triangles.countPerVertex(edges, "src", "dst")
+      .select("vertex", "degree").as[(Long, Long)].collect().toMap
+    assert(degs == Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    // clustering coefficient: K4 members of deg 3 are fully closed (1.0);
+    // vertex 1 (deg 4) has 3 of its 6 neighbor pairs closed; pendant 0
+    val cc = Triangles.clusteringCoefficient(edges, "src", "dst")
+      .select("vertex", "cc_nano").as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 500000000L, 2L -> 1000000000L,
+      3L -> 1000000000L, 4L -> 1000000000L, 5L -> 0L), cc.toString)
   }
 
   test("matches brute-force id-ordered counting on random graphs") {
@@ -48,7 +59,8 @@ class TrianglesSpec extends SparkSpec {
       } { bf(x) += 1; bf(y) += 1; bf(z) += 1 }
       val expect = verts.map(v => v -> bf(v)).toMap
       val got = Triangles.countPerVertex(raw.toDF("src", "dst"),
-        "src", "dst").as[(Long, Long)].collect().toMap
+        "src", "dst").select("vertex", "n_triangles")
+        .as[(Long, Long)].collect().toMap
       assert(got == expect, s"edges=$und\ngot $got\nexpect $expect")
     }
   }
