@@ -22,28 +22,47 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one (neighbor, label) join shuffling on the
   * vertex key + one count aggregate + one per-vertex argmax window — all
   * keyed by vertex, no global structure, no collects. Iteration state is
-  * one (v, lbl) frame; deep iteration counts should localCheckpoint
-  * between rounds (the CC loop's discipline) — the graded lane runs 2.
+  * one (v, lbl) frame. Deep runs truncate lineage with a localCheckpoint
+  * every `checkpointEvery` rounds (the CC loop's discipline): without it
+  * an N-round run unrolls N join/window plans into one nested tree; with
+  * it, each checkpointed segment replans from a flat scan of the previous
+  * segment's blocks and superseded blocks are released as soon as the
+  * next segment lands. Runs at or under one segment (the graded q209 lane
+  * at 2 rounds) never checkpoint — their plan is byte-identical to the
+  * unchunked form, and checkpointed ≡ unchunked traces are spec-pinned
+  * (CommunitiesSpec).
   */
 object Communities {
 
   /** `(vertex, community)` after `iters` synchronous LPA rounds over the
     * undirected simple graph (self-loops / duplicate / reversed edges
-    * normalized away). Labels initialize to the vertex id. */
+    * normalized away). Labels initialize to the vertex id.
+    *
+    * `checkpointEvery` bounds plan depth for deep runs (see object doc);
+    * the checkpoint is pure lineage truncation — the label trace is
+    * bit-identical at any chunking because every round's input frame holds
+    * the same rows either way. Blocks backing the FINAL segment stay alive
+    * with the returned frame (released by the caller's session hygiene,
+    * the repo-wide contract for checkpointed results). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int): DataFrame = {
-    require(iters >= 0 && iters <= 16,
-      "iters in [0, 16] — deeper runs need checkpointed rounds")
+                       iters: Int, checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull)
       .distinct()
-    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val sym0 = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    // multi-segment runs re-read the symmetric edge frame once per round in
+    // EVERY segment's replanned lineage — materialize it once; single-
+    // segment runs keep the lazy frame (no extra barrier on shallow lanes)
+    val sym = if (iters > checkpointEvery) sym0.localCheckpoint() else sym0
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 0 until iters) {
+    var lastCp: DataFrame = null
+    for (i <- 0 until iters) {
       val nbr = sym
         .join(labels.select(col("v").as("b"), col("lbl")), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("__c"))
@@ -52,6 +71,12 @@ object Communities {
           .orderBy(col("__c").desc, col("lbl").asc)))
         .where(col("__rn") === 1)
         .select(col("a").as("v"), col("lbl"))
+      if ((i + 1) % checkpointEvery == 0 && (i + 1) < iters) {
+        val cp = labels.localCheckpoint()
+        if (lastCp != null) graft.util.SessionHygiene.releaseCheckpoint(lastCp)
+        lastCp = cp
+        labels = cp
+      }
     }
     labels.select(col("v").as("vertex"), col("lbl").as("community"))
   }

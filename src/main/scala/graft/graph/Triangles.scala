@@ -76,13 +76,21 @@ object Triangles {
     * `cc_nano = 2·T(v)·1e9 // (deg(v)·(deg(v)−1))`, 0 for degree < 2 —
     * the standard graph-density signal (Watts–Strogatz 1998) on top of
     * [[countPerVertex]], one integer division per vertex, fully
-    * oracle-replayable. */
+    * oracle-replayable. The numerator is computed in decimal(38,0):
+    * 2·T(v)·1e9 exceeds int64 once T(v) > ~4.6e9 (a 100k-degree hub in a
+    * dense neighborhood — plausible at the 100 TB scale this lane
+    * targets), and non-ANSI long arithmetic would wrap SILENTLY while the
+    * DuckDB oracle errors — silent wrong results plus engine/oracle
+    * divergence. In decimal the product is exact to 10^38 (T(v) is bounded
+    * by deg² ≤ ~10^13 per vertex, so 2·T·1e9 ≤ ~10^23 — never overflows),
+    * and the quotient is a ratio ≤ 1e9, always a safe BIGINT. The oracle
+    * carries the identical decimal form. */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame =
     countPerVertex(edges, srcCol, dstCol)
       .select(col("vertex"), col("degree"), col("n_triangles"),
         when(col("degree") >= 2,
-          expr("2 * n_triangles * CAST(1000000000 AS BIGINT)" +
-            " div (degree * (degree - 1))"))
+          expr("CAST(CAST(2 AS DECIMAL(38,0)) * n_triangles" +
+            " * 1000000000 div (degree * (degree - 1)) AS BIGINT)"))
           .otherwise(lit(0L)).as("cc_nano"))
 }

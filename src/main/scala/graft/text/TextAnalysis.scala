@@ -665,22 +665,37 @@ object TextAnalysis {
     *
     * Scale shape: each run is already top-k-bounded (k rows per query per
     * run), so fusion is an aggregation over |runs|·k rows — nothing
-    * corpus-sized is touched; the heavy lifting happened inside the runs. */
+    * corpus-sized is touched; the heavy lifting happened inside the runs.
+    *
+    * CONTRACT: with `queryCol = None` the inputs must be SINGLE-query runs
+    * — the fusion groups by id alone and ranks over one global
+    * (|runs|·k-row, bounded-by-contract) window, so rows from different
+    * queries would silently fuse across queries. Multi-query runs (rows
+    * carrying a query id, e.g. [[bm25TopKBatch]] output) MUST pass
+    * `queryCol = Some(...)`: the fusion keys and the rank window both gain
+    * the query column, each query fuses independently, and the window is
+    * per-query (k-bounded partitions — never a single global sort). */
   def rrfFuse(runs: Seq[DataFrame], idCol: String, k: Int,
-              kRrf: Int = 60): DataFrame = {
+              kRrf: Int = 60, queryCol: Option[String] = None): DataFrame = {
     require(runs.nonEmpty && k >= 1 && kRrf >= 0, "need runs, k, kRrf >= 0")
-    val tagged = runs.map(_.select(col(idCol),
+    val keyCols = queryCol.toSeq :+ idCol
+    val tagged = runs.map(_.select(keyCols.map(col) :+
       expr(s"CAST(1000000000 AS BIGINT) div (CAST($kRrf AS BIGINT) + rank)")
-        .as("__rrf")))
+        .as("__rrf"): _*))
+    val w = queryCol match {
+      case Some(q) => org.apache.spark.sql.expressions.Window
+        .partitionBy(col(q)).orderBy(col("rrf_nano").desc, col(idCol).asc)
+      case None => org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_nano").desc, col(idCol).asc)
+    }
     tagged.reduce(_.unionByName(_))
-      .groupBy(col(idCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__rrf")).as("rrf_nano"),
         count(lit(1)).as("n_runs_hit"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("rrf_nano").desc, col(idCol).asc)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col(idCol), col("rrf_nano"), col("n_runs_hit"), col("rank"))
+      .select(keyCols.map(col) ++
+        Seq(col("rrf_nano"), col("n_runs_hit"), col("rank")): _*)
   }
 
   /** Retrieval-quality evaluation of [[bm25TopK]] runs against boolean-AND

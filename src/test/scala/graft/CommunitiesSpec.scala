@@ -39,6 +39,30 @@ class CommunitiesSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L), got.toString)
   }
 
+  test("checkpointed rounds ≡ unchunked trace (deep-run lineage truncation)") {
+    // a path graph propagates slowly — 6 rounds give a non-trivial trace;
+    // checkpointEvery = 2 forces two mid-run localCheckpoints while
+    // checkpointEvery = 100 never checkpoints. The label trace must be
+    // BIT-IDENTICAL: the checkpoint is pure lineage truncation.
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L))).toDF("src", "dst")
+    for (iters <- Seq(0, 1, 5, 6)) {
+      val chunked = Communities.labelPropagation(edges, "src", "dst",
+        iters, checkpointEvery = 2).as[(Long, Long)].collect().toMap
+      val plain = Communities.labelPropagation(edges, "src", "dst",
+        iters, checkpointEvery = 100).as[(Long, Long)].collect().toMap
+      assert(chunked == plain, s"iters=$iters: $chunked vs $plain")
+      assert(chunked == reference(
+        ((1L to 9L).map(i => (i, i + 1)) ++
+          Seq((20L, 21L), (21L, 22L), (20L, 22L))), iters),
+        s"iters=$iters diverged from driver reference")
+    }
+    // the old hard cap is lifted: a 20-round run (> one segment) completes
+    val deep = Communities.labelPropagation(edges, "src", "dst", iters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(deep.nonEmpty && deep.keySet.contains(1L))
+  }
+
   test("matches the driver-side reference on seeded random graphs") {
     def forAll[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
       (0 until n).foreach { i =>

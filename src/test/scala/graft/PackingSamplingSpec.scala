@@ -410,6 +410,33 @@ class PackingSamplingSpec extends SparkSpec {
     assert(tied(0)._1 == 4L && tied(1)._1 == 5L)
   }
 
+  test("rrfFuse: queryCol partitions the fusion — no cross-query mixing") {
+    // doc 2 appears under BOTH queries; with queryCol the fusions are
+    // independent per query (its contributions never sum across queries)
+    // and each query carries its own rank-1..k sequence
+    val runA = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q2", 2L, 1L))
+      .toDF("qid", "id", "rank")
+    val runB = Seq(("q1", 2L, 1L), ("q2", 3L, 1L), ("q2", 2L, 2L))
+      .toDF("qid", "id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(runA, runB), "id", k = 10,
+        queryCol = Some("qid"))
+      .orderBy("qid", "rank")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val r61 = 1000000000L / 61
+    val r62 = 1000000000L / 62
+    assert(out.toSeq == Seq(
+      ("q1", 2L, r61 + r62, 2L, 1L), ("q1", 1L, r61, 1L, 2L),
+      ("q2", 2L, r61 + r62, 2L, 1L), ("q2", 3L, r61, 1L, 2L)),
+      out.mkString(", "))
+    // per-query fusion equals fusing each query's slice alone
+    val aloneQ2 = TextAnalysis.rrfFuse(
+        Seq(runA.where($"qid" === "q2").drop("qid"),
+          runB.where($"qid" === "q2").drop("qid")), "id", k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(aloneQ2.toSeq ==
+      out.toSeq.filter(_._1 == "q2").map(r => (r._2, r._3, r._4, r._5)))
+  }
+
   test("retrievalEval: boolean-AND relevance, exact integer-nano metrics") {
     val rows = Seq(
       (1L, "spark window merge spark"),
