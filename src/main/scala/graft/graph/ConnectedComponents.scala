@@ -41,25 +41,39 @@ object ConnectedComponents {
     * diameter, the safe default when the shape is unknown. The min-label
     * loop ([[runLabelProp]]) stays available for known-small-diameter
     * graphs, where its two-hop pointer jumping converges in fewer
-    * exchanges. */
+    * exchanges.
+    *
+    * `timer` (optional) receives `(stage, wallSeconds)` per blocking
+    * action — `cc:edge-materialize` (the distinct-edge count, which
+    * absorbs the caller's whole upstream edge lineage) and `cc:label`
+    * (union-find collect+solve or the star loop) — so callers under
+    * driver-contention investigation (q97) can decompose their barriers
+    * without changing the plan. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxIter: Int = 25,
           localEdgeThreshold: Long = 5000000L,
-          strict: Boolean = false): DataFrame = {
+          strict: Boolean = false,
+          timer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .cache()
+    val t0 = System.nanoTime()
     val nEdges = e.count()
-    if (nEdges <= localEdgeThreshold) runLocal(e)
-    else {
-      e.unpersist()
-      // caller's maxIter is honored as-is (star rounds run 3 alternations
-      // per iteration, so even the default 25 covers ~75 contractions —
-      // far past O(log n) convergence for any realistic graph)
-      runStars(edges, srcCol, dstCol, maxIter = maxIter, strict = strict)
-    }
+    timer("cc:edge-materialize", (System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    val out =
+      if (nEdges <= localEdgeThreshold) runLocal(e)
+      else {
+        e.unpersist()
+        // caller's maxIter is honored as-is (star rounds run 3 alternations
+        // per iteration, so even the default 25 covers ~75 contractions —
+        // far past O(log n) convergence for any realistic graph)
+        runStars(edges, srcCol, dstCol, maxIter = maxIter, strict = strict)
+      }
+    timer("cc:label", (System.nanoTime() - t1) / 1e9)
+    out
   }
 
   /** Driver union-find (path compression + union by rank). */

@@ -490,6 +490,18 @@ object Linkage {
     * exact brute-force nearest-neighbor semantics (bounded corpora /
     * oracle replay — q97 does this explicitly).
     *
+    * INSTRUMENTATION (round 17 — the five-round q97 driver-vs-builder gap):
+    * each of the lane's ≤3 blocking actions prints ONE stderr line,
+    * `[linkage] linkIdsCrossYear stage=<name> wall=<s>`, naming the stages
+    * whose lazy work that barrier absorbs — `cc:edge-materialize` (banded
+    * near-pair edges + the distinct-edge count), `cc:label` (union-find /
+    * star loop), and `finalize` (year re-split + orphan top-1 join + the
+    * final label union, all inside the returned frame's localCheckpoint) —
+    * plus a `total` line. Wall time only, measured around the blocking
+    * call; zero extra jobs, zero plan change. A contended environment
+    * shows up as ONE of these lines inflating: that line is the next
+    * fix's target.
+    *
     * @return (idCol, yearCol, record_label) */
   def linkIdsCrossYear(records: DataFrame, idCol: String, yearCol: String,
                        embCol: String, dim: Int, simThreshold: Double,
@@ -504,6 +516,10 @@ object Linkage {
                        // guarantees one record per year per sub-cluster
                        // and replays in SQL (q97's oracle).
                        agglomerativeSplit: Option[Double] = None): DataFrame = {
+    val tTotal = System.nanoTime()
+    def announce(stage: String, wall: Double): Unit =
+      System.err.println(
+        f"[linkage] linkIdsCrossYear stage=$stage wall=$wall%.3fs")
     val ids = records.select(col(idCol).cast("long").as(idCol),
       col(yearCol), col(embCol))
     // 1. blocked near-pair edges, same-year pairs vetoed
@@ -513,8 +529,9 @@ object Linkage {
       .join(ids.select(col(idCol).as("id_b"), col(yearCol).as("__yb")), "id_b")
       .where(col("__ya") =!= col("__yb"))
       .select("id_a", "id_b")
-    // 2. cluster
-    val cc = ConnectedComponents.run(edges, "id_a", "id_b")
+    // 2. cluster (the CC call's two blocking actions announce themselves;
+    // cc:edge-materialize absorbs the whole step-1 edge lineage)
+    val cc = ConnectedComponents.run(edges, "id_a", "id_b", timer = announce)
       .withColumnRenamed("v", idCol)
     // 3. re-split clusters that chained duplicate years together
     val clustered = ids.join(cc, Seq(idCol))
@@ -567,10 +584,13 @@ object Linkage {
     // materialize the (small: ids + labels) result eagerly, then release
     // the shared intermediate — nothing persisted outlives the call except
     // the returned frame's own blocks (harness-released per query)
+    val tFin = System.nanoTime()
     val out = ids.select(col(idCol), col(yearCol))
       .join(labeled.unionByName(orphanLabels), Seq(idCol))
       .localCheckpoint()
+    announce("finalize", (System.nanoTime() - tFin) / 1e9)
     labeled.unpersist(blocking = false)
+    announce("total", (System.nanoTime() - tTotal) / 1e9)
     out
   }
 }
