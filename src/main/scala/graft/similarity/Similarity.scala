@@ -1035,12 +1035,32 @@ object Similarity {
     * distance 1 of agreeing on a band become candidates, the multi-probe
     * recall lever at (w+1)× probe-side candidate volume and UNCHANGED
     * blocked-side/index cost. The banded dup set grows monotonically
-    * (candidate superset), never past the exact twin's. */
+    * (candidate superset), never past the exact twin's.
+    *
+    * `targetClusterRows > 0` wires the scaladoc's "raise k with the
+    * corpus" knob INTO the operator: the effective cluster count becomes
+    * `max(k, ceil(n / targetClusterRows))` (n from one count job), so
+    * expected cluster size — and with it the within-cluster candidate
+    * volume per doc — stays CONSTANT as the corpus grows instead of
+    * growing linearly (the fixed-k mode's superlinear pair blowup, the
+    * suite's one >1.0 exponent in rounds 15–16). The derived k is a plan
+    * literal per (corpus, target), so the Lloyd trace stays exactly
+    * replayable by a SQL oracle computing the same greatest/ceil. k keeps
+    * its role as the FLOOR (fixture-stable below k·target rows). At
+    * extreme scale the k·n assignment cost of flat Lloyd's is the next
+    * binding constraint — the standard answer is hierarchical k-means
+    * (route to √k super-clusters, then k/√k within each), which composes
+    * from this same operator applied per super-cluster. */
   def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
                iters: Int, tau: Double, quantScale: Int = 1000,
                bandedDim: Option[Int] = None, nBits: Int = 24,
-               bands: Int = 4, bandProbe1: Boolean = false): DataFrame = {
+               bands: Int = 4, bandProbe1: Boolean = false,
+               targetClusterRows: Int = 0): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val kEff =
+      if (targetClusterRows <= 0) k
+      else math.max(k.toLong,
+        (df.count() + targetClusterRows - 1L) / targetClusterRows).toInt
     val q = df.select(col(idCol), col(embCol), expr(
       s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * $quantScale)" +
         " AS BIGINT))").as("__qe"))
@@ -1055,10 +1075,10 @@ object Similarity {
       array_min(array(scored: _*)).getField("j")
     }
 
-    // Init: k lowest ids via distributed TopK; k rows collected (bounded
-    // driver state by contract, like ivfTopK's sample).
+    // Init: kEff lowest ids via distributed TopK; kEff rows collected
+    // (bounded driver state by contract, like ivfTopK's sample).
     var centroids: Seq[(Int, Array[Long])] = q
-      .select(col(idCol), col("__qe")).sort(col(idCol)).limit(k)
+      .select(col(idCol), col("__qe")).sort(col(idCol)).limit(kEff)
       .collect().zipWithIndex
       .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
 

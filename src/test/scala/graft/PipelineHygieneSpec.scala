@@ -114,6 +114,36 @@ class PipelineHygieneSpec extends SparkSpec {
     assert(banded.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
   }
 
+  test("semDedup data-scaled k: derived cluster count ≡ the explicit-k run") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (11L, v(1.0, 0.0, 0.1, 0.0)),
+      (12L, v(1.0, 0.01, 0.1, 0.0)),
+      (13L, v(0.0, 0.0, 1.0, 0.2)),
+      (20L, v(-1.0, 0.5, -1.0, 0.0)),
+      (21L, v(-1.0, 0.5, -1.0, 0.01))
+    ).toDF("vec_id", "embedding")
+    // n = 5, target = 2 -> ceil(5/2) = 3 beats the floor k = 2, so the
+    // derived-k run must be BIT-IDENTICAL to calling with k = 3 directly
+    // (k is a plan literal either way — that is what keeps the Lloyd
+    // trace SQL-replayable at every scale)
+    val derived = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.95, targetClusterRows = 2)
+      .orderBy("vec_id").collect()
+    val explicit = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 3, iters = 2, tau = 0.95)
+      .orderBy("vec_id").collect()
+    assert(derived.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
+    // below floor·target rows the floor wins: target = 250 leaves k = 2
+    val floored = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.95, targetClusterRows = 250)
+      .orderBy("vec_id").collect()
+    val plain = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.95)
+      .orderBy("vec_id").collect()
+    assert(floored.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
   test("semDedup emits one row per vector even when clusters empty out") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     // k = 4 seeds on 4 points that collapse into 2 real clusters: some
