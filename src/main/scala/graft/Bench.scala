@@ -379,12 +379,17 @@ object Bench {
     }
     // q130's banded SemDeDup vs its exact all-pairs twin: set recall of
     // the flagged-duplicate ids (c_id pinned — recallAtK degenerates to
-    // |banded ∩ exact| / |exact| over the dup sets).
+    // |banded ∩ exact| / |exact| over the dup sets). Both sides run the
+    // GRADED config — data-scaled k (max(8, ceil(n/250)), round 17) — so
+    // the recorded number tracks the production operating mode; at the
+    // sf0.1 bench fixture the derived k is still 8 (2000/250), keeping
+    // the gate bit-comparable with rounds 15–16.
     def semDedupDups(bandedDim: Option[Int], probed: Boolean) = {
       import org.apache.spark.sql.functions._
       val emb = Tables.load(spark, sfDir, "embeddings")
       Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
-          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed)
+          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed,
+          targetClusterRows = 250)
         .where(col("is_dup"))
         .select(col("vec_id").as("q_id"),
           org.apache.spark.sql.functions.lit(1).as("rk"),
@@ -424,6 +429,32 @@ object Bench {
     val recallIvfPqNano = recall10Of((q, c) => Similarity.ivfPqTopKSeeded(q,
       c, "vec_id", "embedding", 10, nCells = 16, nProbe = 4, m = 16,
       nCodes = 64))
+    // Round-17 (judge r16 brief #6): ranking QUALITY into the recorded
+    // gate family. q200's MRR/P@10/R@10 are oracle-checked per round
+    // (engine ≡ replay), but a graded-config or relevance-rule change
+    // that shifts the metrics themselves was invisible in the artifact —
+    // these record the fleet-level numbers the way the 20 recall/WMAPE
+    // gates are recorded. Exact integers end-to-end: per-query nanos
+    // from retrievalEval (already integer), summed and floor-divided by
+    // the query count — bit-stable across runs by construction.
+    // RetrievalGate floors live in RecallGateSpec.
+    val (mrrNano, p10Nano, r10Nano): (Long, Long, Long) =
+      if (skipCapstones || capsOnly) (-1L, -1L, -1L)
+      else try {
+        import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+        val docs = Tables.load(spark, sfDir, "documents")
+        val m = graft.text.TextAnalysis.retrievalEval(docs, "doc_id",
+            "text", SparkEntry.q200Queries, k = 50, cutoff = 10)
+          .agg(fsum("rr_nano"), fsum("p_nano"), fsum("r_nano"),
+            fcount(flit(1)))
+          .head
+        val n = m.getLong(3)
+        if (n == 0L) (-1L, -1L, -1L)
+        else (m.getLong(0) / n, m.getLong(1) / n, m.getLong(2) / n)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] retrieval gate failed: ${e.getMessage}")
+        (-1L, -1L, -1L)
+      } finally graft.util.SessionHygiene.releaseAll(spark)
     val total = results.map(_._2).sum
     val firstMap = firstPass.toMap
     val fullJson = results.sortBy(-_._2)
@@ -433,7 +464,7 @@ object Bench {
           (if (fp != v) ",\"" + k + "__first_pass\":" + jnum(fp) else "")
       }
       .mkString(
-        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_mplsh_nano":$recallMpLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_pq_rerank_nano":$recallPqRerankNano,"recall10_ivfpq_rerank_nano":$recallIvfPqRerankNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall1_orphan_probed_nano":$recallOrphanProbedNano,"recall5_hardneg_nano":$recallHardNegNano,"recall_eucpairs_nano":$recallEucNano,"recall_semdedup_nano":$recallSemDedupNano,"recall_semdedup_probed_nano":$recallSemDedupProbedNano,"queries":{""",
+        s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_queries":${results.size},"total_first_pass":${jnum(firstPass.map(_._2).sum)},"etl_capstone_sec":${jnum(capstoneSec)},"etl_capstone_core_sec":${jnum(capstoneCore)},"etl_capstone_checks_sec":${jnum(capstoneChecks)},"etl_capstone_first_pass_sec":${jnum(capstoneFpSec)},"etl_capstone_first_pass_core_sec":${jnum(capstoneFpCore)},"etl_capstone_first_pass_checks_sec":${jnum(capstoneFpChecks)},"corpus_capstone_sec":${jnum(corpusSec)},"corpus_capstone_core_sec":${jnum(corpusCore)},"corpus_capstone_checks_sec":${jnum(corpusChecks)},"corpus_capstone_first_pass_sec":${jnum(corpusFpSec)},"corpus_capstone_first_pass_core_sec":${jnum(corpusFpCore)},"corpus_capstone_first_pass_checks_sec":${jnum(corpusFpChecks)},"linkage_capstone_sec":${jnum(linkSec)},"linkage_capstone_core_sec":${jnum(linkCore)},"linkage_capstone_checks_sec":${jnum(linkChecks)},"linkage_capstone_first_pass_sec":${jnum(linkFpSec)},"linkage_capstone_first_pass_core_sec":${jnum(linkFpCore)},"linkage_capstone_first_pass_checks_sec":${jnum(linkFpChecks)},"latc_wmape_nano":$latcWmapeNano,"tubal_wmape_nano":$tubalWmapeNano,"latc_grid_wmape_nano":$latcGridNano,"median_grid_wmape_nano":$medianGridNano,"recall10_lsh_nano":$recallLshNano,"recall10_mplsh_nano":$recallMpLshNano,"recall10_ivf_nano":$recallIvfNano,"recall10_sq8_nano":$recallSq8Nano,"recall10_pq_nano":$recallPqNano,"recall10_pq_rerank_nano":$recallPqRerankNano,"recall10_ivfpq_rerank_nano":$recallIvfPqRerankNano,"recall10_ivfpq_nano":$recallIvfPqNano,"recall1_orphan_nano":$recallOrphanNano,"recall1_orphan_probed_nano":$recallOrphanProbedNano,"recall5_hardneg_nano":$recallHardNegNano,"recall_eucpairs_nano":$recallEucNano,"recall_semdedup_nano":$recallSemDedupNano,"recall_semdedup_probed_nano":$recallSemDedupProbedNano,"mrr_nano":$mrrNano,"p10_nano":$p10Nano,"r10_nano":$r10Nano,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

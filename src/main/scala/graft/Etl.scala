@@ -235,6 +235,17 @@ object Etl {
                       dedupMaxDf: Int = 0): DataFrame =
     buildCorpusOutputs(spark, sfDir, dedupMaxDf)(corpusWide.name)
 
+  /** THE corpus capstone's near-dup edge set — 3-gram Jaccard ≥ 1/4 pairs
+    * as (src, dst) — extracted so consumers beyond the canonicalization
+    * stage (the q211 community/density report) read the IDENTICAL edge
+    * definition the capstone clusters on, by construction rather than by
+    * parallel re-declaration. `maxDf > 0` engages the stop-shingle
+    * posting-list cap (measurement lanes only). */
+  def corpusDupEdges(docs: DataFrame, maxDf: Int = 0): DataFrame =
+    graft.dedup.NearDup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 1, thresholdDen = 4, maxDf = maxDf)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+
   /** Both corpus capstone outputs as one shared lineage:
     * `out_corpus_wide` (per-doc accounting) and `out_corpus_pairs` (the
     * model-ready span-corruption (input, target) pairs — stage 8). */
@@ -249,11 +260,8 @@ object Etl {
     //    dedupMaxDf > 0 engages the stop-shingle df cap (jaccardPairs
     //    discipline) — the 100 TB posting-list bound; 0 = exact (the
     //    default, and what the golden counts pin)
-    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
-      n = 3, thresholdNum = 1, thresholdDen = 4, maxDf = dedupMaxDf)
-    val cc = graft.graph.ConnectedComponents.run(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
-      "src", "dst")
+    val pairs = corpusDupEdges(docs, maxDf = dedupMaxDf)
+    val cc = graft.graph.ConnectedComponents.run(pairs, "src", "dst")
     val canonical = docs
       .join(cc, docs("doc_id") === cc("v"), "left")
       .where(col("component").isNull || col("doc_id") === col("component"))

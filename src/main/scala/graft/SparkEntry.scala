@@ -2042,15 +2042,23 @@ object SparkEntry {
 
   // ---- training-data pipeline: SemDeDup semantic dedup -------------------
   // Clustered embedding dedup (arXiv:2303.09540): integer-grid Lloyd's
-  // (k=8 lowest-id seeds, one update round) bounds the pair search to
+  // (lowest-id seeds, one update round) bounds the pair search to
   // within-cluster; candidates additionally agree on >=1 band of the q95
   // portable sign-bit signature (a (cluster, band, bits) equi-join — no
   // unbanded self-join anywhere), then cosine >= 0.4 drops the higher id.
   // Iteration trace AND banding are replayed bit-for-bit by the oracle.
+  // Round 17: the cluster count is DATA-SCALED — max(8, ceil(n/250)) — so
+  // expected cluster size (and with it per-doc candidate volume) stays
+  // constant as the corpus grows; k = 8 at sf0.01/sf0.1 (unchanged
+  // results), k = 80 at sf1 (the production operating mode the recorded
+  // exponent now reflects). The oracle derives the SAME k from its own
+  // count, so the trace stays bit-replayable at every scale.
+  private val semDedupKFloor = 8
+  private val semDedupTargetRows = 250
   private def q130(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4,
-      bandedDim = Some(64))
+      "vec_id", "embedding", k = semDedupKFloor, iters = 1, tau = 0.4,
+      bandedDim = Some(64), targetClusterRows = semDedupTargetRows)
 
   // ---- layout: Bloom-filter file-skipping manifest + probe ---------------
   // The predicate class min/max stats can't prune: point lookups on a
@@ -3609,7 +3617,7 @@ object SparkEntry {
     * construction). Term mix: qa = q138's graded 3-term query, qb = a
     * 4-term conjunction (sparser relevance), qc includes the one rare
     * fixture token (`dup`) so recall@10 is exercised away from 1.0. */
-  private val q200Queries: Seq[(String, Seq[String])] = Seq(
+  private[graft] val q200Queries: Seq[(String, Seq[String])] = Seq(
     "qa" -> Seq("spark", "window", "merge"),
     "qb" -> Seq("hash", "join", "stream", "batch"),
     "qc" -> Seq("dup", "vector"))
@@ -3703,6 +3711,28 @@ object SparkEntry {
     graft.graph.Communities.labelPropagation(edges, "src", "dst", iters = 2)
   }
 
+  // ---- graph family CONSUMER: dup-graph community/density report ---------
+  // q208-q210's operators pointed at the edge set a capstone actually
+  // builds: Etl.corpusDupEdges — the IDENTICAL 3-gram-Jaccard ≥ 1/4 pair
+  // frame the corpus capstone's canonicalization stage clusters on (shared
+  // helper, not a parallel re-declaration). Per dup-graph vertex: its LPA
+  // community (2 sync rounds), degree, triangle count and integer-nano
+  // clustering coefficient — the community/density signal a curation
+  // pipeline reads off its near-dup graph (dense high-cc communities =
+  // template farms; sparse low-cc chains = borderline near-dups). The
+  // edge frame is persisted (lazily) because BOTH branches consume it —
+  // pair volume ∝ true duplicates, bounded far below the corpus.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val edges = Etl.corpusDupEdges(t(s, dir, "documents")).persist()
+    val density = graft.graph.Triangles
+      .clusteringCoefficient(edges, "src", "dst")
+    val comm = graft.graph.Communities
+      .labelPropagation(edges, "src", "dst", iters = 2)
+    density.join(comm, Seq("vertex"))
+      .select(col("vertex"), col("community"), col("degree"),
+        col("n_triangles"), col("cc_nano"))
+  }
+
   // ---- training-data pipeline: pseudo-relevance feedback ------------------
   // Rocchio-family query expansion (the PRF half of RM3): seed BM25 run
   // (q200's qa terms), harvest the 3 most frequent terms of the top-10
@@ -3738,8 +3768,9 @@ object SparkEntry {
   // replays the flips on top of the q130 replay (shared template).
   private def q202(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity.semDedup(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 8, iters = 1, tau = 0.4,
-      bandedDim = Some(64), bandProbe1 = true)
+      "vec_id", "embedding", k = semDedupKFloor, iters = 1, tau = 0.4,
+      bandedDim = Some(64), bandProbe1 = true,
+      targetClusterRows = semDedupTargetRows)
 
   // ---- training-data pipeline: UL2 mixture-of-denoisers -------------------
   // The UL2 objective's data side (Tay et al. 2022): each doc hash-draws
@@ -3982,6 +4013,7 @@ object SparkEntry {
     "q208_triangles" -> (q208 _),
     "q209_label_prop" -> (q209 _),
     "q210_clustering_coeff" -> (q210 _),
+    "q211_dup_graph_report" -> (q211 _),
   )
 
   /** q71's oracle, shared verbatim by q187's summary wrapper so the two
@@ -4147,7 +4179,10 @@ object SparkEntry {
     * rounded-cosine dup rule. `probed = true` swaps the x side of the
     * candidate join for the base-plus-single-bit-flip probe memberships —
     * the ONLY difference, by construction (placeholder substitution after
-    * stripMargin, the q195 discipline). */
+    * stripMargin, the q195 discipline). The cluster count is DERIVED the
+    * same way the engine derives it — greatest(floor, ceil(n/target)),
+    * kval CTE — from the shared [[semDedupKFloor]]/[[semDedupTargetRows]]
+    * constants, so engine and oracle agree on k at every scale factor. */
   private def semDedupOracleSql(probed: Boolean): String = {
     val probeCte = if (!probed) "" else
       """xprobe AS (
@@ -4177,9 +4212,15 @@ object SparkEntry {
       |  SELECT vec_id, i // 6 AS band,
       |    sum(CASE WHEN p > 0 THEN (1::BIGINT << (i % 6)) ELSE 0::BIGINT END) AS bits
       |  FROM proj GROUP BY 1, 2),
+      |kval AS (
+      |  SELECT greatest(CAST(@KFLOOR@ AS BIGINT),
+      |    CAST(ceil(count(*) / CAST(@KTARGET@ AS DOUBLE)) AS BIGINT)) AS k
+      |  FROM embeddings),
       |c0 AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
-      |  FROM q ORDER BY vec_id LIMIT 8),
+      |  SELECT j, ce FROM (
+      |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qe AS ce
+      |    FROM q) s
+      |  WHERE s.j < (SELECT k FROM kval)),
       |a1 AS (
       |  SELECT vec_id, qe, cl FROM (
       |    SELECT q.vec_id, q.qe, c.j AS cl,
@@ -4225,15 +4266,24 @@ object SparkEntry {
       |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id""".stripMargin
       .replace("@PROBE_CTE@", probeCte)
       .replace("@XREL@", xRel)
+      .replace("@KFLOOR@", semDedupKFloor.toString)
+      .replace("@KTARGET@", semDedupTargetRows.toString)
   }
 
   /** q203 oracle, GENERATED from [[q200Queries]] (the same descriptor the
     * Spark lane and q200 use): one toks/stats/df pass over the term union,
     * the (term, query) VALUES table joined in, per-(query, doc) scores and
     * the rank-capped window — the batched twin of the q138 replay. */
+  /** SQL-literal form of a query term: lowercased (the engine lowercases
+    * before matching) and quote-escaped — shared by every generator that
+    * interpolates [[q200Queries]] terms, so a future mixed-case or
+    * apostrophe-carrying term can neither diverge from the engine nor
+    * break the generated SQL. */
+  private def sqlTerm(t: String): String = t.toLowerCase.replace("'", "''")
+
   private def q203OracleSql: String = {
     val valuesList = q200Queries.flatMap { case (qid, terms) =>
-      terms.distinct.map(t => s"('$qid', '${t.toLowerCase}')")
+      terms.distinct.map(t => s"('$qid', '${sqlTerm(t)}')")
     }.mkString(", ")
     """WITH qt(query_id, tok) AS (VALUES @VALUES@),
       |toks AS (
@@ -4343,13 +4393,44 @@ object SparkEntry {
     * integer-nano local clustering coefficient): degrees, (deg, id)
     * orientation, apex wedges, closing probe — one template, the cc
     * wrapper the only difference. */
-  private def trianglesOracleSql(withCc: Boolean): String = {
-    val base = """WITH e0 AS (
+  /** The q208/q209/q210 lineitem graph as an `e0(a, b)` CTE (normalized
+    * undirected distinct edges, a < b). */
+  private val lineitemGraphE0: String =
+    """e0 AS (
       |  SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
       |         greatest(l_partkey % 997, l_suppkey % 997) AS b
       |  FROM lineitem
-      |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997),
-      |deg AS (
+      |  WHERE l_quantity > 48 AND l_partkey % 997 <> l_suppkey % 997)""".stripMargin
+
+  /** The corpus capstone's near-dup edge set ([[Etl.corpusDupEdges]]: the
+    * q69 3-gram Jaccard ≥ 1/4 replay) as the same `e0(a, b)` shape —
+    * id_a < id_b by construction, distinct by the pair grouping. */
+  private val dupGraphE0: String =
+    """words AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS wl
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+      |  FROM words, unnest(range(1, len(wl) - 1)) t(i)
+      |  WHERE len(wl) >= 3),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT id_a AS a, id_b AS b FROM prs
+      |  JOIN counts ca ON ca.doc_id = id_a
+      |  JOIN counts cb ON cb.doc_id = id_b
+      |  WHERE common * 4 >= 1 * (ca.n_sh + cb.n_sh - common))""".stripMargin
+
+  /** Degree-ordered triangle CTE chain over a caller-supplied `e0(a, b)`
+    * edge CTE — deg/orientation/wedges/closing-probe/`base(vertex,
+    * degree, n_triangles)`, shared by q208/q210 (lineitem graph) and the
+    * q211 dup-graph report. The returned string ends inside the WITH
+    * list, ready for more CTEs or a final SELECT. */
+  private def triangleBaseCtes(e0Cte: String): String =
+    s"WITH $e0Cte,\n" + """deg AS (
       |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
       |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
       |  GROUP BY v),
@@ -4380,17 +4461,54 @@ object SparkEntry {
       |    coalesce(crn.t, CAST(0 AS BIGINT)) AS n_triangles
       |  FROM deg LEFT JOIN crn ON crn.v = deg.v)
       |""".stripMargin
+
+  private def trianglesOracleSql(withCc: Boolean): String = {
     val tail =
       if (!withCc) "SELECT vertex, degree, n_triangles FROM base"
       else
+        // widened numerator, same as the engine's decimal(38,0): 2·T·1e9
+        // wraps int64 past T ~ 4.6e9, and the two engines disagree on
+        // overflow (Spark wraps silently, DuckDB errors). HUGEINT, not
+        // DECIMAL, on the DuckDB side: DuckDB's DECIMAL `//` ROUNDS the
+        // decimal quotient before flooring (10526315.79 → 16), while
+        // int128 `//` is exact floor division — matching Spark's exact
+        // integral `div` on the decimal
         """SELECT vertex, degree, n_triangles,
           |  CASE WHEN degree >= 2
-          |       THEN 2 * n_triangles * CAST(1000000000 AS BIGINT)
-          |            // (degree * (degree - 1))
+          |       THEN CAST(CAST(2 AS HUGEINT) * n_triangles
+          |            * 1000000000 // (degree * (degree - 1)) AS BIGINT)
           |       ELSE CAST(0 AS BIGINT) END AS cc_nano
           |FROM base""".stripMargin
-    base + tail
+    triangleBaseCtes(lineitemGraphE0) + tail
   }
+
+  /** q211 oracle: the triangle/cc template + the q209 two-round LPA
+    * unroll, BOTH over the corpus capstone's jaccard edge set
+    * ([[dupGraphE0]] — the q69 pair replay), joined per vertex. */
+  private def dupGraphReportOracleSql: String =
+    triangleBaseCtes(dupGraphE0) +
+      """,sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM sym),
+        |n1 AS (
+        |  SELECT s.a AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym s JOIN l0 l ON l.v = s.b GROUP BY 1, 2),
+        |l1 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY v
+        |      ORDER BY c DESC, lbl ASC) AS rn FROM n1) WHERE rn = 1),
+        |n2 AS (
+        |  SELECT s.a AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |  FROM sym s JOIN l1 l ON l.v = s.b GROUP BY 1, 2),
+        |l2 AS (
+        |  SELECT v, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY v
+        |      ORDER BY c DESC, lbl ASC) AS rn FROM n2) WHERE rn = 1)
+        |SELECT b.vertex, l2.lbl AS community, b.degree, b.n_triangles,
+        |  CASE WHEN b.degree >= 2
+        |       THEN CAST(CAST(2 AS HUGEINT) * b.n_triangles
+        |            * 1000000000 // (b.degree * (b.degree - 1)) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS cc_nano
+        |FROM base b JOIN l2 ON l2.v = b.vertex""".stripMargin
 
   /** Orphan-assignment oracle shared by q99 (base banding) and q205
     * (radius-1 probing on the ORPHAN side): portable sign-bit bands,
@@ -4454,7 +4572,7 @@ object SparkEntry {
     * computed `terms` CTE instead of a literal list. */
   private def q207OracleSql: String = {
     val seed = q200Queries.head._2.distinct.map(_.toLowerCase)
-    val termList = seed.map(t => s"'$t'").mkString(", ")
+    val termList = seed.map(t => s"'${sqlTerm(t)}'").mkString(", ")
     s"""WITH toks AS (
       |  SELECT doc_id,
       |    CASE WHEN len(trim(text)) = 0 THEN 0
@@ -4517,7 +4635,7 @@ object SparkEntry {
     * the oracle beyond two integer divisions and a sum. */
   private def q204OracleSql: String = {
     val termList = q200Queries.head._2.distinct
-      .map(t => s"'${t.toLowerCase}'").mkString(", ")
+      .map(t => s"'${sqlTerm(t)}'").mkString(", ")
     """WITH toks AS (
       |  SELECT doc_id,
       |    CASE WHEN len(trim(text)) = 0 THEN 0
@@ -4588,9 +4706,10 @@ object SparkEntry {
     * discipline (never stripMargin over interpolated SQL). */
   private def q200OracleSql: String = {
     val blocks = q200Queries.map { case (qid, terms) =>
-      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val termList = terms.map(t => s"'${sqlTerm(t)}'").mkString(", ")
       val relPred = terms.map(t =>
-        s"list_contains(string_split_regex(trim(lower(text)), '\\s+'), '$t')")
+        s"list_contains(string_split_regex(trim(lower(text)), '\\s+')," +
+          s" '${sqlTerm(t)}')")
         .mkString("\n    AND ")
       s"""f_$qid AS (
 SELECT doc_id, tok, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
@@ -7190,6 +7309,9 @@ ${Seq(2, 3, 4).map(bg).mkString(",\n")}
     // integers end to end, one shared template.
     "q208_triangles" -> trianglesOracleSql(withCc = false),
     "q210_clustering_coeff" -> trianglesOracleSql(withCc = true),
+    // q211: the triangle/cc + 2-round LPA templates composed over the
+    // corpus capstone's jaccard edge replay (q69's pair CTEs)
+    "q211_dup_graph_report" -> dupGraphReportOracleSql,
     // q209: two synchronous LPA rounds unrolled — neighbor-label counts,
     // per-vertex argmax (count DESC, label ASC) each round.
     "q209_label_prop" ->

@@ -205,6 +205,16 @@ class PlanSpec extends SparkSpec {
       "unbanded within-cluster self-join found:\n" + joins.mkString("\n"))
   }
 
+  test("q211 dup-graph report: equi-joins only — no cartesian, no nested loop") {
+    // triangle wedge join + closing probe + LPA neighbor join + the final
+    // vertex join all key on vertex ids / shingles; any BNLJ or cartesian
+    // here would be the O(n²) wedge/pair blowup the degree ordering and
+    // the shingle blocking exist to prevent
+    val p = plan("q211_dup_graph_report")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q139 weighted sample: rank truncation runs map-side (WindowGroupLimit Partial)") {
     // same guarantee as q132: each mapper forwards <= k rows per stratum
     // into the exchange, so a billion-row stratum never sorts on one task

@@ -175,10 +175,34 @@ class RecallGateSpec extends SparkSpec {
     assert(rec >= 0.85, s"euclidean recall = $rec")
   }
 
+  test("retrieval-quality floors at the q200 graded config (mrr/p10/r10 nanos)") {
+    // the Bench-recorded mrr_nano/p10_nano/r10_nano aggregate (sum of the
+    // per-query exact-integer metrics, floor-divided by the query count)
+    // on the test fixture — a BM25-scoring or relevance-rule regression
+    // that the oracle replay cannot see (both sides drift together only
+    // through a graded-config change) must trip these absolute floors
+    val docs = Tables.load(spark, sf, "documents")
+    val m = graft.text.TextAnalysis.retrievalEval(docs, "doc_id", "text",
+        SparkEntry.q200Queries, k = 50, cutoff = 10)
+      .agg(sum("rr_nano"), sum("p_nano"), sum("r_nano"), count(lit(1)))
+      .head
+    val n = m.getLong(3)
+    val (mrr, p10, r10) = (m.getLong(0) / n, m.getLong(1) / n,
+      m.getLong(2) / n)
+    info(s"mrr_nano=$mrr p10_nano=$p10 r10_nano=$r10 over $n queries")
+    assert(n == SparkEntry.q200Queries.size.toLong)
+    assert(mrr >= 300000000L, s"mrr_nano = $mrr") // MRR >= 0.3
+    assert(p10 > 0L, s"p10_nano = $p10")
+    assert(r10 >= 100000000L, s"r10_nano = $r10") // R@10 >= 0.1
+  }
+
   test("semDedup dup-set recall floor at the q130 graded config") {
+    // graded config incl. the round-17 data-scaled k (floor 8 governs at
+    // this fixture's row count — same trace as rounds 15-16)
     def dups(bandedDim: Option[Int], probed: Boolean = false) =
       Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1,
-          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed)
+          tau = 0.4, bandedDim = bandedDim, bandProbe1 = probed,
+          targetClusterRows = 250)
         .where($"is_dup")
         .select($"vec_id".as("q_id"), lit(1).as("rk"), lit(0L).as("c_id"))
     val r = Similarity.recallAtK(dups(None), dups(Some(64)), 1).head()
