@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDotProduct(args(0), args(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("long_sq_dist"),
+      info("long_sq_dist",
+        "long_sq_dist(a, b) - exact integer squared euclidean distance of two bigint arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_sq_dist expects 2 arguments")
+        LongSqDist(args(0), args(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-gram shingles"),

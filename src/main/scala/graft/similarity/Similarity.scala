@@ -486,33 +486,36 @@ object Similarity {
   /** Banded sign-bit signature structs for an embedding: `bands` structs of
     * (band, bits) where bits packs `nBits/bands` portable Rademacher-plane
     * signs. The shared candidate-generation key for the cosine family. */
-  private def bandedSignStructs(embCol: String, dim: Int, nBits: Int,
-                                bands: Int): Seq[Column] = {
+  /** The full nBits sign signature as ONE expression — callers that
+    * explode many band structs should materialize this into a column
+    * first ([[bandedSignStructsFromSig]]): struct arrays that INLINE the
+    * signature expression repeat it per struct, and past a handful of
+    * copies the generator stage falls out of whole-stage codegen and
+    * evaluates interpreted (the probed 28-struct form cost 90 µs/row —
+    * 50× the codegen'd path — until semDedup switched to the
+    * sig-as-column shape, round 17). */
+  private def planeSig(embCol: String, dim: Int, nBits: Int): Column =
+    graft.plans.PlaneSignBits(col(embCol),
+      rademacherPlanes(nBits, dim).flatten.toArray, dim)
+
+  /** Band structs over a PRE-COMPUTED signature column: band b =
+    * bits [b·w, (b+1)·w) via integer shift+mask. */
+  private def bandedSignStructsFromSig(sig: Column, nBits: Int,
+                                       bands: Int): Seq[Column] = {
     require(nBits % bands == 0, "bands must divide nBits")
     val w = nBits / bands
-    val flat = rademacherPlanes(nBits, dim).flatten.toArray
-    // one signature node; band b = bits [b·w, (b+1)·w) of the signature —
-    // integer shift+mask instead of per-plane literal-array dots
-    val sig = graft.plans.PlaneSignBits(col(embCol), flat, dim)
     (0 until bands).map { b =>
       val bits = shiftright(sig, b * w).bitwiseAND(lit((1L << w) - 1))
       struct(lit(b).as("band"), bits.as("bits"))
     }
   }
 
-  /** [[bandedSignStructs]] plus Hamming-radius-1 probing: per band, the
-    * base bucket AND all `w` single-bit flips — the near-dup transfer of
-    * multi-probe LSH ([[lshMultiProbeTopK]]): a pair whose band signatures
-    * differ in ONE bit now meets in that band. Meant for ONE side of a
-    * self-join only (the other side keeps base memberships), so candidate
-    * volume grows (w+1)× on the probe side while the blocked side — the
-    * thing that is index-sized at 100 TB — stays put. */
-  private def bandedSignStructsProbed(embCol: String, dim: Int, nBits: Int,
-                                      bands: Int): Seq[Column] = {
+  /** [[bandedSignStructsFromSig]] plus Hamming-radius-1 probing over a
+    * pre-computed signature column. */
+  private def bandedSignStructsProbedFromSig(sig: Column, nBits: Int,
+                                             bands: Int): Seq[Column] = {
     require(nBits % bands == 0, "bands must divide nBits")
     val w = nBits / bands
-    val flat = rademacherPlanes(nBits, dim).flatten.toArray
-    val sig = graft.plans.PlaneSignBits(col(embCol), flat, dim)
     (0 until bands).flatMap { b =>
       val bits = shiftright(sig, b * w).bitwiseAND(lit((1L << w) - 1))
       struct(lit(b).as("band"), bits.as("bits")) +:
@@ -522,6 +525,21 @@ object Similarity {
         }
     }
   }
+
+  private def bandedSignStructs(embCol: String, dim: Int, nBits: Int,
+                                bands: Int): Seq[Column] =
+    bandedSignStructsFromSig(planeSig(embCol, dim, nBits), nBits, bands)
+
+  /** [[bandedSignStructs]] plus Hamming-radius-1 probing: per band, the
+    * base bucket AND all `w` single-bit flips — the near-dup transfer of
+    * multi-probe LSH ([[lshMultiProbeTopK]]): a pair whose band signatures
+    * differ in ONE bit now meets in that band. Meant for ONE side of a
+    * self-join only (the other side keeps base memberships), so candidate
+    * volume grows (w+1)× on the probe side while the blocked side — the
+    * thing that is index-sized at 100 TB — stays put. */
+  private def bandedSignStructsProbed(embCol: String, dim: Int, nBits: Int,
+                                      bands: Int): Seq[Column] =
+    bandedSignStructsProbedFromSig(planeSig(embCol, dim, nBits), nBits, bands)
 
   /** Single-row frame of per-dimension corpus (min, max) — the SQ8
     * codebook. Dim-bounded metadata (64 doubles per array here), computed
@@ -1024,9 +1042,9 @@ object Similarity {
     * (cluster, band, bits) equi-join — candidate volume per doc is
     * ~ bands × |cluster| / 2^(nBits/bands), never |cluster|²/2. That is
     * the piece the SemDeDup paper leaves to faiss: at 100 TB a cluster is
-    * still millions of rows (k is bounded by the plan-time `array_min`
-    * arity), and an unbanded within-cluster self-join is a quadratic
-    * blowup. With `bandedDim = None` the exact all-pairs form runs — the
+    * still millions of rows even at a data-scaled k, and an unbanded
+    * within-cluster self-join is a quadratic blowup. With
+    * `bandedDim = None` the exact all-pairs form runs — the
     * oracle/verification twin, only for bounded inputs.
     *
     * `bandProbe1 = true` additionally probes, on ONE side of the
@@ -1065,14 +1083,31 @@ object Similarity {
       s"transform($embCol, e -> CAST(round(CAST(e AS DOUBLE) * $quantScale)" +
         " AS BIGINT))").as("__qe"))
 
-    def assignCol(cents: Seq[(Int, Array[Long])]): Column = {
-      val scored = cents.map { case (j, ce) =>
-        val d = aggregate(
-          zip_with(col("__qe"), typedLit(ce.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(d.as("d"), lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j")
+    // Assignment = centroids as broadcast DATA, not plan literals: an
+    // always-true constant-key equi-join (BroadcastHashJoin, k-row build
+    // side) streams k centroid rows past every vector, the quantized
+    // distance is the codegen'd [[graft.plans.LongSqDist]] primitive loop
+    // (the declarative aggregate/zip_with fold allocates an array per
+    // evaluation and runs interpreted — at a data-derived k the n·k
+    // distance evaluations made it the lane's dominant cost), and the
+    // per-vector argmin is min(struct(d, j)) — lexicographic, ties toward
+    // the lower centroid index, exact integers, partial-aggregated
+    // map-side so the shuffle carries n rows, never n·k. The earlier
+    // plan-literal array_min form compiled a k·dim-literal expression —
+    // codegen falls over past ~a few thousand literals. Plan size is now
+    // O(1) in k; the remaining n·k distance work is Lloyd's own
+    // arithmetic, one primitive loop per (vector, centroid).
+    def assignFrame(cents: Seq[(Int, Array[Long])]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centDf = cents.map { case (j, ce) => (j, ce.toSeq) }
+        .toDF("__j", "__ce")
+      q.select(col(idCol), col("__qe")).withColumn("__one", lit(1))
+        .join(broadcast(centDf.withColumn("__one", lit(1))), "__one")
+        .withColumn("__d", graft.plans.LongSqDist(col("__qe"), col("__ce")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d"), col("__j"))).as("__m"))
+        .select(col(idCol), col("__m.__j").as("__cl"))
     }
 
     // Init: kEff lowest ids via distributed TopK; kEff rows collected
@@ -1085,7 +1120,8 @@ object Similarity {
     for (_ <- 0 until iters) {
       // One narrow assignment + one (cluster, dim) agg per iteration; the
       // k×dim partial sums collapse map-side before the k-row collect.
-      centroids = q.withColumn("__cl", assignCol(centroids))
+      centroids = assignFrame(centroids)
+        .join(q.select(col(idCol), col("__qe")), Seq(idCol))
         .select(col("__cl"), posexplode(col("__qe")).as(Seq("__d", "__v")))
         .groupBy(col("__cl"), col("__d"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
@@ -1100,23 +1136,41 @@ object Similarity {
         }.sortBy(_._1).toSeq
     }
 
-    val fin = q.withColumn("cluster", assignCol(centroids))
+    // Final assignment is evaluated ONCE into a narrow (id, cluster)
+    // frame and joined back: `fin` fans out to several consumers below
+    // (bucket explode, probe explode, both sides of the cosine join, the
+    // final select), and without materialization each one would re-run
+    // the n·k argmin over its whole input. The checkpoint holds ids +
+    // one int each — corpus-narrow at any scale; blocks are released by
+    // the caller's session hygiene like every checkpointed lane.
+    val assigned = assignFrame(centroids)
+      .select(col(idCol), col("__cl").as("cluster"))
+      .localCheckpoint()
+    val fin = q.join(assigned, Seq(idCol))
       .withColumn("__n2", sqrt(dotFast(col(embCol), col(embCol))))
     val dups = (bandedDim match {
       case Some(dim) =>
         // production path: candidates agree on cluster AND ≥1 signature
         // band — the same (band, bits) blocking as cosineNearDupPairs,
-        // narrowed by the cluster key, so no unbanded self-join exists
-        val bandStructs = bandedSignStructs(embCol, dim, nBits, bands)
-        val buckets = fin.select(col(idCol), col("cluster"),
-            explode(array(bandStructs: _*)).as("bb"))
+        // narrowed by the cluster key, so no unbanded self-join exists.
+        // The sign signature materializes as ONE column below the
+        // explode — band structs that inline the signature expression
+        // repeat its 24 hyperplane dots per struct and (at the probed
+        // 28-struct arity) drop the generator out of codegen entirely
+        // (52 s → ~1 s on the 10× fixture).
+        val fin2 = fin.withColumn("__sig", planeSig(embCol, dim, nBits))
+        val buckets = fin2.select(col(idCol), col("cluster"),
+            explode(array(
+              bandedSignStructsFromSig(col("__sig"), nBits, bands): _*))
+              .as("bb"))
           .select(col(idCol), col("cluster"), col("bb.band"), col("bb.bits"))
         // probe side: base memberships, or base + radius-1 flips — the
         // y (blocked) side always stays at base memberships
         val xBuckets = if (!bandProbe1) buckets
-          else fin.select(col(idCol), col("cluster"),
+          else fin2.select(col(idCol), col("cluster"),
               explode(array(
-                bandedSignStructsProbed(embCol, dim, nBits, bands): _*))
+                bandedSignStructsProbedFromSig(col("__sig"), nBits,
+                  bands): _*))
                 .as("bb"))
             .select(col(idCol), col("cluster"), col("bb.band"),
               col("bb.bits"))
