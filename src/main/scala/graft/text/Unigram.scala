@@ -118,8 +118,13 @@ object Unigram {
   def scoreArrays(words: DataFrame, wordCol: String, vocab: DataFrame,
                   maxPieceLen: Int, unkNano: Long): DataFrame =
     substrings(words, wordCol, maxPieceLen)
-      .join(vocab.select(col("piece"), col("score_nano")), Seq("piece"),
-        "left")
+      // broadcast: the vocab is tokenizer-bounded (≤ ~1M pieces — tens of
+      // MB) while the substring explode is dictionary × maxPieceLen rows;
+      // without the hint the checkpointed vocab's unknown stats forced a
+      // SortMergeJoin that SHUFFLED the exploded side every EM round
+      // (round 17 plan audit: 2 Exchange + 2 Sort per round → 0)
+      .join(broadcast(vocab.select(col("piece"), col("score_nano"))),
+        Seq("piece"), "left")
       .withColumn("__s",
         when(col("l") === 1 && col("piece").isNotNull,
           coalesce(col("score_nano"), lit(unkNano)))
@@ -132,48 +137,26 @@ object Unigram {
   /** Exact integer Viterbi segmentation: adds `pieces: array<string>` and
     * `score_nano: long` to a frame that already carries `score_arr` from
     * [[scoreArrays]]. Tie rule: equal score prefers the SMALLER start
-    * (longer last piece) — deterministic and engine-portable. */
+    * (longer last piece) — deterministic and engine-portable.
+    *
+    * Round 17: the DP runs as the native
+    * [[graft.plans.UnigramViterbi]] expression — ONE compact node per
+    * row instead of two nested `aggregate` HOFs with the candidate
+    * window unrolled (~10³ expression nodes that every EM round
+    * re-analyzed and re-compiled, plus interpreted per-cell lambda
+    * dispatch and an O(n²) `concat(acc, array(best))` accumulator copy).
+    * Bit-identical by construction: same slot layout, same
+    * longest-first strict-`>` tie rule, same `substringSQL` slicing —
+    * UnigramSpec pins the trace against the SQL twin. */
   def viterbiSegment(withArr: DataFrame, wordCol: String,
-                     maxPieceLen: Int): DataFrame = {
-    val word = col(wordCol)
-    val n = length(word)
-    // dp[i] (1-based slot i+1): best (score, start-of-last-piece)
-    val dp = aggregate(
-      sequence(lit(1), n),
-      array(struct(lit(0L).as("s"), lit(0).as("bp"))),
-      (acc: Column, i: Column) => {
-        val best = (maxPieceLen - 1 to 0 by -1).foldLeft(
-          struct(lit(NegInf).as("s"), lit(-1).as("bp"))) { (b, d) =>
-          val j = i - lit(d)
-          val l = lit(d + 1)
-          val cand = when(j >= 1,
-            element_at(acc, j).getField("s") +
-              element_at(col("score_arr"), (j - 1) * maxPieceLen + l))
-          when(cand.isNotNull && cand > b.getField("s"),
-            struct(cand.as("s"), j.cast("int").as("bp"))).otherwise(b)
-        }
-        concat(acc, array(best))
-      })
-    // walk the backpointers from position n — at most n hops
-    val seg = aggregate(
-      sequence(lit(1), n),
-      struct(n.cast("int").as("pos"),
-        array().cast("array<string>").as("out")),
-      (st: Column, _: Column) => {
-        val pos = st.getField("pos")
-        val bp = element_at(col("__dp"), pos + 1).getField("bp")
-        when(pos > 0,
-          struct((bp - 1).cast("int").as("pos"),
-            concat(array(word.substr(bp, pos - bp + 1)), st.getField("out"))
-              .as("out")))
-        .otherwise(st)
-      }).getField("out")
+                     maxPieceLen: Int): DataFrame =
     withArr
-      .withColumn("__dp", dp)
-      .withColumn("pieces", seg)
-      .withColumn("score_nano", element_at(col("__dp"), n + 1).getField("s"))
-      .drop("__dp")
-  }
+      .withColumn("__vit",
+        graft.plans.UnigramViterbi(col(wordCol), col("score_arr"),
+          maxPieceLen))
+      .withColumn("pieces", col("__vit").getField("pieces"))
+      .withColumn("score_nano", col("__vit").getField("score"))
+      .drop("__vit")
 
   /** One hard-EM round: Viterbi-segment the word dictionary under the
     * current scores, count pieces weighted by word frequency (pieces the
@@ -191,7 +174,9 @@ object Unigram {
       .select(col(cntCol), explode(col("pieces")).as("piece"))
       .groupBy("piece").agg(sum(col(cntCol)).as("cnt"))
     rescore(
-      vocab.select("piece").join(used, Seq("piece"), "left")
+      // broadcast: `used` is vocab-bounded (pieces the segmentation chose
+      // ⊆ vocab) — same rationale as the scoreArrays hint
+      vocab.select("piece").join(broadcast(used), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt")),
       alpha)
   }
