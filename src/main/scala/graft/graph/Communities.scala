@@ -54,10 +54,19 @@ object Communities {
       .where(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull)
       .distinct()
-    val sym0 = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    // multi-segment runs re-read the symmetric edge frame once per round in
-    // EVERY segment's replanned lineage — materialize it once; single-
-    // segment runs keep the lazy frame (no extra barrier on shallow lanes)
+    // one reference to `und` (an explode, not a union whose branches each
+    // re-plan the input) — the round-17 plan-size discipline
+    val sym0 = und
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a"), col("e.b"))
+    // multi-segment runs re-read the symmetric edge frame once per round
+    // in EVERY segment's replanned lineage — materialize it once. Runs
+    // inside one segment keep the lazy frame: their rounds live in ONE
+    // plan where the identical sym exchanges are runtime-reused, and the
+    // checkpoint barrier measurably costs more than it saves (round 17:
+    // q209 0.88 → 1.49 s with an iters ≥ 2 checkpoint, reverted)
     val sym = if (iters > checkpointEvery) sym0.localCheckpoint() else sym0
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
@@ -66,11 +75,14 @@ object Communities {
       val nbr = sym
         .join(labels.select(col("v").as("b"), col("lbl")), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("__c"))
+      // argmax as an aggregate, not a row_number window: min of
+      // (−count, label) is exactly "most frequent, ties toward the
+      // smaller label", partial-aggregates map-side, and skips the
+      // window's per-partition sort (guide §2.3/§2.4)
       labels = nbr
-        .withColumn("__rn", row_number().over(Window.partitionBy(col("a"))
-          .orderBy(col("__c").desc, col("lbl").asc)))
-        .where(col("__rn") === 1)
-        .select(col("a").as("v"), col("lbl"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("lbl"))).as("__m"))
+        .select(col("a").as("v"), col("__m").getField("lbl").as("lbl"))
       if ((i + 1) % checkpointEvery == 0 && (i + 1) < iters) {
         val cp = labels.localCheckpoint()
         if (lastCp != null) graft.util.SessionHygiene.releaseCheckpoint(lastCp)

@@ -38,15 +38,19 @@ object PageRank {
     require(iters >= 1 && scale >= 1 && dDen >= 1 && dNum >= 0 &&
       dNum <= dDen && checkpointEvery >= 1,
       "need iters >= 1, 0 <= dNum <= dDen, checkpointEvery >= 1")
-    // materialize the loop-invariant frames ONCE — the lazy form would
-    // re-derive the edge build (scans, joins, distinct) on every
-    // iteration's reference; blocks are released by the harness's
-    // SessionHygiene between queries (the runStars lifecycle)
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the EDGE frame once (round 17): every loop-invariant
+    // frame (deg, withDeg, nodes) and every iteration re-reads it, and
+    // without the cut the caller's whole edge build (scans, joins,
+    // distinct) ran once per materialized consumer. withDeg/nodes stay
+    // lazy on top of the checkpointed scan — their identical exchanges
+    // are runtime-reused across the unrolled iterations, and dropping
+    // their barriers measured faster than checkpointing each (blocks are
+    // released by the harness's SessionHygiene, the runStars lifecycle).
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val withDeg = e.join(deg, "src")
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
       val contrib = withDeg

@@ -30,15 +30,31 @@ object Triangles {
     * included at 0. */
   def countPerVertex(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
+    // Round 17 (plan-size diet): every frame below is referenced ONCE —
+    // `explode(array(...))` replaces the unionAll fan-outs (a union
+    // re-plans its input per branch) and `oriented` materializes via one
+    // localCheckpoint before fanning out to the wedge join's two sides
+    // and the closing probe. The lazy form re-planned the edge build
+    // once per reference — multiplicatively: the initial q208 plan held
+    // ~180 Exchange nodes (deg ×2 copies × oriented ×3 × corner ×3) and
+    // driver-side analysis+codegen of that tree dominated the lane at
+    // every fixture scale. Runtime semantics are unchanged (same rows
+    // into every aggregate); the checkpoint holds the m-row oriented
+    // edge list — the same loop-invariant discipline as PageRank's
+    // withDeg — and its blocks are released by session hygiene.
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull)
       .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
+      // the normalized edge set feeds both the degree aggregate and the
+      // orientation join — materialize so the caller's edge build runs
+      // exactly once however many frames below re-read it
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // orient each edge from its (deg, id)-smaller endpoint; carry the
     // head's (deg, id) so wedge endpoints can be ≺-compared without a
     // global vertex rank (a single-partition window at graph scale)
@@ -53,6 +69,7 @@ object Triangles {
           struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
         .as("e"))
       .select(col("e.u"), col("e.w"), col("e.dw"))
+      .localCheckpoint()
     // wedges at apex u with y ≺ z, closed by the oriented edge y→z
     val o1 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
     val o2 = oriented.select(col("u"), col("w").as("z"), col("dw").as("dz"))
@@ -62,9 +79,8 @@ object Triangles {
       .join(oriented.select(col("u").as("y"), col("w").as("z")),
         Seq("y", "z"))
       .select(col("u").as("x"), col("y"), col("z"))
-    val corner = tris.select(col("x").as("v"))
-      .unionAll(tris.select(col("y").as("v")))
-      .unionAll(tris.select(col("z").as("v")))
+    val corner = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("__t"))
     deg
       .join(corner, Seq("v"), "left")
