@@ -3423,9 +3423,14 @@ object SparkEntry {
     val lf = ev.join(broadcast(maxes), Seq("user_id"))
       .withColumn("lf", col("value") / col("max_load"))
       .withColumn("hr", (lit(8) + pmod(col("event_id"), lit(5))).cast("double"))
+    // the binned frame feeds FIVE consumers (stable-run scan, max-rank,
+    // hr-at-max, hr-at-stable, up-time) — materialize it once instead of
+    // re-running the stats + dense-rank window pipeline per reference
+    // (round 17; minStableBinFromBinned shares the same frame)
     val binned = Binning.equalWidthBins(lf, "user_id", "lf", nBins = 10)
-    val stable = Binning.minStableBin(lf, "user_id",
-      Seq(col("ts"), col("event_id")), "lf", nBins = 10, minRun = 2)
+      .localCheckpoint()
+    val stable = Binning.minStableBinFromBinned(binned, "user_id",
+      Seq(col("ts"), col("event_id")), minRun = 2)
     val maxRank = binned.groupBy(col("user_id"))
       .agg(max(col("bin_rank")).as("__mr"))
     val hrMax = binned.join(broadcast(maxRank), Seq("user_id"))

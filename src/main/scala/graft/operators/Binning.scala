@@ -72,11 +72,20 @@ object Binning {
     * shuffle the screens already pay. */
   def minStableBin(df: DataFrame, groupCol: String, order: Seq[Column],
                    valueCol: String, nBins: Int = 10,
-                   minRun: Int = 2): DataFrame = {
+                   minRun: Int = 2): DataFrame =
+    minStableBinFromBinned(equalWidthBins(df, groupCol, valueCol, nBins),
+      groupCol, order, minRun)
+
+  /** [[minStableBin]] over an ALREADY-binned frame ([[equalWidthBins]]
+    * output) — callers that consume the binned frame elsewhere too can
+    * materialize it once and share it (round 17: q185 re-computed the
+    * stats + dense-rank window pipeline once per reference). */
+  def minStableBinFromBinned(binned: DataFrame, groupCol: String,
+                             order: Seq[Column],
+                             minRun: Int = 2): DataFrame = {
     require(minRun >= 1, "minRun must be >= 1")
     val wT = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(order: _*)
-    val binned = equalWidthBins(df, groupCol, valueCol, nBins)
     val runs = binned
       .withColumn("__chg",
         when(lag(col("bin_idx"), 1).over(wT).isNull ||
