@@ -283,11 +283,18 @@ object Etl {
         .where(!col("dirty")).select("doc_id"),
       Seq("doc_id"))
 
-    // 3. quality floor + token counts
+    // 3. quality floor + token counts. Materialized ONCE (round 17):
+    //    the budgets collect below and the mixture selection are two
+    //    separate jobs, and without the cut each re-ran the whole
+    //    dedup → CC → decontaminate → quality lineage — the capstone's
+    //    most expensive stages, twice. Column-pruned to exactly what
+    //    stages 4+ read.
     val scored = clean
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text")).cast("long"))
       .where(TextAnalysis.qualityScore(col("text")) >= 0.05)
+      .select("doc_id", "lang", "n_tokens", "text")
+      .localCheckpoint()
 
     // 4. mixture: half of each surviving language's tokens, hash order
     //    (5-row bounded collect — the per-domain budget dimension)

@@ -250,12 +250,12 @@ object NearDup {
         col("n_sh")))).as("ids"))
       .where(if (maxDf > 0) size(col("ids")).between(2, maxDf)
              else size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-          |    struct(x.id AS id_a, y.id AS id_b,
-          |           x.n_sh AS na, y.n_sh AS nb))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.na"), col("p.nb"))
+      // native pair emit (round 17): same (i, j)-ordered combinations as
+      // the interpreted flatten/transform/slice chain, without the
+      // per-pair lambda dispatch and per-element tail re-copy
+      .select(explode(graft.plans.OrderedPairs(col("ids"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
       .where(col("common") * thresholdDen >=
@@ -292,11 +292,9 @@ object NearDup {
     fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")).between(2, maxDf))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-          |    struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // native pair emit — see jaccardPairs
+      .select(explode(graft.plans.OrderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
