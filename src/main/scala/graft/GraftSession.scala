@@ -18,7 +18,25 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true): size-based
+      // coalescing (parallelismFirst=false + advisory 256m, guide §9)
+      // was MEASURED in round 17 and reverted — it coalesces this
+      // engine's compute-dense small shuffles (portable-MD5 hashing,
+      // posting-list pair emits) onto too few cores and a 20-query spine
+      // regressed 39.5 → 47.2 s (q133 3.9 → 7.7 s). Bytes-per-CPU-second
+      // here is low, so parallelism, not partition size, is the binding
+      // constraint — on a production cluster the advisory size only
+      // matters once shuffles exceed cores × advisory, where the default
+      // behaves identically.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE SMJ→shuffled-hash conversion, size-gated at runtime (guide
+      // §3.1): a sort-merge join whose post-shuffle partitions ALL fit
+      // under the threshold skips both sorts and builds a per-partition
+      // hash table instead. Unlike a global preferSortMergeJoin=false
+      // this cannot OOM a fat build partition at scale — partitions over
+      // the threshold keep the sort-merge plan. Default is 0 (off).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
