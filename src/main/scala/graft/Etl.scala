@@ -147,6 +147,13 @@ object Etl {
         round(col("alloc_revenue") / (col("acctbal") + 20000.0), 4))
       .select("s_suppkey", "order_year", "nationkey", "alloc_revenue",
         "qty", "price_per_qty", "balance_ratio")
+      // materialized ONCE (round 17): the metrics write and the
+      // plant-parts write are separate actions, and without the cut each
+      // re-ran the whole harvest → allocation → rollup chain. The frame
+      // is the REDUCED supplier×year rollup — dimension-sized at any
+      // corpus scale — and pruning below it is unaffected (it is already
+      // the narrow 7-column select the stages above were pruned to).
+      .localCheckpoint()
 
     // 4. PLANT-PARTS: the supplier/nation/region grain family over the
     //    metrics frame (q51 + q89's true-grain labeling), with nation →
