@@ -108,21 +108,35 @@ object TextAnalysis {
                            graft.functions.XxHashFamily): Column = {
     require(k >= 1, "gram length k must be >= 1")
     require(w >= 1, "window size w must be >= 1")
-    // The let-binding is load-bearing: without it the gram hashing
-    // re-runs per window position and the selection goes O(len²) per row
-    // (see Hof.let).
-    import graft.functions.Hof.let
-    let(trim(regexp_replace(lower(text), "\\s+", " "))) { txt =>
-      val nGrams = length(txt) - k + 1
-      let(when(nGrams.isNull || nGrams <= 0, array().cast("array<long>"))
-          .otherwise(transform(sequence(lit(1), nGrams),
-            i => family.hash(0, substr(txt, i, lit(k)))))) { grams =>
-        when(size(grams) === 0, array().cast("array<long>"))
-          .when(size(grams) <= w, array(array_min(grams)))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(grams) - w + 1),
-            j => array_min(slice(grams, j, lit(w))))))
-      }
+    val normalized = trim(regexp_replace(lower(text), "\\s+", " "))
+    family match {
+      // Portable family: ONE native node per row (round 17) — gram
+      // hashing + sliding minima + ordered distinct in a single pass
+      // with a monotonic deque, bit-identical to the declarative chain
+      // below (WinnowPortableMinima scaladoc has the equivalence
+      // argument; TextDedupSpec pins both paths, q113's oracle replays
+      // the selection). The HOF form paid an interpreted lambda
+      // dispatch + substring/concat allocation per GRAM and an O(n·w)
+      // slice copy per window position.
+      case graft.functions.PortableHashFamily =>
+        graft.plans.WinnowPortableMinima(normalized, k, w)
+      case _ =>
+        // The let-binding is load-bearing: without it the gram hashing
+        // re-runs per window position and the selection goes O(len²) per
+        // row (see Hof.let).
+        import graft.functions.Hof.let
+        let(normalized) { txt =>
+          val nGrams = length(txt) - k + 1
+          let(when(nGrams.isNull || nGrams <= 0, array().cast("array<long>"))
+              .otherwise(transform(sequence(lit(1), nGrams),
+                i => family.hash(0, substr(txt, i, lit(k)))))) { grams =>
+            when(size(grams) === 0, array().cast("array<long>"))
+              .when(size(grams) <= w, array(array_min(grams)))
+              .otherwise(array_distinct(transform(
+                sequence(lit(1), size(grams) - w + 1),
+                j => array_min(slice(grams, j, lit(w))))))
+          }
+        }
     }
   }
 

@@ -185,6 +185,7 @@ class TextDedupSpec extends SparkSpec {
       "the quick  BROWN fox\tjumps over the lazy dog",  // normalization
       "short", "", "   ", "exactly8", "nine char",       // short-doc branches
       "abababababababababab",                            // repeating grams
+      "héllo wörld ünïcode — мир and 漢字 slices",        // code-point grams
       (1 to 60).map(i => s"tok$i").mkString(" "))
     val got = texts.toDF("t")
       .select(TextAnalysis.winnowFingerprints($"t", k, w,
@@ -192,6 +193,17 @@ class TextDedupSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     texts.zip(got).foreach { case (t, fps) =>
       assert(fps.toSet == refWinnow(t, k, w), s"mismatch on '$t'")
+      // first-occurrence order of the window minima (array_distinct
+      // semantics — pinned so the native kernel can't reorder)
+      val txt2 = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val n2 = txt2.length - k + 1
+      if (n2 > w) {
+        val grams2 = (0 until n2).map(i =>
+          graft.functions.PortableHash.seeded(0, txt2.substring(i, i + k)))
+        val ordered = (0 to n2 - w).map(j => grams2.slice(j, j + w).min)
+          .distinct
+        assert(fps == ordered, s"order mismatch on '$t'")
+      }
       // selection never invents hashes: every fingerprint is a gram hash
       val txt = t.toLowerCase.replaceAll("\\s+", " ").trim
       val all = (0 until (txt.length - k + 1).max(0)).map(i =>
