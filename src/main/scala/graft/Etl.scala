@@ -165,17 +165,26 @@ object Etl {
     // NULL nationkey; its nation/region grain rows land in an explicit
     // "unknown" bucket so the required part_key check holds for any
     // data distribution
-    def grain(label: String, priority: Int, key: Column): DataFrame =
-      withRegion.groupBy(
-          coalesce(key.cast("string"), lit("unknown")).as("part_key"))
-        .agg(round(sum(col("alloc_revenue")), 2).as("sum_revenue"),
-          count(lit(1)).as("n_rows"),
-          count_distinct(col("s_suppkey")).as("n_suppliers"))
-        .withColumn("grain", lit(label))
-        .withColumn("priority", lit(priority))
-    val parts = grain("supplier", 1, col("s_suppkey"))
-      .unionByName(grain("nation", 2, col("nationkey")))
-      .unionByName(grain("region", 3, col("n_regionkey")))
+    // Round 18 (plan-size diet, the q157 twin): one explode + one
+    // aggregation replaces the union of three aggregations — same row
+    // set (groups are disjoint across grains, per-group rows/sums/
+    // distincts unchanged), one shuffle over the metrics frame instead
+    // of three, one planned subtree instead of three.
+    def grainStruct(label: String, priority: Int, key: Column): Column =
+      struct(lit(label).as("grain"), lit(priority).as("priority"),
+        coalesce(key.cast("string"), lit("unknown")).as("part_key"))
+    val parts = withRegion
+      .select(col("alloc_revenue"), col("s_suppkey"),
+        explode(array(
+          grainStruct("supplier", 1, col("s_suppkey")),
+          grainStruct("nation", 2, col("nationkey")),
+          grainStruct("region", 3, col("n_regionkey")))).as("__g"))
+      .groupBy(col("__g.grain").as("grain"),
+        col("__g.priority").as("priority"),
+        col("__g.part_key").as("part_key"))
+      .agg(round(sum(col("alloc_revenue")), 2).as("sum_revenue"),
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"))
     val sig = Window.partitionBy(col("sum_revenue"), col("n_rows"),
       col("n_suppliers"))
     val partsOut = parts
@@ -591,7 +600,14 @@ object Etl {
          substring(graft.plans.Metaphone(col("r_canon")), 1, 3))),
       (Seq(regexp_extract(col("l_canon"), "\\bid[a-j]{5}\\b", 0)),
        Seq(regexp_extract(col("r_canon"), "\\bid[a-j]{5}\\b", 0))))
-    val maxBlock = graft.linkage.Linkage.calibrateMaxBlock(b, rules.map(_._2))
+    // Round 18 (barrier diet): the hottest-block pre-flight runs ONCE for
+    // both consumers — calibrateMaxBlock and detectBothSidesHot each ran
+    // their own driver action over per-rule aggregation unions; one fused
+    // hottestBlocks job (each side scanned once) now feeds the clamp
+    // formula AND the 2-D router. Same values by construction.
+    val hot = graft.linkage.Linkage.hottestBlocks(a, b, rules)
+    val maxBlock = graft.linkage.Linkage.maxBlockFromHottest(
+      hot.map(_._2).max)
     // Both-sides-hot routing (round 16): a rule whose hottest block
     // exceeds maxBlock on BOTH sides is the big-joins-big regime where
     // the 1-D salt still leaves ~maxBlock·R pairs per salted group —
@@ -601,8 +617,7 @@ object Etl {
     // collect, 2 rows per rule) and the plan is byte-identical to the
     // 1-D path; the oracle-checked q198 lane exercises the 2-D path
     // end-to-end on a planted both-sides-degenerate key.
-    val hot2d = graft.linkage.Linkage.detectBothSidesHot(a, b, rules,
-      maxBlock)
+    val hot2d = hot.map { case (l, r) => l > maxBlock && r > maxBlock }
     val cand0 = graft.linkage.Linkage.unionBlocks(a, b, "l_id", "r_id",
       rules, maxBlock = maxBlock, rules2D = hot2d)
     val cand = addLevels(cand0)

@@ -2466,16 +2466,30 @@ object SparkEntry {
       Seq("nationkey"), "left")
       .withColumn("__cents",
         round(col("alloc_revenue") * 100).cast("long"))
-    def grain(label: String, priority: Int, key: Column): DataFrame =
-      withRegion.groupBy(key.cast("string").as("part_key"))
-        .agg((sum(col("__cents")) / 100.0).as("sum_revenue"),
-          count(lit(1)).as("n_rows"),
-          count_distinct(col("s_suppkey")).as("n_suppliers"))
-        .withColumn("grain", lit(label))
-        .withColumn("priority", lit(priority))
-    val parts = grain("supplier", 1, col("s_suppkey"))
-      .unionByName(grain("nation", 2, col("nationkey")))
-      .unionByName(grain("region", 3, col("n_regionkey")))
+    // Round 18 (plan-size diet, the q208/q211 single-reference
+    // discipline): the three grains aggregate the SAME metrics frame —
+    // the union-of-3-aggregations form re-planned the whole q156 lineage
+    // per grain (990-line / 62-Exchange initial plan) and shuffled it
+    // three times. One explode emits each row once per grain, so ONE
+    // aggregation (grain rides in the grouping key) computes the
+    // identical row set: groups are disjoint across grains, per-group
+    // rows/sums/distincts are unchanged, and part_key keeps the same
+    // nullable cast.
+    def grainStruct(label: String, priority: Int, key: Column): Column =
+      struct(lit(label).as("grain"), lit(priority).as("priority"),
+        key.cast("string").as("part_key"))
+    val parts = withRegion
+      .select(col("__cents"), col("s_suppkey"),
+        explode(array(
+          grainStruct("supplier", 1, col("s_suppkey")),
+          grainStruct("nation", 2, col("nationkey")),
+          grainStruct("region", 3, col("n_regionkey")))).as("__g"))
+      .groupBy(col("__g.grain").as("grain"),
+        col("__g.priority").as("priority"),
+        col("__g.part_key").as("part_key"))
+      .agg((sum(col("__cents")) / 100.0).as("sum_revenue"),
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"))
     val sig = Window.partitionBy(col("sum_revenue"), col("n_rows"),
       col("n_suppliers"))
     parts

@@ -196,23 +196,12 @@ object Linkage {
                          maxBlock: Int): Seq[Boolean] = {
     require(rules.nonEmpty, "need at least one blocking rule")
     require(maxBlock >= 1, "maxBlock must be >= 1")
-    def hottest(side: DataFrame, keys: Seq[Column], rule: Int,
-                sideIdx: Int): DataFrame = {
-      val names = keys.indices.map(j => s"__bk$j")
-      side.select(keys.zip(names).map { case (c, n) => c.as(n) }: _*)
-        .where(names.map(n => col(n).isNotNull).reduce(_ && _))
-        .groupBy(names.map(col): _*)
-        .agg(count(lit(1)).as("__n"))
-        .agg(coalesce(max(col("__n")), lit(0L)).as("__mx"))
-        .select(lit(rule).as("__rule"), lit(sideIdx).as("__side"),
-          col("__mx"))
+    // Round 18: the per-(rule, side) union form planned 2·|rules|
+    // aggregation subtrees over re-planned side lineages; the fused
+    // [[hottestBlocks]] scans each side once. Same detector output.
+    hottestBlocks(left, right, rules).map { case (l, r) =>
+      l > maxBlock && r > maxBlock
     }
-    val rows = rules.zipWithIndex.flatMap { case ((lk, rk), i) =>
-      Seq(hottest(left, lk, i, 0), hottest(right, rk, i, 1))
-    }.reduce(_.unionByName(_)).collect()
-    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    rules.indices.map(i =>
-      m.getOrElse((i, 0), 0L) > maxBlock && m.getOrElse((i, 1), 0L) > maxBlock)
   }
 
   /** Multi-rule candidate generation — splink's
@@ -275,33 +264,123 @@ object Linkage {
     * counts + one (small) key-cardinality join per rule, never the
     * quadratic pair frame itself. Returns one row per rule:
     * (match_key, n_blocks, n_pairs, max_block_pairs). */
+  /** Fused per-(rule, block-key) cardinalities — ONE scan of `df` serves
+    * every rule: an explode emits one (rule, key) row per rule (the same
+    * ×|rules| replication a grouping-sets Expand would produce) and one
+    * aggregation counts all blocks. Key tuples are encoded as
+    * array<string> (rule arity varies); the encoding preserves each
+    * rule's typed-groupBy semantics exactly: distinct values of one SQL
+    * type cast to distinct strings, rows with ANY null key component are
+    * dropped up front (null keys never survive the null-unsafe equi-joins
+    * this profiles), and float keys are pre-normalized (-0.0 → 0.0,
+    * matching the aggregate's NormalizeFloatingNumbers) so the string
+    * grouping can never split a group the typed grouping merged. */
+  private def ruleKeyCounts(df: DataFrame, sides: Seq[Seq[Column]],
+                            cnt: String): DataFrame = {
+    def norm(c: Column): Column =
+      df.select(c).schema.head.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          when(c === lit(0.0d), lit(0.0d)).otherwise(c)
+        case org.apache.spark.sql.types.FloatType =>
+          when(c === lit(0.0f), lit(0.0f)).otherwise(c)
+        case _ => c
+      }
+    df.select(explode(array(sides.zipWithIndex.map { case (ks, i) =>
+        struct(lit(i).as("r"),
+          when(ks.map(_.isNotNull).reduce(_ && _),
+            array(ks.map(k => norm(k).cast("string")): _*)).as("k"))
+      }: _*)).as("__rk"))
+      .select(col("__rk.r").as("__rule"), col("__rk.k").as("__key"))
+      .where(col("__key").isNotNull)
+      .groupBy(col("__rule"), col("__key"))
+      .agg(count(lit(1)).as(cnt))
+  }
+
+  /** Per-rule hottest block size on one side, from the fused counts:
+    * (__rule, __mx) — rules whose every row has a null key component are
+    * absent (callers default them to 0). */
+  private def hottestPerRule(df: DataFrame,
+                             sides: Seq[Seq[Column]]): DataFrame =
+    ruleKeyCounts(df, sides, "__n")
+      .groupBy(col("__rule")).agg(max(col("__n")).as("__mx"))
+
+  /** Per-rule hottest (left, right) block sizes in ONE driver action —
+    * the shared pre-flight [[calibrateMaxBlock]] and
+    * [[detectBothSidesHot]] both derive from, exposed so a caller that
+    * needs both (the linkage capstone) pays one barrier instead of two.
+    * Each side is scanned once (fused explode, not one aggregation per
+    * rule); the collect is 2·|rules| rows, bounded by contract. */
+  def hottestBlocks(left: DataFrame, right: DataFrame,
+                    rules: Seq[(Seq[Column], Seq[Column])]): Seq[(Long, Long)] = {
+    require(rules.nonEmpty, "need at least one blocking rule")
+    val rows = hottestPerRule(left, rules.map(_._1))
+      .select(col("__rule"), lit(0).as("__side"), col("__mx"))
+      .unionByName(hottestPerRule(right, rules.map(_._2))
+        .select(col("__rule"), lit(1).as("__side"), col("__mx")))
+      .collect()
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rules.indices.map(i =>
+      (m.getOrElse((i, 0), 0L), m.getOrElse((i, 1), 0L)))
+  }
+
+  /** The [[calibrateMaxBlock]] clamp formula over an already-measured
+    * hottest-right-block size (0 or negative = empty profile). */
+  def maxBlockFromHottest(maxRight: Long,
+                          targetPairsPerTask: Long = 4L * 1000 * 1000,
+                          minBlock: Int = 1024,
+                          maxCap: Int = 1 << 20): Int = {
+    require(targetPairsPerTask >= 1 && minBlock >= 1 && maxCap >= minBlock,
+      "need targetPairsPerTask >= 1 and 1 <= minBlock <= maxCap")
+    if (maxRight <= 0L) maxCap // empty right side: nothing to guard
+    else math.min(maxCap.toLong,
+      math.max(minBlock.toLong, targetPairsPerTask / maxRight)).toInt
+  }
+
   def blockProfile(left: DataFrame, right: DataFrame,
                    rules: Seq[(Seq[Column], Seq[Column])]): DataFrame = {
     require(rules.nonEmpty, "need at least one blocking rule")
-    rules.zipWithIndex.map { case ((lk, rk), i) =>
-      val names = lk.indices.map(j => s"__bk$j")
-      val lc = left
-        .groupBy(lk.zip(names).map { case (c, n) => c.as(n) }: _*)
-        .agg(count(lit(1)).as("__nl"))
-      val rc = right
-        .groupBy(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
-        .agg(count(lit(1)).as("__nr"))
-      // per-block products and their sum are computed in decimal(38,0):
-      // at the 100 TB scale this tool exists for, a single hot block's
-      // nl*nr (or the rule total) can exceed Long and non-ANSI Long
-      // arithmetic would wrap SILENTLY NEGATIVE — garbage exactly when
-      // the budget matters. The final cast back to long (the driver's
-      // BIGINT oracle type) nulls on overflow instead of wrapping, so an
-      // over-budget rule reads as an obviously-broken null, never as a
-      // plausible small number.
-      lc.join(rc, names.toSeq)
-        .select((col("__nl").cast("decimal(38,0)") * col("__nr")).as("__bp"))
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(col("__bp")).cast("long").as("n_pairs"),
-          max(col("__bp")).cast("long").as("max_block_pairs"))
-        .select(lit(i).as("match_key"), col("n_blocks"),
-          col("n_pairs"), col("max_block_pairs"))
-    }.reduce(_.unionByName(_))
+    // Round 18 (plan-size diet): the per-rule form planned 2 aggregations
+    // + 1 join PER RULE over re-planned copies of each side's whole
+    // lineage — q189's 10 production rules produced a 1173-line /
+    // 80-Exchange initial plan whose driver-side analysis dominated the
+    // lane, and at scale it re-scanned each side once per rule. Fused:
+    // each side is scanned ONCE, an explode emits one (rule, key) row per
+    // rule (the same ×|rules| row replication a grouping-sets Expand
+    // would produce), ONE aggregation counts every rule's blocks, and ONE
+    // join multiplies the per-block cardinalities. Key tuples are encoded
+    // as array<string> (rule arity varies); the encoding preserves the
+    // per-rule groupBy semantics exactly: distinct values of one SQL type
+    // cast to distinct strings, rows with ANY null key component are
+    // dropped up front (the old null-unsafe join dropped their blocks),
+    // and float keys are pre-normalized (-0.0 → 0.0, matching the
+    // aggregate's NormalizeFloatingNumbers) so the string grouping can
+    // never split a group the typed grouping merged.
+    val spark = left.sparkSession
+    val lc = ruleKeyCounts(left, rules.map(_._1), "__nl")
+    val rc = ruleKeyCounts(right, rules.map(_._2), "__nr")
+    // per-block products and their sum are computed in decimal(38,0):
+    // at the 100 TB scale this tool exists for, a single hot block's
+    // nl*nr (or the rule total) can exceed Long and non-ANSI Long
+    // arithmetic would wrap SILENTLY NEGATIVE — garbage exactly when
+    // the budget matters. The final cast back to long (the driver's
+    // BIGINT oracle type) nulls on overflow instead of wrapping, so an
+    // over-budget rule reads as an obviously-broken null, never as a
+    // plausible small number.
+    val prof = lc.join(rc, Seq("__rule", "__key"))
+      .select(col("__rule"),
+        (col("__nl").cast("decimal(38,0)") * col("__nr")).as("__bp"))
+      .groupBy(col("__rule"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__bp")).cast("long").as("n_pairs"),
+        max(col("__bp")).cast("long").as("max_block_pairs"))
+    // a rule with zero joined blocks must still report its row (the old
+    // per-rule global aggregates emitted one row per rule unconditionally)
+    spark.range(rules.size)
+      .select(col("id").cast("int").as("match_key"))
+      .join(prof, col("match_key") === col("__rule"), "left")
+      .select(col("match_key"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_pairs"), col("max_block_pairs"))
   }
 
   /** Data-derived `maxBlock` for [[saltBySize]] / [[unionBlocks]]: the
@@ -328,25 +407,15 @@ object Linkage {
     require(rightRules.nonEmpty, "need at least one blocking rule")
     require(targetPairsPerTask >= 1 && minBlock >= 1 && maxCap >= minBlock,
       "need targetPairsPerTask >= 1 and 1 <= minBlock <= maxCap")
-    val row = rightRules.map { rk =>
-      val names = rk.indices.map(j => s"__bk$j")
-      // rows with ANY null key component never join (the equi-joins
-      // unionBlocks performs are null-unsafe), so they must not count
-      // toward the hottest block: a mostly-null blocking key (Metaphone
-      // of null names) would otherwise drive max R toward the corpus
-      // size and collapse the cap to minBlock, over-salting every rule
-      right.select(rk.zip(names).map { case (c, n) => c.as(n) }: _*)
-        .where(names.map(n => col(n).isNotNull).reduce(_ && _))
-        .groupBy(names.map(col): _*)
-        .agg(count(lit(1)).as("__nr"))
-        .agg(max(col("__nr")).as("__mx"))
-    }.reduce(_.unionByName(_)).agg(max(col("__mx"))).head
-    if (row.isNullAt(0)) maxCap // empty right side: nothing to guard
-    else {
-      val maxR = math.max(1L, row.getLong(0))
-      math.min(maxCap.toLong,
-        math.max(minBlock.toLong, targetPairsPerTask / maxR)).toInt
-    }
+    // Round 18: one fused scan of `right` for every rule (ruleKeyCounts
+    // drops null-key rows — they never survive the null-unsafe
+    // equi-joins, and a mostly-null blocking key would otherwise drive
+    // max R toward the corpus size and over-salt every rule), then the
+    // driver-side clamp. One action, |rules| rows collected.
+    val row = hottestPerRule(right, rightRules)
+      .agg(max(col("__mx"))).head
+    maxBlockFromHottest(if (row.isNullAt(0)) 0L else row.getLong(0),
+      targetPairsPerTask, minBlock, maxCap)
   }
 
   /** Blocked fuzzy join: equi-join on `blockKeys`, keep pairs with
