@@ -562,8 +562,11 @@ object Etl {
         concat(lit(s"${seed}_"), col(id).cast("string"))), lit(8L)) === 0)
     val uPairs = addLevels(
       side(a, "ulink", "l_id").crossJoin(side(b, "vlink", "r_id")))
-    val wMap = FS.collectWeights(FS.trainWeights(mPairs, uPairs, comps))
-    val priorNano = FS.priorNanoDf(a).head.getLong(0)
+    // one driver action for trained weights AND the prior (round 18
+    // barrier diet — the separate head() was its own contention-exposed
+    // barrier over the same supplier-sized lineage)
+    val (wMap, priorNano) = FS.collectWeightsAndPrior(
+      FS.trainWeights(mPairs, uPairs, comps), a)
     // blocking: (nation, metaphone 3-prefix of the canon name) — the
     // reference's report_year + substr(plant_name_mphone,1,3) rule,
     // key-for-key since round 13 (native Metaphone expression; soundex

@@ -104,8 +104,16 @@ object CheckRunner {
     // Share the input across passes: prune to the referenced columns first
     // so the checkpoint materializes only what the suite reads (a full-width
     // join would otherwise be cached column-complete for a 3-column suite).
+    // Round 18 (barrier diet): when the input is already a bare file scan
+    // (the capstone pattern — checks run over the freshly-WRITTEN parquet),
+    // the checkpoint trades one extra columnar scan for an eager
+    // materialization barrier and buys nothing: scanning the files per
+    // pass is the cheaper side, and under driver contention every removed
+    // barrier stops amplifying. Computed lineages (joins, aggregations)
+    // keep the checkpoint — for those, re-running the upstream per pass is
+    // the expensive side.
     val in =
-      if (scans > 1) {
+      if (scans > 1 && !isBareScan(df)) {
         val needed = checks.flatMap(referencedColumns).distinct
         (if (needed.nonEmpty) df.select(needed.map(col): _*) else df)
           .localCheckpoint()
@@ -122,6 +130,23 @@ object CheckRunner {
     checks.zipWithIndex.map { case (c, i) =>
       fusedResults.getOrElse(i, runOne(in, c))
     }.reduce(_ unionByName _)
+  }
+
+  /** True when the frame's optimized plan is just column/filter pruning
+    * over a file-source relation — re-scanning it per pass costs less
+    * than an eager checkpoint barrier. Anything with a join, aggregate,
+    * generator or local data stays on the checkpoint path. */
+  private def isBareScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bare(p: LogicalPlan): Boolean = p match {
+      case Project(_, c)  => bare(c)
+      case Filter(_, c)   => bare(c)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _ => false
+    }
+    try bare(df.queryExecution.optimizedPlan) catch { case _: Throwable => false }
   }
 
   private def isFusible(c: Check): Boolean = c match {

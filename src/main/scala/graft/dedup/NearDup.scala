@@ -466,14 +466,24 @@ object NearDup {
     * where no (cluster, sub_cluster) contains a duplicate key.
     */
   def splitClusters(df: DataFrame, clusterCol: String, idCol: String,
-                    keyCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as(idCol),
+                    keyCol: String, keepKey: Boolean = false): DataFrame = {
+    // keepKey = true additionally passes the ORIGINAL-typed key column
+    // through (round 18): linkIdsCrossYear's finalize needs (id, key,
+    // sub_cluster) and previously re-attached the key with one more join
+    // over the whole record set. Default output is unchanged (q119's
+    // oracle pins the 3-column shape).
+    val base = df.select(Seq(
+        col(idCol).cast("long").as(idCol),
         col(clusterCol).cast("long").as(clusterCol),
-        col(keyCol).cast("string").as(keyCol))
+        col(keyCol).cast("string").as("__splitkey")) ++
+        (if (keepKey) Seq(col(keyCol)) else Nil): _*)
       .withColumn("sub_cluster",
-        (row_number().over(Window.partitionBy(col(clusterCol), col(keyCol))
-          .orderBy(col(idCol))) - 1).cast("int"))
-      .select(col(idCol), col(clusterCol), col("sub_cluster"))
+        (row_number().over(Window.partitionBy(col(clusterCol),
+          col("__splitkey")).orderBy(col(idCol))) - 1).cast("int"))
+    if (keepKey)
+      base.select(col(idCol), col(clusterCol), col("sub_cluster"), col(keyCol))
+    else base.select(col(idCol), col(clusterCol), col("sub_cluster"))
+  }
 
   /** sklearn-style AVERAGE-linkage agglomerative labels for a small point
     * set: repeatedly merge the closest pair of clusters (mean pairwise

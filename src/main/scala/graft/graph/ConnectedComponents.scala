@@ -58,15 +58,24 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .distinct()
-      .cache()
+    // Round 18 (barrier diet): ONE driver action decides the route AND
+    // delivers the small-graph edge list — collect up to threshold+1 rows
+    // (bounded: ≤ ~80 MB at the 5M default, the same driver budget the
+    // old count()+cache+collect pair was sized for). The old form paid
+    // two actions and a cache materialization; under driver contention
+    // every removed barrier stops amplifying. A graph over the threshold
+    // pays one discarded bounded collect and re-derives its edges in
+    // runStars — exactly what the cache-unpersist path did.
     val t0 = System.nanoTime()
-    val nEdges = e.count()
+    import e.sparkSession.implicits._
+    val pairs = e.limit(
+        (localEdgeThreshold min (Int.MaxValue - 1L)).toInt + 1)
+      .as[(Long, Long)].collect()
     timer("cc:edge-materialize", (System.nanoTime() - t0) / 1e9)
     val t1 = System.nanoTime()
     val out =
-      if (nEdges <= localEdgeThreshold) runLocal(e)
+      if (pairs.length <= localEdgeThreshold) runLocal(e.sparkSession, pairs)
       else {
-        e.unpersist()
         // caller's maxIter is honored as-is (star rounds run 3 alternations
         // per iteration, so even the default 25 covers ~75 contractions —
         // far past O(log n) convergence for any realistic graph)
@@ -77,11 +86,9 @@ object ConnectedComponents {
   }
 
   /** Driver union-find (path compression + union by rank). */
-  private def runLocal(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+                       pairs: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val pairs = e.as[(Long, Long)].collect()
-    e.unpersist()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x

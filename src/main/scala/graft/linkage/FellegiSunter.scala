@@ -239,6 +239,25 @@ object FellegiSunter {
     weights.select("comparison", "level", "w_nano").collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
 
+  /** [[collectWeights]] and the [[priorNanoDf]] prior in ONE driver
+    * action (round 18 barrier diet): the 1-row prior frame rides the
+    * weights collect as a sentinel row, so a caller that needs both — the
+    * linkage capstone — pays one barrier instead of two. Values are
+    * bit-identical to the separate collects (same in-engine expressions,
+    * just unioned). */
+  def collectWeightsAndPrior(weights: DataFrame,
+                             left: DataFrame): (Map[(String, Int), Long], Long) = {
+    val rows = weights.select(col("comparison"), col("level"), col("w_nano"))
+      .unionByName(priorNanoDf(left).select(
+        lit("__prior").as("comparison"), lit(0).as("level"),
+        col("prior_nano").as("w_nano")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+    (rows.filterNot(_._1._1 == "__prior").toMap,
+      rows.find(_._1._1 == "__prior").map(_._2).getOrElse(
+        throw new IllegalStateException("prior row missing from collect")))
+  }
+
   /** Prior log-odds `log2(λ/(1−λ))` with λ = 1/nLeft (the reference's
     * `probability_two_random_records_match=1/len(eia_df)`), in nanos,
     * computed in-engine as a 1-row frame so the JVM never does the float

@@ -611,8 +611,23 @@ object Linkage {
     // corpus at any scale.
     val split = agglomerativeSplit match {
       case Some(t) => NearDup.splitClustersAgglomerative(
-        clustered, "component", idCol, yearCol, embCol, t)
-      case None => NearDup.splitClusters(clustered, "component", idCol, yearCol)
+          clustered, "component", idCol, yearCol, embCol, t)
+        // the agglomerative splitter's 3-column output is oracle-pinned
+        // (q119) — re-attach the year here; the rare reference-parity
+        // branch keeps its old join count
+        .join(ids.select(col(idCol), col(yearCol)), Seq(idCol))
+      case None =>
+        // one exchange serves BOTH windows below (round 18): hash on
+        // component alone clusters every (component, year) group AND
+        // every (component, sub_cluster) group, so the split row_number
+        // and the record_label min reuse it instead of exchanging twice.
+        // Components are eps-graph clusters (entity × years) — bounded by
+        // construction, so keying the shuffle on component alone cannot
+        // create a hot partition a (component, year) key would have split.
+        // keepKey carries the original-typed year through, which removes
+        // the final reattach join over the whole record set.
+        NearDup.splitClusters(clustered.repartition(col("component")),
+          "component", idCol, yearCol, keepKey = true)
     }
     // CONTENTION SHAPE: every eager materialization here is a driver
     // barrier whose cost is the slowest straggler's — under host
@@ -628,11 +643,12 @@ object Linkage {
     val labeled = split
       .withColumn("record_label", min(col(idCol)).over(
         Window.partitionBy(col("component"), col("sub_cluster"))))
-      .select(col(idCol), col("record_label"))
+      .select(col(idCol), col(yearCol), col("record_label"))
       .persist()
     // 4. orphans: nearest clustered neighbor if close enough, else singleton
     val orphans = ids.join(cc.select(idCol), Seq(idCol), "left_anti")
-    val labeledRows = ids.join(labeled, Seq(idCol))
+    val labeledRows = ids.join(
+      labeled.select(col(idCol), col("record_label")), Seq(idCol))
     val nearest =
       if (blockOrphans) Similarity.nearestAssignBlocked(
         orphans, labeledRows, idCol, embCol, "record_label", dim, nBits, bands)
@@ -643,19 +659,23 @@ object Linkage {
     // label, every other orphan keeps its own id as a singleton label —
     // same pair set as the old eager assigned-checkpoint + anti-join,
     // without the two extra blocking rounds
-    val orphanLabels = orphans.select(col(idCol))
+    val orphanLabels = orphans.select(col(idCol), col(yearCol))
       .join(nearest.where(col("cosine") >= assignThreshold)
           .select(col("orphan_id").as(idCol),
             col("assigned_cluster").as("__asg")),
         Seq(idCol), "left")
-      .select(col(idCol),
+      .select(col(idCol), col(yearCol),
         coalesce(col("__asg"), col(idCol).cast("long")).as("record_label"))
     // materialize the (small: ids + labels) result eagerly, then release
     // the shared intermediate — nothing persisted outlives the call except
-    // the returned frame's own blocks (harness-released per query)
+    // the returned frame's own blocks (harness-released per query).
+    // labeled ∪ orphanLabels covers every id exactly once and both
+    // branches carry the year, so the old (ids ⋈ union) reattach join —
+    // one more shuffle/broadcast stage over the whole record set — is
+    // gone (round 18); rows are identical by construction.
     val tFin = System.nanoTime()
-    val out = ids.select(col(idCol), col(yearCol))
-      .join(labeled.unionByName(orphanLabels), Seq(idCol))
+    val out = labeled.unionByName(orphanLabels)
+      .select(col(idCol), col(yearCol), col("record_label"))
       .localCheckpoint()
     announce("finalize", (System.nanoTime() - tFin) / 1e9)
     labeled.unpersist(blocking = false)
