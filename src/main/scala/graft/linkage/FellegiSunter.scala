@@ -161,22 +161,44 @@ object FellegiSunter {
     val uj = uCounts.localCheckpoint() // ≤ Σ nLevels rows
     val aM = alpha * 1e6
 
-    // w from a (comparison, level, n_levels, c_u, n_u, m) frame, in-engine
-    def weightsOf(withM: DataFrame): Map[(String, Int), Long] =
-      withM.select(col("comparison"), col("level"),
-          round((log(col("m")) -
-              log((col("c_u") + lit(alpha)) /
-                (col("n_u") + lit(alpha) * col("n_levels")))) /
-            log(lit(2.0)) * lit(1e9)).cast("long").as("w_nano"))
-        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
-        .toMap
+    // Round 18 (barrier diet): each EM round previously paid FOUR driver
+    // actions — the cell-sum aggregate plus three separate tiny collects
+    // (weights, m, λ). The parameter-surface reads are now ONE collect
+    // per round: (comparison, level, w_nano, m_nano) rows with a "__lam"
+    // sentinel row carrying (λ log-odds, λ micros). Every expression is
+    // the same in-engine arithmetic as before (never driver float math) —
+    // only the action count changes.
+    def collectRound(withM: DataFrame,
+                     lamCols: Option[(Column, Column)]): (Map[(String, Int), Long], Map[(String, Int), Long], Long, Long) = {
+      val base = withM.select(col("comparison"), col("level"),
+        round((log(col("m")) -
+            log((col("c_u") + lit(alpha)) /
+              (col("n_u") + lit(alpha) * col("n_levels")))) /
+          log(lit(2.0)) * lit(1e9)).cast("long").as("w_nano"),
+        round(col("m") * lit(1e9)).cast("long").as("m_nano"))
+      val rows = lamCols match {
+        case Some((lrCol, lamCol)) =>
+          base.unionByName(spark.range(1).select(
+            lit("__lam").as("comparison"), lit(0).as("level"),
+            lrCol.cast("long").as("w_nano"),
+            lamCol.cast("long").as("m_nano"))).collect()
+        case None => base.collect()
+      }
+      val cells = rows.filter(_.getString(0) != "__lam")
+      val lam = rows.find(_.getString(0) == "__lam")
+      (cells.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap,
+        cells.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap,
+        lam.map(_.getLong(2)).getOrElse(0L),
+        lam.map(_.getLong(3)).getOrElse(0L))
+    }
 
-    // round 1: uniform m = 1/L, prior log2(λ0/(1−λ0))
-    var w = weightsOf(uj.withColumn("m", lit(1.0) / col("n_levels")))
-    var lr = spark.range(1).select(
-        round(log(lit(lambda0) / (lit(1.0) - lit(lambda0))) /
-          log(lit(2.0)) * lit(1e9)).cast("long"))
-      .head.getLong(0)
+    // round 1: uniform m = 1/L, prior log2(λ0/(1−λ0)) — one collect
+    val (w0, _, lr0, _) = collectRound(
+      uj.withColumn("m", lit(1.0) / col("n_levels")),
+      Some((round(log(lit(lambda0) / (lit(1.0) - lit(lambda0))) /
+        log(lit(2.0)) * lit(1e9)), lit(0L))))
+    var w = w0
+    var lr = lr0
     var mNano: Map[(String, Int), Long] = Map.empty
     var lamMicro = 0L
 
@@ -213,18 +235,14 @@ object FellegiSunter {
           sum(col("s_p")).over(Window.partitionBy(col("comparison"))))
         .withColumn("m", (col("s_p") + lit(aM)) /
           (col("t_p") + lit(aM) * col("n_levels")))
-      w = weightsOf(withM)
-      mNano = withM.select(col("comparison"), col("level"),
-          round(col("m") * lit(1e9)).cast("long"))
-        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
-        .toMap
-      val lamRow = spark.range(1).select(
-          round(log(lit(sp) / (lit(n) * lit(1000000L) - lit(sp))) /
-            log(lit(2.0)) * lit(1e9)).cast("long").as("lr"),
-          round(lit(sp) / lit(n)).cast("long").as("lam"))
-        .head
-      lr = lamRow.getLong(0)
-      lamMicro = lamRow.getLong(1)
+      val (wR, mR, lrR, lamR) = collectRound(withM,
+        Some((round(log(lit(sp) / (lit(n) * lit(1000000L) - lit(sp))) /
+            log(lit(2.0)) * lit(1e9)),
+          round(lit(sp) / lit(n)))))
+      w = wR
+      mNano = mR
+      lr = lrR
+      lamMicro = lamR
     }
     val finalRows = comps.flatMap(c => (1 to c.nLevels).map(l =>
       (c.name, l, mNano(c.name -> l), w(c.name -> l), lamMicro)))
