@@ -3441,6 +3441,12 @@ object SparkEntry {
     // hr-at-max, hr-at-stable, up-time) — materialize it once instead of
     // re-running the stats + dense-rank window pipeline per reference
     // (round 17; minStableBinFromBinned shares the same frame)
+    // Round 18, measured and NOT kept: a repartition(user_id) before the
+    // checkpoint was tried so the five per-user consumers could reuse the
+    // partitioning — under AQE the checkpointed LogicalRDD reports
+    // unknown/coalesced partitioning, the consumer Exchanges stay
+    // (plan identical: 30 Exchanges either way), and the extra shuffle
+    // would be pure cost.
     val binned = Binning.equalWidthBins(lf, "user_id", "lf", nBins = 10)
       .localCheckpoint()
     val stable = Binning.minStableBinFromBinned(binned, "user_id",
