@@ -236,22 +236,98 @@ object Linkage {
                   maxBlock: Int = 0,
                   rules2D: Seq[Boolean] = Nil): DataFrame = {
     require(rules.nonEmpty, "need at least one blocking rule")
-    val perRule = rules.zipWithIndex.map { case ((lk, rk), i) =>
-      val j =
-        if (maxBlock > 0 && rules2D.lift(i).getOrElse(false))
-          skewGuardedJoin2D(left, right, lk, rk, maxBlock)
-        else if (maxBlock > 0) skewGuardedJoin(left, right, lk, rk, maxBlock)
-        else left.join(right,
-          lk.zip(rk).map { case (a, b) => a === b }.reduce(_ && _))
-      j.withColumn("match_key", lit(i))
-    }
+    // Round 18 (plan-size diet, the q189/ruleKeyCounts discipline applied
+    // to the pair join itself): the per-rule form planned one join PER
+    // RULE over re-planned copies of each side's whole lineage — q190's
+    // 10 production rules produced a 718-line / 24-Exchange initial plan,
+    // and every branch re-EXECUTED the side subtrees (the Metaphone
+    // codes were computed 10× per row). Fused: each side is computed
+    // ONCE, an explode emits one (rule, key) row per rule, and ONE
+    // equi-join on (rule, encoded key) replaces all K joins — the same
+    // total shuffle bytes (K joins × n rows each ≡ one join × K·n rows),
+    // K× fewer exchanges/stages and 1× side computation. Key tuples use
+    // the [[ruleKeyCounts]] array<string> encoding, whose equality is
+    // exactly the typed null-unsafe conjunction when both sides of every
+    // aligned key share one atomic type: distinct values of one SQL type
+    // cast to distinct strings (Double/Float pre-normalized -0.0 → 0.0;
+    // all-NaN-equal matches Spark's join semantics, both sides reading
+    // "NaN"), and any-null key tuples are dropped up front. Rules with
+    // mismatched or non-atomic key types — and every maxBlock > 0 salted
+    // path — keep the per-rule joins.
+    val fusable = maxBlock <= 0 && rules.size > 1 &&
+      rules.forall { case (lk, rk) =>
+        lk.size == rk.size && lk.zip(rk).forall { case (a, b) =>
+          val ta = left.select(a).schema.head.dataType
+          val tb = right.select(b).schema.head.dataType
+          ta == tb && stringEncodable(ta)
+        }
+      }
+    val unioned =
+      if (fusable) {
+        val lT = tagRules(left, rules.map(_._1), "__lrule", "__lkey")
+        val rT = tagRules(right, rules.map(_._2), "__rrule", "__rkey")
+        lT.join(rT, col("__lrule") === col("__rrule") &&
+            col("__lkey") === col("__rkey"))
+          .select(left.columns.map(col) ++ right.columns.map(col) :+
+            col("__lrule").as("match_key"): _*)
+      } else {
+        rules.zipWithIndex.map { case ((lk, rk), i) =>
+          val j =
+            if (maxBlock > 0 && rules2D.lift(i).getOrElse(false))
+              skewGuardedJoin2D(left, right, lk, rk, maxBlock)
+            else if (maxBlock > 0)
+              skewGuardedJoin(left, right, lk, rk, maxBlock)
+            else left.join(right,
+              lk.zip(rk).map { case (a, b) => a === b }.reduce(_ && _))
+          j.withColumn("match_key", lit(i))
+        }.reduce(_.unionByName(_))
+      }
     val pair = Window.partitionBy(col(leftId), col(rightId))
-    perRule.reduce(_.unionByName(_))
+    unioned
       .withColumn("n_rules", count(lit(1)).over(pair))
       .withColumn("__rn",
         row_number().over(pair.orderBy(col("match_key"))))
       .where(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Types whose cast-to-string is injective on SQL-distinct values —
+    * the precondition for the [[tagRules]] encoded-key join to replay
+    * the typed equi-join exactly. */
+  private def stringEncodable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType | DoubleType | FloatType =>
+        true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Tag every row of `df` with one (rule index, encoded key) pair per
+    * rule whose key tuple is fully non-null — the payload-carrying twin
+    * of [[ruleKeyCounts]]'s explode (same encoding, same null and float
+    * discipline), used by the fused [[unionBlocks]] join. */
+  private def tagRules(df: DataFrame, sides: Seq[Seq[Column]],
+                       ruleCol: String, keyCol: String): DataFrame = {
+    def norm(c: Column): Column =
+      df.select(c).schema.head.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          when(c === lit(0.0d), lit(0.0d)).otherwise(c)
+        case org.apache.spark.sql.types.FloatType =>
+          when(c === lit(0.0f), lit(0.0f)).otherwise(c)
+        case _ => c
+      }
+    df.select(col("*"), explode(array(sides.zipWithIndex.map {
+        case (ks, i) =>
+          struct(lit(i).as("r"),
+            when(ks.map(_.isNotNull).reduce(_ && _),
+              array(ks.map(k => norm(k).cast("string")): _*)).as("k"))
+      }: _*)).as("__rk"))
+      .where(col("__rk.k").isNotNull)
+      .select(col("*"), col("__rk.r").as(ruleCol), col("__rk.k").as(keyCol))
+      .drop("__rk")
   }
 
   /** Blocking-rule pre-flight — splink's
