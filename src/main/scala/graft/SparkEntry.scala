@@ -2314,8 +2314,15 @@ object SparkEntry {
       .select(col("o_custkey").as("cust"),
         (-col("l_suppkey")).cast("long").as("supp"))
       .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // both edge directions via ONE generator over a single-reference
+    // `pairs` (round 18; the r17 explode-instead-of-union discipline):
+    // the unionByName form re-planned the lineitem⋈orders join + distinct
+    // once per direction
+    val edges = pairs.select(explode(array(
+        struct(col("cust").cast("long").as("src"), col("supp").as("dst")),
+        struct(col("supp").as("src"), col("cust").cast("long").as("dst"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
     graft.graph.PageRank.run(edges, iters = 3)
       .orderBy(col("rank").desc, col("node").asc).limit(20)
       .withColumn("node_type",

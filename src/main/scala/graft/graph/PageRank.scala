@@ -47,8 +47,14 @@ object PageRank {
     // their barriers measured faster than checkpointing each (blocks are
     // released by the harness's SessionHygiene, the runStars lifecycle).
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src")
+    // out-degree as a window on the SAME src partitioning the contribution
+    // join needs (round 18, guide §2.4: a window partitioned like the
+    // preceding operation shares its exchange) — the groupBy+join-back
+    // form paid a separate aggregate plus a join per plan, and at scale
+    // the window's per-key buffer spills where the join built a hash
+    // relation; degree values are identical either way
+    val withDeg = e.withColumn("deg", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
     var ranks = nodes.withColumn("rank", lit(scale))

@@ -345,30 +345,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q177 union blocks: per-rule equi-joins + ONE pair-dedup exchange, no cross") {
-    // splink's multi-rule candidate union: each rule must stay a blocked
-    // equi-join (broadcast at fixture scale), and the cross-rule dedup
-    // is a single hash exchange on the (l, r) pair key — rules' unioned
-    // frames flow into one window, not K dedup shuffles
+  test("q177 union blocks: ONE fused rule join + ONE pair-dedup exchange, no cross") {
+    // splink's multi-rule candidate union, fused (round 18): both rules
+    // ride ONE equi-join on the (rule, encoded key) explode — no Union of
+    // per-rule joins, each side's metaphone lineage planned once — and
+    // the cross-rule dedup stays a single hash exchange on the (l, r)
+    // pair key
     val p = plan("q177_union_blocks")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("metaphone"), p)
     assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1, p)
-    assert(p.contains("Union"), p)
+    assert(!p.contains("Union"), p)
+    assert("Generate explode".r.findAllIn(p).size == 2, p) // one per side
   }
 
-  test("q188 full 10-rule union: equi-joins only, ONE pair-dedup exchange, no cross") {
-    // the reference's full production blocking set: ten overlapping
-    // rules must still compile to blocked equi-joins unioned into a
-    // SINGLE (l, r) pair-key dedup exchange — rule count must not
-    // multiply dedup shuffles, and no rule may degrade to a nested loop
+  test("q188 full 10-rule union: ONE fused rule join + ONE pair-dedup exchange, no cross") {
+    // the reference's full production blocking set: all ten overlapping
+    // rules must compile to ONE blocked equi-join on the (rule, encoded
+    // key) explode (round 18 — rule count must not multiply joins or
+    // side re-computation) flowing into a SINGLE (l, r) pair-key dedup
+    // exchange, and no rule may degrade to a nested loop
     val p = plan("q188_union_blocks_full")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("metaphone"), p)
     assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1, p)
-    assert(p.contains("Union"), p)
+    assert(!p.contains("Union"), p)
+    assert("Generate explode".r.findAllIn(p).size == 2, p) // one per side
   }
 
   test("q190 splink predict: no cross, ONE pair-dedup + ONE best-match exchange") {
